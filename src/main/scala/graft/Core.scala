@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark-first implementation plus (when the semantics are
+  * ANSI-SQL-expressible) an equivalent DuckDB oracle SQL used by the driver's
+  * correctness gate.
+  *
+  * Conventions shared by every query (these make the DuckDB hash-compare
+  * deterministic at any scale factor):
+  *   - money/double SUMs go through `decimal` so the result is independent of
+  *     partitioning / summation order (float sums are not associative);
+  *   - AVG and statistics stay double but are rounded to a tolerance far above
+  *     double noise;
+  *   - every LIMIT query has a total order (unique tie-breaker column);
+  *   - ambiguous result types (count_if, grouping, sum(int)) are cast
+  *     explicitly to BIGINT/INT on both sides.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Fixture catalog: one parquet file per table under the scale-factor dir.
+  *
+  * `spark.read.parquet` is the vectorized scan path — predicate pushdown,
+  * column pruning and partition pruning are applied by Catalyst; on a real
+  * cluster the same call reads a partitioned directory tree, so nothing here
+  * is local-mode-specific.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
+      // Spark reader rejects outright; read nanos as long and floor-truncate
+      // to micros — the same value DuckDB produces for its TIMESTAMP (µs).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Register every fixture table as a temp view (SQL entry point). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Session factory used by mains and tests: AQE on, shuffle partitions sized
+  * for local[32] (a cluster deployment would leave these to spark-submit).
+  */
+object GraftSession {
+  def local(cpus: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (one entry per implemented operator
+  * family from SURVEY.md §2); `oracleSql` holds the DuckDB-equivalent SQL for
+  * every hash-checkable query (estimate-based sketches are rows-only).
+  */
 object SparkEntry {
+
+  private val modules: Seq[Map[String, Q]] = Seq(
+    _root_.graft.queries.Aggregates.queries,
+    _root_.graft.queries.Joins.queries,
+    _root_.graft.queries.Windows.queries,
+    _root_.graft.queries.Relational.queries,
+    _root_.graft.queries.Subqueries.queries,
+    _root_.graft.queries.Scalars.queries,
+    _root_.graft.operators.Dedup.queries,
+    _root_.graft.operators.TextAnalysis.queries,
+    _root_.graft.operators.Similarity.queries,
+    _root_.graft.operators.Events.queries)
+
+  val all: Map[String, Q] = modules.reduce(_ ++ _)
+
+  /** Headline benchmark set: one representative per operator family. */
+  val benchNames: Seq[String] = Seq(
+    "q01_tpch_q1", "q02_tpch_q6", "q20_join_inner", "q22_tpch_q3",
+    "q24_join_semi", "q30_win_rank", "q34_win_topk", "q40_topn",
+    "q46_rollup", "q49_unnest", "q55_scalar_subquery",
+    "d01_dedup_exact", "d04_minhash_lsh_pairs", "t02_quality_score",
+    "s01_cosine_topk", "e03_sessionize")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    all("q01_tpch_q1").fn(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql))) => k -> sql.stripMargin.trim }
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * Beyond the reference's surface (Presto 0.206 has no dedup library);
+  * designed Spark-first for 100 TB corpora:
+  *   - exact / normalized dedup: one hash-shuffle on the fingerprint —
+  *     the minimal possible plan (group-by on a 128-bit key, map-side
+  *     partial aggregation keeps the shuffle at one row per distinct doc
+  *     per partition);
+  *   - MinHash LSH: shingles → K independent min-hashes → bands; candidate
+  *     generation is a self-join on (band_id, band_hash) buckets, which
+  *     shuffles only bucket keys, never full pairwise O(n²);
+  *   - SimHash: 64-bit signature from per-token hash bit-votes;
+  *   - n-gram Jaccard verification on LSH candidates only.
+  *
+  * Hashes are md5-derived (not xxhash64) where the DuckDB oracle must
+  * reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  /** Canonical text normalization: lowercase, collapse whitespace, trim. */
+  def normalize(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** 128-bit content fingerprint of normalized text. */
+  def fingerprint(c: Column): Column = md5(normalize(c).cast("binary"))
+
+  /** Normalized word tokens. */
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  /** Word-level k-shingles over an ALREADY-MATERIALIZED tokens column.
+    *
+    * `toks` must be a bound attribute (select it into a column first), not an
+    * expression: the lambda references it per element (`slice`, `size`), and
+    * an unbound subtree would re-evaluate the tokenization once per token —
+    * O(len·n_tokens) per doc instead of O(len). */
+  def shinglesOf(toks: Column, k: Int): Column =
+    filter(
+      transform(toks, (_, i) =>
+        when(i + k <= size(toks), array_join(slice(toks, i + 1, lit(k)), " "))),
+      s => s.isNotNull)
+
+  /** One MinHash value: min over shingles of an md5-derived 64-bit hash,
+    * seeded by `seed` (distinct permutation per seed). */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, sh =>
+      conv(substring(md5(concat(lit(seed.toString), lit(":"), sh).cast("binary")), 1, 15), 16, 10)
+        .cast("long")))
+
+  /** 64-bit SimHash of a token-array column: per-bit majority vote of token
+    * xxhash64 values. Pure codegen'd expression tree (nested HOFs), no UDF.
+    * `tokensCol` is the name of an array<string> column in scope. */
+  def simhash(tokensCol: String): Column = expr(s"""
+    aggregate(
+      sequence(0, 63),
+      cast(0 as bigint),
+      (acc, b) -> acc | IF(
+        aggregate(transform($tokensCol, t -> xxhash64(t)), 0,
+          (a, h) -> a + IF(((h >> b) & 1) = 1, 1, -1)) > 0,
+        shiftleft(cast(1 as bigint), b),
+        cast(0 as bigint)))""")
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup on normalized text: keep the min doc_id per fingerprint.
+    "d01_dedup_exact" -> Q(
+      (s, d) => docs(s, d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).cast("long").as("n_total"),
+          (sum(col("n_copies")) - count(lit(1))).cast("long").as("n_dropped")),
+      Some("""
+        SELECT count(*) AS n_unique,
+          CAST(sum(n_copies) AS BIGINT) AS n_total,
+          CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dropped
+        FROM (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+            min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM documents GROUP BY 1)""")),
+
+    // Exact-dedup survivors listed per language (the keep-list shape a
+    // pipeline actually materializes).
+    "d02_dedup_keeplist" -> Q(
+      (s, d) => docs(s, d)
+        .groupBy(col("lang"), fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("keep_id")).cast("long").as("sum_keep_ids"))
+        .orderBy("lang"),
+      Some("""
+        SELECT lang, count(*) AS n_kept, CAST(sum(keep_id) AS BIGINT) AS sum_keep_ids
+        FROM (
+          SELECT lang, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+            min(doc_id) AS keep_id
+          FROM documents GROUP BY 1, 2)
+        GROUP BY lang ORDER BY lang""")),
+
+    // MinHash signatures (8 hashes) — deterministic md5-derived values the
+    // oracle reproduces; at scale this is a pure map stage (no shuffle).
+    "d03_minhash_sig" -> Q(
+      (s, d) => {
+        docs(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), shinglesOf(col("t"), 3).as("sh"))
+          .select(col("doc_id") +:
+            (0 until 4).map(i => minhash(col("sh"), i).as(s"mh$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+          FROM documents WHERE doc_id < 50),
+        sh AS (
+          SELECT doc_id,
+            list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) AS shingles
+          FROM toks)
+        SELECT doc_id,
+          list_min(list_transform(shingles,
+            s -> CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh0,
+          list_min(list_transform(shingles,
+            s -> CAST(('0x' || substr(md5('1:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh1,
+          list_min(list_transform(shingles,
+            s -> CAST(('0x' || substr(md5('2:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh2,
+          list_min(list_transform(shingles,
+            s -> CAST(('0x' || substr(md5('3:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh3
+        FROM sh ORDER BY doc_id""")),
+
+    // MinHash-LSH near-dup candidates: band the signature, bucket-join.
+    // Scalable shape: explode shingles (each md5 computed exactly once),
+    // groupBy-min builds the K-hash signature in one shuffle on doc_id,
+    // candidate generation is a self-join on (band, band-hash) buckets —
+    // never O(n²) pairwise. Same pipeline at 100 TB, just more partitions.
+    "d04_minhash_lsh_pairs" -> Q(
+      (s, d) => {
+        val numHashes = 8
+        val bandSize = 2
+        val shingled = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), explode(shinglesOf(col("t"), 3)).as("sh"))
+        val hashed = shingled.select(col("doc_id") +:
+          (0 until numHashes).map(i =>
+            xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
+        val sig = hashed.groupBy("doc_id")
+          .agg(min(col("h0")).as("h0"),
+            (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+        val banded = sig.select(col("doc_id"),
+          posexplode(array((0 until numHashes / bandSize).map(b =>
+            concat_ws(",", (0 until bandSize).map(j =>
+              col(s"h${b * bandSize + j}")): _*)): _*)).as(Seq("band", "bh")))
+        val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+        val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"),
+          col("doc_id").as("id_b"))
+        l.join(r, col("band") === col("band_r") && col("bh") === col("bh_r") &&
+            col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .groupBy().agg(count(lit(1)).as("n_candidate_pairs"))
+      }),
+
+    // SimHash signatures + per-source duplicate-bucket stats (xxhash64-based
+    // — Spark-native hashing, no SQL oracle; rows-only check).
+    "d05_simhash" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("source"),
+          split(normalize(col("text")), " ").as("toks"))
+        .select(col("doc_id"), col("source"), simhash("toks").as("sig"))
+        .groupBy("source")
+        .agg(countDistinct(col("sig")).as("n_distinct_sig"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
+    // n-gram Jaccard similarity on candidate pairs (same lang, close length)
+    // — the verification stage after LSH; exact set ops, oracle-checkable.
+    "d06_ngram_jaccard" -> Q(
+      (s, d) => {
+        val toks = (c: Column) => array_distinct(split(normalize(c), " "))
+        val a = docs(s, d).filter(col("doc_id") < 120)
+          .select(col("doc_id").as("id_a"), col("lang"),
+            col("n_chars").as("nc_a"), toks(col("text")).as("t_a"))
+        val b = docs(s, d).filter(col("doc_id") < 120)
+          .select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+            col("n_chars").as("nc_b"), toks(col("text")).as("t_b"))
+        a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b") &&
+            abs(col("nc_a") - col("nc_b")) < 20)
+          .select(col("id_a"), col("id_b"),
+            round(size(array_intersect(col("t_a"), col("t_b"))).cast("double") /
+              size(array_union(col("t_a"), col("t_b"))).cast("double"), 6).as("jaccard"))
+          .filter(col("jaccard") > 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, n_chars,
+            list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+          FROM documents WHERE doc_id < 120)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) < 20
+        WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6) > 0.5
+        ORDER BY id_a, id_b"""))
+  )
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Event-stream processing as batch (the reference has no streaming runtime —
+  * SURVEY §2.10: Kafka/Redis topics are bounded scans in Presto 0.206), plus
+  * the Structured Streaming extension lives in graft.streaming.
+  *
+  * Tumbling windows use `window(ts, …)` — the same expression Structured
+  * Streaming uses, so these plans lift to readStream unchanged.
+  */
+object Events {
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+
+  val queries: Map[String, Q] = Map(
+
+    // Tumbling 1-hour window aggregation per event type.
+    "e01_tumbling_window" -> Q(
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"), col("n_users"))
+        .orderBy("w_start", "event_type"),
+      Some("""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,
+          count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // Sliding windows: 2h window every 1h (each event lands in 2 windows).
+    "e02_sliding_window" -> Q(
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy("w_start"),
+      Some("""
+        SELECT w_start, count(*) AS n FROM (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS b, ts FROM events),
+          LATERAL (VALUES (b), (b - INTERVAL '1 hour')) AS w(w_start)
+        GROUP BY w_start ORDER BY w_start""")),
+
+    // Sessionization: 30-minute inactivity gap starts a new session; emits
+    // per-session stats. lag + conditional cumsum — one shuffle on user_id.
+    "e03_sessionize" -> Q(
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sessions = ev(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sessions.groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("sess_start"),
+            (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+              .as("duration_s"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT) -
+                    CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+          FROM marked)
+        SELECT user_id, sess_id, count(*) AS n_events,
+          min(ts) AS sess_start,
+          CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
+
+    // Funnel / ordered-event analysis: first view→purchase per user.
+    "e04_funnel" -> Q(
+      (s, d) => {
+        val firstOf = (et: String) => min(when(col("event_type") === et, col("ts")))
+        ev(s, d).groupBy("user_id")
+          .agg(firstOf("view").as("first_view"),
+            firstOf("purchase").as("first_purchase"),
+            count(lit(1)).as("n_events"))
+          .withColumn("converted",
+            col("first_view").isNotNull && col("first_purchase").isNotNull &&
+              col("first_purchase") > col("first_view"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+          count(*) AS n_events,
+          (min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL AND
+           min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL AND
+           min(CASE WHEN event_type = 'purchase' THEN ts END) >
+             min(CASE WHEN event_type = 'view' THEN ts END)) AS converted
+        FROM events GROUP BY user_id ORDER BY user_id"""))
+  )
+}

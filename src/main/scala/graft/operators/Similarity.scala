@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Similarity search over embedding vectors (array<float> column).
+  *
+  * Reference analogue: Presto's cosine_similarity(map,map) scalar
+  * (presto-main/src/main/java/com/facebook/presto/operator/scalar/
+  * MathFunctions.java) — here over dense arrays, plus the search operators a
+  * training-data pipeline needs:
+  *   - brute-force top-k: one map stage + TakeOrderedAndProject (exact
+  *     baseline; scales as a single pass, no shuffle of the corpus);
+  *   - LSH-bucketed ANN: deterministic random-hyperplane signatures; the
+  *     probe only scans matching buckets — the 100 TB path where the corpus
+  *     is pre-bucketed and bucket IDs partition-prune the scan.
+  *
+  * All dot products are double-accumulated `aggregate`/`zip_with` expression
+  * trees (codegen'd, sequential over 64 dims → bit-identical to the oracle).
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  /** dot(a, b) accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Sign bit of a deterministic pseudo-random hyperplane: weight for
+    * (plane p, dim i) = ±1 from the parity of md5("p:i"). */
+  private def planeSign(p: Column, i: Column): Column =
+    when(conv(substring(md5(concat(p.cast("string"), lit(":"), i.cast("string"))
+      .cast("binary")), 32, 1), 16, 10).cast("int") % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** LSH bucket id: bit-vector of hyperplane signs of the embedding. */
+  def lshBucket(v: Column, planes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p =>
+        when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * planeSign(p, i)),
+          lit(0.0), (acc, x) => acc + x) > 0,
+          pow(lit(2.0), p).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  val queries: Map[String, Q] = Map(
+
+    // Brute-force cosine top-k against a query vector (vec_id = 0):
+    // exact ANN baseline. Plan: broadcast 1-row query side, map cosine,
+    // TakeOrderedAndProject — no corpus shuffle.
+    "s01_cosine_topk" -> Q(
+      (s, d) => {
+        val q = emb(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        emb(s, d).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+          round(
+            list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+            AS cos_sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 20""")),
+
+    // Pairwise cosine stats per label pair on a slice — the all-pairs
+    // verification shape (exact, oracle-checked).
+    "s02_cosine_pairs" -> Q(
+      (s, d) => {
+        val a = emb(s, d).filter(col("vec_id") < 60)
+          .select(col("vec_id").as("id_a"), col("label").as("la"), col("embedding").as("ea"))
+        val b = emb(s, d).filter(col("vec_id") < 60)
+          .select(col("vec_id").as("id_b"), col("label").as("lb"), col("embedding").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .groupBy(col("la"), col("lb"))
+          .agg(round(avg(cosine(col("ea"), col("eb"))), 6).as("avg_cos"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("la", "lb")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 60),
+        pairs AS (
+          SELECT a.label AS la, b.label AS lb,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT la, lb, round(avg(cos), 6) AS avg_cos, count(*) AS n_pairs
+        FROM pairs GROUP BY la, lb ORDER BY la, lb""")),
+
+    // LSH-bucketed ANN: deterministic hyperplane signatures; candidates =
+    // same bucket as the query (8 planes → 256 buckets). Rows-only check
+    // (bucket ids depend on the signature construction, not SQL-mirrorable
+    // cheaply); the recall behavior is asserted in ScalaTest against the
+    // brute-force baseline.
+    "s03_ann_lsh" -> Q(
+      (s, d) => {
+        val bucketed = emb(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            lshBucket(col("embedding"), 8).as("bucket"))
+        val q = bucketed.filter(col("vec_id") === 0)
+          .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
+        bucketed.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("qbucket"))
+          .select(col("vec_id"), col("label"), col("bucket"),
+            round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(20)
+      }),
+
+    // Vector arithmetic surface: norms, scalar ops, centroid per label.
+    "s04_vector_ops" -> Q(
+      (s, d) => emb(s, d)
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(l2norm(col("embedding"))), 6).as("avg_norm"),
+          round(avg(dot(col("embedding"), col("embedding"))), 6).as("avg_sq"),
+          round(min(element_at(col("embedding"), 1).cast("double")), 6).as("min_d0"),
+          round(max(element_at(col("embedding"), 1).cast("double")), 6).as("max_d0"))
+        .orderBy("label"),
+      Some("""
+        SELECT label, count(*) AS n,
+          round(avg(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm,
+          round(avg(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS avg_sq,
+          round(min(CAST(embedding[1] AS DOUBLE)), 6) AS min_d0,
+          round(max(CAST(embedding[1] AS DOUBLE)), 6) AS max_d0
+        FROM embeddings GROUP BY label ORDER BY label"""))
+  )
+}

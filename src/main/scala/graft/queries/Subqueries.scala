@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Subquery decorrelation surface.
+  *
+  * Reference: presto-main SubqueryPlanner.java:69 + ApplyNode.java:34 and the
+  * Transform*Apply* rules (scalar / IN / EXISTS / quantified → joins),
+  * EnforceSingleRowOperator.java:1. Spark: RewritePredicateSubquery /
+  * RewriteCorrelatedScalarSubquery produce the same semi/anti/left-join
+  * plans, so these are written in SQL — the declarative form IS the operator.
+  */
+object Subqueries {
+
+  private def sql(text: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, d) => { Tables.registerAll(s, d); s.sql(text) }
+
+  val queries: Map[String, Q] = Map(
+
+    // Uncorrelated scalar subquery.
+    "q55_scalar_subquery" -> Q(
+      sql("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      Some("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // IN subquery → semi join.
+    "q56_in_subquery" -> Q(
+      sql("""
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // NOT IN over a null-free subquery (null-aware anti join).
+    "q57_not_in_subquery" -> Q(
+      sql("""
+        SELECT count(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"""),
+      Some("""
+        SELECT count(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""")),
+
+    // Correlated scalar subquery (TransformCorrelatedScalarAggregationToJoin).
+    "q58_correlated_scalar" -> Q(
+      sql("""
+        SELECT c_nationkey, count(*) AS n_above_nation_avg
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      Some("""
+        SELECT c_nationkey, count(*) AS n_above_nation_avg
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // Correlated EXISTS with an extra predicate.
+    "q59_correlated_exists" -> Q(
+      sql("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Subquery in FROM + LATERAL-style correlation via join on derived table.
+    "q60_derived_table" -> Q(
+      sql("""
+        SELECT o.o_orderpriority, count(*) AS n_big
+        FROM orders o
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+              FROM lineitem GROUP BY l_orderkey) lq
+          ON lq.l_orderkey = o.o_orderkey
+        WHERE lq.qty > 100
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+      Some("""
+        SELECT o.o_orderpriority, count(*) AS n_big
+        FROM orders o
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+              FROM lineitem GROUP BY l_orderkey) lq
+          ON lq.l_orderkey = o.o_orderkey
+        WHERE lq.qty > 100
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")),
+
+    // CTE / WITH clause.
+    "q61_cte" -> Q(
+      sql("""
+        WITH nation_cust AS (
+          SELECT n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT n_name, n_cust, bal FROM nation_cust
+        WHERE n_cust > 2 ORDER BY n_name"""),
+      Some("""
+        WITH nation_cust AS (
+          SELECT n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT n_name, n_cust, bal FROM nation_cust
+        WHERE n_cust > 2 ORDER BY n_name"""))
+  )
+}
