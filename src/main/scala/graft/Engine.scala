@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's public entry point — the equivalent of Presto's
+  * `/v1/statement` + LocalQueryRunner surface (SURVEY §3): a SQL interface
+  * over a registered catalog, with the Presto function-name compatibility
+  * layer installed so queries written for the reference run unchanged.
+  *
+  * Lifecycle mapping: parse/analyze/optimize/schedule/execute are Catalyst +
+  * Tungsten (SURVEY §3 "Spark equivalence"); this class only contributes the
+  * catalog and the function surface.
+  */
+class Engine(val spark: SparkSession) {
+
+  functions.PrestoFunctions.registerAll(spark)
+
+  /** Register every fixture table under its Presto-visible name. */
+  def loadCatalog(dir: String): Engine = {
+    Tables.registerAll(spark, dir)
+    this
+  }
+
+  /** Register one external parquet/orc/csv/json path as a table. */
+  def registerTable(name: String, path: String, format: String = "parquet"): Engine = {
+    spark.read.format(format).load(path).createOrReplaceTempView(name)
+    this
+  }
+
+  /** CREATE VIEW equivalent (stored SQL text, like
+    * SPI/ConnectorViewDefinition.java). */
+  def createView(name: String, sqlText: String): Engine = {
+    spark.sql(sqlText).createOrReplaceTempView(name)
+    this
+  }
+
+  def sql(query: String): DataFrame = spark.sql(query)
+}
+
+object Engine {
+  def apply(spark: SparkSession): Engine = new Engine(spark)
+
+  /** Engine over a local session + fixture catalog (test entry point —
+    * the LocalQueryRunner shape). */
+  def local(dir: String, cpus: Int = 32): Engine =
+    new Engine(GraftSession.local(cpus)).loadCatalog(dir)
+}

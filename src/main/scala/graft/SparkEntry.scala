@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.Relational.queries,
     _root_.graft.queries.Subqueries.queries,
     _root_.graft.queries.Scalars.queries,
+    _root_.graft.queries.PrestoCompat.queries,
     _root_.graft.operators.Dedup.queries,
     _root_.graft.operators.TextAnalysis.queries,
     _root_.graft.operators.Similarity.queries,

@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** Presto → Spark function-name/semantics compatibility layer.
+  *
+  * The reference registers ~250 scalar/aggregate names in
+  * presto-main/src/main/java/com/facebook/presto/metadata/FunctionRegistry
+  * .java:406-560. Spark covers nearly all semantics but under different
+  * names / argument orders; this registry closes the gap so Presto SQL runs
+  * unchanged through `Engine.sql`.
+  *
+  * Mechanism: each builder either delegates to a Spark builtin via
+  * `UnresolvedFunction` (resolved by the analyzer — no private constructor
+  * coupling) or constructs a small Catalyst expression tree. Aggregate
+  * compositions call `.toAggregateExpression()` explicitly.
+  */
+object PrestoFunctions {
+
+  private def fn(name: String, args: Seq[Expression]): Expression =
+    UnresolvedFunction(name, args, isDistinct = false)
+
+  private def lit(v: Any): Expression = Literal(v)
+
+  /** MySQL date pattern (Presto date_format/date_parse,
+    * DateTimeFunctions.java) → java.time pattern. */
+  def mysqlToJavaPattern(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var literal = new StringBuilder
+    def flush(): Unit = {
+      if (literal.nonEmpty) {
+        val s = literal.toString
+        if (s.exists(_.isLetter)) sb.append("'").append(s.replace("'", "''")).append("'")
+        else sb.append(s)
+        literal = new StringBuilder
+      }
+    }
+    while (i < p.length) {
+      if (p(i) == '%' && i + 1 < p.length) {
+        flush()
+        p(i + 1) match {
+          case 'Y' => sb.append("yyyy"); case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM");   case 'c' => sb.append("M")
+          case 'd' => sb.append("dd");   case 'e' => sb.append("d")
+          case 'H' => sb.append("HH");   case 'k' => sb.append("H")
+          case 'h' | 'I' => sb.append("hh"); case 'l' => sb.append("h")
+          case 'i' => sb.append("mm")
+          case 'S' | 's' => sb.append("ss")
+          case 'f' => sb.append("SSSSSS")
+          case 'p' => sb.append("a")
+          case 'M' => sb.append("MMMM"); case 'b' => sb.append("MMM")
+          case 'W' => sb.append("EEEE"); case 'a' => sb.append("EEE")
+          case 'j' => sb.append("DDD")
+          case 'T' => sb.append("HH:mm:ss")
+          case 'v' => sb.append("ww")
+          case '%' => literal.append('%')
+          case other => literal.append(other)
+        }
+        i += 2
+      } else { literal.append(p(i)); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  private def translatedPattern(e: Expression): Expression = e match {
+    case Literal(s, StringType) if s != null =>
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        mysqlToJavaPattern(s.toString)), StringType)
+    case other => other // non-literal pattern: pass through (caller beware)
+  }
+
+  /** name → builder. */
+  val registry: Map[String, Seq[Expression] => Expression] = Map(
+    // --- string (StringFunctions.java) ---
+    "strpos" -> (e => fn("locate", Seq(e(1), e(0)))),
+    "codepoint" -> (e => fn("ascii", e)),
+    "levenshtein_distance" -> (e => fn("levenshtein", e)),
+    "split_to_map" -> (e => fn("str_to_map", Seq(e(0), e(1), e(2)))),
+    "to_utf8" -> (e => fn("encode", Seq(e(0), lit("UTF-8")))),
+    "from_utf8" -> (e => fn("decode", Seq(e(0), lit("UTF-8")))),
+    "normalize" -> (e => NormalizeString(e(0),
+      e.lift(1).collect {
+        case Literal(s, StringType) if s != null => s.toString
+      }.getOrElse("NFC"))),
+    "word_stem" -> (e => WordStem(e.head)),
+    // --- math (MathFunctions.java) ---
+    // Presto emits lowercase digits; Spark conv emits uppercase.
+    "to_base" -> (e => fn("lower",
+      Seq(fn("conv", Seq(Cast(e(0), StringType), lit(10), e(1)))))),
+    "from_base" -> (e => Cast(fn("conv", Seq(e(0), e(1), lit(10))), LongType)),
+    // truncate(double) → double (round toward zero).
+    "truncate" -> (e => Cast(If(GreaterThanOrEqual(e(0), lit(0.0d)),
+      fn("floor", Seq(e(0))), fn("ceil", Seq(e(0)))), DoubleType)),
+    "infinity" -> (_ => lit(Double.PositiveInfinity)),
+    "nan" -> (_ => lit(Double.NaN)),
+    "is_nan" -> (e => fn("isnan", e)),
+    "is_finite" -> (e => And(Not(fn("isnan", e)),
+      LessThan(fn("abs", e), lit(Double.PositiveInfinity)))),
+    "is_infinite" -> (e => EqualTo(fn("abs", e), lit(Double.PositiveInfinity))),
+    "cosine_similarity" -> (e => CosineSimilarity(e(0), e(1))),
+    // --- bitwise (BitwiseFunctions.java) ---
+    "bitwise_and" -> (e => BitwiseAnd(e(0), e(1))),
+    "bitwise_or" -> (e => BitwiseOr(e(0), e(1))),
+    "bitwise_xor" -> (e => BitwiseXor(e(0), e(1))),
+    "bitwise_not" -> (e => BitwiseNot(e(0))),
+    // --- datetime (DateTimeFunctions.java) ---
+    "date_parse" -> (e => fn("to_timestamp", Seq(e(0), translatedPattern(e(1))))),
+    // date_format shadows the builtin name → construct the Catalyst class
+    // directly (delegating via UnresolvedFunction would recurse into us).
+    "date_format" -> { e =>
+      val isMysql = e(1) match {
+        case Literal(s, StringType) => s != null && s.toString.contains("%")
+        case _ => false
+      }
+      DateFormatClass(e(0), if (isMysql) translatedPattern(e(1)) else e(1))
+    },
+    "to_unixtime" -> (e => Cast(fn("unix_timestamp", e), DoubleType)),
+    "from_unixtime" -> (e => fn("timestamp_seconds", Seq(e(0)))),
+    "to_iso8601" -> (e =>
+      fn("date_format", Seq(e(0), lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")))),
+    "from_iso8601_timestamp" -> (e => Cast(e(0), TimestampType)),
+    "from_iso8601_date" -> (e => Cast(e(0), DateType)),
+    "day_of_week" -> (e => Add(fn("weekday", e), lit(1))),
+    "dow" -> (e => Add(fn("weekday", e), lit(1))),
+    "day_of_month" -> (e => fn("day", e)),
+    "day_of_year" -> (e => fn("dayofyear", e)),
+    "doy" -> (e => fn("dayofyear", e)),
+    "week" -> (e => fn("weekofyear", e)),
+    "week_of_year" -> (e => fn("weekofyear", e)),
+    "year_of_week" -> (e => Cast(fn("date_format", Seq(e(0), lit("YYYY"))),
+      IntegerType)),
+    "yow" -> (e => Cast(fn("date_format", Seq(e(0), lit("YYYY"))), IntegerType)),
+    "millisecond" -> (e => Cast(Divide(
+      fn("date_part", Seq(lit("microsecond"), e(0))), lit(1000)), IntegerType)),
+    // date_add/date_diff with unit strings (Presto) vs Spark positional
+    "date_add_unit" -> (e => DateTimeShift.add(e(0), e(1), e(2))),
+    "date_diff_unit" -> (e => DateTimeShift.diff(e(0), e(1), e(2))),
+    // --- json (JsonFunctions.java) ---
+    "json_extract_scalar" -> (e => fn("get_json_object", e)),
+    "json_extract" -> (e => fn("get_json_object", e)),
+    "json_format" -> (e => e.head),
+    "json_parse" -> (e => e.head),
+    "json_size" -> (e => fn("json_array_length", Seq(fn("get_json_object", e)))),
+    "is_json_scalar" -> (e => And(IsNotNull(e(0)),
+      Not(RLike(fn("trim", Seq(e(0))), lit("^[\\[{]"))))),
+    "json_array_contains" -> (e => fn("array_contains",
+      Seq(fn("from_json", Seq(e(0), lit("array<string>"))), Cast(e(1), StringType)))),
+    "json_array_get" -> (e => fn("get_json_object",
+      Seq(e(0), Concat(Seq(lit("$["), Cast(e(1), StringType), lit("]")))))),
+    // --- regex (JoniRegexpFunctions.java) ---
+    "regexp_like" -> (e => RLike(e(0), e(1))),
+    "regexp_split" -> (e => fn("split", e)),
+    // --- binary/hash (VarbinaryFunctions.java) ---
+    "to_hex" -> (e => fn("hex", e)),
+    "from_hex" -> (e => fn("unhex", e)),
+    "to_base64" -> (e => fn("base64", e)),
+    "from_base64" -> (e => fn("unbase64", e)),
+    "sha256" -> (e => fn("unhex", Seq(fn("sha2", Seq(e(0), lit(256)))))),
+    "sha512" -> (e => fn("unhex", Seq(fn("sha2", Seq(e(0), lit(512)))))),
+    "sha1" -> (e => fn("unhex", Seq(fn("sha", e)))), // "sha" = builtin alias
+    "hmac_sha256" -> (e => Hmac(e(0), e(1), "HmacSHA256")),
+    "hmac_sha1" -> (e => Hmac(e(0), e(1), "HmacSHA1")),
+    "hmac_md5" -> (e => Hmac(e(0), e(1), "HmacMD5")),
+    // --- array (Array*.java) ---
+    "cardinality" -> (e => Cardinality(e.head)),
+    "contains" -> (e => fn("array_contains", e)),
+    "repeat_value" -> (e => fn("array_repeat", e)),
+    // --- lambda (higher-order) --- lambdas cannot pass through
+    // UnresolvedFunction (analyzer rejects them pre-resolution), so the HOF
+    // expression classes are constructed directly.
+    "reduce" -> (e => ArrayAggregate(e(0), e(1), e(2), e(3))),
+    "any_match" -> (e => ArrayExists(e(0), e(1))),
+    "all_match" -> (e => ArrayForAll(e(0), e(1))),
+    // none_match: the analyzer requires the expression RESOLVED FROM a
+    // lambda-bearing call to itself be a higher-order function (Not(exists)
+    // is rejected), so negate inside the lambda body instead.
+    "none_match" -> (e => e(1) match {
+      case LambdaFunction(body, args, hidden) =>
+        ArrayForAll(e(0), LambdaFunction(Not(body), args, hidden))
+      case other => Not(ArrayExists(e(0), other))
+    }),
+    // --- conditional ---
+    "try" -> (e => TryEval(e.head)),
+    "typeof" -> (e => fn("typeof", e)),
+    // --- aggregates (operator/aggregation/) ---
+    "approx_distinct" -> (e =>
+      HyperLogLogPlusPlus(e.head).toAggregateExpression()),
+    "approx_percentile" -> (e =>
+      fn("percentile_approx", if (e.length == 2) e :+ lit(10000) else e)),
+    "arbitrary" -> (e => First(e.head, ignoreNulls = true).toAggregateExpression()),
+    "array_agg" -> (e => CollectList(e.head).toAggregateExpression()),
+    "geometric_mean" -> (e => Exp(
+      Average(Log(e.head)).toAggregateExpression())),
+    "map_agg" -> (e => MapFromEntries(
+      CollectList(CreateStruct(Seq(e(0), e(1)))).toAggregateExpression())),
+    "checksum" -> (e => BitXorAgg(XxHash64(Seq(e.head), 42L)).toAggregateExpression()),
+    "every" -> (e => fn("bool_and", e)),
+    "bitwise_and_agg" -> (e => fn("bit_and", e)),
+    "bitwise_or_agg" -> (e => fn("bit_or", e)),
+    // --- HLL sketch family (HyperLogLogFunctions.java / ApproximateSet
+    //     Aggregation.java) — custom TypedImperativeAggregate ---
+    "approx_set" -> (e => ApproxSetAgg(e.head).toAggregateExpression()),
+    "merge" -> (e => MergeHllAgg(e.head).toAggregateExpression()),
+    "empty_approx_set" -> (_ => Literal(HllSketch.emptySerialized(), BinaryType)),
+    // --- url (UrlFunctions.java) ---
+    "url_extract_protocol" -> (e => fn("parse_url", Seq(e(0), lit("PROTOCOL")))),
+    "url_extract_host" -> (e => fn("parse_url", Seq(e(0), lit("HOST")))),
+    "url_extract_path" -> (e => fn("parse_url", Seq(e(0), lit("PATH")))),
+    "url_extract_query" -> (e => fn("parse_url", Seq(e(0), lit("QUERY")))),
+    "url_extract_fragment" -> (e => fn("parse_url", Seq(e(0), lit("REF")))),
+    "url_extract_parameter" -> (e =>
+      fn("parse_url", Seq(e(0), lit("QUERY"), e(1))))
+  )
+
+  /** Register everything into the session's function registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    registry.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}
+
+/** Unit-string date arithmetic (Presto date_add('day', n, ts)). */
+object DateTimeShift {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+
+  private def fn(name: String, args: Seq[Expression]): Expression =
+    UnresolvedFunction(name, args, isDistinct = false)
+
+  def add(unit: Expression, n: Expression, ts: Expression): Expression =
+    fn("timestampadd", Seq(unit, n, ts))
+
+  def diff(unit: Expression, from: Expression, to: Expression): Expression =
+    fn("timestampdiff", Seq(unit, from, to))
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Engine, Q, Tables}
+
+/** Queries written in PRESTO dialect, executed through Engine.sql with the
+  * compatibility registry (graft.functions.PrestoFunctions) — demonstrating
+  * that reference SQL runs unchanged. Oracles use the DuckDB spellings of
+  * the same semantics.
+  */
+object PrestoCompat {
+
+  private def presto(text: String): (SparkSession, String) => DataFrame =
+    (s, d) => { val e = Engine(s); Tables.registerAll(s, d); e.sql(text) }
+
+  val queries: Map[String, Q] = Map(
+
+    // Presto string surface: strpos, levenshtein_distance, codepoint,
+    // split_part, reverse (StringFunctions.java names).
+    "p01_presto_strings" -> Q(
+      presto("""
+        SELECT doc_id,
+          strpos(text, 'data') AS pos_data,
+          levenshtein_distance(lang, 'en') AS lev,
+          codepoint(lang) AS cp,
+          split_part(source, 'c', 2) AS src_tail,
+          CAST(cardinality(split(text, ' ')) AS INT) AS n_words
+        FROM documents ORDER BY doc_id"""),
+      Some("""
+        SELECT doc_id,
+          CAST(strpos(text, 'data') AS INT) AS pos_data,
+          CAST(levenshtein(lang, 'en') AS INT) AS lev,
+          CAST(ascii(lang) AS INT) AS cp,
+          split_part(source, 'c', 2) AS src_tail,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_words
+        FROM documents ORDER BY doc_id""")),
+
+    // Presto datetime surface: date_parse/date_format with MySQL patterns
+    // (DateTimeFunctions.java — translated to java.time internally),
+    // to_unixtime, day_of_week/day_of_year ISO numbering.
+    "p02_presto_datetime" -> Q(
+      presto("""
+        SELECT o_orderkey,
+          date_format(o_orderdate, '%Y-%m-%d') AS iso,
+          date_format(o_orderdate, '%d/%m/%Y %H:%i') AS eu,
+          CAST(to_unixtime(o_orderdate) AS BIGINT) AS epoch_s,
+          day_of_week(o_orderdate) AS dow,
+          day_of_year(o_orderdate) AS doy,
+          week(o_orderdate) AS wk,
+          date_parse(date_format(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS roundtrip
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""),
+      Some("""
+        SELECT o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS iso,
+          strftime(o_orderdate, '%d/%m/%Y %H:%M') AS eu,
+          CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+          CAST(isodow(o_orderdate) AS INT) AS dow,
+          CAST(dayofyear(o_orderdate) AS INT) AS doy,
+          CAST(weekofyear(o_orderdate) AS INT) AS wk,
+          strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS roundtrip
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")),
+
+    // Presto json + array surface through the shim: json_extract_scalar,
+    // cardinality, contains, reduce (4-arg form maps to aggregate),
+    // any_match/all_match.
+    "p03_presto_json_array" -> Q(
+      presto("""
+        SELECT event_id,
+          CAST(json_extract_scalar(props, '$.k') AS INTEGER) AS k,
+          contains(sequence(1, 5), 3) AS has3,
+          CAST(cardinality(sequence(1, event_id % 5 + 1)) AS INT) AS card,
+          reduce(sequence(1, 10), 0, (a, x) -> a + x, a -> a) AS tri,
+          any_match(sequence(1, 4), x -> x > 3) AS anym,
+          all_match(sequence(1, 4), x -> x > 0) AS allm
+        FROM events WHERE event_id < 3000 ORDER BY event_id"""),
+      Some("""
+        SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+          list_contains([1,2,3,4,5], 3) AS has3,
+          CAST(len(generate_series(1, event_id % 5 + 1)) AS INT) AS card,
+          CAST(55 AS INT) AS tri,
+          true AS anym, true AS allm
+        FROM events WHERE event_id < 3000 ORDER BY event_id""")),
+
+    // Presto math/binary surface: to_base/from_base, truncate, to_hex,
+    // bitwise_* names, is_finite/is_nan.
+    "p04_presto_math" -> Q(
+      presto("""
+        SELECT l_orderkey, l_linenumber,
+          to_base(l_orderkey, 16) AS hex_key,
+          from_base(to_base(l_orderkey, 7), 7) AS roundtrip7,
+          truncate(l_extendedprice / 100) AS trunc_h,
+          bitwise_and(l_orderkey, 255) AS low8,
+          bitwise_xor(l_orderkey, l_partkey) AS bx,
+          is_finite(l_extendedprice) AS fin,
+          is_nan(l_discount) AS nn
+        FROM lineitem WHERE l_orderkey <= 1000
+        ORDER BY l_orderkey, l_linenumber"""),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          lower(format('{:x}', l_orderkey)) AS hex_key,
+          l_orderkey AS roundtrip7,
+          CAST(trunc(l_extendedprice / 100) AS DOUBLE) AS trunc_h,
+          l_orderkey & 255 AS low8,
+          xor(l_orderkey, l_partkey) AS bx,
+          isfinite(l_extendedprice) AS fin,
+          isnan(l_discount) AS nn
+        FROM lineitem WHERE l_orderkey <= 1000
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // Presto aggregate names: arbitrary, geometric_mean, map_agg, checksum
+    // (values not SQL-portable for checksum/map ordering → project the
+    // portable columns; checksum asserted separately in ScalaTest).
+    "p05_presto_aggs" -> Q(
+      presto("""
+        WITH gm AS (
+          SELECT l_returnflag,
+            round(geometric_mean(l_quantity), 6) AS gm_qty,
+            arbitrary(l_linestatus) AS any_status,
+            every(l_quantity > 0) AS all_pos
+          FROM lineitem GROUP BY l_returnflag),
+        st AS (
+          SELECT l_returnflag,
+            CAST(cardinality(map_agg(l_linestatus, l_linestatus)) AS INT) AS n_status
+          FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+          GROUP BY l_returnflag)
+        SELECT gm.l_returnflag, gm.gm_qty, gm.all_pos, st.n_status,
+          length(gm.any_status) AS status_len
+        FROM gm JOIN st ON gm.l_returnflag = st.l_returnflag
+        ORDER BY gm.l_returnflag"""),
+      Some("""
+        SELECT l_returnflag,
+          round(exp(avg(ln(l_quantity))), 6) AS gm_qty,
+          bool_and(l_quantity > 0) AS all_pos,
+          CAST(count(DISTINCT l_linestatus) AS INT) AS n_status,
+          CAST(1 AS INT) AS status_len
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // HLL sketch family end-to-end (approx_set → merge → cardinality):
+    // partial sketches per nation merged to a region rollup — estimate-based
+    // (no hash oracle); ScalaTest asserts the relative-error bound.
+    "p06_hll_sketch" -> Q(
+      presto("""
+        WITH per_nation AS (
+          SELECT c_nationkey, approx_set(c_custkey) AS cust_set,
+                 count(DISTINCT c_custkey) AS exact_n
+          FROM customer GROUP BY c_nationkey)
+        SELECT
+          CAST(cardinality(merge(cust_set)) AS BIGINT) AS approx_total,
+          CAST(sum(exact_n) AS BIGINT) AS exact_total,
+          count(*) AS n_nations
+        FROM per_nation""")),
+
+    // Native codegen'd cosine_similarity expression (CosineSimilarity
+    // doGenCode) — same semantics as the HOF-based s01, checked vs DuckDB.
+    "p07_cosine_native" -> Q(
+      (s, d) => {
+        val e = Engine(s); Tables.registerAll(s, d)
+        e.sql("""
+          SELECT a.vec_id,
+            round(cosine_similarity(a.embedding, q.embedding), 6) AS cos_sim
+          FROM embeddings a CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+          WHERE a.vec_id <> 1
+          ORDER BY cos_sim DESC, a.vec_id LIMIT 15""")
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        SELECT vec_id,
+          round(
+            list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+            AS cos_sim
+        FROM embeddings, q WHERE vec_id <> 1
+        ORDER BY cos_sim DESC, vec_id LIMIT 15"""))
+  )
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-function assertions through Engine.sql — the analogue of the
+  * reference's FunctionAssertions.assertFunction (MAINT/operator/scalar/
+  * FunctionAssertions.java:147): evaluate a Presto-dialect expression, check
+  * the exact value. */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val engine = {
+    val e = Engine(spark)
+    Tables.registerAll(spark, sf)
+    e
+  }
+
+  private def one(exprSql: String): Any =
+    engine.sql(s"SELECT $exprSql AS v").head.get(0)
+
+  def assertFn(exprSql: String, expected: Any): Unit =
+    assert(one(exprSql) == expected, s"for $exprSql")
+
+  test("presto string functions") {
+    assertFn("strpos('hello world', 'world')", 7)
+    assertFn("strpos('hello', 'zzz')", 0)
+    assertFn("codepoint('A')", 65)
+    assertFn("levenshtein_distance('kitten', 'sitting')", 3)
+    assertFn("word_stem('running')", "run")
+    assertFn("word_stem('tables')", "table")
+    assertFn("normalize('café')", "café")
+    assertFn("split_to_map('a=1,b=2', ',', '=')['b']", "2")
+  }
+
+  test("presto math functions") {
+    assertFn("to_base(255, 16)", "ff")
+    assertFn("from_base('ff', 16)", 255L)
+    assertFn("truncate(3.7)", 3.0)
+    assertFn("truncate(-3.7)", -3.0)
+    assertFn("is_nan(nan())", true)
+    assertFn("is_finite(1.0)", true)
+    assertFn("is_infinite(infinity())", true)
+    assertFn("bitwise_and(12, 10)", 8)
+    assertFn("bitwise_xor(12, 10)", 6)
+  }
+
+  test("presto datetime functions") {
+    assertFn("date_format(TIMESTAMP '2001-02-03 04:05:06', '%Y-%m-%d')", "2001-02-03")
+    assertFn("date_format(TIMESTAMP '2001-02-03 04:05:06', '%d/%m/%Y %H:%i:%s')",
+      "03/02/2001 04:05:06")
+    assertFn("CAST(date_parse('2001-02-03', '%Y-%m-%d') AS STRING)", "2001-02-03 00:00:00")
+    assertFn("day_of_week(DATE '2024-01-07')", 7) // Sunday = 7 (ISO)
+    assertFn("day_of_week(DATE '2024-01-08')", 1) // Monday = 1
+    assertFn("to_unixtime(TIMESTAMP '1970-01-01 00:01:00')", 60.0)
+  }
+
+  test("mysql pattern translation") {
+    import functions.PrestoFunctions.mysqlToJavaPattern
+    assert(mysqlToJavaPattern("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(mysqlToJavaPattern("%H:%i:%s") == "HH:mm:ss")
+    assert(mysqlToJavaPattern("%Y year") == "yyyy' year'")
+    assert(mysqlToJavaPattern("100%%") == "100%")
+  }
+
+  test("presto json functions") {
+    assertFn("json_extract_scalar('{\"a\": {\"b\": 5}}', '$.a.b')", "5")
+    assertFn("json_array_get('[10, 20, 30]', 1)", "20")
+    assertFn("json_size('[1,2,3]', '$')", 3)
+    assertFn("is_json_scalar('5')", true)
+    assertFn("is_json_scalar('[1,2]')", false)
+  }
+
+  test("presto array/lambda functions") {
+    assertFn("cardinality(ARRAY(1, 2, 3))", 3)
+    assertFn("contains(ARRAY(1, 2), 2)", true)
+    assertFn("reduce(ARRAY(1, 2, 3), 0, (a, x) -> a + x, a -> a * 10)", 60)
+    assertFn("any_match(ARRAY(1, 2), x -> x > 1)", true)
+    assertFn("all_match(ARRAY(1, 2), x -> x > 1)", false)
+    assertFn("none_match(ARRAY(1, 2), x -> x > 5)", true)
+  }
+
+  test("presto binary functions") {
+    assertFn("to_hex(from_hex('1a2b'))", "1A2B")
+    assertFn("hex(hmac_sha256(CAST('x' AS BINARY), CAST('k' AS BINARY))) != ''", true)
+  }
+
+  test("cosine_similarity native expression") {
+    assertFn("round(cosine_similarity(ARRAY(1.0D, 0.0D), ARRAY(1.0D, 0.0D)), 9)", 1.0)
+    assertFn("round(cosine_similarity(ARRAY(1.0D, 0.0D), ARRAY(0.0D, 1.0D)), 9)", 0.0)
+    assertFn("cosine_similarity(ARRAY(0.0D, 0.0D), ARRAY(1.0D, 0.0D))", null)
+  }
+
+  test("checksum is order-independent") {
+    val a = engine.sql(
+      "SELECT checksum(l_orderkey) FROM (SELECT * FROM lineitem ORDER BY l_orderkey)").head.get(0)
+    val b = engine.sql(
+      "SELECT checksum(l_orderkey) FROM (SELECT * FROM lineitem ORDER BY l_extendedprice)").head.get(0)
+    assert(a == b && a != null)
+  }
+
+  test("hll approx_set/merge/cardinality within error bounds") {
+    val Row(approx: Long, exact: Long) = engine.sql("""
+      WITH per AS (SELECT l_returnflag, approx_set(l_orderkey) s,
+                   count(DISTINCT l_orderkey) n FROM lineitem GROUP BY 1)
+      SELECT CAST(cardinality(merge(s)) AS BIGINT), CAST(sum(n) AS BIGINT) FROM per
+    """).head
+    // merged sketch counts distinct orderkeys overall (same keys shared
+    // across groups, so merged estimate ≈ global distinct)
+    val globalExact = engine.sql(
+      "SELECT count(DISTINCT l_orderkey) FROM lineitem").head.getLong(0)
+    assert(math.abs(approx - globalExact).toDouble / globalExact < 0.05,
+      s"approx=$approx exact=$globalExact")
+  }
+
+  test("hll sketch algebra: merge of disjoint sets adds") {
+    val Row(card: Long) = engine.sql("""
+      WITH a AS (SELECT approx_set(id) s FROM range(0, 1000) t(id)),
+           b AS (SELECT approx_set(id + 1000) s FROM range(0, 1000) t(id))
+      SELECT CAST(cardinality(merge(s)) AS BIGINT)
+      FROM (SELECT s FROM a UNION ALL SELECT s FROM b)
+    """).head
+    assert(math.abs(card - 2000) < 100, s"card=$card")
+  }
+
+  test("empty_approx_set cardinality is 0") {
+    assertFn("cardinality(empty_approx_set())", 0L)
+  }
+}
