@@ -18,9 +18,11 @@ object SparkEntry {
     _root_.graft.queries.Subqueries.queries,
     _root_.graft.queries.Scalars.queries,
     _root_.graft.queries.PrestoCompat.queries,
+    _root_.graft.queries.Coverage.queries,
     _root_.graft.operators.Dedup.queries,
     _root_.graft.operators.TextAnalysis.queries,
     _root_.graft.operators.Similarity.queries,
+    _root_.graft.operators.Multimodal.queries,
     _root_.graft.operators.Events.queries)
 
   val all: Map[String, Q] = modules.reduce(_ ++ _)

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Multimodal-column operators: image/audio/video as opaque `binary` columns
+  * with a typed metadata struct, processed partition-wise.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * `decodeStub` derives deterministic fake pixels from the payload bytes.
+  * Everything around it — the schema, the binary column handling, the
+  * mapPartitions batch shape (the Scala analogue of mapInPandas: one
+  * iterator per partition, vectorizable batches), partitioning, and the
+  * feature-vector output contract — is real and tested, so a real codec
+  * drops into `decodeStub` without touching the pipeline.
+  */
+object Multimodal {
+
+  case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
+  case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, format: String,
+      byteLen: Int, features: Array[Float])
+  case class FrameRow(media_id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** Deterministic fixture: documents' text bytes as media payloads with
+    * metadata derived from doc_id (stable across engines and runs). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) =>
+        val fmt = Seq("png", "jpeg", "wav", "mp4")((id % 4).toInt)
+        MediaRow(id, text.getBytes("UTF-8"),
+          MediaMeta(fmt, 16 + (id % 64).toInt, 16 + (id % 48).toInt,
+            if (fmt == "mp4") 8 + (id % 8).toInt else 1))
+      }
+  }
+
+  /** STUB decode: deterministic fake "pixels" from payload bytes (??? in a
+    * codec-equipped deployment: image decode to W*H channel array). */
+  private def decodeStub(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
+    val n = math.min(payload.length, meta.width * meta.height)
+    val out = new Array[Byte](meta.width * meta.height)
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (i < n) payload(i) else (i % 251).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction: 16-bin byte histogram of decoded content,
+    * L1-normalized → Array[Float] embedding column. Partition-wise batch
+    * loop (mapPartitions) — the distributed shape; no driver collection. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val px = decodeStub(r.payload, r.meta)
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < px.length) { hist((px(i) & 0xff) >> 4) += 1f; i += 1 }
+        val total = px.length.toFloat.max(1f)
+        MediaFeatures(r.media_id, r.meta.format, r.payload.length,
+          hist.map(_ / total))
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size chunk
+    * (??? in deployment: keyframe extraction). One row per sampled frame. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.format == "mp4").flatMap { r =>
+      val frameSize = math.max(1, r.payload.length / math.max(1, r.meta.nFrames))
+      (0 until r.meta.nFrames by stride).map { f =>
+        val start = f * frameSize
+        val end = math.min(r.payload.length, start + frameSize)
+        FrameRow(r.media_id, f,
+          java.util.Arrays.copyOfRange(r.payload, math.min(start, end), end))
+      }
+    }
+  }
+
+  /** Resize: metadata transform + proportional payload truncation (???:
+    * real resample). Pure-expression on the DataFrame side where possible. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val scale = (w.toLong * h).toDouble / (r.meta.width.toLong * r.meta.height)
+      val newLen = math.max(1, math.min(r.payload.length,
+        math.round(r.payload.length * scale).toInt))
+      MediaRow(r.media_id, java.util.Arrays.copyOfRange(r.payload, 0, newLen),
+        r.meta.copy(width = w, height = h))
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Metadata + payload stats — pure column expressions over the binary
+    // column (no decode), oracle-checkable via octet_length.
+    "m01_media_meta" -> Q(
+      (s, d) => mediaTable(s, d).toDF()
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("w"), col("meta.height").as("h"),
+          length(col("payload")).as("n_bytes"),
+          substring(hex(col("payload")), 1, 8).as("magic"))
+        .orderBy("media_id"),
+      Some("""
+        SELECT doc_id AS media_id,
+          ['png', 'jpeg', 'wav', 'mp4'][CAST(doc_id % 4 AS INT) + 1] AS format,
+          CAST(16 + doc_id % 64 AS INT) AS w,
+          CAST(16 + doc_id % 48 AS INT) AS h,
+          CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+          upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS magic
+        FROM documents ORDER BY media_id""")),
+
+    // Decode → feature-extract pipeline (stubbed decode, real plumbing);
+    // rows-only check + ScalaTest invariants (normalization, determinism).
+    "m02_media_features" -> Q(
+      (s, d) => extractFeatures(mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("format"), col("byteLen"),
+          round(aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("l1_norm"))
+        .orderBy("media_id")),
+
+    // Video frame sampling: per-format frame counts.
+    "m03_frame_sample" -> Q(
+      (s, d) => sampleFrames(mediaTable(s, d), stride = 2).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          sum(length(col("frame"))).cast("long").as("total_bytes"))
+        .orderBy("media_id"))
+  )
+}

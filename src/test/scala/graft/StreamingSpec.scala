@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming extension: drive the events fixture through readStream and
+  * check the streaming results equal the batch equivalents. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+  import streaming.EventStream
+
+  private lazy val eventsDir: String = {
+    // stage the fixture as a clean micros-timestamp parquet dir (the raw
+    // fixture is TIMESTAMP(NANOS), unreadable by the streaming source)
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    Tables.t(spark, sf, "events").coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling counts equal batch counts") {
+    val q = EventStream.runToMemory(
+      EventStream.tumblingCounts(EventStream.read(spark, eventsDir)), "tumbling")
+    try {
+      val streaming = spark.table("tumbling")
+        .select("w_start", "event_type", "n").orderBy("w_start", "event_type").collect()
+      val batch = Tables.t(spark, sf, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type").collect()
+      assert(streaming.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("session windows produce gap-bounded sessions") {
+    val q = EventStream.runToMemory(
+      EventStream.sessionCounts(EventStream.read(spark, eventsDir)), "sessions")
+    try {
+      val df = spark.table("sessions")
+      assert(df.count() > 0)
+      // every session spans >= 1 event and end >= start
+      assert(df.filter(col("s_end") < col("s_start")).count() == 0)
+      val totalEvents = df.agg(sum("n_events")).head.getLong(0)
+      assert(totalEvents == Tables.t(spark, sf, "events").count())
+    } finally q.stop()
+  }
+
+  test("stateful running totals see every event exactly once") {
+    val q = EventStream.runToMemory(
+      EventStream.runningTotals(EventStream.read(spark, eventsDir)).toDF(),
+      "running", OutputMode.Update())
+    try {
+      // final state per user: n sums to total event count
+      val last = spark.table("running")
+        .groupBy("user_id").agg(max("n").as("n"))
+      val total = last.agg(sum("n")).head.getLong(0)
+      assert(total == Tables.t(spark, sf, "events").count())
+    } finally q.stop()
+  }
+}
