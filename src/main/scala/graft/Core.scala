@@ -45,9 +45,17 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** Register every fixture table as a temp view (SQL entry point). */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every fixture table as a temp view (SQL entry point).
+    * Idempotent while the dir is unchanged for the session —
+    * re-registration would re-read every parquet footer on each query
+    * invocation; a dir switch re-registers. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDir.put(spark, dir) != dir) {
+      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    }
 }
 
 /** Session factory used by mains and tests: AQE on, shuffle partitions sized

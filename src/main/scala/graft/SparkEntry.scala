@@ -33,7 +33,8 @@ object SparkEntry {
     "q24_join_semi", "q30_win_rank", "q34_win_topk", "q40_topn",
     "q46_rollup", "q49_unnest", "q55_scalar_subquery",
     "d01_dedup_exact", "d04_minhash_lsh_pairs", "t02_quality_score",
-    "s01_cosine_topk", "e03_sessionize")
+    "s01_cosine_topk", "p07_cosine_native", "e03_sessionize",
+    "e01_tumbling_window", "q72_datetime_fns")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
