@@ -19,6 +19,7 @@ object SparkEntry {
     _root_.graft.queries.Scalars.queries,
     _root_.graft.queries.PrestoCompat.queries,
     _root_.graft.queries.Coverage.queries,
+    _root_.graft.queries.TpchMacro.queries,
     _root_.graft.operators.Dedup.queries,
     _root_.graft.operators.TextAnalysis.queries,
     _root_.graft.operators.Similarity.queries,
@@ -30,6 +31,8 @@ object SparkEntry {
   /** Headline benchmark set: one representative per operator family. */
   val benchNames: Seq[String] = Seq(
     "q01_tpch_q1", "q02_tpch_q6", "q20_join_inner", "q22_tpch_q3",
+    "h05_local_supplier", "h10_returned_items", "h14_promo_effect",
+    "h18_large_volume",
     "q24_join_semi", "q30_win_rank", "q34_win_topk", "q40_topn",
     "q46_rollup", "q49_unnest", "q55_scalar_subquery",
     "d01_dedup_exact", "d04_minhash_lsh_pairs", "t02_quality_score",
