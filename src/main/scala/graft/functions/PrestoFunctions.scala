@@ -26,6 +26,13 @@ object PrestoFunctions {
 
   private def lit(v: Any): Expression = Literal(v)
 
+  private def litInt(e: Expression): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case Literal(l: Long, LongType) => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected integer literal, got $other")
+  }
+
   /** MySQL date pattern (Presto date_format/date_parse,
     * DateTimeFunctions.java) → java.time pattern. */
   def mysqlToJavaPattern(p: String): String = {
@@ -200,6 +207,15 @@ object PrestoFunctions {
     "map_agg" -> (e => MapFromEntries(
       CollectList(CreateStruct(Seq(e(0), e(1)))).toAggregateExpression())),
     "checksum" -> (e => BitXorAgg(XxHash64(Seq(e.head), 42L)).toAggregateExpression()),
+    // N-variants (minmaxby/MaxNAggregationFunction.java — bounded heap);
+    // 2-arg forms construct the builtin classes (name is shadowed).
+    "max_by" -> (e =>
+      if (e.length >= 3) MaxByN(e(0), e(1), litInt(e(2)), asc = false).toAggregateExpression()
+      else MaxBy(e(0), e(1)).toAggregateExpression()),
+    "min_by" -> (e =>
+      if (e.length >= 3) MaxByN(e(0), e(1), litInt(e(2)), asc = true).toAggregateExpression()
+      else MinBy(e(0), e(1)).toAggregateExpression()),
+    "histogram" -> (e => HistogramAgg(e.head).toAggregateExpression()),
     "every" -> (e => fn("bool_and", e)),
     "bitwise_and_agg" -> (e => fn("bit_and", e)),
     "bitwise_or_agg" -> (e => fn("bit_or", e)),

@@ -126,4 +126,47 @@ class FunctionsSpec extends AnyFunSuite {
   test("empty_approx_set cardinality is 0") {
     assertFn("cardinality(empty_approx_set())", 0L)
   }
+
+  test("max_by/min_by N-variants return top-n in rank order") {
+    val got = engine.sql("""
+      SELECT max_by(x, y, 3) AS top3, min_by(x, y, 2) AS bot2
+      FROM (VALUES ('a', 1), ('b', 5), ('c', 3), ('d', 4), ('e', 2)) t(x, y)
+    """).head
+    assert(got.getSeq[String](0) == Seq("b", "d", "c"))
+    assert(got.getSeq[String](1) == Seq("a", "e"))
+  }
+
+  test("max_by 2-arg still works under the shadowing registration") {
+    val r = engine.sql(
+      "SELECT max_by(x, y), min_by(x, y) FROM (VALUES ('a', 1), ('b', 9)) t(x, y)").head
+    assert(r.getString(0) == "b" && r.getString(1) == "a")
+  }
+
+  test("histogram returns exact value counts") {
+    val m = engine.sql("""
+      SELECT histogram(x) AS h
+      FROM (VALUES ('a'), ('b'), ('a'), ('a')) t(x)
+    """).head.getMap[String, Long](0)
+    assert(m == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("max_by_n survives partial aggregation across groups") {
+    val rows = engine.sql("""
+      SELECT l_returnflag, max_by(l_orderkey, l_extendedprice, 5) AS top5
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val top5 = r.getSeq[Long](1)
+      assert(top5.length == 5)
+      // cross-check against a window-function top-5
+      val expect = engine.sql(s"""
+        SELECT l_orderkey FROM (
+          SELECT l_orderkey, row_number() OVER (ORDER BY l_extendedprice DESC) rn
+          FROM lineitem WHERE l_returnflag = '$flag')
+        WHERE rn <= 5""").collect().map(_.getLong(0)).toSet
+      assert(top5.toSet == expect, s"flag=$flag")
+    }
+  }
 }

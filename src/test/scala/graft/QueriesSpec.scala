@@ -12,6 +12,10 @@ object TestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${java.nio.file.Files.createTempDirectory("graft-metastore")}/metastore_db;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
