@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The typed Column API (graft.functions package object) and the
+  * SparkSessionExtensions registration path. */
+class ColumnApiSpec extends AnyFunSuite {
+  import TestSession._
+  import graft.{functions => F}
+
+  test("column API cosine_similarity matches SQL result") {
+    val df = Tables.t(spark, sf, "embeddings").limit(50)
+    val viaCol = df.select(col("vec_id"),
+      F.cosine_similarity(col("embedding"), col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaCol.values.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("column API cardinality + word_stem") {
+    import spark.implicits._
+    val r = Seq(("running", Seq(1, 2, 3))).toDF("w", "arr")
+      .select(F.word_stem(col("w")), F.cardinality(col("arr")))
+      .head
+    assert(r.getString(0) == "run" && r.getInt(1) == 3)
+  }
+
+  test("column API aggregates: approx_set → merge_hll → cardinality") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val sketches = li.groupBy("l_returnflag")
+      .agg(F.approx_set(col("l_orderkey")).as("s"))
+    val merged = sketches.agg(F.cardinality(F.merge_hll(col("s"))).as("n"))
+      .head.getLong(0)
+    val exact = li.select("l_orderkey").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05, s"$merged vs $exact")
+  }
+
+  test("column API max_by/min_by n and histogram") {
+    val o = Tables.t(spark, sf, "orders")
+    val top = o.agg(F.max_by(col("o_orderkey"), col("o_totalprice"), 5).as("t"))
+      .head.getSeq[Long](0)
+    val expect = o.orderBy(col("o_totalprice").desc).limit(5)
+      .collect().map(_.getLong(0))
+    assert(top.toSet == expect.toSet)
+    val hist = o.agg(F.histogram(col("o_orderstatus"))).head
+      .getMap[String, Long](0)
+    assert(hist.values.sum == o.count())
+  }
+
+  test("GraftExtensions injects functions into a fresh session") {
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val v = s2.sql("SELECT strpos('hello world', 'world')").head.getInt(0)
+      assert(v == 7)
+      val ws = s2.sql("SELECT word_stem('tables')").head.getString(0)
+      assert(ws == "table")
+    } finally {
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
