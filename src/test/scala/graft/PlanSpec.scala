@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden plan-shape assertions (the reference's BasePlanTest.java:45 +
+  * PlanMatchPattern analogue): the optimized/physical plan must have the
+  * shape we designed for scale, not merely produce correct rows. */
+class PlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def physical(name: String): String =
+    SparkEntry.all(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    SparkEntry.all(name).fn(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02 pushes every predicate into the parquet scan") {
+    val plan = formatted("q02_tpch_q6")
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity").foreach { f =>
+      assert(plan.contains(f), s"missing pushed filter $f")
+    }
+  }
+
+  test("q02 prunes the scan to referenced columns only") {
+    val plan = formatted("q02_tpch_q6")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_quantity") && read.contains("l_discount"))
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan reads unreferenced columns: $read")
+  }
+
+  test("q21 star joins broadcast both dimension tables") {
+    val plan = physical("q21_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(800))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q34 top-k per partition plans a WindowGroupLimit") {
+    assert(physical("q34_win_topk").contains("WindowGroupLimit"))
+  }
+
+  test("q40 global topN plans TakeOrderedAndProject (no full sort)") {
+    val plan = physical("q40_topn")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q24 semi join plans as a semi join, not inner+distinct") {
+    val plan = physical("q24_join_semi")
+    assert(plan.contains("LeftSemi"), plan.take(800))
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val plan = physical("q01_tpch_q1")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("s01 cosine topk broadcasts the 1-row query side") {
+    val plan = physical("s01_cosine_topk")
+    assert(plan.contains("Broadcast"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the q01 pipeline") {
+    // AQE's wrapper reports 0 subtrees pre-execution — inspect the
+    // non-adaptive plan for the codegen property.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.all("q01_tpch_q1").fn(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      val found = "Found (\\d+) WholeStageCodegen subtrees".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt).getOrElse(0)
+      assert(found >= 1, plan.take(300))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
