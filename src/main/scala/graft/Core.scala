@@ -32,7 +32,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Table-metadata cache: resolving a parquet table re-lists files and
+    * re-reads footers; a real engine caches catalog metadata, so repeated
+    * queries against the same table reuse the resolved DataFrame. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    dfCache.computeIfAbsent((spark, dir, name),
+      _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
       // Spark reader rejects outright; read nanos as long and floor-truncate
@@ -68,6 +78,10 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // prefer advisory-size partitions over default parallelism when
+      // coalescing: fewer, fuller tasks (same knob that avoids tiny-task
+      // storms on a 1000-executor cluster)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

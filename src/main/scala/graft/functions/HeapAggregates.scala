@@ -200,3 +200,90 @@ case class HistogramAgg(
       c: IndexedSeq[Expression]): Expression = copy(child = c.head)
   override def prettyName: String = "histogram"
 }
+
+/** map_union(map_col) — Presto MapUnionAggregation.java: union of all input
+  * maps; first-seen value wins on duplicate keys. String/primitive keys and
+  * values (fixture surface). */
+case class MapUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.LinkedHashMap[Any, Any]] {
+
+  private val mapType = child.dataType.asInstanceOf[MapType]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = mapType
+
+  override def createAggregationBuffer(): mutable.LinkedHashMap[Any, Any] =
+    mutable.LinkedHashMap.empty[Any, Any]
+
+  override def update(buf: mutable.LinkedHashMap[Any, Any],
+      input: InternalRow): mutable.LinkedHashMap[Any, Any] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        val k = cp(keys.get(i, mapType.keyType))
+        if (!buf.contains(k)) buf.update(k, cp(vals.get(i, mapType.valueType)))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  private def cp(v: Any): Any = v match {
+    case s: UTF8String => s.clone(); case o => o
+  }
+
+  override def merge(buf: mutable.LinkedHashMap[Any, Any],
+      other: mutable.LinkedHashMap[Any, Any]): mutable.LinkedHashMap[Any, Any] = {
+    other.foreach { case (k, v) => if (!buf.contains(k)) buf.update(k, v) }
+    buf
+  }
+
+  override def eval(buf: mutable.LinkedHashMap[Any, Any]): Any = {
+    val entries = buf.toSeq
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(_._1).toArray),
+      new GenericArrayData(entries.map(_._2).toArray))
+  }
+
+  override def serialize(buf: mutable.LinkedHashMap[Any, Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, v) => out.writeObject(toJava(k)); out.writeObject(toJava(v)) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Any] = {
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    val size = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until size).foreach { _ =>
+      val k = fromJava(in.readObject()); val v = fromJava(in.readObject())
+      if (!buf.contains(k)) buf.update(k, v)
+    }
+    buf
+  }
+
+  private def toJava(v: Any): AnyRef = v match {
+    case s: UTF8String => s.toString; case o => o.asInstanceOf[AnyRef]
+  }
+  private def fromJava(v: AnyRef): Any = v match {
+    case s: String => UTF8String.fromString(s); case o => o
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MapUnionAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MapUnionAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+  override def prettyName: String = "map_union"
+}

@@ -178,6 +178,15 @@ object PrestoFunctions {
     "cardinality" -> (e => Cardinality(e.head)),
     "contains" -> (e => fn("array_contains", e)),
     "repeat_value" -> (e => fn("array_repeat", e)),
+    // ngrams(arr, n) → array of n-element sub-arrays (Presto ngrams).
+    "ngrams" -> { e =>
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(
+        fn("sequence", Seq(lit(1),
+          fn("greatest", Seq(lit(1), Subtract(fn("size", Seq(e(0))),
+            Subtract(e(1), lit(1))))))),
+        LambdaFunction(Slice(e(0), i, e(1)), Seq(i)))
+    },
     // --- lambda (higher-order) --- lambdas cannot pass through
     // UnresolvedFunction (analyzer rejects them pre-resolution), so the HOF
     // expression classes are constructed directly.
@@ -216,6 +225,7 @@ object PrestoFunctions {
       if (e.length >= 3) MaxByN(e(0), e(1), litInt(e(2)), asc = true).toAggregateExpression()
       else MinBy(e(0), e(1)).toAggregateExpression()),
     "histogram" -> (e => HistogramAgg(e.head).toAggregateExpression()),
+    "map_union" -> (e => MapUnionAgg(e.head).toAggregateExpression()),
     "every" -> (e => fn("bool_and", e)),
     "bitwise_and_agg" -> (e => fn("bit_and", e)),
     "bitwise_or_agg" -> (e => fn("bit_or", e)),

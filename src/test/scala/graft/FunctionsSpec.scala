@@ -150,6 +150,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("ngrams returns sliding n-element sub-arrays") {
+    assert(one("ngrams(ARRAY(1, 2, 3, 4), 2)") ==
+      Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)))
+    assert(one("ngrams(ARRAY('a', 'b'), 3)") == Seq(Seq("a", "b")))
+  }
+
+  test("map_union merges maps, first value wins") {
+    val m = engine.sql("""
+      SELECT map_union(m) FROM (
+        SELECT map('a', 1, 'b', 2) AS m
+        UNION ALL SELECT map('b', 99, 'c', 3))
+    """).head.getMap[String, Int](0)
+    assert(m("a") == 1 && m("c") == 3 && Set(2, 99).contains(m("b")))
+  }
+
   test("max_by_n survives partial aggregation across groups") {
     val rows = engine.sql("""
       SELECT l_returnflag, max_by(l_orderkey, l_extendedprice, 5) AS top5
