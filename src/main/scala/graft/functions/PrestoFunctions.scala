@@ -127,6 +127,11 @@ object PrestoFunctions {
       }
       DateFormatClass(e(0), if (isMysql) translatedPattern(e(1)) else e(1))
     },
+    // Joda-pattern pair (format_datetime/parse_datetime): Joda and java.time
+    // patterns agree on the y/M/d/H/m/s/S core; exotic tokens (e.g. Joda 'ZZ')
+    // diverge — documented divergence, no translation attempted.
+    "format_datetime" -> (e => DateFormatClass(e(0), e(1))),
+    "parse_datetime" -> (e => fn("to_timestamp", Seq(e(0), e(1)))),
     "to_unixtime" -> (e => Cast(fn("unix_timestamp", e), DoubleType)),
     "from_unixtime" -> (e => fn("timestamp_seconds", Seq(e(0)))),
     "to_iso8601" -> (e =>

@@ -66,6 +66,40 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** Library API: exact dedup keeping the smallest id per normalized-text
+    * fingerprint. One hash-shuffle on the 128-bit fingerprint. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("fp")
+
+  /** Library API: MinHash-LSH candidate pairs over a text column.
+    * Pipeline: tokenize → k-shingles (exploded; each shingle hashed once per
+    * hash function) → per-doc signature via groupBy-min → band → bucket
+    * self-join. Returns (id_a, id_b) with id_a < id_b, deduplicated. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val shingled = df
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(shinglesOf(col("t"), shingleK)).as("sh"))
+    val hashed = shingled.select(col(idCol) +:
+      (0 until numHashes).map(i => xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
+    val sig = hashed.groupBy(idCol)
+      .agg(min(col("h0")).as("h0"),
+        (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+    val banded = sig.select(col(idCol),
+      posexplode(array((0 until numHashes / bandSize).map(b =>
+        concat_ws(",", (0 until bandSize).map(j =>
+          col(s"h${b * bandSize + j}")): _*)): _*)).as(Seq("band", "bh")))
+    val l = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"),
+      col(idCol).as("id_b"))
+    l.join(r, col("band") === col("band_r") && col("bh") === col("bh_r") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup on normalized text: keep the min doc_id per fingerprint.
@@ -142,30 +176,8 @@ object Dedup {
     // candidate generation is a self-join on (band, band-hash) buckets —
     // never O(n²) pairwise. Same pipeline at 100 TB, just more partitions.
     "d04_minhash_lsh_pairs" -> Q(
-      (s, d) => {
-        val numHashes = 8
-        val bandSize = 2
-        val shingled = docs(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-          .select(col("doc_id"), explode(shinglesOf(col("t"), 3)).as("sh"))
-        val hashed = shingled.select(col("doc_id") +:
-          (0 until numHashes).map(i =>
-            xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
-        val sig = hashed.groupBy("doc_id")
-          .agg(min(col("h0")).as("h0"),
-            (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-        val banded = sig.select(col("doc_id"),
-          posexplode(array((0 until numHashes / bandSize).map(b =>
-            concat_ws(",", (0 until bandSize).map(j =>
-              col(s"h${b * bandSize + j}")): _*)): _*)).as(Seq("band", "bh")))
-        val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-        val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"),
-          col("doc_id").as("id_b"))
-        l.join(r, col("band") === col("band_r") && col("bh") === col("bh_r") &&
-            col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-          .groupBy().agg(count(lit(1)).as("n_candidate_pairs"))
-      }),
+      (s, d) => minhashLshPairs(docs(s, d), "doc_id", "text")
+        .groupBy().agg(count(lit(1)).as("n_candidate_pairs"))),
 
     // SimHash signatures + per-source duplicate-bucket stats (xxhash64-based
     // — Spark-native hashing, no SQL oracle; rows-only check).

@@ -49,6 +49,16 @@ object Similarity {
           pow(lit(2.0), p).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 
+  /** Library API: exact top-k by cosine against a 1-row query-vector frame
+    * (broadcast; single corpus pass + TakeOrderedAndProject). */
+  def cosineTopK(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, query: org.apache.spark.sql.DataFrame, qCol: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .select(col(idCol), cosine(col(vecCol), col(qCol)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-k against a query vector (vec_id = 0):
