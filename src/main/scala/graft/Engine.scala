@@ -35,6 +35,20 @@ class Engine(val spark: SparkSession) {
   }
 
   def sql(query: String): DataFrame = spark.sql(query)
+
+  /** EXPLAIN surface (Presto EXPLAIN [TYPE LOGICAL|DISTRIBUTED|VALIDATE] —
+    * PARSER/tree/ExplainType.java:30-32): mode ∈ simple, extended, codegen,
+    * cost, formatted. */
+  def explain(query: String, mode: String = "formatted"): String =
+    spark.sql(query).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+  /** Presto EXPLAIN (TYPE VALIDATE): analyze only, true if the query is
+    * semantically valid against the catalog. */
+  def validate(query: String): Boolean = {
+    spark.sql(query).queryExecution.analyzed
+    true
+  }
 }
 
 object Engine {

@@ -162,6 +162,55 @@ object Coverage {
           o_orderdate - INTERVAL 1 HOUR AS hour_before
         FROM orders ORDER BY o_orderkey""")),
 
+    // Edge semantics (AbstractTestQueries-style corner cases): empty-input
+    // aggregates, WHERE FALSE, HAVING without GROUP BY, LIMIT 0 feeding a
+    // count, CASE without ELSE, COUNT(col) null-skipping, ordinal ORDER BY.
+    "q93_edge_semantics" -> Q(
+      sql("""
+        SELECT 'empty_agg' AS label,
+          (SELECT count(*) FROM orders WHERE 1 = 0) AS a,
+          (SELECT CAST(sum(o_totalprice) IS NULL AS INT) FROM orders WHERE 1 = 0) AS b
+        UNION ALL
+        SELECT 'having_no_groupby',
+          (SELECT count(*) FROM (SELECT sum(o_totalprice) AS s FROM orders HAVING sum(o_totalprice) > 0)),
+          (SELECT count(*) FROM (SELECT sum(o_totalprice) AS s FROM orders HAVING sum(o_totalprice) < 0))
+        UNION ALL
+        SELECT 'limit_zero',
+          (SELECT count(*) FROM (SELECT * FROM orders LIMIT 0)),
+          0
+        UNION ALL
+        SELECT 'count_null_skip',
+          (SELECT count(nullif(o_orderstatus, 'O')) FROM orders),
+          (SELECT count(*) FROM orders WHERE o_orderstatus <> 'O')
+        UNION ALL
+        SELECT 'case_no_else',
+          (SELECT count(*) FROM orders
+           WHERE (CASE WHEN o_totalprice < 0 THEN 1 END) IS NULL),
+          (SELECT count(*) FROM orders)
+        ORDER BY 1"""),
+      Some("""
+        SELECT 'empty_agg' AS label,
+          (SELECT count(*) FROM orders WHERE 1 = 0) AS a,
+          (SELECT CAST(sum(o_totalprice) IS NULL AS INT) FROM orders WHERE 1 = 0) AS b
+        UNION ALL
+        SELECT 'having_no_groupby',
+          (SELECT count(*) FROM (SELECT sum(o_totalprice) AS s FROM orders HAVING sum(o_totalprice) > 0)),
+          (SELECT count(*) FROM (SELECT sum(o_totalprice) AS s FROM orders HAVING sum(o_totalprice) < 0))
+        UNION ALL
+        SELECT 'limit_zero',
+          (SELECT count(*) FROM (SELECT * FROM orders LIMIT 0)),
+          0
+        UNION ALL
+        SELECT 'count_null_skip',
+          (SELECT count(nullif(o_orderstatus, 'O')) FROM orders),
+          (SELECT count(*) FROM orders WHERE o_orderstatus <> 'O')
+        UNION ALL
+        SELECT 'case_no_else',
+          (SELECT count(*) FROM orders
+           WHERE (CASE WHEN o_totalprice < 0 THEN 1 END) IS NULL),
+          (SELECT count(*) FROM orders)
+        ORDER BY 1""")),
+
     // Null ordering: NULLS FIRST/LAST, asc/desc combinations.
     "q92_null_ordering" -> Q(
       (s, d) => t(s, d, "orders")

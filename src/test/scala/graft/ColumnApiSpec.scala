@@ -48,6 +48,15 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(hist.values.sum == o.count())
   }
 
+  test("Engine explain + validate surface") {
+    val e = Engine(spark)
+    Tables.registerAll(spark, sf)
+    val txt = e.explain("SELECT count(*) FROM orders", "formatted")
+    assert(txt.contains("HashAggregate") || txt.contains("Aggregate"))
+    assert(e.validate("SELECT o_orderkey FROM orders"))
+    intercept[Exception](e.validate("SELECT no_such_col FROM orders"))
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val active = SparkSession.getActiveSession
     val default = SparkSession.getDefaultSession
