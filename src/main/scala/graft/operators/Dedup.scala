@@ -191,6 +191,35 @@ object Dedup {
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // Embedding-cosine near-dup detection: pairs above a cosine threshold
+    // (the semantic-dedup stage of a training pipeline). Exact over a slice
+    // here; the LSH-bucketed path (s03) is the scale route. Threshold 0.35
+    // sits in the synthetic fixture's extreme tail (max pairwise ≈ 0.44).
+    "d07_embedding_neardup" -> Q(
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings").filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Similarity.cosine(col("ea"), col("eb")), 6).as("cos"))
+          .filter(col("cos") > 0.35)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(
+              list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              6) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.35
+        ORDER BY id_a, id_b""")),
+
     // n-gram Jaccard similarity on candidate pairs (same lang, close length)
     // — the verification stage after LSH; exact set ops, oracle-checkable.
     "d06_ngram_jaccard" -> Q(
