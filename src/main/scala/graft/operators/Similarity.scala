@@ -59,6 +59,44 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
+  /** IVF (inverted-file) ANN:
+    *   - index: assign every vector to its nearest centroid (one broadcast
+    *     pass; the bucket column partition-prunes at scale);
+    *   - search: score only vectors in the `nprobe` centroids nearest the
+    *     query, then exact cosine top-k within those buckets.
+    * With nprobe = |centroids| this is EXACTLY brute force (spec-checked);
+    * smaller nprobe trades recall for scanning 1/K of the corpus.
+    */
+  def ivfAssign(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.crossJoin(broadcast(
+      centroids.select(col("centroid_id"), col("centroid"))))
+      .withColumn("c_cos", cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "c_cos", "centroid")
+  }
+
+  def ivfSearch(assigned: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, centroids: org.apache.spark.sql.DataFrame,
+      queryVec: org.apache.spark.sql.DataFrame, nprobe: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val probed = centroids.crossJoin(broadcast(queryVec))
+      .select(col("centroid_id"), cosine(col("centroid"), col("qv")).as("qc"))
+      .orderBy(col("qc").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    assigned
+      .join(broadcast(probed), "centroid_id")
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-k against a query vector (vec_id = 0):
@@ -131,6 +169,20 @@ object Similarity {
             round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(20)
+      }),
+
+    // IVF ANN search: 8 seed centroids, probe the 2 nearest buckets
+    // (rows-only; SimilaritySpec proves nprobe=all == brute force).
+    "s05_ann_ivf" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        val corpus = e.filter(col("vec_id") >= 8 && col("vec_id") =!= 42)
+        val qv = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+        val assigned = ivfAssign(corpus, "vec_id", "embedding", centroids)
+        ivfSearch(assigned, "vec_id", "embedding", centroids, qv,
+          nprobe = 2, k = 20)
       }),
 
     // Vector arithmetic surface: norms, scalar ops, centroid per label.

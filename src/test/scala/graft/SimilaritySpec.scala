@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSession._
+  import operators.Similarity
+
+  private lazy val e = Tables.t(spark, sf, "embeddings")
+  private lazy val centroids = e.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+  private lazy val corpus = e.filter(col("vec_id") >= 8 && col("vec_id") =!= 42)
+  private lazy val qv = e.filter(col("vec_id") === 42)
+    .select(col("embedding").as("qv"))
+
+  test("IVF with nprobe = all centroids equals brute force") {
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", centroids)
+    val ivf = Similarity.ivfSearch(assigned, "vec_id", "embedding",
+      centroids, qv, nprobe = 8, k = 20).collect()
+    val brute = corpus.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(20).collect()
+    assert(ivf.sameElements(brute))
+  }
+
+  test("IVF assignment covers the corpus exactly once") {
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", centroids)
+    assert(assigned.count() == corpus.count())
+    assert(assigned.select("vec_id").distinct().count() == corpus.count())
+  }
+
+  test("IVF nprobe=2 returns results from probed buckets only") {
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", centroids)
+    val res = Similarity.ivfSearch(assigned, "vec_id", "embedding",
+      centroids, qv, nprobe = 2, k = 20)
+    assert(res.count() > 0)
+    // every result id must be assigned to one of the 2 probed buckets
+    val probed = centroids.crossJoin(broadcast(qv))
+      .select(col("centroid_id"),
+        Similarity.cosine(col("centroid"), col("qv")).as("qc"))
+      .orderBy(col("qc").desc).limit(2)
+      .collect().map(_.getLong(0)).toSet
+    val resBuckets = res.join(assigned, "vec_id")
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(resBuckets.subsetOf(probed))
+  }
+}
