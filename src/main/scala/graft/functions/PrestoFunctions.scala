@@ -86,6 +86,7 @@ object PrestoFunctions {
   val registry: Map[String, Seq[Expression] => Expression] = Map(
     // --- string (StringFunctions.java) ---
     "strpos" -> (e => fn("locate", Seq(e(1), e(0)))),
+    "chr" -> (e => fn("char", e)),
     "codepoint" -> (e => fn("ascii", e)),
     "levenshtein_distance" -> (e => fn("levenshtein", e)),
     "split_to_map" -> (e => fn("str_to_map", Seq(e(0), e(1), e(2)))),
@@ -106,6 +107,8 @@ object PrestoFunctions {
       fn("floor", Seq(e(0))), fn("ceil", Seq(e(0)))), DoubleType)),
     "infinity" -> (_ => lit(Double.PositiveInfinity)),
     "nan" -> (_ => lit(Double.NaN)),
+    "e" -> (_ => lit(math.E)),
+    "random" -> (e => fn("rand", e)),
     "is_nan" -> (e => fn("isnan", e)),
     "is_finite" -> (e => And(Not(fn("isnan", e)),
       LessThan(fn("abs", e), lit(Double.PositiveInfinity)))),
@@ -210,8 +213,11 @@ object PrestoFunctions {
     "try" -> (e => TryEval(e.head)),
     "typeof" -> (e => fn("typeof", e)),
     // --- aggregates (operator/aggregation/) ---
+    // optional maxStandardError arg maps to HLL++ relativeSD
     "approx_distinct" -> (e =>
-      HyperLogLogPlusPlus(e.head).toAggregateExpression()),
+      (if (e.length > 1) HyperLogLogPlusPlus(e.head,
+        e(1) match { case Literal(d: Double, _) => d; case _ => 0.05 })
+      else HyperLogLogPlusPlus(e.head)).toAggregateExpression()),
     "approx_percentile" -> (e =>
       fn("percentile_approx", if (e.length == 2) e :+ lit(10000) else e)),
     "arbitrary" -> (e => First(e.head, ignoreNulls = true).toAggregateExpression()),
