@@ -86,6 +86,17 @@ object PrestoFunctions {
   val registry: Map[String, Seq[Expression] => Expression] = Map(
     // --- string (StringFunctions.java) ---
     "strpos" -> (e => fn("locate", Seq(e(1), e(0)))),
+    // Presto split's delimiter is a LITERAL string; Spark's builtin treats
+    // it as a regex. Quote literal delimiters (\Q...\E) for parity; dynamic
+    // delimiters pass through as regex (documented divergence).
+    "split" -> { e =>
+      val delim = e(1) match {
+        case Literal(s, StringType) if s != null =>
+          lit(java.util.regex.Pattern.quote(s.toString))
+        case other => other
+      }
+      StringSplit(e(0), delim, if (e.length > 2) e(2) else lit(-1))
+    },
     "chr" -> (e => fn("char", e)),
     "codepoint" -> (e => fn("ascii", e)),
     "levenshtein_distance" -> (e => fn("levenshtein", e)),

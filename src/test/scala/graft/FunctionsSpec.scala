@@ -22,6 +22,12 @@ class FunctionsSpec extends AnyFunSuite {
   def assertFn(exprSql: String, expected: Any): Unit =
     assert(one(exprSql) == expected, s"for $exprSql")
 
+  test("presto split treats the delimiter literally") {
+    assert(one("split('a.b.c', '.')") == Seq("a", "b", "c"))
+    assert(one("split('a|b|c', '|')") == Seq("a", "b", "c"))
+    assert(one("split('x1y2z', 'DIGIT')") == Seq("x1y2z"))
+  }
+
   test("presto string functions") {
     assertFn("strpos('hello world', 'world')", 7)
     assertFn("strpos('hello', 'zzz')", 0)
