@@ -34,6 +34,14 @@ class Engine(val spark: SparkSession) {
     this
   }
 
+  /** CREATE TABLE AS SELECT to a path (TableWriterOperator +
+    * TableFinishOperator: write, commit, expose as a table). */
+  def ctas(name: String, sqlText: String, path: String,
+      format: String = "parquet"): Engine = {
+    spark.sql(sqlText).write.mode("overwrite").format(format).save(path)
+    registerTable(name, path, format)
+  }
+
   def sql(query: String): DataFrame = spark.sql(query)
 
   /** EXPLAIN surface (Presto EXPLAIN [TYPE LOGICAL|DISTRIBUTED|VALIDATE] —

@@ -57,6 +57,17 @@ class ColumnApiSpec extends AnyFunSuite {
     intercept[Exception](e.validate("SELECT no_such_col FROM orders"))
   }
 
+  test("Engine CTAS writes, commits, and registers the table") {
+    val e = Engine(spark)
+    Tables.registerAll(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-ctas").toString
+    e.ctas("big_orders", "SELECT * FROM orders WHERE o_totalprice > 200000", path)
+    val n = e.sql("SELECT count(*) FROM big_orders").head.getLong(0)
+    val expect = e.sql(
+      "SELECT count(*) FROM orders WHERE o_totalprice > 200000").head.getLong(0)
+    assert(n == expect && n > 0)
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val active = SparkSession.getActiveSession
     val default = SparkSession.getDefaultSession
