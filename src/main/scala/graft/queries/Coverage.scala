@@ -211,6 +211,61 @@ object Coverage {
           (SELECT count(*) FROM orders)
         ORDER BY 1""")),
 
+    // Year-month interval arithmetic + months_between.
+    "q94_interval_ym" -> Q(
+      sql("""
+        SELECT o_orderkey,
+          CAST(o_orderdate + INTERVAL '1' YEAR AS DATE) AS plus_y,
+          CAST(o_orderdate + INTERVAL '18' MONTH AS DATE) AS plus_18m,
+          CAST(o_orderdate - INTERVAL '1' MONTH AS DATE) AS minus_m
+        FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"""),
+      Some("""
+        SELECT o_orderkey,
+          CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus_y,
+          CAST(o_orderdate + INTERVAL 18 MONTH AS DATE) AS plus_18m,
+          CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS minus_m
+        FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")),
+
+    // LIKE with wildcards and ESCAPE; IS [NOT] DISTINCT FROM (null-safe
+    // comparison, Presto OperatorType IS_DISTINCT_FROM).
+    "q95_like_distinct" -> Q(
+      sql("""
+        SELECT doc_id,
+          lang LIKE '_s' AS like_us,
+          source LIKE 'src1%' AS like_pfx,
+          'a_b' LIKE 'a!_b' ESCAPE '!' AS like_esc,
+          nullif(lang, 'en') IS DISTINCT FROM nullif(lang, 'fr') AS dist,
+          nullif(lang, 'en') IS NOT DISTINCT FROM nullif(lang, 'en') AS same
+        FROM documents ORDER BY doc_id"""),
+      Some("""
+        SELECT doc_id,
+          lang LIKE '_s' AS like_us,
+          source LIKE 'src1%' AS like_pfx,
+          'a_b' LIKE 'a!_b' ESCAPE '!' AS like_esc,
+          nullif(lang, 'en') IS DISTINCT FROM nullif(lang, 'fr') AS dist,
+          nullif(lang, 'en') IS NOT DISTINCT FROM nullif(lang, 'en') AS same
+        FROM documents ORDER BY doc_id""")),
+
+    // Decimal cast/arithmetic semantics: scale changes, exact compare.
+    "q96_decimal_casts" -> Q(
+      sql("""
+        SELECT l_orderkey, l_linenumber,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS p2,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS p4,
+          CAST(CAST(l_quantity AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(18,2)) AS qsum,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS BIGINT) AS trunc_int
+        FROM lineitem WHERE l_orderkey <= 500
+        ORDER BY l_orderkey, l_linenumber"""),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS p2,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS p4,
+          CAST(CAST(l_quantity AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(18,2)) AS qsum,
+          -- DuckDB decimal→int ROUNDS; Spark truncates → trunc() first
+          CAST(trunc(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS trunc_int
+        FROM lineitem WHERE l_orderkey <= 500
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // Null ordering: NULLS FIRST/LAST, asc/desc combinations.
     "q92_null_ordering" -> Q(
       (s, d) => t(s, d, "orders")
