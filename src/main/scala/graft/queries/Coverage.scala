@@ -266,6 +266,25 @@ object Coverage {
         FROM lineitem WHERE l_orderkey <= 500
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // Row/struct construction, field access, comparison (SURVEY §2.9 row:
+    // RowEqualOperator.java, PARSER/tree/Row.java → struct()).
+    "q97_row_struct" -> Q(
+      sql("""
+        SELECT o_orderkey,
+          struct(o_orderstatus, o_totalprice).o_orderstatus AS f1,
+          round(named_struct('p', o_totalprice, 's', o_orderstatus).p, 4) AS f2,
+          named_struct('a', o_orderstatus) = named_struct('a', 'O') AS eq_o,
+          array_contains(array(named_struct('k', 1), named_struct('k', 2)),
+            named_struct('k', 2)) AS has_row
+        FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"""),
+      Some("""
+        SELECT o_orderkey,
+          ({'o_orderstatus': o_orderstatus, 'o_totalprice': o_totalprice}).o_orderstatus AS f1,
+          round(({'p': o_totalprice, 's': o_orderstatus}).p, 4) AS f2,
+          ({'a': o_orderstatus}) = ({'a': 'O'}) AS eq_o,
+          list_contains([{'k': 1}, {'k': 2}], {'k': 2}) AS has_row
+        FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")),
+
     // Null ordering: NULLS FIRST/LAST, asc/desc combinations.
     "q92_null_ordering" -> Q(
       (s, d) => t(s, d, "orders")
