@@ -1,9 +1,25 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The driver hash-compares str(value): it reads our parquet via pandas
+    * (DECIMAL → decimal.Decimal, str "97351.00") but fetches the oracle via
+    * duckdb fetchdf (DECIMAL → float64, str "97351.0"), so any decimal output
+    * column hash-mismatches on representation alone. Decimal stays the
+    * internal aggregation type (exact, order-independent); only the dumped
+    * column is converted, and decimal→nearest-double is identical in both
+    * engines. */
+  def normalize(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: DecimalType =>
+          acc.withColumn(f.name, acc.col(s"`${f.name}`").cast("double"))
+        case _ => acc
+      }
+    }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,7 +32,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try normalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -200,12 +200,14 @@ object Aggregates {
       (s, d) => ord(s, d)
         .groupBy("o_orderstatus")
         .agg(
-          sort_array(collect_set(col("o_orderpriority"))).as("prios"),
+          // joined to a scalar string: the driver's row-sort cannot handle
+          // array cells (pandas lexsort → unhashable ndarray)
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("prios"),
           countDistinct(col("o_orderpriority")).cast("long").as("n_prios"))
         .orderBy("o_orderstatus"),
       Some("""
         SELECT o_orderstatus,
-          list_sort(list(DISTINCT o_orderpriority)) AS prios,
+          array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 

@@ -17,6 +17,12 @@ import graft.{Q, Tables}
 object Scalars {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  import org.apache.spark.sql.Column
+  /** "1,2,3" — matches DuckDB array_to_string(list, ','). Array cells can't
+    * survive the driver's pandas row-sort, so array results dump as strings. */
+  private def joinedInts(c: Column): Column =
+    array_join(transform(c, x => x.cast("string")), ",")
+
   val queries: Map[String, Q] = Map(
 
     // String functions (StringFunctions.java:67-840).
@@ -296,16 +302,18 @@ object Scalars {
           element_at(col("seq"), 1).as("first_el"),
           array_contains(col("seq"), 3).as("has3"),
           array_position(col("seq"), 2).cast("int").as("pos2"),
-          reverse(col("seq")).as("rev"),
-          slice(col("seq"), 1, 2).as("first2"),
+          // array results joined to scalar strings — the driver's row-sort
+          // cannot handle array cells (pandas lexsort → unhashable ndarray)
+          joinedInts(reverse(col("seq"))).as("rev"),
+          joinedInts(slice(col("seq"), 1, 2)).as("first2"),
           array_max(col("seq")).as("mx"),
           array_min(col("seq")).as("mn"),
           array_join(transform(col("seq"), x => x.cast("string")), ",").as("joined"),
-          sort_array(array_distinct(concat(col("seq"), col("seq")))).as("dedup"),
-          sort_array(array_union(col("seq"), array(lit(9), lit(10)))).as("uni"),
-          sort_array(array_intersect(col("seq"), array(lit(2), lit(3), lit(99)))).as("inter"),
-          array_remove(col("seq"), 1).as("no1"),
-          flatten(array(col("seq"), array(lit(0)))).as("flat"))
+          joinedInts(sort_array(array_distinct(concat(col("seq"), col("seq"))))).as("dedup"),
+          joinedInts(sort_array(array_union(col("seq"), array(lit(9), lit(10))))).as("uni"),
+          joinedInts(sort_array(array_intersect(col("seq"), array(lit(2), lit(3), lit(99))))).as("inter"),
+          joinedInts(array_remove(col("seq"), 1)).as("no1"),
+          joinedInts(flatten(array(col("seq"), array(lit(0))))).as("flat"))
         .orderBy("l_orderkey", "l_linenumber"),
       Some("""
         WITH base AS (
@@ -317,16 +325,16 @@ object Scalars {
           seq[1] AS first_el,
           list_contains(seq, 3) AS has3,
           CAST(coalesce(list_position(seq, 2), 0) AS INT) AS pos2,
-          list_reverse(seq) AS rev,
-          seq[1:2] AS first2,
+          array_to_string(list_reverse(seq), ',') AS rev,
+          array_to_string(seq[1:2], ',') AS first2,
           list_max(seq) AS mx,
           list_min(seq) AS mn,
           array_to_string(seq, ',') AS joined,
-          list_sort(list_distinct(list_concat(seq, seq))) AS dedup,
-          list_sort(list_distinct(list_concat(seq, [9, 10]))) AS uni,
-          list_sort(list_intersect(seq, [2, 3, 99])) AS inter,
-          list_filter(seq, x -> x <> 1) AS no1,
-          list_concat(seq, [0]) AS flat
+          array_to_string(list_sort(list_distinct(list_concat(seq, seq))), ',') AS dedup,
+          array_to_string(list_sort(list_distinct(list_concat(seq, [9, 10]))), ',') AS uni,
+          coalesce(array_to_string(list_sort(list_intersect(seq, [2, 3, 99])), ','), '') AS inter,
+          coalesce(array_to_string(list_filter(seq, x -> x <> 1), ','), '') AS no1,
+          array_to_string(list_concat(seq, [0]), ',') AS flat
         FROM base ORDER BY l_orderkey, l_linenumber""")),
 
     // Higher-order lambdas (ArrayTransformFunction.java, ArrayFilterFunction
@@ -337,13 +345,13 @@ object Scalars {
           sequence(lit(1), col("l_linenumber") + 2).as("seq"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          transform(col("seq"), x => x * x).as("squares"),
-          filter(col("seq"), x => x % 2 === 0).as("evens"),
+          joinedInts(transform(col("seq"), x => x * x)).as("squares"),
+          joinedInts(filter(col("seq"), x => x % 2 === 0)).as("evens"),
           aggregate(col("seq"), lit(0), (acc, x) => acc + x).as("total"),
           exists(col("seq"), x => x > 4).as("any_gt4"),
           forall(col("seq"), x => x > 0).as("all_pos"),
-          zip_with(col("seq"), reverse(col("seq")), (a, b) => a * b).as("zipped"),
-          transform(col("seq"), (x, i) => x + i).as("plus_idx"))
+          joinedInts(zip_with(col("seq"), reverse(col("seq")), (a, b) => a * b)).as("zipped"),
+          joinedInts(transform(col("seq"), (x, i) => x + i)).as("plus_idx"))
         .orderBy("l_orderkey", "l_linenumber"),
       Some("""
         WITH base AS (
@@ -351,14 +359,14 @@ object Scalars {
             CAST(generate_series(1, l_linenumber + 2) AS INT[]) AS seq
           FROM lineitem WHERE l_orderkey <= 500)
         SELECT l_orderkey, l_linenumber,
-          list_transform(seq, x -> x * x) AS squares,
-          list_filter(seq, x -> x % 2 = 0) AS evens,
+          array_to_string(list_transform(seq, x -> x * x), ',') AS squares,
+          array_to_string(list_filter(seq, x -> x % 2 = 0), ',') AS evens,
           CAST(list_sum(seq) AS INT) AS total,
           len(list_filter(seq, x -> x > 4)) > 0 AS any_gt4,
           len(list_filter(seq, x -> x <= 0)) = 0 AS all_pos,
-          CAST(list_transform(range(1, len(seq) + 1),
-            i -> seq[i] * seq[len(seq) - i + 1]) AS INT[]) AS zipped,
-          CAST(list_transform(range(1, len(seq) + 1), i -> seq[i] + i - 1) AS INT[]) AS plus_idx
+          array_to_string(list_transform(range(1, len(seq) + 1),
+            i -> seq[i] * seq[len(seq) - i + 1]), ',') AS zipped,
+          array_to_string(list_transform(range(1, len(seq) + 1), i -> seq[i] + i - 1), ',') AS plus_idx
         FROM base ORDER BY l_orderkey, l_linenumber""")),
 
     // Map functions (MapConstructor.java, MapKeys/MapValues/MapConcat…).
@@ -372,15 +380,15 @@ object Scalars {
           col("o_orderkey"),
           size(col("m")).as("card"),
           element_at(col("m"), "status").as("status"),
-          sort_array(map_keys(col("m"))).as("keys_sorted"),
-          sort_array(map_values(col("m"))).as("vals_sorted"))
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"),
+          array_join(sort_array(map_values(col("m"))), ",").as("vals_sorted"))
         .orderBy("o_orderkey"),
       Some("""
         SELECT o_orderkey,
           CAST(2 AS INT) AS card,
           o_orderstatus AS status,
-          ['prio', 'status'] AS keys_sorted,
-          list_sort([o_orderstatus, o_orderpriority]) AS vals_sorted
+          'prio,status' AS keys_sorted,
+          array_to_string(list_sort([o_orderstatus, o_orderpriority]), ',') AS vals_sorted
         FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""))
   )
 }
