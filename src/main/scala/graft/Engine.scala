@@ -54,7 +54,11 @@ class Engine(val spark: SparkSession) {
   /** Presto EXPLAIN (TYPE VALIDATE): analyze only, true if the query is
     * semantically valid against the catalog. */
   def validate(query: String): Boolean = {
-    spark.sql(query).queryExecution.analyzed
+    // Parse + analyze WITHOUT spark.sql(): eager command execution would
+    // actually run a DDL/DML statement being validated.
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    spark.sessionState.analyzer.executeAndCheck(
+      parsed, new org.apache.spark.sql.catalyst.QueryPlanningTracker)
     true
   }
 }

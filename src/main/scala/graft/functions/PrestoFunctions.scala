@@ -64,7 +64,10 @@ object PrestoFunctions {
           case 'W' => sb.append("EEEE"); case 'a' => sb.append("EEE")
           case 'j' => sb.append("DDD")
           case 'T' => sb.append("HH:mm:ss")
-          case 'v' => sb.append("ww")
+          // %v is ISO week-of-year; week-based format patterns are banned on
+          // Spark >= 3.0, so pass it through verbatim (documented divergence —
+          // use weekofyear() for the numeric value).
+          case 'v' => literal.append("%v")
           case '%' => literal.append('%')
           case other => literal.append(other)
         }
@@ -119,7 +122,13 @@ object PrestoFunctions {
     "infinity" -> (_ => lit(Double.PositiveInfinity)),
     "nan" -> (_ => lit(Double.NaN)),
     "e" -> (_ => lit(math.E)),
-    "random" -> (e => fn("rand", e)),
+    // random() → double in [0,1); random(n) → integer in [0,n) of n's type
+    // (MathFunctions.java:575-605).
+    "random" -> (e =>
+      if (e.isEmpty) fn("rand", e)
+      else Cast(fn("floor", Seq(Multiply(fn("rand", Nil),
+        Cast(e(0), DoubleType)))),
+        e(0) match { case r if r.resolved => r.dataType; case _ => LongType })),
     "is_nan" -> (e => fn("isnan", e)),
     "is_finite" -> (e => And(Not(fn("isnan", e)),
       LessThan(fn("abs", e), lit(Double.PositiveInfinity)))),
@@ -159,11 +168,16 @@ object PrestoFunctions {
     "doy" -> (e => fn("dayofyear", e)),
     "week" -> (e => fn("weekofyear", e)),
     "week_of_year" -> (e => fn("weekofyear", e)),
-    "year_of_week" -> (e => Cast(fn("date_format", Seq(e(0), lit("YYYY"))),
-      IntegerType)),
-    "yow" -> (e => Cast(fn("date_format", Seq(e(0), lit("YYYY"))), IntegerType)),
-    "millisecond" -> (e => Cast(Divide(
-      fn("date_part", Seq(lit("microsecond"), e(0))), lit(1000)), IntegerType)),
+    // week-based format patterns are banned on Spark >= 3.0; YEAROFWEEK is a
+    // supported extract field.
+    "year_of_week" -> (e =>
+      Cast(fn("date_part", Seq(lit("yearofweek"), e(0))), IntegerType)),
+    "yow" -> (e =>
+      Cast(fn("date_part", Seq(lit("yearofweek"), e(0))), IntegerType)),
+    // no 'millisecond'/'microsecond' extract field in Spark — derive
+    // ms-of-second from the 'SSS' format pattern.
+    "millisecond" -> (e =>
+      Cast(DateFormatClass(e(0), lit("SSS")), IntegerType)),
     // date_add/date_diff with unit strings (Presto) vs Spark positional
     "date_add_unit" -> (e => DateTimeShift.add(e(0), e(1), e(2))),
     "date_diff_unit" -> (e => DateTimeShift.diff(e(0), e(1), e(2))),

@@ -55,6 +55,9 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(txt.contains("HashAggregate") || txt.contains("Aggregate"))
     assert(e.validate("SELECT o_orderkey FROM orders"))
     intercept[Exception](e.validate("SELECT no_such_col FROM orders"))
+    // validate must analyze WITHOUT executing: the view must not be created.
+    assert(e.validate("CREATE TEMP VIEW graft_validate_probe AS SELECT 1 AS x"))
+    assert(spark.catalog.tableExists("graft_validate_probe") == false)
   }
 
   test("Engine CTAS writes, commits, and registers the table") {

@@ -59,6 +59,23 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("day_of_week(DATE '2024-01-07')", 7) // Sunday = 7 (ISO)
     assertFn("day_of_week(DATE '2024-01-08')", 1) // Monday = 1
     assertFn("to_unixtime(TIMESTAMP '1970-01-01 00:01:00')", 60.0)
+    // ISO week-year: 2016-01-01 (Friday) belongs to ISO week 53 of 2015.
+    assertFn("year_of_week(DATE '2016-01-01')", 2015)
+    assertFn("yow(DATE '2024-06-15')", 2024)
+    assertFn("millisecond(TIMESTAMP '2001-02-03 04:05:06.789')", 789)
+    assertFn("millisecond(TIMESTAMP '2001-02-03 04:05:06')", 0)
+  }
+
+  test("random(n) returns an integer in [0, n) of n's type") {
+    val e = engine
+    (1 to 20).foreach { _ =>
+      val v = one("random(10)")
+      assert(v.isInstanceOf[Int] && v.asInstanceOf[Int] >= 0 &&
+        v.asInstanceOf[Int] < 10, s"got $v")
+    }
+    val vl = one("random(CAST(5 AS BIGINT))")
+    assert(vl.isInstanceOf[Long] && vl.asInstanceOf[Long] < 5L)
+    assert(one("random()").isInstanceOf[Double])
   }
 
   test("mysql pattern translation") {
