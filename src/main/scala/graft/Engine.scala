@@ -11,7 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Tungsten (SURVEY §3 "Spark equivalence"); this class only contributes the
   * catalog and the function surface.
   */
-class Engine(val spark: SparkSession) {
+class Engine(parent: SparkSession) {
+
+  /** Isolated session (shared SparkContext, own temp-view + function
+    * registry): the Presto-semantics names (e.g. literal-delimiter `split`,
+    * heap `max_by`) must not shadow Spark builtins for DataFrame-API code
+    * running on the parent session — `functions.split` & co. resolve BY NAME
+    * through the session's registry on Spark 4, so registering compat names
+    * on a shared session silently changes unrelated plans. */
+  val spark: SparkSession = parent.newSession()
 
   functions.PrestoFunctions.registerAll(spark)
 

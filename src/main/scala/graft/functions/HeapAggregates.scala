@@ -287,3 +287,100 @@ case class MapUnionAgg(
       c: IndexedSeq[Expression]): Expression = copy(child = c.head)
   override def prettyName: String = "map_union"
 }
+
+/** numeric_histogram(buckets, value[, weight]) → map<double,double>
+  * (NumericHistogram.java — streaming histogram that greedily merges the
+  * closest adjacent pair of centroids, after Ben-Haim & Tom-Tov). The buffer
+  * is O(buckets) per group: inputs accumulate into a bounded scratch list and
+  * compress in batches, so partial/final merge ships at most 4×buckets
+  * centroids per group regardless of input size. */
+case class NumericHistogramAgg(
+    buckets: Int,
+    value: Expression,
+    weightExpr: Option[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Double)]] {
+
+  require(buckets >= 2, "numeric_histogram bucket count must be at least 2")
+
+  override def children: Seq[Expression] = Seq(value) ++ weightExpr
+  override def nullable: Boolean = false
+  override def dataType: DataType = MapType(DoubleType, DoubleType)
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Double)] =
+    mutable.ArrayBuffer.empty
+
+  private def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+
+  private def compress(
+      buf: mutable.ArrayBuffer[(Double, Double)], target: Int): Unit = {
+    if (buf.length <= target) return
+    val sorted = buf.sortBy(_._1)
+    buf.clear(); buf ++= sorted
+    while (buf.length > target) {
+      var minGap = Double.MaxValue; var at = 0
+      var i = 0
+      while (i < buf.length - 1) {
+        val gap = buf(i + 1)._1 - buf(i)._1
+        if (gap < minGap) { minGap = gap; at = i }
+        i += 1
+      }
+      val (x1, w1) = buf(at); val (x2, w2) = buf(at + 1)
+      buf(at) = ((x1 * w1 + x2 * w2) / (w1 + w2), w1 + w2)
+      buf.remove(at + 1)
+    }
+  }
+
+  override def update(
+      buf: mutable.ArrayBuffer[(Double, Double)],
+      input: InternalRow): mutable.ArrayBuffer[(Double, Double)] = {
+    val v = value.eval(input)
+    if (v != null) {
+      val w = weightExpr.map(e => num(e.eval(input))).getOrElse(1.0)
+      buf += ((num(v), w))
+      if (buf.length > buckets * 4) compress(buf, buckets)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.ArrayBuffer[(Double, Double)],
+      other: mutable.ArrayBuffer[(Double, Double)]): mutable.ArrayBuffer[(Double, Double)] = {
+    buf ++= other
+    if (buf.length > buckets * 4) compress(buf, buckets)
+    buf
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
+    compress(buf, buckets)
+    val entries = buf.sortBy(_._1)
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(_._1).toArray),
+      new GenericArrayData(entries.map(_._2).toArray))
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[(Double, Double)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 16)
+    bb.putInt(buf.length)
+    buf.foreach { case (x, w) => bb.putDouble(x); bb.putDouble(w) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Double, Double)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf += ((bb.getDouble, bb.getDouble)))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): NumericHistogramAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): NumericHistogramAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(value = c.head, weightExpr = c.lift(1))
+  override def prettyName: String = "numeric_histogram"
+}

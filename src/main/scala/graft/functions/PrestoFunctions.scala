@@ -26,6 +26,25 @@ object PrestoFunctions {
 
   private def lit(v: Any): Expression = Literal(v)
 
+  /** array<row(k,v)> → map<k, array<v>>: distinct keys, then per-key value
+    * collection (MapFromEntriesFunction/MultimapFromEntriesFunction). Struct
+    * fields accessed by ordinal (Presto rows are anonymous); lambdas
+    * constructed directly — they cannot pass through UnresolvedFunction. */
+  private def multimapFromEntries(entries: Expression): Expression = {
+    val k = UnresolvedNamedLambdaVariable(Seq("mfe_k"))
+    val p = UnresolvedNamedLambdaVariable(Seq("mfe_p"))
+    val q = UnresolvedNamedLambdaVariable(Seq("mfe_q"))
+    val r = UnresolvedNamedLambdaVariable(Seq("mfe_r"))
+    val keys = ArrayDistinct(ArrayTransform(entries,
+      LambdaFunction(GetStructField(p, 0), Seq(p))))
+    MapFromArrays(keys, ArrayTransform(keys, LambdaFunction(
+      ArrayTransform(
+        ArrayFilter(entries, LambdaFunction(
+          EqualTo(GetStructField(q, 0), k), Seq(q))),
+        LambdaFunction(GetStructField(r, 1), Seq(r))),
+      Seq(k))))
+  }
+
   private def litInt(e: Expression): Int = e match {
     case Literal(i: Int, IntegerType) => i
     case Literal(l: Long, LongType) => l.toInt
@@ -206,7 +225,41 @@ object PrestoFunctions {
     "sha1" -> (e => fn("unhex", Seq(fn("sha", e)))), // "sha" = builtin alias
     "hmac_sha256" -> (e => Hmac(e(0), e(1), "HmacSHA256")),
     "hmac_sha1" -> (e => Hmac(e(0), e(1), "HmacSHA1")),
+    "hmac_sha512" -> (e => Hmac(e(0), e(1), "HmacSHA512")),
     "hmac_md5" -> (e => Hmac(e(0), e(1), "HmacMD5")),
+    // URL-safe base64 (VarbinaryFunctions.java to/fromBase64Url).
+    "to_base64url" -> (e => fn("translate",
+      Seq(fn("base64", e), lit("+/"), lit("-_")))),
+    "from_base64url" -> (e => fn("unbase64",
+      Seq(fn("translate", Seq(e(0), lit("-_"), lit("+/")))))),
+    "to_big_endian_32" -> (e => ToBigEndian(e(0), 32)),
+    "to_big_endian_64" -> (e => ToBigEndian(e(0), 64)),
+    "from_big_endian_32" -> (e => FromBigEndian(e(0), 32)),
+    "from_big_endian_64" -> (e => FromBigEndian(e(0), 64)),
+    "to_ieee754_32" -> (e => ToIeee754(Cast(e(0), DoubleType), 32)),
+    "to_ieee754_64" -> (e => ToIeee754(Cast(e(0), DoubleType), 64)),
+    "from_ieee754_32" -> (e => FromIeee754(e(0), 32)),
+    "from_ieee754_64" -> (e => FromIeee754(e(0), 64)),
+    "hamming_distance" -> (e => HammingDistance(e(0), e(1))),
+    "normal_cdf" -> (e => NormalCdf(
+      Cast(e(0), DoubleType), Cast(e(1), DoubleType), Cast(e(2), DoubleType))),
+    "inverse_normal_cdf" -> (e => InverseNormalCdf(
+      Cast(e(0), DoubleType), Cast(e(1), DoubleType), Cast(e(2), DoubleType))),
+    "wilson_interval_lower" -> (e => WilsonInterval(
+      Cast(e(0), DoubleType), Cast(e(1), DoubleType), Cast(e(2), DoubleType),
+      upper = false)),
+    "wilson_interval_upper" -> (e => WilsonInterval(
+      Cast(e(0), DoubleType), Cast(e(1), DoubleType), Cast(e(2), DoubleType),
+      upper = true)),
+    "parse_duration" -> (e => ParseDuration(e(0))),
+    "to_milliseconds" -> (e => IntervalMillis(e(0))),
+    "timezone_hour" -> (e => TimeZonePart(e(0), minutePart = false)),
+    "timezone_minute" -> (e => TimeZonePart(e(0), minutePart = true)),
+    // Spark parse_url has no PORT key — extract from AUTHORITY.
+    "url_extract_port" -> (e => Cast(fn("nullif", Seq(
+      fn("regexp_extract",
+        Seq(fn("parse_url", Seq(e(0), lit("AUTHORITY"))), lit(":([0-9]+)$"), lit(1))),
+      lit(""))), LongType)),
     // --- array (Array*.java) ---
     "cardinality" -> (e => Cardinality(e.head)),
     "contains" -> (e => fn("array_contains", e)),
@@ -234,6 +287,23 @@ object PrestoFunctions {
         ArrayForAll(e(0), LambdaFunction(Not(body), args, hidden))
       case other => Not(ArrayExists(e(0), other))
     }),
+    // --- map construction (MapFromEntriesFunction, SplitToMultimap…) ---
+    // multimap_from_entries(array<row(k,v)>) → map<k, array<v>>.
+    "multimap_from_entries" -> (e => multimapFromEntries(e(0))),
+    "split_to_multimap" -> { e =>
+      // delimiters are literal (StringFunctions.java splitToMultimap)
+      def quoted(x: Expression): Expression = x match {
+        case Literal(s, StringType) if s != null =>
+          lit(java.util.regex.Pattern.quote(s.toString))
+        case other => other
+      }
+      val s = UnresolvedNamedLambdaVariable(Seq("stm_s"))
+      val kv = StringSplit(s, quoted(e(2)), lit(2))
+      multimapFromEntries(ArrayTransform(
+        StringSplit(e(0), quoted(e(1)), lit(-1)),
+        LambdaFunction(CreateStruct(Seq(
+          ElementAt(kv, lit(1)), ElementAt(kv, lit(2)))), Seq(s))))
+    },
     // --- conditional ---
     "try" -> (e => TryEval(e.head)),
     "typeof" -> (e => fn("typeof", e)),
@@ -261,6 +331,8 @@ object PrestoFunctions {
       if (e.length >= 3) MaxByN(e(0), e(1), litInt(e(2)), asc = true).toAggregateExpression()
       else MinBy(e(0), e(1)).toAggregateExpression()),
     "histogram" -> (e => HistogramAgg(e.head).toAggregateExpression()),
+    "numeric_histogram" -> (e =>
+      NumericHistogramAgg(litInt(e(0)), e(1), e.lift(2)).toAggregateExpression()),
     "map_union" -> (e => MapUnionAgg(e.head).toAggregateExpression()),
     "every" -> (e => fn("bool_and", e)),
     "bitwise_and_agg" -> (e => fn("bit_and", e)),

@@ -11,7 +11,7 @@ import graft.{Engine, Q, Tables}
 object PrestoCompat {
 
   private def presto(text: String): (SparkSession, String) => DataFrame =
-    (s, d) => { val e = Engine(s); Tables.registerAll(s, d); e.sql(text) }
+    (s, d) => Engine(s).loadCatalog(d).sql(text)
 
   val queries: Map[String, Q] = Map(
 
@@ -155,7 +155,7 @@ object PrestoCompat {
     // doGenCode) — same semantics as the HOF-based s01, checked vs DuckDB.
     "p07_cosine_native" -> Q(
       (s, d) => {
-        val e = Engine(s); Tables.registerAll(s, d)
+        val e = Engine(s).loadCatalog(d)
         e.sql("""
           SELECT a.vec_id,
             round(cosine_similarity(a.embedding, q.embedding), 6) AS cos_sim
@@ -173,6 +173,49 @@ object PrestoCompat {
              sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
             AS cos_sim
         FROM embeddings, q WHERE vec_id <> 1
-        ORDER BY cos_sim DESC, vec_id LIMIT 15"""))
+        ORDER BY cos_sim DESC, vec_id LIMIT 15""")),
+
+    // URL function surface (UrlFunctions.java:38-193): extract components of
+    // synthesized URLs; encode/decode as a round-trip check (DuckDB has no
+    // url_encode — oracle pins the round-trip to true).
+    "p08_url_fns" -> Q(
+      presto("""
+        WITH u AS (
+          SELECT doc_id,
+            concat('https://h', CAST(doc_id % 5 AS STRING), '.example.com',
+              CASE WHEN doc_id % 3 = 0 THEN concat(':', CAST(8000 + doc_id % 7 AS STRING)) ELSE '' END,
+              '/docs/', source, '?id=', CAST(doc_id AS STRING), '&lang=', lang,
+              '#sec', CAST(doc_id % 4 AS STRING)) AS url,
+            source, lang
+          FROM documents)
+        SELECT doc_id,
+          url_extract_protocol(url) AS proto,
+          url_extract_host(url) AS host,
+          url_extract_port(url) AS port,
+          url_extract_path(url) AS path,
+          url_extract_query(url) AS query,
+          url_extract_fragment(url) AS frag,
+          url_extract_parameter(url, 'lang') AS lang_param,
+          url_decode(url_encode(concat(source, ' +/', lang))) =
+            concat(source, ' +/', lang) AS enc_roundtrip
+        FROM u ORDER BY doc_id"""),
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            concat('https://h', CAST(doc_id % 5 AS VARCHAR), '.example.com',
+              CASE WHEN doc_id % 3 = 0 THEN concat(':', CAST(8000 + doc_id % 7 AS VARCHAR)) ELSE '' END,
+              '/docs/', source, '?id=', CAST(doc_id AS VARCHAR), '&lang=', lang,
+              '#sec', CAST(doc_id % 4 AS VARCHAR)) AS url
+          FROM documents)
+        SELECT doc_id,
+          regexp_extract(url, '^([a-z][a-z0-9+.-]*):', 1) AS proto,
+          regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+          CAST(nullif(regexp_extract(url, '^[a-z]+://[^/:?#]+:([0-9]+)', 1), '') AS BIGINT) AS port,
+          regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+          regexp_extract(url, '\?([^#]*)', 1) AS query,
+          regexp_extract(url, '#(.*)$', 1) AS frag,
+          regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+          true AS enc_roundtrip
+        FROM u ORDER BY doc_id"""))
   )
 }

@@ -49,8 +49,7 @@ class ColumnApiSpec extends AnyFunSuite {
   }
 
   test("Engine explain + validate surface") {
-    val e = Engine(spark)
-    Tables.registerAll(spark, sf)
+    val e = Engine(spark).loadCatalog(sf)
     val txt = e.explain("SELECT count(*) FROM orders", "formatted")
     assert(txt.contains("HashAggregate") || txt.contains("Aggregate"))
     assert(e.validate("SELECT o_orderkey FROM orders"))
@@ -61,8 +60,7 @@ class ColumnApiSpec extends AnyFunSuite {
   }
 
   test("Engine CTAS writes, commits, and registers the table") {
-    val e = Engine(spark)
-    Tables.registerAll(spark, sf)
+    val e = Engine(spark).loadCatalog(sf)
     val path = java.nio.file.Files.createTempDirectory("graft-ctas").toString
     e.ctas("big_orders", "SELECT * FROM orders WHERE o_totalprice > 200000", path)
     val n = e.sql("SELECT count(*) FROM big_orders").head.getLong(0)

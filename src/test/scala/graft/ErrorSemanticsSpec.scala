@@ -11,9 +11,10 @@ class ErrorSemanticsSpec extends AnyFunSuite {
   private lazy val engine = Engine(spark)
 
   private def withAnsi[T](f: => T): T = {
-    val prev = spark.conf.get("spark.sql.ansi.enabled")
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    try f finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    // the Engine runs on its own isolated session — toggle ANSI there
+    val prev = engine.spark.conf.get("spark.sql.ansi.enabled")
+    engine.spark.conf.set("spark.sql.ansi.enabled", "true")
+    try f finally engine.spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
   private def one(sql: String): Any = engine.sql(s"SELECT $sql").head.get(0)

@@ -10,11 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class FunctionsSpec extends AnyFunSuite {
   import TestSession._
 
-  private lazy val engine = {
-    val e = Engine(spark)
-    Tables.registerAll(spark, sf)
-    e
-  }
+  private lazy val engine = Engine(spark).loadCatalog(sf)
 
   private def one(exprSql: String): Any =
     engine.sql(s"SELECT $exprSql AS v").head.get(0)
@@ -64,6 +60,66 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("yow(DATE '2024-06-15')", 2024)
     assertFn("millisecond(TIMESTAMP '2001-02-03 04:05:06.789')", 789)
     assertFn("millisecond(TIMESTAMP '2001-02-03 04:05:06')", 0)
+  }
+
+  test("binary codec functions: big-endian, ieee754, base64url") {
+    assertFn("from_big_endian_32(to_big_endian_32(123456))", 123456)
+    assertFn("from_big_endian_32(to_big_endian_32(-7))", -7)
+    assertFn("from_big_endian_64(to_big_endian_64(CAST(9876543210 AS BIGINT)))",
+      9876543210L)
+    assertFn("to_hex(to_big_endian_32(1))", "00000001")
+    assertFn("from_ieee754_64(to_ieee754_64(3.1415))", 3.1415)
+    assertFn("to_hex(to_ieee754_32(CAST(1.0 AS FLOAT)))", "3F800000")
+    assertFn("from_utf8(from_base64url(to_base64url(to_utf8('a+b/c~d'))))",
+      "a+b/c~d")
+  }
+
+  test("statistical scalars: normal_cdf, inverse, wilson, hamming") {
+    assert(math.abs(one("normal_cdf(0, 1, 0)").asInstanceOf[Double] - 0.5) < 1e-12)
+    assert(math.abs(one("normal_cdf(0, 1, 1.96)").asInstanceOf[Double] - 0.975)
+      < 1e-3)
+    assert(math.abs(one("inverse_normal_cdf(0, 1, 0.975)").asInstanceOf[Double]
+      - 1.9599639845) < 1e-6)
+    // round-trip
+    assert(math.abs(one("inverse_normal_cdf(2, 3, normal_cdf(2, 3, 4.5))")
+      .asInstanceOf[Double] - 4.5) < 1e-9)
+    val lo = one("wilson_interval_lower(100, 200, 1.96)").asInstanceOf[Double]
+    val hi = one("wilson_interval_upper(100, 200, 1.96)").asInstanceOf[Double]
+    assert(lo > 0.43 && lo < 0.5 && hi > 0.5 && hi < 0.57 && lo < hi)
+    assertFn("hamming_distance('karolin', 'kathrin')", 3L)
+    assertFn("hamming_distance('', '')", 0L)
+    intercept[Exception](one("hamming_distance('ab', 'abc')"))
+  }
+
+  test("duration + timezone functions") {
+    assertFn("to_milliseconds(parse_duration('1.5m'))", 90000L)
+    assertFn("to_milliseconds(parse_duration('42ms'))", 42L)
+    assertFn("to_milliseconds(parse_duration('2h'))", 7200000L)
+    assertFn("to_milliseconds(INTERVAL '90' SECOND)", 90000L)
+    // session zone is UTC in tests
+    assertFn("timezone_hour(TIMESTAMP '2024-06-01 12:00:00')", 0L)
+    assertFn("timezone_minute(TIMESTAMP '2024-06-01 12:00:00')", 0L)
+  }
+
+  test("multimap + url port") {
+    assert(one("multimap_from_entries(array(struct('a', 1), struct('b', 2), struct('a', 3)))['a']")
+      == Seq(1, 3))
+    assert(one("split_to_multimap('k1=v1,k2=v2,k1=v3', ',', '=')['k1']")
+      == Seq("v1", "v3"))
+    assertFn("url_extract_port('http://example.com:8042/over/there?name=x')", 8042L)
+    assertFn("url_extract_port('http://example.com/over/there')", null)
+  }
+
+  test("numeric_histogram buckets weights onto centroids") {
+    val rows = engine.sql(
+      """SELECT numeric_histogram(4, v) AS h FROM
+        |(SELECT CAST(x AS DOUBLE) AS v FROM
+        |  (SELECT explode(sequence(1, 100)) AS x))""".stripMargin)
+      .head.getMap[Double, Double](0)
+    assert(rows.size == 4)
+    assert(math.abs(rows.values.sum - 100.0) < 1e-9) // total weight preserved
+    val centroids = rows.keys.toSeq.sorted
+    assert(centroids.head >= 1.0 && centroids.last <= 100.0)
   }
 
   test("random(n) returns an integer in [0, n) of n's type") {
