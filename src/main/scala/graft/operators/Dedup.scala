@@ -175,21 +175,83 @@ object Dedup {
     // groupBy-min builds the K-hash signature in one shuffle on doc_id,
     // candidate generation is a self-join on (band, band-hash) buckets —
     // never O(n²) pairwise. Same pipeline at 100 TB, just more partitions.
+    // MinHash-LSH candidates + exact-Jaccard verification — the full
+    // near-dup pipeline. The LSH stage is O(n·bands) instead of O(n²); the
+    // exact verify touches only candidate pairs. The oracle recomputes the
+    // ≥0.8 pair set exhaustively (with the |A|/|B| ≥ 0.8 size bound as a
+    // pushdown prefilter — implied by jaccard ≥ 0.8, so still exact), which
+    // doubles as an LSH recall check: a missed true pair would hash-mismatch.
     "d04_minhash_lsh_pairs" -> Q(
-      (s, d) => minhashLshPairs(docs(s, d), "doc_id", "text")
-        .groupBy().agg(count(lit(1)).as("n_candidate_pairs"))),
+      (s, d) => {
+        val dd = docs(s, d)
+        val sh = dd.select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), array_distinct(shinglesOf(col("t"), 3)).as("sh"))
+        minhashLshPairs(dd, "doc_id", "text")
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_distinct(concat(col("sha"), col("shb"))))).as("j"))
+          .filter(col("j") >= 0.8)
+          .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 2 + 1),
+              i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM t WHERE len(toks) >= 3)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+          AND len(a.shingles) >= 0.8 * len(b.shingles)
+          AND len(b.shingles) >= 0.8 * len(a.shingles)
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        ORDER BY id_a, id_b""")),
 
-    // SimHash signatures + per-source duplicate-bucket stats (xxhash64-based
-    // — Spark-native hashing, no SQL oracle; rows-only check).
+    // SimHash signatures, hash-checked bit-for-bit: the query variant uses a
+    // 32-bit md5-derived token hash both engines can compute (the library
+    // `simhash` API keeps xxhash64 — cheaper at scale, same algorithm).
+    // `hashes` is bound to a column before the per-bit aggregate (HOF lambda
+    // re-evaluates non-attribute subtrees per element).
     "d05_simhash" -> Q(
       (s, d) => docs(s, d)
         .select(col("doc_id"), col("source"),
           split(normalize(col("text")), " ").as("toks"))
-        .select(col("doc_id"), col("source"), simhash("toks").as("sig"))
-        .groupBy("source")
-        .agg(countDistinct(col("sig")).as("n_distinct_sig"),
-          count(lit(1)).as("n_docs"))
-        .orderBy("source")),
+        .select(col("doc_id"), col("source"),
+          expr("transform(toks, t -> cast(conv(substr(md5(t), 25, 8), 16, 10) as bigint))")
+            .as("hashes"))
+        .select(col("doc_id"), col("source"), expr("""
+          aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc | IF(
+            aggregate(hashes, cast(0 as int),
+              (a, h) -> a + IF(((h >> b) & 1) = 1, 1, -1)) > 0,
+            shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""").as("sig"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, source,
+            list_transform(toks, t ->
+              CAST(('0x' || substr(md5(t), 25, 8))::UBIGINT AS BIGINT)) AS hashes
+          FROM t)
+        SELECT doc_id, source,
+          CAST(list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN list_sum(list_transform(hashes, h2 ->
+                   CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sig
+        FROM h ORDER BY doc_id""")),
 
     // Embedding-cosine near-dup detection: pairs above a cosine threshold
     // (the semantic-dedup stage of a training pipeline). Exact over a slice

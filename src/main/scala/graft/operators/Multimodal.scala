@@ -120,18 +120,62 @@ object Multimodal {
     // Decode → feature-extract pipeline (stubbed decode, real plumbing);
     // rows-only check + ScalaTest invariants (normalization, determinism).
     "m02_media_features" -> Q(
-      (s, d) => extractFeatures(mediaTable(s, d)).toDF()
-        .select(col("media_id"), col("format"), col("byteLen"),
-          round(aggregate(col("features"), lit(0.0d),
-            (acc, x) => acc + x.cast("double")), 4).as("l1_norm"))
-        .orderBy("media_id")),
+      (s, d) => {
+        // histogram counts recovered from the L1-normalized features:
+        // counts = f * n_pixels are exact integers (float32 error ≪ 0.5),
+        // so the dump is integer-valued and the stub decode is replicated
+        // closed-form by the oracle.
+        val npx = (lit(16) + col("media_id") % 64) * (lit(16) + col("media_id") % 48)
+        extractFeatures(mediaTable(s, d)).toDF()
+          .select(col("media_id"), col("format"), col("byteLen"),
+            array_join(transform(col("features"),
+              f => round(f.cast("double") * npx).cast("int").cast("string")), ",")
+              .as("hist"))
+          .orderBy("media_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+            ['png','jpeg','wav','mp4'][CAST(doc_id % 4 AS INT) + 1] AS format,
+            CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byteLen,
+            CAST((16 + doc_id % 64) * (16 + doc_id % 48) AS INT) AS npx,
+            text
+          FROM documents),
+        px AS (
+          SELECT media_id, format, byteLen,
+            list_transform(range(0, npx), i ->
+              (CASE WHEN i < least(byteLen, npx)
+                 THEN ord(substr(text, CAST(i AS INT) + 1, 1))
+                 ELSE CAST(i % 251 AS INT) END) >> 4) AS bins
+          FROM m)
+        SELECT media_id, format, byteLen,
+          array_to_string(list_transform(range(0, 16), b ->
+            len(list_filter(bins, x -> x = b))), ',') AS hist
+        FROM px ORDER BY media_id""")),
 
-    // Video frame sampling: per-format frame counts.
+    // Video frame sampling: per-video sampled-frame counts + byte volume.
+    // The stub chunking is pure arithmetic over (payload length, n_frames),
+    // so the oracle replicates it closed-form.
     "m03_frame_sample" -> Q(
       (s, d) => sampleFrames(mediaTable(s, d), stride = 2).toDF()
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames_sampled"),
           sum(length(col("frame"))).cast("long").as("total_bytes"))
-        .orderBy("media_id"))
+        .orderBy("media_id"),
+      Some("""
+        WITH v AS (
+          SELECT doc_id AS media_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
+            CAST(8 + doc_id % 8 AS BIGINT) AS nf
+          FROM documents WHERE doc_id % 4 = 3),
+        f AS (
+          SELECT media_id, len, nf, greatest(1, len // nf) AS fs
+          FROM v)
+        SELECT media_id,
+          CAST(len(range(0, nf, 2)) AS BIGINT) AS n_frames_sampled,
+          CAST(list_sum(list_transform(range(0, nf, 2), fr ->
+            greatest(0, least(len, fr * fs + fs) - least(fr * fs, len))))
+            AS BIGINT) AS total_bytes
+        FROM f ORDER BY media_id"""))
   )
 }

@@ -151,11 +151,11 @@ object Similarity {
         SELECT la, lb, round(avg(cos), 6) AS avg_cos, count(*) AS n_pairs
         FROM pairs GROUP BY la, lb ORDER BY la, lb""")),
 
-    // LSH-bucketed ANN: deterministic hyperplane signatures; candidates =
-    // same bucket as the query (8 planes → 256 buckets). Rows-only check
-    // (bucket ids depend on the signature construction, not SQL-mirrorable
-    // cheaply); the recall behavior is asserted in ScalaTest against the
-    // brute-force baseline.
+    // LSH-bucketed ANN: deterministic hyperplane signatures (plane weights =
+    // ±1 from md5 parity — reproducible in ANY engine with md5, which is
+    // exactly why the construction avoids engine-native hashing); candidates
+    // = same bucket as the query (8 planes → 256 buckets). The oracle
+    // recomputes the signatures + bucket join exhaustively.
     "s03_ann_lsh" -> Q(
       (s, d) => {
         val bucketed = emb(s, d)
@@ -169,10 +169,33 @@ object Similarity {
             round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(20)
-      }),
+      },
+      Some("""
+        WITH b AS (
+          SELECT vec_id, label, embedding,
+            CAST(list_sum(list_transform(range(0, 8), p ->
+              CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                  CAST(embedding[i] AS DOUBLE) *
+                  (CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+                      CAST(i - 1 AS VARCHAR)), 32, 1))::INT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END))) > 0
+                THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+          FROM embeddings),
+        q AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
+        SELECT vec_id, label, bucket,
+          round(
+            list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+            AS cos_sim
+        FROM b, q WHERE vec_id <> 0 AND bucket = qbucket
+        ORDER BY cos_sim DESC, vec_id LIMIT 20""")),
 
-    // IVF ANN search: 8 seed centroids, probe the 2 nearest buckets
-    // (rows-only; SimilaritySpec proves nprobe=all == brute force).
+    // IVF ANN search: 8 seed centroids, probe the 2 nearest buckets. The
+    // whole pipeline (assign → probe → score) is deterministic arithmetic,
+    // so the oracle replays it exhaustively in SQL; SimilaritySpec
+    // additionally proves nprobe=all == brute force.
     "s05_ann_ivf" -> Q(
       (s, d) => {
         val e = emb(s, d)
@@ -183,7 +206,43 @@ object Similarity {
         val assigned = ivfAssign(corpus, "vec_id", "embedding", centroids)
         ivfSearch(assigned, "vec_id", "embedding", centroids, qv,
           nprobe = 2, k = 20)
-      }),
+      },
+      Some("""
+        WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+                   FROM embeddings WHERE vec_id < 8),
+        corpus AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id >= 8 AND vec_id <> 42),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+        ac AS (
+          SELECT v.vec_id, v.embedding, c.centroid_id,
+            list_sum(list_transform(range(1, len(v.embedding) + 1),
+              i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+          FROM corpus v CROSS JOIN c),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+            FROM ac) WHERE rn = 1),
+        probed AS (
+          SELECT centroid_id FROM c CROSS JOIN q
+          ORDER BY
+            list_sum(list_transform(range(1, len(centroid) + 1),
+              i -> CAST(centroid[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+            centroid_id
+          LIMIT 2)
+        SELECT a.vec_id,
+          round(
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+            AS cos_sim
+        FROM assigned a JOIN probed USING (centroid_id) CROSS JOIN q
+        ORDER BY cos_sim DESC, vec_id LIMIT 20""")),
 
     // Vector arithmetic surface: norms, scalar ops, centroid per label.
     "s04_vector_ops" -> Q(

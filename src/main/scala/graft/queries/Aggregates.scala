@@ -212,15 +212,30 @@ object Aggregates {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // Sketch aggregates (ApproximateCountDistinctAggregation.java:51 — HLL).
-    // Estimates are algorithm-specific → no hash oracle; driver records a
-    // rows-only check. Exact companions above pin correctness.
+    // Estimates are algorithm-specific, so the oracle pins the EXACT
+    // companions plus error-bound booleans: the exact values hash-compare,
+    // and the sketch estimates are asserted within their documented bounds
+    // (HLL++ rsd default 5%; approx_percentile between p25 and p75).
     "q10_agg_approx" -> Q(
       (s, d) => li(s, d)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"))
-        .orderBy("l_returnflag")),
+          countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (col("ap") >= col("exact_parts") * 0.85 &&
+            col("ap") <= col("exact_parts") * 1.15).as("approx_parts_ok"),
+          (col("p50") >= col("p25") && col("p50") <= col("p75")).as("approx_p50_ok"))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          true AS approx_parts_ok,
+          true AS approx_p50_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Order-independent checksum over a column (ChecksumAggregationFunction
     // .java:46 — xor of hashes; here sum of md5-derived residues so DuckDB

@@ -21,13 +21,26 @@ object Coverage {
   val queries: Map[String, Q] = Map(
 
     // TABLESAMPLE BERNOULLI (SampleNode.java:40-41): seeded sample —
-    // deterministic per seed+partitioning but engine-specific → rows-only
-    // check; the statistical bound is asserted in ScalaTest.
+    // deterministic per seed+partitioning but engine-specific, so the oracle
+    // pins the group population (hash-compared) plus a Bernoulli(0.1)
+    // concentration bound on the sampled fraction (±5 abs pct, far beyond
+    // any plausible deviation at sf0.01's group sizes).
     "q85_tablesample" -> Q(
-      (s, d) => t(s, d, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_sampled"))
-        .orderBy("l_returnflag")),
+      (s, d) => {
+        val sampled = t(s, d, "lineitem")
+          .sample(withReplacement = false, 0.1, seed = 42)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
+        val totals = t(s, d, "lineitem")
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_total"))
+        totals.join(sampled, "l_returnflag")
+          .select(col("l_returnflag"), col("n_total"),
+            (col("n_sampled") >= col("n_total") * 0.05 &&
+              col("n_sampled") <= col("n_total") * 0.15).as("fraction_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n_total, true AS fraction_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // LATERAL correlated derived table (LateralJoinNode.java:37).
     "q86_lateral" -> Q(

@@ -146,10 +146,18 @@ object PrestoCompat {
                  count(DISTINCT c_custkey) AS exact_n
           FROM customer GROUP BY c_nationkey)
         SELECT
-          CAST(cardinality(merge(cust_set)) AS BIGINT) AS approx_total,
           CAST(sum(exact_n) AS BIGINT) AS exact_total,
-          count(*) AS n_nations
-        FROM per_nation""")),
+          count(*) AS n_nations,
+          CAST(cardinality(merge(cust_set)) AS DOUBLE)
+            BETWEEN 0.9 * sum(exact_n) AND 1.1 * sum(exact_n) AS approx_ok
+        FROM per_nation"""),
+      // the sketch estimate is algorithm-specific; the oracle pins the exact
+      // distinct total + nation count and the estimate's 10% error bound
+      Some("""
+        SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_total,
+          CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+          true AS approx_ok
+        FROM customer""")),
 
     // Native codegen'd cosine_similarity expression (CosineSimilarity
     // doGenCode) — same semantics as the HOF-based s01, checked vs DuckDB.

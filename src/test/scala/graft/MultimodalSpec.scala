@@ -39,8 +39,8 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("tablesample fraction is within statistical bounds") {
     val n = Tables.t(spark, sf, "lineitem").count()
-    val sampled = SparkEntry.all("q85_tablesample").fn(spark, sf)
-      .agg(sum("n_sampled")).head.getLong(0)
-    assert(sampled > n * 0.05 && sampled < n * 0.15, s"sampled=$sampled of $n")
+    val rows = SparkEntry.all("q85_tablesample").fn(spark, sf).collect()
+    assert(rows.forall(_.getAs[Boolean]("fraction_ok")), rows.mkString(";"))
+    assert(rows.map(_.getAs[Long]("n_total")).sum == n)
   }
 }
