@@ -304,6 +304,28 @@ object PrestoFunctions {
         LambdaFunction(CreateStruct(Seq(
           ElementAt(kv, lit(1)), ElementAt(kv, lit(2)))), Seq(s))))
     },
+    // --- geospatial core (presto-geospatial/GeoFunctions.java) ---
+    "st_point" -> (e => StPoint(Cast(e(0), DoubleType), Cast(e(1), DoubleType))),
+    "st_geometry_from_text" -> (e => StGeometryFromText(e(0))),
+    "st_astext" -> (e => StAsText(e(0))),
+    "st_as_text" -> (e => StAsText(e(0))),
+    "st_x" -> (e => GeoMeasure(e(0), "x")),
+    "st_y" -> (e => GeoMeasure(e(0), "y")),
+    "st_xmin" -> (e => GeoMeasure(e(0), "xmin")),
+    "st_xmax" -> (e => GeoMeasure(e(0), "xmax")),
+    "st_ymin" -> (e => GeoMeasure(e(0), "ymin")),
+    "st_ymax" -> (e => GeoMeasure(e(0), "ymax")),
+    "st_area" -> (e => GeoMeasure(e(0), "area")),
+    "st_length" -> (e => GeoMeasure(e(0), "length")),
+    "st_centroid" -> (e => StCentroid(e(0))),
+    "st_envelope" -> (e => StEnvelope(e(0))),
+    "st_contains" -> (e => GeoPredicate(e(0), e(1), "contains")),
+    "st_within" -> (e => GeoPredicate(e(0), e(1), "within")),
+    "st_intersects" -> (e => GeoPredicate(e(0), e(1), "intersects")),
+    "st_distance" -> (e => StDistance(e(0), e(1))),
+    "st_numpoints" -> (e => GeoInfo(e(0), "numpoints")),
+    "st_geometrytype" -> (e => GeoInfo(e(0), "geometrytype")),
+    "st_isclosed" -> (e => GeoInfo(e(0), "isclosed")),
     // --- conditional ---
     "try" -> (e => TryEval(e.head)),
     "typeof" -> (e => fn("typeof", e)),
