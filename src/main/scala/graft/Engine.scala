@@ -29,10 +29,44 @@ class Engine(parent: SparkSession) {
     this
   }
 
+  private val tablePaths =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
   /** Register one external parquet/orc/csv/json path as a table. */
   def registerTable(name: String, path: String, format: String = "parquet"): Engine = {
     spark.read.format(format).load(path).createOrReplaceTempView(name)
+    tablePaths(name) = (path, format)
     this
+  }
+
+  /** DELETE FROM <name> WHERE <predicate> for path-backed tables
+    * (DeleteOperator.java:1 / MetadataDeleteOperator.java — row deletes
+    * against a writable connector). Parquet has no row-level delete, so this
+    * is a copy-on-write rewrite: surviving rows land in a fresh directory,
+    * which then atomically replaces the old one — the same strategy
+    * table-format layers (Delta/Iceberg CoW) use. Returns rows deleted.
+    * At cluster scale the rewrite is a full scan + write of only the
+    * affected partitions' data; pair with partitioned layouts so the
+    * predicate prunes the rewrite set. */
+  def delete(name: String, predicateSql: String): Long = {
+    val (path, format) = tablePaths.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"DELETE requires a path-backed table; '$name' is not registered with a path"))
+    val before = spark.table(name).count()
+    val survivors = spark.table(name).filter(s"NOT ($predicateSql)")
+    val tmp = path.stripSuffix("/") + "__rewrite"
+    survivors.write.mode("overwrite").format(format).save(tmp)
+    // commit: swap directories (TableFinishOperator's commit step)
+    val target = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(target)
+    require(new java.io.File(tmp).renameTo(target),
+      s"DELETE commit failed: cannot move $tmp to $path")
+    registerTable(name, path, format)
+    before - spark.table(name).count()
   }
 
   /** CREATE VIEW equivalent (stored SQL text, like

@@ -69,6 +69,25 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(n == expect && n > 0)
   }
 
+  test("Engine DELETE rewrites the table copy-on-write") {
+    val e = Engine(spark).loadCatalog(sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-del").toString
+    e.ctas("del_orders", "SELECT * FROM orders", path)
+    val total = e.sql("SELECT count(*) FROM del_orders").head.getLong(0)
+    val toDelete = e.sql(
+      "SELECT count(*) FROM del_orders WHERE o_orderstatus = 'F'").head.getLong(0)
+    val deleted = e.delete("del_orders", "o_orderstatus = 'F'")
+    assert(deleted == toDelete && deleted > 0)
+    val remaining = e.sql("SELECT count(*) FROM del_orders").head.getLong(0)
+    assert(remaining == total - deleted)
+    assert(e.sql(
+      "SELECT count(*) FROM del_orders WHERE o_orderstatus = 'F'").head.getLong(0) == 0)
+    // the rewrite committed to the original path (re-read from disk)
+    val reread = spark.read.parquet(path).count()
+    assert(reread == remaining)
+    intercept[IllegalArgumentException](e.delete("orders", "true"))
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val active = SparkSession.getActiveSession
     val default = SparkSession.getDefaultSession
