@@ -108,6 +108,16 @@ class Engine(parent: SparkSession) {
 object Engine {
   def apply(spark: SparkSession): Engine = new Engine(spark)
 
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Engine]()
+
+  /** Cached Engine+catalog per (parent session, data dir): creating an
+    * isolated session and re-reading every table's parquet footers on each
+    * query would dominate small-query latency (it tripled p07's bench
+    * time when uncached). */
+  def cached(parent: SparkSession, dir: String): Engine =
+    cache.computeIfAbsent((parent, dir), _ => new Engine(parent).loadCatalog(dir))
+
   /** Engine over a local session + fixture catalog (test entry point —
     * the LocalQueryRunner shape). */
   def local(dir: String, cpus: Int = 32): Engine =

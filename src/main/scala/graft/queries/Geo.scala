@@ -19,7 +19,7 @@ import graft.{Engine, Q}
 object Geo {
 
   private def presto(text: String): (SparkSession, String) => DataFrame =
-    (s, d) => Engine(s).loadCatalog(d).sql(text)
+    (s, d) => Engine.cached(s, d).sql(text)
 
   val queries: Map[String, Q] = Map(
 

@@ -11,7 +11,7 @@ import graft.{Engine, Q, Tables}
 object PrestoCompat {
 
   private def presto(text: String): (SparkSession, String) => DataFrame =
-    (s, d) => Engine(s).loadCatalog(d).sql(text)
+    (s, d) => Engine.cached(s, d).sql(text)
 
   val queries: Map[String, Q] = Map(
 
@@ -163,7 +163,7 @@ object PrestoCompat {
     // doGenCode) — same semantics as the HOF-based s01, checked vs DuckDB.
     "p07_cosine_native" -> Q(
       (s, d) => {
-        val e = Engine(s).loadCatalog(d)
+        val e = Engine.cached(s, d)
         e.sql("""
           SELECT a.vec_id,
             round(cosine_similarity(a.embedding, q.embedding), 6) AS cos_sim
