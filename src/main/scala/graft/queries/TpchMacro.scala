@@ -4,10 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
-/** TPC-H macro suite adapted to the fixture's column subset (FIXTURES.md:
-  * no partsupp, no commitdate/receiptdate/shipmode — Q2/Q4/Q11/Q12/Q16/Q20/
-  * Q21 unexpressible; Q1/Q3/Q6 live in Aggregates/Joins). Mirrors the
-  * reference's benchmark workload (presto-benchto-benchmarks tpch.yaml).
+/** TPC-H macro suite — all 22 query shapes — adapted to the fixture's
+  * column subset (FIXTURES.md: no partsupp, no commitdate/receiptdate/
+  * shipmode/phone). Q1/Q3/Q6 live in Aggregates/Joins; the partsupp-
+  * dependent shapes (Q2/Q9/Q11/Q16/Q20) run over a lineitem-derived supply
+  * relation, and date/mode predicates substitute ship-delay and derived
+  * columns — every join/subquery/aggregation shape of the original is
+  * preserved. Mirrors the reference's benchmark workload
+  * (presto-benchto-benchmarks tpch.yaml).
   *
   * All revenue sums go through decimal (order-independent, oracle-exact);
   * join shapes: dims broadcast, fact⋈fact shuffled on the join key.
@@ -16,6 +20,17 @@ object TpchMacro {
 
   private def sql(text: String): (SparkSession, String) => DataFrame =
     (s, d) => { Tables.registerAll(s, d); s.sql(text) }
+
+  /** Derived supply relation: the fixture ships no partsupp table, so the
+    * (part, supplier) pairs + cost/availability proxies come from lineitem.
+    * Spliced as a CTE into the partsupp-dependent TPC-H shapes (Q2/Q9/Q11/
+    * Q16/Q20); min/sum over decimal casts keep it engine-exact. */
+  private val PSUPP =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ps_supplycost,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ps_availqty
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)""".stripMargin
 
   private val REV =
     """CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -169,6 +184,167 @@ object TpchMacro {
             AND o_orderpriority <> '1-URGENT'
           GROUP BY c_custkey)
         GROUP BY c_count
-        ORDER BY custdist DESC, c_count DESC"""))
+        ORDER BY custdist DESC, c_count DESC"""),
+
+      // Q2: minimum-cost supplier (correlated min + 5-way dim join). The
+      // fixture has no partsupp table, so the supply relation derives from
+      // lineitem ($PSUPP) — same join/subquery shape as the original.
+      both("h02_min_cost_supplier", s"""
+        WITH $PSUPP
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+        FROM part, supplier, partsupp, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size = 15 AND p_type = 'ECONOMY'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT min(ps_supplycost)
+            FROM partsupp ps2, supplier s2, nation n2, region r2
+            WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""),
+
+      // Q4: order-priority checking (correlated EXISTS). Lateness predicate
+      // adapted: shipped >60 days after order date (no commit/receipt dates
+      // in the fixture).
+      both("h04_order_priority", """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+      // Q9: product-type profit (6-way join, profit = revenue − supply
+      // cost), supply costs from the derived partsupp. All decimal products
+      // stay at exactly-representable scales (cost ×  integral quantity).
+      both("h09_product_profit", s"""
+        WITH $PSUPP
+        SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(38,4)) AS sum_profit
+        FROM (
+          SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(18,4)) -
+            CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+                 AS DECIMAL(18,4)) AS amount
+          FROM part, supplier, lineitem, partsupp, orders, nation
+          WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+            AND ps_partkey = l_partkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%') profit
+        GROUP BY nation, o_year ORDER BY nation, o_year DESC"""),
+
+      // Q11: important stock identification (grouped value vs global-share
+      // scalar subquery) over the derived partsupp.
+      both("h11_important_stock", s"""
+        WITH $PSUPP
+        SELECT ps_partkey, CAST(sum(ps_supplycost * ps_availqty) AS DECIMAL(38,6)) AS val
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+        GROUP BY ps_partkey
+        HAVING sum(ps_supplycost * ps_availqty) > (
+          SELECT sum(ps_supplycost * ps_availqty) * 0.001
+          FROM partsupp, supplier, nation
+          WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_3')
+        ORDER BY val DESC, ps_partkey"""),
+
+      // Q12: shipping modes vs order priority (join + conditional agg).
+      // l_shipmode doesn't exist in the fixture; mode derives from
+      // l_linenumber parity, lateness from the 30-day ship delay.
+      both("h12_shipmode", """
+        SELECT ship_mode,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM (
+          SELECT o_orderpriority,
+            CASE WHEN l_linenumber % 2 = 0 THEN 'MAIL' ELSE 'SHIP' END AS ship_mode
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01')
+        GROUP BY ship_mode ORDER BY ship_mode"""),
+
+      // Q16: supplier-part relationship counting (NOT IN + count distinct);
+      // the comment-based supplier exclusion becomes a balance predicate.
+      both("h16_supplier_cnt", s"""
+        WITH $PSUPP
+        SELECT p_brand, p_type, p_size,
+          CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp, part
+        WHERE p_partkey = ps_partkey
+          AND p_brand <> 'Brand#5' AND p_type NOT LIKE 'SMALL%'
+          AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+          AND ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""),
+
+      // Q20: potential excess inventory (nested IN + correlated scalar
+      // subquery) over the derived partsupp.
+      both("h20_excess_stock", s"""
+        WITH $PSUPP
+        SELECT s_name, s_suppkey
+        FROM supplier, nation
+        WHERE s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+              AND ps_availqty > (
+                SELECT 0.5 * sum(CAST(l_quantity AS DECIMAL(18,2)))
+                FROM lineitem
+                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'))
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        ORDER BY s_name"""),
+
+      // Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS against
+      // the same fact table); lateness adapted to the 60-day ship delay.
+      both("h21_waiting_supplier", """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""),
+
+      // Q22: global sales opportunity (anti join + above-average filter);
+      // country code derives from c_nationkey (no phone column), and the
+      // anti join is date-restricted (every fixture customer has orders).
+      both("h22_global_sales", """
+        SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+        FROM (
+          SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+            AND c_acctbal > (
+              SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6))
+              FROM customer
+              WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9))
+            AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01')) custsale
+        GROUP BY cntrycode ORDER BY cntrycode"""))
   }
 }
