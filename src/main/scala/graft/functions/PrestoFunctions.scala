@@ -359,6 +359,10 @@ object PrestoFunctions {
     "every" -> (e => fn("bool_and", e)),
     "bitwise_and_agg" -> (e => fn("bit_and", e)),
     "bitwise_or_agg" -> (e => fn("bit_or", e)),
+    // multimap_agg(k, v) → map<k, array<v>> (MultimapAggregationFunction
+    // .java:47): collect entries, then group per key.
+    "multimap_agg" -> (e => multimapFromEntries(
+      CollectList(CreateStruct(Seq(e(0), e(1)))).toAggregateExpression())),
     // --- HLL sketch family (HyperLogLogFunctions.java / ApproximateSet
     //     Aggregation.java) — custom TypedImperativeAggregate ---
     "approx_set" -> (e => ApproxSetAgg(e.head).toAggregateExpression()),

@@ -110,6 +110,16 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("url_extract_port('http://example.com/over/there')", null)
   }
 
+  test("multimap_agg groups values per key; bitwise aggs") {
+    val m = engine.sql(
+      """SELECT multimap_agg(k, v) AS m FROM
+        |VALUES ('a', 1), ('b', 2), ('a', 3) AS t(k, v)""".stripMargin)
+      .head.getMap[String, scala.collection.Seq[Int]](0)
+    assert(m("a").toSeq == Seq(1, 3) && m("b").toSeq == Seq(2))
+    assertFn("(SELECT bitwise_and_agg(v) FROM VALUES (7), (3), (11) AS t(v))", 3L)
+    assertFn("(SELECT bitwise_or_agg(v) FROM VALUES (1), (2), (4) AS t(v))", 7L)
+  }
+
   test("numeric_histogram buckets weights onto centroids") {
     val rows = engine.sql(
       """SELECT numeric_histogram(4, v) AS h FROM
