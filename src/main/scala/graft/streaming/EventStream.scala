@@ -71,6 +71,15 @@ object EventStream {
       }
   }
 
+  /** Streaming dedup — the training-pipeline shape on a live stream: keep
+    * the first event per (user_id, event_type, value) key, with a watermark
+    * bounding how long keys stay in state (without it, state grows without
+    * bound at 100 TB/day event rates). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   /** Run a streaming query into a named memory sink, synchronously
     * processing everything available (the test/demo driver). */
   def runToMemory(df: DataFrame, name: String,

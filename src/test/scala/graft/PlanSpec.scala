@@ -75,4 +75,24 @@ class PlanSpec extends AnyFunSuite {
       assert(found >= 1, plan.take(300))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("hive-style partitioned layout prunes partitions at the scan") {
+    // the 100 TB layout story: a filter on the partition column must turn
+    // into PartitionFilters (directory pruning), not a data filter
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.t(spark, sf, "lineitem")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan.take(900))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("l_returnflag"), pf)
+    // and the pruned read matches the unpartitioned filter
+    val expect = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R").count()
+    assert(df.count() == expect)
+  }
 }

@@ -46,6 +46,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate keys") {
+    val q = EventStream.runToMemory(
+      EventStream.dedupStream(EventStream.read(spark, eventsDir)), "dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("dedup").count()
+      val batchDistinct = Tables.t(spark, sf, "events")
+        .dropDuplicates("user_id", "event_type", "value").count()
+      val total = Tables.t(spark, sf, "events").count()
+      // all events arrive within one batch => watermark never expires state,
+      // so the streaming result equals a batch distinct
+      assert(streamed == batchDistinct, s"$streamed vs $batchDistinct")
+      assert(streamed <= total)
+    } finally q.stop()
+  }
+
   test("stateful running totals see every event exactly once") {
     val q = EventStream.runToMemory(
       EventStream.runningTotals(EventStream.read(spark, eventsDir)).toDF(),
