@@ -93,6 +93,30 @@ class Engine(parent: SparkSession) {
     spark.sql(query).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
+  /** Presto EXPLAIN ANALYZE (ExplainAnalyzeOperator.java:36): execute the
+    * query, then report the EXECUTED plan (post-AQE — includes the runtime
+    * join-strategy/coalescing decisions) with per-operator metrics. */
+  def explainAnalyze(query: String): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = spark.sql(query)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // AQE hides executed subtrees behind AdaptiveSparkPlanExec/QueryStageExec
+    // (childless in the traversal API) — unwrap explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val metrics = flatten(plan).filter(_.metrics.nonEmpty).map { p =>
+      val shown = p.metrics.toSeq.sortBy(_._1).take(4)
+        .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+      s"${p.nodeName}: $shown"
+    }
+    plan.toString + "\n== Runtime metrics ==\n" + metrics.mkString("\n")
+  }
+
   /** Presto EXPLAIN (TYPE VALIDATE): analyze only, true if the query is
     * semantically valid against the catalog. */
   def validate(query: String): Boolean = {

@@ -38,7 +38,9 @@ object SparkEntry {
     "q46_rollup", "q49_unnest", "q55_scalar_subquery",
     "d01_dedup_exact", "d04_minhash_lsh_pairs", "t02_quality_score",
     "s01_cosine_topk", "p07_cosine_native", "e03_sessionize",
-    "e01_tumbling_window", "q72_datetime_fns")
+    "e01_tumbling_window", "q72_datetime_fns",
+    "h02_min_cost_supplier", "h09_product_profit", "h21_waiting_supplier",
+    "g02_spatial_join", "d05_simhash", "s05_ann_ivf")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

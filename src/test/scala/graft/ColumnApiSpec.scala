@@ -57,6 +57,10 @@ class ColumnApiSpec extends AnyFunSuite {
     // validate must analyze WITHOUT executing: the view must not be created.
     assert(e.validate("CREATE TEMP VIEW graft_validate_probe AS SELECT 1 AS x"))
     assert(spark.catalog.tableExists("graft_validate_probe") == false)
+    val analyzed = e.explainAnalyze(
+      "SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus")
+    assert(analyzed.contains("Runtime metrics"), analyzed.take(300))
+    assert(analyzed.contains("numOutputRows="), analyzed.take(2000))
   }
 
   test("Engine CTAS writes, commits, and registers the table") {

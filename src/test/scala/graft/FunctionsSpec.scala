@@ -91,6 +91,23 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[Exception](one("hamming_distance('ab', 'abc')"))
   }
 
+  test("interval aggregates and approx_percentile array form") {
+    // IntervalDayToSecondSum/AverageAggregation (FunctionRegistry.java):
+    // Spark sums/averages ANSI intervals natively
+    assertFn("CAST((SELECT sum(v) FROM VALUES (INTERVAL 1 DAY), " +
+      "(INTERVAL 2 DAY) AS t(v)) AS STRING)", "INTERVAL '3' DAY")
+    assertFn("CAST((SELECT avg(v) FROM VALUES (INTERVAL 10 SECOND), " +
+      "(INTERVAL 20 SECOND) AS t(v)) AS STRING)",
+      "INTERVAL '0 00:00:15' DAY TO SECOND")
+    assertFn("CAST((SELECT sum(v) FROM VALUES (INTERVAL 1 YEAR), " +
+      "(INTERVAL 2 MONTH) AS t(v)) AS STRING)", "INTERVAL '1-2' YEAR TO MONTH")
+    // ApproximateLongPercentileArrayAggregations: array of percentiles
+    val ps = one("(SELECT approx_percentile(v, array(0.0, 0.5, 1.0)) " +
+      "FROM (SELECT explode(sequence(1, 100)) AS v))")
+      .asInstanceOf[scala.collection.Seq[Int]]
+    assert(ps.length == 3 && ps.head == 1 && ps.last == 100)
+  }
+
   test("duration + timezone functions") {
     assertFn("to_milliseconds(parse_duration('1.5m'))", 90000L)
     assertFn("to_milliseconds(parse_duration('42ms'))", 42L)
