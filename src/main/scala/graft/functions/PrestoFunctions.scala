@@ -253,6 +253,10 @@ object PrestoFunctions {
       upper = true)),
     "parse_duration" -> (e => ParseDuration(e(0))),
     "to_milliseconds" -> (e => IntervalMillis(e(0))),
+    // AT TIME ZONE (DesugarAtTimeZoneRewriter): session zone is UTC, so
+    // shifting the wall-clock via from_utc_timestamp matches Presto's
+    // zone-displayed timestamp.
+    "at_timezone" -> (e => fn("from_utc_timestamp", Seq(e(0), e(1)))),
     "timezone_hour" -> (e => TimeZonePart(e(0), minutePart = false)),
     "timezone_minute" -> (e => TimeZonePart(e(0), minutePart = true)),
     // Spark parse_url has no PORT key — extract from AUTHORITY.

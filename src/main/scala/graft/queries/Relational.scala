@@ -189,6 +189,30 @@ object Relational {
       Some("""
         SELECT id, tag, id * 2 AS id2
         FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(id, tag)
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // Multi-argument zipped UNNEST (UnnestOperator.java:33 zips its
+    // arguments): arrays_zip + posexplode = UNNEST(a, b) WITH ORDINALITY.
+    "q98_unnest_zip" -> Q(
+      (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sequence(lit(1), col("l_linenumber")).as("a"),
+          transform(sequence(lit(1), col("l_linenumber")), x => x * x).as("b"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(arrays_zip(col("a"), col("b"))).as(Seq("pos", "z")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("pos") + 1).as("ord"), col("z.a").as("x"), col("z.b").as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "ord"),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CAST(generate_subscripts(a, 1) AS INT) AS ord,
+          CAST(unnest(a) AS INT) AS x,
+          CAST(unnest(b) AS INT) AS y
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+            range(1, l_linenumber + 1) AS a,
+            list_transform(range(1, l_linenumber + 1), x -> x * x) AS b
+          FROM lineitem WHERE l_orderkey <= 200)
+        ORDER BY l_orderkey, l_linenumber, ord"""))
   )
 }

@@ -144,6 +144,28 @@ object Windows {
         FROM (SELECT *, row_number() OVER (
             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders)
-        WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // Time-interval RANGE frame (FrameInfo.java RANGE + temporal bound):
+    // trailing 1-hour event count per type. Interval range bounds need the
+    // SQL form — the DataFrame rangeBetween API takes numeric offsets only.
+    "q35_win_timerange" -> Q(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""
+          SELECT event_type, event_id,
+            CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_1h
+          FROM events WHERE user_id < 50
+          ORDER BY event_type, event_id""")
+      },
+      Some("""
+        SELECT event_type, event_id,
+          CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_1h
+        FROM events WHERE user_id < 50
+        ORDER BY event_type, event_id"""))
   )
 }

@@ -116,6 +116,8 @@ class FunctionsSpec extends AnyFunSuite {
     // session zone is UTC in tests
     assertFn("timezone_hour(TIMESTAMP '2024-06-01 12:00:00')", 0L)
     assertFn("timezone_minute(TIMESTAMP '2024-06-01 12:00:00')", 0L)
+    assertFn("CAST(at_timezone(TIMESTAMP '2024-01-01 12:00:00', " +
+      "'America/New_York') AS STRING)", "2024-01-01 07:00:00")
   }
 
   test("multimap + url port") {
