@@ -18,5 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.PrestoFunctions", name),
         (args: Seq[Expression]) => builder(args)))
     }
+    // custom whole-operator plans (SURVEY §2.11 route c)
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }

@@ -109,6 +109,34 @@ object Events {
            min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL AND
            min(CASE WHEN event_type = 'purchase' THEN ts END) >
              min(CASE WHEN event_type = 'view' THEN ts END)) AS converted
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // AS-OF JOIN via the custom operator stack (graft.plans.AsOfJoin:
+    // logical node → strategy → co-partitioned physical merge): each
+    // purchase paired with the user's latest prior-or-equal view. Right
+    // side deduped per (user, ts) so ties are deterministic; DuckDB's
+    // native ASOF LEFT JOIN is the oracle.
+    "e05_asof_join" -> Q(
+      (s, d) => {
+        val purchases = ev(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev(s, d).filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .agg(min(col("event_id")).as("v_id"))
+        graft.plans.AsOf.join(purchases, views,
+            Seq("user_id" -> "v_user"), "ts", "v_ts")
+          .select(col("event_id"), col("user_id"), col("v_id"), col("v_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        v AS (
+          SELECT user_id AS v_user, ts AS v_ts, min(event_id) AS v_id
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT p.event_id, p.user_id, v.v_id, v.v_ts
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.v_user AND v.v_ts <= p.ts
+        ORDER BY p.event_id"""))
   )
 }
