@@ -244,6 +244,42 @@ object Similarity {
         FROM assigned a JOIN probed USING (centroid_id) CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id LIMIT 20""")),
 
+    // Int8 quantization + integer-dot-product search — the compressed
+    // similarity path (4× smaller vectors; integer dots are exact, so the
+    // whole query hash-matches). Per-vector symmetric scale m = max |x|.
+    "s06_quantized_ann" -> Q(
+      (s, d) => {
+        val qz = emb(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+              .as("m"))
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(round(cast(x as double) / m * 127) as int))")
+              .as("qv"))
+        val q0 = qz.filter(col("vec_id") === 0).select(col("qv").as("q0"))
+        qz.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"), expr("""
+            aggregate(zip_with(qv, q0, (a, b) -> cast(a as bigint) * cast(b as bigint)),
+              cast(0 as bigint), (acc, x) -> acc + x)""").as("dotq"))
+          .orderBy(col("dotq").desc, col("vec_id")).limit(10)
+      },
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) / m * 127) AS INT)) AS qv
+          FROM (
+            SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings)),
+        q0 AS (SELECT qv AS q0 FROM qz WHERE vec_id = 0)
+        SELECT vec_id,
+          CAST(list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS BIGINT) * CAST(q0[i] AS BIGINT))) AS BIGINT) AS dotq
+        FROM qz, q0 WHERE vec_id <> 0
+        ORDER BY dotq DESC, vec_id LIMIT 10""")),
+
     // Vector arithmetic surface: norms, scalar ops, centroid per label.
     "s04_vector_ops" -> Q(
       (s, d) => emb(s, d)

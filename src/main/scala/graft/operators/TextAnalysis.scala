@@ -133,6 +133,41 @@ object TextAnalysis {
             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS chars_per_tok
         FROM documents ORDER BY doc_id""")),
 
+    // Character-level Shannon entropy — a perplexity proxy for quality
+    // filtering (gibberish/binary-noise docs score far from prose). The
+    // distinct-char list is sorted on BOTH sides so the double summation
+    // order is identical → hash-exact. chars/n are bound attributes (HOF
+    // lambdas re-evaluate non-attribute subtrees per element).
+    "t05_char_entropy" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), split(col("text"), "").as("chars"))
+        .select(col("doc_id"), col("chars"),
+          sort_array(array_distinct(col("chars"))).as("dl"),
+          size(col("chars")).cast("double").as("n"))
+        .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+          round(expr("""
+            0.0 - aggregate(
+              transform(dl, c ->
+                (size(filter(chars, x -> x = c)) / n) *
+                log2(size(filter(chars, x -> x = c)) / n)),
+              cast(0.0 as double), (a, p) -> a + p)"""), 6).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+            list_transform(range(1, length(text) + 1),
+              i -> substr(text, CAST(i AS INT), 1)) AS chars
+          FROM documents),
+        d AS (
+          SELECT doc_id, chars, list_sort(list_distinct(chars)) AS dl,
+            CAST(len(chars) AS DOUBLE) AS n
+          FROM c)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+          round(0.0 - list_sum(list_transform(dl, ch ->
+            (len(list_filter(chars, x -> x = ch)) / n) *
+            log2(len(list_filter(chars, x -> x = ch)) / n))), 6) AS entropy
+        FROM d ORDER BY doc_id""")),
+
     // Document fingerprinting: md5 content fingerprint + cheap rolling-hash
     // style prefix/suffix fingerprints for fast prefiltering.
     "t04_fingerprint" -> Q(
