@@ -215,6 +215,17 @@ object PrestoFunctions {
     // --- regex (JoniRegexpFunctions.java) ---
     "regexp_like" -> (e => RLike(e(0), e(1))),
     "regexp_split" -> (e => fn("split", e)),
+    // 2-arg form strips matches; 3-arg with a lambda replaces each match by
+    // the lambda of its capture groups (JoniRegexpFunctions.java). RegExp
+    // Replace constructed directly — the builtin name is shadowed by this
+    // very entry.
+    "regexp_replace" -> (e =>
+      if (e.length == 2) RegExpReplace(e(0), e(1), Literal(""))
+      else e(2) match {
+        case _: LambdaFunction => RegexpReplaceLambda(e(0), e(1), e(2))
+        case repl => RegExpReplace(e(0), e(1), repl)
+      }),
+    "zip" -> (e => fn("arrays_zip", e)),
     // --- binary/hash (VarbinaryFunctions.java) ---
     "to_hex" -> (e => fn("hex", e)),
     "from_hex" -> (e => fn("unhex", e)),

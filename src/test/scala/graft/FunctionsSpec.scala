@@ -120,6 +120,16 @@ class FunctionsSpec extends AnyFunSuite {
       "'America/New_York') AS STRING)", "2024-01-01 07:00:00")
   }
 
+  test("regexp_replace lambda form and zip") {
+    // Presto doc example: capitalize each word via its capture groups
+    assertFn("regexp_replace('new york', '(\\\\w)(\\\\w*)', " +
+      "x -> upper(element_at(x, 1)) || lower(element_at(x, 2)))", "New York")
+    assertFn("regexp_replace('abc 123 def', '[0-9]+', x -> 'N')", "abc N def")
+    // 2-arg form strips matches
+    assertFn("regexp_replace('a1b2c3', '[0-9]')", "abc")
+    assertFn("element_at(zip(array(1, 2), array('a', 'b')), 2).`1`", "b")
+  }
+
   test("multimap + url port") {
     assert(one("multimap_from_entries(array(struct('a', 1), struct('b', 2), struct('a', 3)))['a']")
       == Seq(1, 3))
