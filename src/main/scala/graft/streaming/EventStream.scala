@@ -80,6 +80,21 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views within the preceding hour. Watermarks on BOTH sides bound the
+    * join state (Spark evicts buffered rows once the other side's
+    * watermark passes the interval) — without them state is unbounded. */
+  def streamStreamJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "2 hours").alias("p")
+    val v = views.withWatermark("ts", "2 hours").alias("v")
+    p.join(v, expr(
+      """p.user_id = v.user_id AND
+         v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""))
+      .select(col("p.event_id").as("purchase_id"),
+        col("p.user_id").as("user_id"),
+        col("v.event_id").as("view_id"), col("p.ts").as("purchase_ts"))
+  }
+
   /** Run a streaming query into a named memory sink, synchronously
     * processing everything available (the test/demo driver). */
   def runToMemory(df: DataFrame, name: String,

@@ -62,6 +62,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val src = EventStream.read(spark, eventsDir)
+    val q = EventStream.runToMemory(
+      EventStream.streamStreamJoin(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "view")),
+      "ssjoin", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("ssjoin").count()
+      val ev = Tables.t(spark, sf, "events")
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+      val v = ev.filter(col("event_type") === "view").select(
+        col("event_id").as("vid"), col("user_id").as("vu"), col("ts").as("vts"))
+      val batch = p.join(v, col("pu") === col("vu") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("vts") <= col("pts")).count()
+      assert(streamed == batch, s"$streamed vs $batch")
+      assert(streamed > 0)
+    } finally q.stop()
+  }
+
   test("stateful running totals see every event exactly once") {
     val q = EventStream.runToMemory(
       EventStream.runningTotals(EventStream.read(spark, eventsDir)).toDF(),
