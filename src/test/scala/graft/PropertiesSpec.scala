@@ -79,6 +79,29 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("big-endian codecs round-trip ints and longs") {
+    forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue), minSuccessful(30)) { n =>
+      assert(one(s"from_big_endian_32(to_big_endian_32($n))") == n)
+    }
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue), minSuccessful(30)) { n =>
+      assert(one(s"from_big_endian_64(to_big_endian_64(${n}L))") == n)
+    }
+  }
+
+  test("ieee754 codecs round-trip doubles exactly") {
+    forAll(Gen.chooseNum(-1e12, 1e12), minSuccessful(30)) { d: Double =>
+      assert(one(s"from_ieee754_64(to_ieee754_64(cast($d as double)))") == d)
+    }
+  }
+
+  test("normal_cdf and inverse are inverses on (0,1)") {
+    forAll(Gen.chooseNum(0.01, 0.99), minSuccessful(20)) { p: Double =>
+      val back = one(s"normal_cdf(0, 1, inverse_normal_cdf(0, 1, $p))")
+        .asInstanceOf[Double]
+      assert(math.abs(back - p) < 1e-9, s"p=$p back=$back")
+    }
+  }
+
   test("hll estimate error stays within 5% across cardinalities") {
     Seq(100L, 1000L, 20000L).foreach { n =>
       val est = one(
