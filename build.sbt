@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW (no "[info] " logger
+// prefix): the driver parses Bench's single JSON line from stdout, and the
+// default LoggedOutput strategy prefixed it into unparseability (r01's
+// BENCH json shows "parsed": null with the line visible in the sbt tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
