@@ -45,4 +45,26 @@ package object functions {
 
   /** Porter-style word stem. */
   def word_stem(col: Column): Column = c(WordStem(x(col)))
+
+  /** Streaming numeric histogram (merge-closest-centroid, O(buckets)). */
+  def numeric_histogram(buckets: Int, value: Column): Column =
+    c(NumericHistogramAgg(buckets, x(value), None).toAggregateExpression())
+
+  // --- geospatial core (struct-encoded geometry) ---
+  def st_point(px: Column, py: Column): Column = c(StPoint(x(px), x(py)))
+  def st_geometry_from_text(wkt: Column): Column = c(StGeometryFromText(x(wkt)))
+  def st_astext(g: Column): Column = c(StAsText(x(g)))
+  def st_x(g: Column): Column = c(GeoMeasure(x(g), "x"))
+  def st_y(g: Column): Column = c(GeoMeasure(x(g), "y"))
+  def st_area(g: Column): Column = c(GeoMeasure(x(g), "area"))
+  def st_length(g: Column): Column = c(GeoMeasure(x(g), "length"))
+  def st_centroid(g: Column): Column = c(StCentroid(x(g)))
+  def st_envelope(g: Column): Column = c(StEnvelope(x(g)))
+  def st_distance(a: Column, b: Column): Column = c(StDistance(x(a), x(b)))
+  def st_contains(a: Column, b: Column): Column =
+    c(GeoPredicate(x(a), x(b), "contains"))
+  def st_within(a: Column, b: Column): Column =
+    c(GeoPredicate(x(a), x(b), "within"))
+  def st_intersects(a: Column, b: Column): Column =
+    c(GeoPredicate(x(a), x(b), "intersects"))
 }

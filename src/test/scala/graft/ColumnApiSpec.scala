@@ -48,6 +48,21 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(hist.values.sum == o.count())
   }
 
+  test("column API geo functions") {
+    import graft.{functions => F}
+    val df = spark.range(1).select(
+      F.st_astext(F.st_centroid(F.st_geometry_from_text(
+        lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")))).as("c"),
+      F.st_distance(F.st_point(lit(0.0), lit(0.0)),
+        F.st_point(lit(3.0), lit(4.0))).as("d"),
+      F.st_contains(F.st_geometry_from_text(
+        lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")),
+        F.st_point(lit(1.0), lit(1.0))).as("in"))
+    val r = df.head
+    assert(r.getString(0) == "POINT (2 2)" && r.getDouble(1) == 5.0 &&
+      r.getBoolean(2))
+  }
+
   test("Engine explain + validate surface") {
     val e = Engine(spark).loadCatalog(sf)
     val txt = e.explain("SELECT count(*) FROM orders", "formatted")
