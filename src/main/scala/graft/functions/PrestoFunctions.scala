@@ -342,6 +342,9 @@ object PrestoFunctions {
     "st_geometrytype" -> (e => GeoInfo(e(0), "geometrytype")),
     "st_isclosed" -> (e => GeoInfo(e(0), "isclosed")),
     // --- conditional ---
+    // fail(message) (FailureFunction.java): raise a runtime error — pairs
+    // with try() for Presto's error-recovery idiom.
+    "fail" -> (e => fn("raise_error", Seq(Cast(e.last, StringType)))),
     "try" -> (e => TryEval(e.head)),
     "typeof" -> (e => fn("typeof", e)),
     // --- aggregates (operator/aggregation/) ---

@@ -48,6 +48,12 @@ class ErrorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("fail() raises; try(fail()) recovers to NULL") {
+    val e = intercept[Exception](one("fail('boom')"))
+    assert(e.getMessage.contains("boom"))
+    assert(one("try(fail('boom'))") == null)
+  }
+
   test("try_cast / try_divide builtins") {
     withAnsi {
       assert(one("try_cast('abc' AS INT)") == null)
