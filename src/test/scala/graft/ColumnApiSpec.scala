@@ -63,6 +63,14 @@ class ColumnApiSpec extends AnyFunSuite {
       r.getBoolean(2))
   }
 
+  test("catalog introspection: SHOW TABLES / DESCRIBE") {
+    val e = Engine(spark).loadCatalog(sf)
+    val tables = e.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(Set("orders", "lineitem", "customer", "documents").subsetOf(tables))
+    val cols = e.sql("DESCRIBE orders").collect().map(_.getString(0)).toSet
+    assert(Set("o_orderkey", "o_custkey", "o_totalprice").subsetOf(cols))
+  }
+
   test("Engine explain + validate surface") {
     val e = Engine(spark).loadCatalog(sf)
     val txt = e.explain("SELECT count(*) FROM orders", "formatted")
