@@ -25,7 +25,8 @@ object SparkEntry {
     _root_.graft.operators.TextAnalysis.queries,
     _root_.graft.operators.Similarity.queries,
     _root_.graft.operators.Multimodal.queries,
-    _root_.graft.operators.Events.queries)
+    _root_.graft.operators.Events.queries,
+    _root_.graft.operators.RangeJoin.queries)
 
   val all: Map[String, Q] = modules.reduce(_ ++ _)
 
