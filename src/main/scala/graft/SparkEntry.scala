@@ -41,7 +41,8 @@ object SparkEntry {
     "s01_cosine_topk", "p07_cosine_native", "e03_sessionize",
     "e01_tumbling_window", "q72_datetime_fns",
     "h02_min_cost_supplier", "h09_product_profit", "h21_waiting_supplier",
-    "g02_spatial_join", "d05_simhash", "s05_ann_ivf")
+    "g02_spatial_join", "d05_simhash", "s05_ann_ivf", "e05_asof_join",
+    "e06_interval_join")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
