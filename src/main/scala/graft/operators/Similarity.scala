@@ -69,15 +69,19 @@ object Similarity {
     */
   def ivfAssign(corpus: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // argmax by (cos desc, centroid_id asc) as max-of-struct: a partial+
+    // final hash aggregate instead of a per-vector window sort — at corpus
+    // scale the assignment is one map-side-combined shuffle, no sort.
     val joined = corpus.crossJoin(broadcast(
       centroids.select(col("centroid_id"), col("centroid"))))
       .withColumn("c_cos", cosine(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("c_cos").desc, col("centroid_id"))
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "c_cos", "centroid")
+    val others = corpus.columns.filterNot(_ == idCol)
+    joined
+      .groupBy(col(idCol))
+      .agg(max(struct(col("c_cos"), (-col("centroid_id")).as("neg_cid"),
+        struct(others.map(col): _*).as("rest"))).as("best"))
+      .select(col(idCol) +: (-col("best.neg_cid")).as("centroid_id") +:
+        others.map(n => col(s"best.rest.$n").as(n)): _*)
   }
 
   def ivfSearch(assigned: org.apache.spark.sql.DataFrame, idCol: String,
