@@ -39,6 +39,16 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding (hopping) windows: each event lands in window/slide
+    * overlapping windows; watermark bounds state as with tumbling. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
   /** Session windows via the built-in session_window (gap-based). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -33,6 +33,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding counts equal batch sliding counts") {
+    val q = EventStream.runToMemory(
+      EventStream.slidingCounts(EventStream.read(spark, eventsDir)), "sliding")
+    try {
+      val streaming = spark.table("sliding")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Tables.t(spark, sf, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streaming == batch)
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows produce gap-bounded sessions") {
     val q = EventStream.runToMemory(
       EventStream.sessionCounts(EventStream.read(spark, eventsDir)), "sessions")
