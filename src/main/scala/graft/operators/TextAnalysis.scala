@@ -168,6 +168,31 @@ object TextAnalysis {
             log2(len(list_filter(chars, x -> x = ch)) / n))), 6) AS entropy
         FROM d ORDER BY doc_id""")),
 
+    // Stratified (class-balanced) sampling — the training-mix operation:
+    // per-language fractions via sampleBy. Per-stratum populations are
+    // hash-checked; the sampled size is pinned by a Bernoulli bound.
+    "t06_stratified_sample" -> Q(
+      (s, d) => {
+        val fractions = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.25)
+        val sampled = docs(s, d)
+          .stat.sampleBy("lang", fractions, seed = 42L)
+          .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        val totals = docs(s, d).filter(col("lang").isin(fractions.keys.toSeq: _*))
+          .groupBy("lang").agg(count(lit(1)).as("n_total"))
+        totals.join(sampled, Seq("lang"), "left")
+          .select(col("lang"), col("n_total"),
+            (coalesce(col("n_sampled"), lit(0L)) >=
+              col("n_total") * when(col("lang") === "en", 0.25).otherwise(0.05) &&
+             coalesce(col("n_sampled"), lit(0L)) <=
+              col("n_total") * when(col("lang") === "en", 0.75).otherwise(0.50))
+              .as("fraction_ok"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_total, true AS fraction_ok
+        FROM documents WHERE lang IN ('en', 'es', 'zh')
+        GROUP BY lang ORDER BY lang""")),
+
     // Document fingerprinting: md5 content fingerprint + cheap rolling-hash
     // style prefix/suffix fingerprints for fast prefiltering.
     "t04_fingerprint" -> Q(
