@@ -119,6 +119,19 @@ object PrestoFunctions {
       }
       StringSplit(e(0), delim, if (e.length > 2) e(2) else lit(-1))
     },
+    // out-of-range index → NULL (StringFunctions.java:374); Spark's builtin
+    // returns '' which is indistinguishable from a real empty field.
+    // Delimiter is literal, like split above.
+    "split_part" -> { e =>
+      val delim = e(1) match {
+        case Literal(s, StringType) if s != null =>
+          lit(java.util.regex.Pattern.quote(s.toString))
+        case other => other
+      }
+      val parts = StringSplit(e(0), delim, lit(-1))
+      If(GreaterThan(e(2), Size(parts)),
+        Literal(null, StringType), ElementAt(parts, e(2)))
+    },
     "chr" -> (e => fn("char", e)),
     "codepoint" -> (e => fn("ascii", e)),
     "levenshtein_distance" -> (e => fn("levenshtein", e)),

@@ -24,6 +24,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one("split('x1y2z', 'DIGIT')") == Seq("x1y2z"))
   }
 
+  test("split_part: literal delimiter, empty fields, null out-of-range") {
+    assertFn("split_part('a.b.c', '.', 2)", "b")
+    assertFn("split_part('a,,b', ',', 2)", "") // real empty field stays ''
+    assertFn("split_part('a,b', ',', 5)", null) // out of range → NULL
+  }
+
   test("presto string functions") {
     assertFn("strpos('hello world', 'world')", 7)
     assertFn("strpos('hello', 'zzz')", 0)
