@@ -45,6 +45,17 @@ object PrestoFunctions {
       Seq(k))))
   }
 
+  /** Presto substr: zero start yields '' (StringFunctions.java:215,262);
+    * everything else (negative-from-end, past-end, len<=0) already agrees
+    * with Spark's Substring. */
+  private def prestoSubstr(e: Seq[Expression]): Expression = {
+    val base =
+      if (e.length >= 3)
+        Substring(e(0), Cast(e(1), IntegerType), Cast(e(2), IntegerType))
+      else Substring(e(0), Cast(e(1), IntegerType), Literal(Int.MaxValue))
+    If(EqualTo(Cast(e(1), LongType), Literal(0L)), Literal(""), base)
+  }
+
   private def litInt(e: Expression): Int = e match {
     case Literal(i: Int, IntegerType) => i
     case Literal(l: Long, LongType) => l.toInt
@@ -133,6 +144,21 @@ object PrestoFunctions {
         Literal(null, StringType), ElementAt(parts, e(2)))
     },
     "chr" -> (e => fn("char", e)),
+    // Presto log(number, base) — Spark's builtin is log(base, number).
+    "log" -> (e => if (e.length == 2) Logarithm(e(1), e(0)) else fn("ln", e)),
+    // 2-arg trims: Spark SQL's form is (trimStr, srcStr) — flipped vs
+    // Presto's (srcStr, charsToTrim). Catalyst classes constructed directly
+    // (these entries shadow the builtin names).
+    "trim" -> (e => if (e.length == 1) StringTrim(e(0))
+      else StringTrim(e(0), Some(e(1)))),
+    "ltrim" -> (e => if (e.length == 1) StringTrimLeft(e(0))
+      else StringTrimLeft(e(0), Some(e(1)))),
+    "rtrim" -> (e => if (e.length == 1) StringTrimRight(e(0))
+      else StringTrimRight(e(0), Some(e(1)))),
+    // substr(s, 0[, len]) → '' (StringFunctions.java:215); Spark treats a
+    // zero start as the string head.
+    "substr" -> (e => prestoSubstr(e)),
+    "substring" -> (e => prestoSubstr(e)),
     "codepoint" -> (e => fn("ascii", e)),
     "levenshtein_distance" -> (e => fn("levenshtein", e)),
     "split_to_map" -> (e => fn("str_to_map", Seq(e(0), e(1), e(2)))),

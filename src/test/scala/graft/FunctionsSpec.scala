@@ -30,6 +30,18 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("split_part('a,b', ',', 5)", null) // out of range → NULL
   }
 
+  test("presto arg-order + zero-start divergences") {
+    assertFn("log(8, 2)", 3.0) // Presto log(number, base)
+    assertFn("ltrim('xxhix', 'x')", "hix") // Presto (src, chars)
+    assertFn("rtrim('hixx', 'x')", "hi")
+    assertFn("trim('xhix', 'x')", "hi")
+    assertFn("substr('abc', 0)", "") // Presto zero start → ''
+    assertFn("substr('abcde', 2)", "bcde")
+    assertFn("substr('abcde', -2)", "de")
+    assertFn("substr('abcde', 2, 2)", "bc")
+    assertFn("substr('abc', 0, 2)", "")
+  }
+
   test("presto string functions") {
     assertFn("strpos('hello world', 'world')", 7)
     assertFn("strpos('hello', 'zzz')", 0)
