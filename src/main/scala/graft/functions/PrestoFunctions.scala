@@ -381,6 +381,14 @@ object PrestoFunctions {
     "st_geometrytype" -> (e => GeoInfo(e(0), "geometrytype")),
     "st_isclosed" -> (e => GeoInfo(e(0), "isclosed")),
     // --- conditional ---
+    // Presto greatest/least RETURN_NULL_ON_NULL (AbstractGreatestLeast
+    // .java:118); Spark's builtins skip nulls.
+    "greatest" -> (e =>
+      If(e.map(x => IsNull(x): Expression).reduce(Or(_, _)),
+        Literal(null), Greatest(e))),
+    "least" -> (e =>
+      If(e.map(x => IsNull(x): Expression).reduce(Or(_, _)),
+        Literal(null), Least(e))),
     // fail(message) (FailureFunction.java): raise a runtime error — pairs
     // with try() for Presto's error-recovery idiom.
     "fail" -> (e => fn("raise_error", Seq(Cast(e.last, StringType)))),

@@ -40,6 +40,11 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("substr('abcde', -2)", "de")
     assertFn("substr('abcde', 2, 2)", "bc")
     assertFn("substr('abc', 0, 2)", "")
+    // RETURN_NULL_ON_NULL: any null argument nulls the result
+    assertFn("greatest(1, 2, 3)", 3)
+    assertFn("greatest(1, CAST(NULL AS INT), 3)", null)
+    assertFn("least(5, 2)", 2)
+    assertFn("least(CAST(NULL AS INT), 2)", null)
   }
 
   test("presto string functions") {
