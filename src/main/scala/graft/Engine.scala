@@ -21,6 +21,11 @@ class Engine(parent: SparkSession) {
     * on a shared session silently changes unrelated plans. */
   val spark: SparkSession = parent.newSession()
 
+  // Presto is strict: division by zero, invalid casts, and out-of-bounds
+  // subscripts THROW (SURVEY §7 risk register). ANSI mode is the matching
+  // Spark semantic — scoped to this isolated session.
+  spark.conf.set("spark.sql.ansi.enabled", "true")
+
   functions.PrestoFunctions.registerAll(spark)
 
   /** Register every fixture table under its Presto-visible name. */

@@ -403,7 +403,14 @@ object PrestoFunctions {
     "approx_percentile" -> (e =>
       fn("percentile_approx", if (e.length == 2) e :+ lit(10000) else e)),
     "arbitrary" -> (e => First(e.head, ignoreNulls = true).toAggregateExpression()),
-    "array_agg" -> (e => CollectList(e.head).toAggregateExpression()),
+    // array_agg KEEPS nulls (ArrayAggregationFunction.java); collect_list
+    // drops them — wrap each value in a never-null struct, then unwrap.
+    "array_agg" -> { e =>
+      val s = UnresolvedNamedLambdaVariable(Seq("aa_s"))
+      ArrayTransform(
+        CollectList(CreateStruct(Seq(e.head))).toAggregateExpression(),
+        LambdaFunction(GetStructField(s, 0), Seq(s)))
+    },
     "geometric_mean" -> (e => Exp(
       Average(Log(e.head)).toAggregateExpression())),
     "map_agg" -> (e => MapFromEntries(

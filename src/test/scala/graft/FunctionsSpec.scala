@@ -162,6 +162,14 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("url_extract_port('http://example.com/over/there')", null)
   }
 
+  test("array_agg keeps nulls") {
+    val r = engine.sql(
+      """SELECT array_agg(v) AS a FROM
+        |VALUES (1), (CAST(NULL AS INT)), (3) AS t(v)""".stripMargin)
+      .head.getSeq[Any](0)
+    assert(r.count(_ == null) == 1 && r.filter(_ != null).toSet == Set(1, 3))
+  }
+
   test("multimap_agg groups values per key; bitwise aggs") {
     val m = engine.sql(
       """SELECT multimap_agg(k, v) AS m FROM
