@@ -244,7 +244,18 @@ object PrestoFunctions {
     "json_extract" -> (e => fn("get_json_object", e)),
     "json_format" -> (e => e.head),
     "json_parse" -> (e => e.head),
-    "json_size" -> (e => fn("json_array_length", Seq(fn("get_json_object", e)))),
+    // size of the array OR object at the path; scalars → 0
+    // (JsonFunctions.java jsonSize).
+    "json_size" -> { e =>
+      val ext = fn("get_json_object", e)
+      If(IsNull(ext), Cast(Literal(null), IntegerType),
+        CaseWhen(Seq(
+          (StartsWith(ext, lit("[")),
+            fn("json_array_length", Seq(ext))),
+          (StartsWith(ext, lit("{")),
+            Size(fn("json_object_keys", Seq(ext))))),
+          Some(lit(0))))
+    },
     "is_json_scalar" -> (e => And(IsNotNull(e(0)),
       Not(RLike(fn("trim", Seq(e(0))), lit("^[\\[{]"))))),
     "json_array_contains" -> (e => fn("array_contains",

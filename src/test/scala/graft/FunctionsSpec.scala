@@ -212,6 +212,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(mysqlToJavaPattern("100%%") == "100%")
   }
 
+  test("json_size counts arrays, object keys, and scalars as 0") {
+    assertFn("""json_size('[1,2,3]', '$')""", 3)
+    assertFn("""json_size('{"x": {"a":1,"b":2}}', '$.x')""", 2)
+    assertFn("""json_size('{"a":1}', '$.a')""", 0)
+    assertFn("""json_size('{"a":1}', '$.missing')""", null)
+  }
+
   test("presto json functions") {
     assertFn("json_extract_scalar('{\"a\": {\"b\": 5}}', '$.a.b')", "5")
     assertFn("json_array_get('[10, 20, 30]', 1)", "20")
