@@ -202,3 +202,24 @@ case class TimeZonePart(child: Expression, minutePart: Boolean)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** to_iso8601: format depends on the INPUT type (DateTimeFunctions.java —
+  * date → 'yyyy-MM-dd', timestamp → full instant), which a fixed
+  * date_format pattern cannot express. */
+case class Iso8601(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case DateType =>
+      UTF8String.fromString(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+    case _ =>
+      val instant = java.time.Instant.EPOCH.plus(
+        v.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS)
+      UTF8String.fromString(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+          .withZone(java.time.ZoneOffset.UTC).format(instant))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

@@ -215,8 +215,7 @@ object PrestoFunctions {
     "parse_datetime" -> (e => fn("to_timestamp", Seq(e(0), e(1)))),
     "to_unixtime" -> (e => Cast(fn("unix_timestamp", e), DoubleType)),
     "from_unixtime" -> (e => fn("timestamp_seconds", Seq(e(0)))),
-    "to_iso8601" -> (e =>
-      fn("date_format", Seq(e(0), lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")))),
+    "to_iso8601" -> (e => Iso8601(e(0))),
     "from_iso8601_timestamp" -> (e => Cast(e(0), TimestampType)),
     "from_iso8601_date" -> (e => Cast(e(0), DateType)),
     "day_of_week" -> (e => Add(fn("weekday", e), lit(1))),

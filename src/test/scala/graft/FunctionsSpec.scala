@@ -83,6 +83,10 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("yow(DATE '2024-06-15')", 2024)
     assertFn("millisecond(TIMESTAMP '2001-02-03 04:05:06.789')", 789)
     assertFn("millisecond(TIMESTAMP '2001-02-03 04:05:06')", 0)
+    // to_iso8601 format follows the input TYPE (date vs timestamp)
+    assertFn("to_iso8601(DATE '2024-03-05')", "2024-03-05")
+    assertFn("to_iso8601(TIMESTAMP '2024-03-05 06:07:08.009')",
+      "2024-03-05T06:07:08.009Z")
   }
 
   test("binary codec functions: big-endian, ieee754, base64url") {
