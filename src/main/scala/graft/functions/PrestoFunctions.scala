@@ -197,6 +197,18 @@ object PrestoFunctions {
     "bitwise_or" -> (e => BitwiseOr(e(0), e(1))),
     "bitwise_xor" -> (e => BitwiseXor(e(0), e(1))),
     "bitwise_not" -> (e => BitwiseNot(e(0))),
+    // Presto bit_count(num, bits): population count of the low `bits` of
+    // num's two's-complement form (BitwiseFunctions.java:31).
+    "bit_count" -> { e =>
+      val num = Cast(e(0), LongType)
+      if (e.length == 1) BitwiseCount(num)
+      else {
+        val mask = Subtract(
+          ShiftLeft(Literal(1L), Cast(e(1), IntegerType)), Literal(1L))
+        Cast(If(EqualTo(Cast(e(1), IntegerType), Literal(64)),
+          BitwiseCount(num), BitwiseCount(BitwiseAnd(num, mask))), LongType)
+      }
+    },
     // --- datetime (DateTimeFunctions.java) ---
     "date_parse" -> (e => fn("to_timestamp", Seq(e(0), translatedPattern(e(1))))),
     // date_format shadows the builtin name → construct the Catalyst class

@@ -240,6 +240,13 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("none_match(ARRAY(1, 2), x -> x > 5)", true)
   }
 
+  test("bit_count with explicit bit width") {
+    assertFn("bit_count(9, 64)", 2L)
+    assertFn("bit_count(-7, 64)", 62L)
+    assertFn("bit_count(9, 8)", 2L)
+    assertFn("bit_count(0, 32)", 0L)
+  }
+
   test("presto binary functions") {
     assertFn("to_hex(from_hex('1a2b'))", "1A2B")
     assertFn("hex(hmac_sha256(CAST('x' AS BINARY), CAST('k' AS BINARY))) != ''", true)
