@@ -174,9 +174,18 @@ object PrestoFunctions {
     "to_base" -> (e => fn("lower",
       Seq(fn("conv", Seq(Cast(e(0), StringType), lit(10), e(1)))))),
     "from_base" -> (e => Cast(fn("conv", Seq(e(0), e(1), lit(10))), LongType)),
-    // truncate(double) → double (round toward zero).
-    "truncate" -> (e => Cast(If(GreaterThanOrEqual(e(0), lit(0.0d)),
-      fn("floor", Seq(e(0))), fn("ceil", Seq(e(0)))), DoubleType)),
+    // truncate(x) → round toward zero; truncate(x, n) → at scale n
+    // (MathFunctions truncate + the decimal variants).
+    "truncate" -> { e =>
+      def trunc(x: Expression): Expression =
+        If(GreaterThanOrEqual(x, lit(0.0d)),
+          fn("floor", Seq(x)), fn("ceil", Seq(x)))
+      if (e.length == 1) Cast(trunc(e(0)), DoubleType)
+      else {
+        val p = Pow(lit(10.0d), Cast(e(1), DoubleType))
+        Cast(Divide(trunc(Multiply(Cast(e(0), DoubleType), p)), p), DoubleType)
+      }
+    },
     "infinity" -> (_ => lit(Double.PositiveInfinity)),
     "nan" -> (_ => lit(Double.NaN)),
     "e" -> (_ => lit(math.E)),
@@ -340,6 +349,10 @@ object PrestoFunctions {
     "cardinality" -> (e => Cardinality(e.head)),
     "contains" -> (e => fn("array_contains", e)),
     "repeat_value" -> (e => fn("array_repeat", e)),
+    // Presto repeat(value, n) → ARRAY (RepeatFunction.java:32); the string
+    // form does not exist in 0.206 (Spark's builtin of the same name is
+    // string repeat — shadowed here).
+    "repeat" -> (e => fn("array_repeat", e)),
     // ngrams(arr, n) → array of n-element sub-arrays (Presto ngrams).
     "ngrams" -> { e =>
       val i = UnresolvedNamedLambdaVariable(Seq("i"))

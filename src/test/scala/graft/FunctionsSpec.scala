@@ -58,6 +58,15 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("split_to_map('a=1,b=2', ',', '=')['b']", "2")
   }
 
+  test("repeat builds arrays; truncate with scale") {
+    assert(one("repeat(7, 3)") == Seq(7, 7, 7))
+    assert(one("repeat('x', 2)") == Seq("x", "x"))
+    assertFn("truncate(3.14159, 2)", 3.14)
+    assertFn("truncate(-3.14159, 3)", -3.141)
+    assertFn("truncate(17.18)", 17.0)
+    assertFn("truncate(-17.18)", -17.0)
+  }
+
   test("presto math functions") {
     assertFn("to_base(255, 16)", "ff")
     assertFn("from_base('ff', 16)", 255L)
