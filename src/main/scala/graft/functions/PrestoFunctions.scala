@@ -338,6 +338,8 @@ object PrestoFunctions {
     // shifting the wall-clock via from_utc_timestamp matches Presto's
     // zone-displayed timestamp.
     "at_timezone" -> (e => fn("from_utc_timestamp", Seq(e(0), e(1)))),
+    // current_timezone() (DateTimeFunctions.java:132) is Spark-native with
+    // identical name/semantics — no shim needed.
     "timezone_hour" -> (e => TimeZonePart(e(0), minutePart = false)),
     "timezone_minute" -> (e => TimeZonePart(e(0), minutePart = true)),
     // Spark parse_url has no PORT key — extract from AUTHORITY.
