@@ -224,6 +224,42 @@ object PrestoCompat {
           regexp_extract(url, '#(.*)$', 1) AS frag,
           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
           true AS enc_roundtrip
-        FROM u ORDER BY doc_id"""))
+        FROM u ORDER BY doc_id""")),
+
+    // Semantics-audit: the divergences fixed in the compat layer (arg
+    // orders, zero-start substr, null-on-out-of-range split_part,
+    // null-propagating greatest, type-aware to_iso8601, 2-arg bit_count,
+    // object-aware json_size) hash-checked through the oracle.
+    "p09_semantics_audit" -> Q(
+      presto("""
+        SELECT o_orderkey,
+          round(log(CAST(o_orderkey AS DOUBLE) + 8, 2), 9) AS log2v,
+          ltrim(concat('xx', o_orderstatus, 'x'), 'x') AS lt,
+          rtrim(concat('x', o_orderstatus, 'xx'), 'x') AS rt,
+          substr(o_orderpriority, 0) AS s0,
+          substr(o_orderpriority, 3) AS s3,
+          split_part(o_orderpriority, '-', 2) AS sp2,
+          split_part(o_orderpriority, '-', 9) AS sp_oor,
+          greatest(o_orderkey, CAST(NULL AS BIGINT)) AS g_null,
+          least(o_orderkey, o_custkey) AS l_ok,
+          to_iso8601(CAST(o_orderdate AS DATE)) AS iso_d,
+          bit_count(o_orderkey, 64) AS bc,
+          CAST(json_size('{"a": {"x":1,"y":2}}', '$.a') AS INT) AS js
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""),
+      Some("""
+        SELECT o_orderkey,
+          round(log(2, CAST(o_orderkey AS DOUBLE) + 8), 9) AS log2v,
+          ltrim(concat('xx', o_orderstatus, 'x'), 'x') AS lt,
+          rtrim(concat('x', o_orderstatus, 'xx'), 'x') AS rt,
+          '' AS s0,
+          substr(o_orderpriority, 3) AS s3,
+          string_split(o_orderpriority, '-')[2] AS sp2,
+          CAST(NULL AS VARCHAR) AS sp_oor,
+          CAST(NULL AS BIGINT) AS g_null,
+          least(o_orderkey, o_custkey) AS l_ok,
+          strftime(o_orderdate, '%Y-%m-%d') AS iso_d,
+          CAST(bit_count(o_orderkey) AS BIGINT) AS bc,
+          2 AS js
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""))
   )
 }
