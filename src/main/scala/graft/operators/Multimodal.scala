@@ -153,6 +153,29 @@ object Multimodal {
             len(list_filter(bins, x -> x = b))), ',') AS hist
         FROM px ORDER BY media_id""")),
 
+    // Resize: metadata transform + proportional payload truncation (the
+    // decode-free stand-in keeps the plumbing honest); arithmetic replayed
+    // closed-form by the oracle.
+    "m04_resize" -> Q(
+      (s, d) => resize(mediaTable(s, d), 32, 32).toDF()
+        .select(col("media_id"), col("meta.width").as("w"),
+          col("meta.height").as("h"),
+          length(col("payload")).as("n_bytes"),
+          substring(hex(col("payload")), 1, 8).as("magic"))
+        .orderBy("media_id"),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
+            (16 + doc_id % 64) * (16 + doc_id % 48) AS opx,
+            text
+          FROM documents)
+        SELECT media_id, CAST(32 AS INT) AS w, CAST(32 AS INT) AS h,
+          CAST(greatest(1, least(len,
+            CAST(round(len * 1024.0 / opx) AS BIGINT))) AS INT) AS n_bytes,
+          upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS magic
+        FROM m ORDER BY media_id""")),
+
     // Video frame sampling: per-video sampled-frame counts + byte volume.
     // The stub chunking is pure arithmetic over (payload length, n_frames),
     // so the oracle replicates it closed-form.
