@@ -175,6 +175,62 @@ object Dedup {
     // groupBy-min builds the K-hash signature in one shuffle on doc_id,
     // candidate generation is a self-join on (band, band-hash) buckets —
     // never O(n²) pairwise. Same pipeline at 100 TB, just more partitions.
+    // The full filter funnel — dedup gate (smallest doc_id per normalized
+    // fingerprint survives) ∧ quality gate (token count, alpha ratio,
+    // token length) ∧ language gate, with per-reason drop counts: the
+    // composition a production training-data pipeline runs as stage one.
+    // Each gate is a map-side expression; the only shuffle is the
+    // fingerprint groupBy — at 100 TB this is one pass + one hash shuffle
+    // of fingerprints.
+    "d08_pipeline_filter" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val keepers = dd
+          .groupBy(fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .select(col("keep_id"))
+        val toks = col("t")
+        dd.join(keepers, dd("doc_id") === keepers("keep_id"), "left")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("keep_id").isNotNull.as("dedup_ok"),
+            Dedup.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("lang"), col("dedup_ok"),
+            (size(toks) >= 10).as("len_ok"),
+            (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+              length(col("text")).cast("double") > 0.6).as("alpha_ok"),
+            col("lang").isin("en", "es", "zh", "fr", "de").as("lang_ok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("dedup_ok") && col("len_ok") && col("alpha_ok") &&
+              col("lang_ok"), 1).otherwise(0)).cast("long").as("n_kept"),
+            sum(when(!col("dedup_ok"), 1).otherwise(0)).cast("long").as("drop_dup"),
+            sum(when(!col("len_ok") || !col("alpha_ok"), 1).otherwise(0))
+              .cast("long").as("drop_quality"),
+            sum(when(!col("lang_ok"), 1).otherwise(0)).cast("long").as("drop_lang"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH keepers AS (
+          SELECT min(doc_id) AS keep_id
+          FROM documents
+          GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+        gates AS (
+          SELECT d.doc_id, d.lang,
+            k.keep_id IS NOT NULL AS dedup_ok,
+            len(string_split(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')), ' ')) >= 10 AS len_ok,
+            CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+              length(d.text) > 0.6 AS alpha_ok,
+            d.lang IN ('en', 'es', 'zh', 'fr', 'de') AS lang_ok
+          FROM documents d LEFT JOIN keepers k ON d.doc_id = k.keep_id)
+        SELECT lang,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN dedup_ok AND len_ok AND alpha_ok AND lang_ok
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN NOT dedup_ok THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
+          CAST(sum(CASE WHEN NOT len_ok OR NOT alpha_ok THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+          CAST(sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS drop_lang
+        FROM gates GROUP BY lang ORDER BY lang""")),
+
     // MinHash-LSH candidates + exact-Jaccard verification — the full
     // near-dup pipeline. The LSH stage is O(n·bands) instead of O(n²); the
     // exact verify touches only candidate pairs. The oracle recomputes the
