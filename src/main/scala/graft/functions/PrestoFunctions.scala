@@ -461,6 +461,17 @@ object PrestoFunctions {
     "min_by" -> (e =>
       if (e.length >= 3) MaxByN(e(0), e(1), litInt(e(2)), asc = true).toAggregateExpression()
       else MinBy(e(0), e(1)).toAggregateExpression()),
+    // max(x, n) / min(x, n) → array of the n largest/smallest
+    // (MaxNAggregationFunction/MinNAggregationFunction): the value ranks
+    // itself through the bounded heap. 1-arg forms stay the builtins.
+    "max" -> (e =>
+      if (e.length == 2) MaxByN(e(0), e(0), litInt(e(1)), asc = false)
+        .toAggregateExpression()
+      else Max(e.head).toAggregateExpression()),
+    "min" -> (e =>
+      if (e.length == 2) MaxByN(e(0), e(0), litInt(e(1)), asc = true)
+        .toAggregateExpression()
+      else Min(e.head).toAggregateExpression()),
     "histogram" -> (e => HistogramAgg(e.head).toAggregateExpression()),
     "numeric_histogram" -> (e =>
       NumericHistogramAgg(litInt(e(0)), e(1), e.lift(2)).toAggregateExpression()),

@@ -312,6 +312,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.getSeq[String](1) == Seq("a", "e"))
   }
 
+  test("max(x, n) / min(x, n) return the n extreme values") {
+    assert(one("(SELECT max(v, 2) FROM VALUES (3), (1), (4), (1), (5) AS t(v))")
+      == Seq(5, 4))
+    assert(one("(SELECT min(v, 3) FROM VALUES (3), (1), (4), (1), (5) AS t(v))")
+      == Seq(1, 1, 3))
+    assertFn("(SELECT max(v) FROM VALUES (3), (9), (4) AS t(v))", 9)
+  }
+
   test("max_by 2-arg still works under the shadowing registration") {
     val r = engine.sql(
       "SELECT max_by(x, y), min_by(x, y) FROM (VALUES ('a', 1), ('b', 9)) t(x, y)").head
