@@ -256,7 +256,11 @@ object PrestoFunctions {
     // ms-of-second from the 'SSS' format pattern.
     "millisecond" -> (e =>
       Cast(DateFormatClass(e(0), lit("SSS")), IntegerType)),
-    // date_add/date_diff with unit strings (Presto) vs Spark positional
+    // Presto date_add('unit', n, ts) / date_diff('unit', from, to): Spark's
+    // PARSER owns these names and accepts the same arg order with an
+    // UNQUOTED unit (date_add(MONTH, 2, d)) — quoted-unit Presto SQL uses
+    // the *_unit aliases below (documented divergence; the parser rejects
+    // the quoted form before any registry lookup).
     "date_add_unit" -> (e => DateTimeShift.add(e(0), e(1), e(2))),
     "date_diff_unit" -> (e => DateTimeShift.diff(e(0), e(1), e(2))),
     // --- json (JsonFunctions.java) ---
@@ -284,7 +288,10 @@ object PrestoFunctions {
       Seq(e(0), Concat(Seq(lit("$["), Cast(e(1), StringType), lit("]")))))),
     // --- regex (JoniRegexpFunctions.java) ---
     "regexp_like" -> (e => RLike(e(0), e(1))),
-    "regexp_split" -> (e => fn("split", e)),
+    // regex semantics — must NOT route through the literal-split shim
+    // (fn("split") would resolve to the shadowing temp registration).
+    "regexp_split" -> (e =>
+      StringSplit(e(0), e(1), if (e.length > 2) e(2) else lit(-1))),
     // 2-arg form strips matches; 3-arg with a lambda replaces each match by
     // the lambda of its capture groups (JoniRegexpFunctions.java). RegExp
     // Replace constructed directly — the builtin name is shadowed by this
@@ -430,7 +437,8 @@ object PrestoFunctions {
     // with try() for Presto's error-recovery idiom.
     "fail" -> (e => fn("raise_error", Seq(Cast(e.last, StringType)))),
     "try" -> (e => TryEval(e.head)),
-    "typeof" -> (e => fn("typeof", e)),
+    // typeof is Spark-native under the same name — a self-delegating shim
+    // here would shadow the builtin into unresolvability.
     // --- aggregates (operator/aggregation/) ---
     // optional maxStandardError arg maps to HLL++ relativeSD
     "approx_distinct" -> (e =>
@@ -509,14 +517,18 @@ object PrestoFunctions {
 
 /** Unit-string date arithmetic (Presto date_add('day', n, ts)). */
 object DateTimeShift {
-  import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-
-  private def fn(name: String, args: Seq[Expression]): Expression =
-    UnresolvedFunction(name, args, isDistinct = false)
+  // timestampadd/timestampdiff are PARSER constructs (the unit is an
+  // identifier, not an argument) — they do not resolve through the
+  // function registry, so the Catalyst classes take the unit directly.
+  private def unitOf(e: Expression): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"datetime unit must be a literal string, got $other")
+  }
 
   def add(unit: Expression, n: Expression, ts: Expression): Expression =
-    fn("timestampadd", Seq(unit, n, ts))
+    TimestampAdd(unitOf(unit), n, ts)
 
   def diff(unit: Expression, from: Expression, to: Expression): Expression =
-    fn("timestampdiff", Seq(unit, from, to))
+    TimestampDiff(unitOf(unit), from, to)
 }

@@ -256,6 +256,50 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("bit_count(0, 32)", 0L)
   }
 
+  test("registry long-tail: every remaining registered name evaluates") {
+    assertFn("chr(65)", "A")
+    assertFn("bitwise_not(0)", -1L)
+    assertFn("day_of_month(DATE '2024-02-29')", 29)
+    assertFn("week_of_year(DATE '2024-01-04')", 1)
+    assertFn("CAST(from_iso8601_date('2024-03-05') AS STRING)", "2024-03-05")
+    assertFn("CAST(from_iso8601_timestamp('2024-03-05T06:07:08') AS STRING)",
+      "2024-03-05 06:07:08")
+    assertFn("CAST(date_add_unit('day', 3, DATE '2024-01-01') AS STRING)",
+      "2024-01-04 00:00:00")
+    assertFn("date_diff_unit('hour', TIMESTAMP '2024-01-01 00:00:00', " +
+      "TIMESTAMP '2024-01-01 07:30:00')", 7L)
+    // the parser-native spelling: same arg order as Presto, unquoted unit
+    assertFn("CAST(date_add(MONTH, 2, DATE '2024-01-31') AS STRING)",
+      "2024-03-31 00:00:00")
+    assertFn("date_diff(DAY, DATE '2024-01-01', DATE '2024-02-01')", 31L)
+    assertFn("date_diff_unit('millisecond', TIMESTAMP '2024-01-01 00:00:00', " +
+      "TIMESTAMP '2024-01-01 00:00:01.5')", 1500L)
+    assertFn("format_datetime(TIMESTAMP '2024-03-05 06:07:08', 'yyyy/MM/dd')",
+      "2024/03/05")
+    assertFn("CAST(parse_datetime('2024/03/05', 'yyyy/MM/dd') AS STRING)",
+      "2024-03-05 00:00:00")
+    assertFn("json_array_contains('[1,2,3]', 2)", true)
+    assertFn("json_format(json_parse('{\"a\":1}'))", "{\"a\":1}")
+    assertFn("regexp_like('abc123', '[0-9]+')", true)
+    assert(one("regexp_split('a1b2c', '[0-9]')") == Seq("a", "b", "c"))
+    assert(one("repeat_value('z', 2)") == Seq("z", "z"))
+    assertFn("typeof(1)", "int")
+    assertFn("to_hex(sha1(to_utf8('abc')))",
+      "A9993E364706816ABA3E25717850C26C9CD0D89D")
+    assert(one("length(sha512(to_utf8('abc')))") == 64)
+    assert(one("length(hmac_md5(to_utf8('abc'), 'key'))") == 16)
+    assert(one("length(hmac_sha1(to_utf8('abc'), 'key'))") == 20)
+    assert(one("length(hmac_sha512(to_utf8('abc'), 'key'))") == 64)
+    val ad = one("(SELECT approx_distinct(v) FROM (SELECT explode(sequence(1, 1000)) AS v))")
+      .asInstanceOf[Long]
+    assert(math.abs(ad - 1000) < 100)
+    assertFn("to_hex(to_ieee754_32(from_ieee754_32(to_ieee754_32(2.0))))",
+      "40000000")
+    assertFn("st_as_text(st_point(1.0, 2.0))", "POINT (1 2)")
+    assertFn("st_xmax(st_geometry_from_text('LINESTRING (1 2, 5 7)'))", 5.0)
+    assertFn("st_ymin(st_geometry_from_text('LINESTRING (1 2, 5 7)'))", 2.0)
+  }
+
   test("presto binary functions") {
     assertFn("to_hex(from_hex('1a2b'))", "1A2B")
     assertFn("hex(hmac_sha256(CAST('x' AS BINARY), CAST('k' AS BINARY))) != ''", true)
