@@ -57,6 +57,37 @@ class DifferentialSpec extends AnyFunSuite {
       GROUP BY ${q.groupCol} ORDER BY ${q.groupCol}""")
   }
 
+  test("random join+filter+agg queries agree across API and SQL paths") {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(7L)
+    val genJoin = for {
+      jt <- Gen.oneOf("inner", "left_semi")
+      g <- Gen.oneOf("o_orderstatus", "o_orderpriority")
+      lo <- Gen.chooseNum(0.0, 40.0)
+    } yield (jt, g, lo)
+    (1 to 12).foreach { i =>
+      val (jt, g, lo) = genJoin(params, seed).get
+      seed = seed.next
+      val li = Tables.t(spark, sf, "lineitem").filter(col("l_quantity") >= lo)
+      val o = Tables.t(spark, sf, "orders")
+      val api = (jt match {
+        case "inner" => o.join(li, col("o_orderkey") === col("l_orderkey"))
+        case _ => o.join(li, col("o_orderkey") === col("l_orderkey"), jt)
+      }).groupBy(g).agg(count(lit(1)).as("n")).orderBy(g)
+        .collect().map(_.toString).toSeq
+      Tables.registerAll(spark, sf)
+      val sqlJoin = jt match {
+        case "inner" => "JOIN lineitem ON o_orderkey = l_orderkey"
+        case _ => "LEFT SEMI JOIN lineitem ON o_orderkey = l_orderkey"
+      }
+      val sql = spark.sql(s"""
+        SELECT $g, count(*) AS n
+        FROM orders $sqlJoin AND l_quantity >= $lo
+        GROUP BY $g ORDER BY $g""").collect().map(_.toString).toSeq
+      assert(api == sql, s"case $i: ($jt, $g, $lo)")
+    }
+  }
+
   test("random filter+group+agg queries agree across API and SQL paths") {
     val params = Gen.Parameters.default
     var seed = org.scalacheck.rng.Seed(42L)
