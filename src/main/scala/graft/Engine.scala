@@ -44,6 +44,20 @@ class Engine(parent: SparkSession) {
     this
   }
 
+  /** INSERT INTO <name> SELECT … for path-backed tables: appends the query
+    * result to the table's files and refreshes the view (TableWriterOperator
+    * append + TableFinishOperator commit). Returns rows inserted. */
+  def insertInto(name: String, sqlText: String): Long = {
+    val (path, format) = tablePaths.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"INSERT requires a path-backed table; '$name' is not registered with a path"))
+    val rows = spark.sql(sqlText)
+    val n = rows.count()
+    rows.write.mode("append").format(format).save(path)
+    registerTable(name, path, format)
+    n
+  }
+
   /** DELETE FROM <name> WHERE <predicate> for path-backed tables
     * (DeleteOperator.java:1 / MetadataDeleteOperator.java — row deletes
     * against a writable connector). Parquet has no row-level delete, so this

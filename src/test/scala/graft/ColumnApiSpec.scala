@@ -96,6 +96,19 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(n == expect && n > 0)
   }
 
+  test("Engine INSERT INTO appends and re-registers") {
+    val e = Engine(spark).loadCatalog(sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-ins").toString
+    e.ctas("ins_orders", "SELECT * FROM orders WHERE o_orderkey <= 100", path)
+    val before = e.sql("SELECT count(*) FROM ins_orders").head.getLong(0)
+    val n = e.insertInto("ins_orders",
+      "SELECT * FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200")
+    assert(n > 0)
+    val after = e.sql("SELECT count(*) FROM ins_orders").head.getLong(0)
+    assert(after == before + n)
+    intercept[IllegalArgumentException](e.insertInto("orders", "SELECT 1"))
+  }
+
   test("Engine DELETE rewrites the table copy-on-write") {
     val e = Engine(spark).loadCatalog(sf)
     val path = java.nio.file.Files.createTempDirectory("graft-del").toString
