@@ -309,6 +309,25 @@ object Coverage {
         SELECT o_orderkey,
           round(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END, 4) AS maybe
         FROM orders WHERE o_orderkey <= 500
-        ORDER BY maybe DESC NULLS LAST, o_orderkey"""))
+        ORDER BY maybe DESC NULLS LAST, o_orderkey""")),
+
+    // Named WINDOW clause with two distinct windows in one SELECT (the
+    // grammar's windowDefinition; WindowOperator planned twice with
+    // different partitionings — two exchanges, no cross-contamination).
+    "q99_named_windows" -> {
+      val text = """
+        SELECT o_orderkey, o_custkey,
+          CAST(rank() OVER w1 AS INT) AS rnk,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w2
+            AS DECIMAL(38,2)) AS run_sum
+        FROM orders WHERE o_orderkey <= 2000
+        WINDOW
+          w1 AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey),
+          w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey"""
+      Q(sql(text), Some(text))
+    }
   )
 }
