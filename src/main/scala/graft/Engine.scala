@@ -105,6 +105,26 @@ class Engine(parent: SparkSession) {
 
   def sql(query: String): DataFrame = spark.sql(query)
 
+  private val prepared = scala.collection.mutable.Map.empty[String, String]
+
+  /** PREPARE <name> FROM <query> (PARSER/tree/Prepare.java): stores the
+    * statement text with `?` positional parameter markers. */
+  def prepare(name: String, query: String): Engine = {
+    prepared(name) = query
+    this
+  }
+
+  /** EXECUTE <name> USING <params> (PARSER/tree/Execute.java): binds the
+    * positional parameters via Spark's parameterized sql. */
+  def execute(name: String, params: Any*): DataFrame = {
+    val text = prepared.getOrElse(name,
+      throw new IllegalArgumentException(s"Prepared statement $name not found"))
+    spark.sql(text, params.toArray)
+  }
+
+  /** DEALLOCATE PREPARE <name>. */
+  def deallocate(name: String): Engine = { prepared.remove(name); this }
+
   /** EXPLAIN surface (Presto EXPLAIN [TYPE LOGICAL|DISTRIBUTED|VALIDATE] —
     * PARSER/tree/ExplainType.java:30-32): mode ∈ simple, extended, codegen,
     * cost, formatted. */

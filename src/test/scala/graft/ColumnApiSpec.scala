@@ -96,6 +96,19 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(n == expect && n > 0)
   }
 
+  test("Engine PREPARE/EXECUTE binds positional parameters") {
+    val e = Engine(spark).loadCatalog(sf)
+    e.prepare("top_orders",
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > ? AND o_orderstatus = ? ORDER BY o_orderkey LIMIT 5")
+    val rows = e.execute("top_orders", 100000.0, "F").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val expect = e.sql(
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 5").collect()
+    assert(rows.map(_.getLong(0)).toSeq == expect.map(_.getLong(0)).toSeq)
+    e.deallocate("top_orders")
+    intercept[IllegalArgumentException](e.execute("top_orders", 1))
+  }
+
   test("Engine INSERT INTO appends and re-registers") {
     val e = Engine(spark).loadCatalog(sf)
     val path = java.nio.file.Files.createTempDirectory("graft-ins").toString
