@@ -28,7 +28,14 @@ object SparkEntry {
     _root_.graft.operators.Events.queries,
     _root_.graft.operators.RangeJoin.queries)
 
-  val all: Map[String, Q] = modules.reduce(_ ++ _)
+  val all: Map[String, Q] = {
+    val merged = modules.reduce(_ ++ _)
+    // a duplicate key across modules would silently drop a query
+    val total = modules.map(_.size).sum
+    require(merged.size == total,
+      s"duplicate query names across modules: ${total - merged.size} lost")
+    merged
+  }
 
   /** Headline benchmark set: one representative per operator family. */
   val benchNames: Seq[String] = Seq(
