@@ -66,12 +66,71 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** LSH candidates verified by exact shingle-Jaccard ≥ 0.8 (the d04
+    * pipeline): (id_a, id_b, j) with id_a < id_b, j unrounded. */
+  private def lshVerifiedPairs(dd: DataFrame): DataFrame = {
+    val sh = dd.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(shinglesOf(col("t"), 3)).as("sh"))
+    minhashLshPairs(dd, "doc_id", "text")
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_distinct(concat(col("sha"), col("shb"))))).as("j"))
+      .filter(col("j") >= 0.8)
+  }
+
   /** Library API: exact dedup keeping the smallest id per normalized-text
     * fingerprint. One hash-shuffle on the 128-bit fingerprint. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .drop("fp")
+
+  /** Library API: connected components over an undirected edge list via
+    * iterative min-label propagation — resolves near-dup PAIRS into dedup
+    * CLUSTERS (keep one doc per component), the step a production pipeline
+    * runs after LSH + verification.
+    *
+    * Each round every node takes the min label among itself and its
+    * neighbors, so a label travels one hop per round: convergence in
+    * O(component diameter) rounds. Near-dup clusters are shallow (a dup of a
+    * dup of X is usually also a direct dup of X), so 3–5 rounds typical.
+    * Scale posture: each round is one shuffle of the edge list joined with
+    * the label table — never materializes anything super-linear; a round is
+    * `localCheckpoint`ed so the plan/lineage stays O(1) across rounds
+    * instead of doubling per iteration (the classic driver-OOM of iterative
+    * DataFrame algorithms at scale).
+    *
+    * Returns (node, label) with label = min node id of the component. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    val undirected = sym.union(sym.select(col("dst").as("src"),
+      col("src").as("dst")))
+    var labels = undirected.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = undirected
+        .join(labels, undirected("dst") === labels("node"))
+        .select(undirected("src").as("node"), col("label"))
+      val next = viaNeighbor.union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 
   /** Library API: MinHash-LSH candidate pairs over a text column.
     * Pipeline: tokenize → k-shingles (exploded; each shingle hashed once per
@@ -238,21 +297,9 @@ object Dedup {
     // pushdown prefilter — implied by jaccard ≥ 0.8, so still exact), which
     // doubles as an LSH recall check: a missed true pair would hash-mismatch.
     "d04_minhash_lsh_pairs" -> Q(
-      (s, d) => {
-        val dd = docs(s, d)
-        val sh = dd.select(col("doc_id"), tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= 3)
-          .select(col("doc_id"), array_distinct(shinglesOf(col("t"), 3)).as("sh"))
-        minhashLshPairs(dd, "doc_id", "text")
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-          .select(col("id_a"), col("id_b"),
-            (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-              size(array_distinct(concat(col("sha"), col("shb"))))).as("j"))
-          .filter(col("j") >= 0.8)
-          .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => lshVerifiedPairs(docs(s, d))
+        .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b"),
       Some("""
         WITH t AS (
           SELECT doc_id,
@@ -273,6 +320,57 @@ object Dedup {
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
             len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
         ORDER BY id_a, id_b""")),
+
+    // Near-dup CLUSTER resolution: the verified pair set (d04) collapsed
+    // into connected components by iterative min-label propagation — the
+    // step that decides which doc survives (min doc_id per component) when
+    // duplicates chain (A≈B, B≈C ⇒ {A,B,C} one cluster even if A≉C).
+    // The oracle recomputes components independently via a recursive CTE
+    // (transitive closure to the min reachable id), so the distributed
+    // fixpoint is checked against a declarative definition, not a replay.
+    "d09_dedup_clusters" -> Q(
+      (s, d) => {
+        val cc = connectedComponents(
+          lshVerifiedPairs(docs(s, d)).select("id_a", "id_b"), "id_a", "id_b")
+        val sizes = cc.groupBy(col("label").as("rep"))
+          .agg(count(lit(1)).cast("long").as("cluster_size"))
+        cc.join(sizes, cc("label") === sizes("rep"))
+          .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+            col("cluster_size"),
+            (col("node") === col("label")).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 2 + 1),
+              i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM t WHERE len(toks) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b
+            ON a.doc_id < b.doc_id
+            AND len(a.shingles) >= 0.8 * len(b.shingles)
+            AND len(b.shingles) >= 0.8 * len(a.shingles)
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(n, m) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+        comp AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n),
+        sizes AS (SELECT cluster_rep AS rep, count(*) AS cs FROM comp GROUP BY 1)
+        SELECT c.doc_id, c.cluster_rep, CAST(s.cs AS BIGINT) AS cluster_size,
+          c.doc_id = c.cluster_rep AS is_keeper
+        FROM comp c JOIN sizes s ON c.cluster_rep = s.rep
+        ORDER BY doc_id""")),
 
     // SimHash signatures, hash-checked bit-for-bit: the query variant uses a
     // 32-bit md5-derived token hash both engines can compute (the library

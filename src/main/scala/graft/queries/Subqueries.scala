@@ -56,6 +56,35 @@ object Subqueries {
         FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""")),
 
+    // Quantified comparison subqueries (Presto `> ALL` / `< ANY`,
+    // TransformQuantifiedComparisonApplyToLateralJoin). Spark's parser has
+    // no quantified syntax, so this runs the same decorrelation Presto's
+    // rule produces: `x > ALL (S)` → `x > max(S)` (TRUE on empty S — hence
+    // the -Infinity coalesce for childless groups), `x < ANY (S)` →
+    // `x < max(S)`. The oracle uses DuckDB's NATIVE quantified syntax, so
+    // the rewrite is checked against the real ALL/ANY semantics, not
+    // against itself. (Null-free subqueries: fixture balances are non-null;
+    // with NULLs, ALL/ANY go three-valued and the max-rewrite would need a
+    // null-count guard.)
+    "q62_quantified" -> Q(
+      sql("""
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+        WHERE s_acctbal > coalesce(
+            (SELECT max(c_acctbal) FROM customer
+             WHERE c_nationkey = s_nationkey AND c_mktsegment = 'BUILDING'),
+            CAST('-Infinity' AS DOUBLE))
+          AND s_acctbal < (SELECT max(c_acctbal * 2) FROM customer)
+        ORDER BY s_suppkey"""),
+      Some("""
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+        WHERE s_acctbal > ALL (SELECT c_acctbal FROM customer
+                               WHERE c_nationkey = s_nationkey
+                                 AND c_mktsegment = 'BUILDING')
+          AND s_acctbal < ANY (SELECT c_acctbal * 2 FROM customer)
+        ORDER BY s_suppkey""")),
+
     // Correlated scalar subquery (TransformCorrelatedScalarAggregationToJoin).
     "q58_correlated_scalar" -> Q(
       sql("""

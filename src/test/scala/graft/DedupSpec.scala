@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import TestSession._
+  import operators.Dedup
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: chain propagates past one hop") {
+    // 1-2-3-4-5 is a 4-hop chain: forces multiple propagation rounds
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connected components: disjoint clusters and a cycle") {
+    val labels = cc(Seq((1L, 2L), (2L, 3L), // component {1,2,3}
+      (10L, 11L), // pair
+      (20L, 21L), (21L, 22L), (22L, 20L))) // 3-cycle
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: edge direction is irrelevant") {
+    // min id on the dst side: label must still flow to every node
+    val labels = cc(Seq((5L, 1L), (5L, 9L), (9L, 3L)))
+    assert(labels == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("d09 keeps exactly one doc per cluster") {
+    val df = SparkEntry.all("d09_dedup_clusters").fn(spark, sf)
+    val rows = df.collect()
+    val byRep = rows.groupBy(_.getLong(1))
+    byRep.foreach { case (rep, members) =>
+      // rep is a member, is the min id, and is the only keeper
+      assert(members.map(_.getLong(0)).min == rep)
+      assert(members.count(_.getBoolean(3)) == 1)
+      // cluster_size agrees with the member count
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+    // every clustered doc pairs with at least one other (components of ≥2)
+    assert(rows.forall(_.getLong(2) >= 2) || rows.isEmpty)
+  }
+}
