@@ -26,6 +26,11 @@ class Engine(parent: SparkSession) {
   // Spark semantic — scoped to this isolated session.
   spark.conf.set("spark.sql.ansi.enabled", "true")
 
+  // Presto has a first-class TIME type (SPI/type/TimeType.java); Spark 4.1
+  // ships one behind a flag — enabling it makes TIME literals, casts,
+  // extracts and arithmetic work natively in this session.
+  spark.conf.set("spark.sql.timeType.enabled", "true")
+
   functions.PrestoFunctions.registerAll(spark)
 
   /** Register every fixture table under its Presto-visible name. */

@@ -345,6 +345,12 @@ object PrestoFunctions {
     // shifting the wall-clock via from_utc_timestamp matches Presto's
     // zone-displayed timestamp.
     "at_timezone" -> (e => fn("from_utc_timestamp", Seq(e(0), e(1)))),
+    // localtime (DateTimeFunctions.java "localtime" special form): Presto's
+    // bare-keyword TIME-of-day. Spark's parser has no niladic localtime, so
+    // the callable form is localtime() (syntax divergence only — the TYPE
+    // divergence is closed: Engine sessions enable spark.sql.timeType, so
+    // this returns a true TIME value, as do TIME literals/casts/extracts).
+    "localtime" -> (_ => fn("current_time", Nil)),
     // current_timezone() (DateTimeFunctions.java:132) is Spark-native with
     // identical name/semantics — no shim needed.
     "timezone_hour" -> (e => TimeZonePart(e(0), minutePart = false)),

@@ -98,6 +98,21 @@ class FunctionsSpec extends AnyFunSuite {
       "2024-03-05T06:07:08.009Z")
   }
 
+  test("TIME type: literals, casts, extracts, arithmetic, localtime") {
+    // Presto has a first-class TIME type (SPI/type/TimeType.java) — Engine
+    // sessions enable Spark 4.1's TimeType so the surface works natively.
+    assertFn("TIME '12:34:56.123'", java.time.LocalTime.of(12, 34, 56, 123000000))
+    assertFn("CAST('23:59:59' AS TIME)", java.time.LocalTime.of(23, 59, 59))
+    assertFn("hour(TIME '12:34:56')", 12)
+    assertFn("minute(TIME '12:34:56')", 34)
+    assertFn("second(TIME '12:34:56')", 56)
+    assertFn("CAST(TIME '12:00:01' - TIME '11:00:00' AS STRING)",
+      "INTERVAL '01:00:01' HOUR TO SECOND")
+    // niladic keyword form isn't in Spark's grammar: callable as localtime()
+    assert(one("localtime()").isInstanceOf[java.time.LocalTime])
+    assert(one("typeof(localtime())") == "time(6)")
+  }
+
   test("binary codec functions: big-endian, ieee754, base64url") {
     assertFn("from_big_endian_32(to_big_endian_32(123456))", 123456)
     assertFn("from_big_endian_32(to_big_endian_32(-7))", -7)
