@@ -130,6 +130,18 @@ class Engine(parent: SparkSession) {
   /** DEALLOCATE PREPARE <name>. */
   def deallocate(name: String): Engine = { prepared.remove(name); this }
 
+  /** Presto DESCRIBE OUTPUT <prepared> (PARSER/tree/DescribeOutput.java):
+    * the result schema of a prepared statement, derived by ANALYSIS only —
+    * the statement is never executed. Returns (column, type-DDL) pairs. */
+  def describeOutput(name: String): Seq[(String, String)] = {
+    val text = prepared.getOrElse(name,
+      throw new IllegalArgumentException(s"Prepared statement $name not found"))
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val analyzed = spark.sessionState.analyzer.executeAndCheck(
+      parsed, new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+    analyzed.output.map(a => a.name -> a.dataType.sql)
+  }
+
   /** EXPLAIN surface (Presto EXPLAIN [TYPE LOGICAL|DISTRIBUTED|VALIDATE] —
     * PARSER/tree/ExplainType.java:30-32): mode ∈ simple, extended, codegen,
     * cost, formatted. */

@@ -451,8 +451,15 @@ object PrestoFunctions {
       (if (e.length > 1) HyperLogLogPlusPlus(e.head,
         e(1) match { case Literal(d: Double, _) => d; case _ => 0.05 })
       else HyperLogLogPlusPlus(e.head)).toAggregateExpression()),
+    // approx_percentile(x, p) / weighted (x, w, p[, accuracy]) — the 0.206
+    // forms (ApproximateLongPercentileAggregations.java:37,57,78; there is
+    // no (x, p, accuracy)). Spark's sketch takes no weight, so the weighted
+    // forms run EXACT percentile with a frequency column — exact satisfies
+    // any accuracy bound; result is double (Presto rounds to the input type
+    // for bigint inputs — documented divergence at the fraction).
     "approx_percentile" -> (e =>
-      fn("percentile_approx", if (e.length == 2) e :+ lit(10000) else e)),
+      if (e.length <= 2) fn("percentile_approx", e :+ lit(10000))
+      else fn("percentile", Seq(e(0), e(2), Cast(e(1), LongType)))),
     "arbitrary" -> (e => First(e.head, ignoreNulls = true).toAggregateExpression()),
     // array_agg KEEPS nulls (ArrayAggregationFunction.java); collect_list
     // drops them — wrap each value in a never-null struct, then unwrap.

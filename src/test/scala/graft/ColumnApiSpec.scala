@@ -71,6 +71,25 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(Set("o_orderkey", "o_custkey", "o_totalprice").subsetOf(cols))
   }
 
+  test("metadata statements: SHOW COLUMNS/FUNCTIONS, SET SESSION, DESCRIBE OUTPUT") {
+    val e = Engine(spark).loadCatalog(sf)
+    // SHOW COLUMNS (PARSER/tree/ShowColumns.java)
+    val cols = e.sql("SHOW COLUMNS IN lineitem").collect().map(_.getString(0)).toSet
+    assert(Set("l_orderkey", "l_quantity", "l_shipdate").subsetOf(cols))
+    // SHOW FUNCTIONS (ShowFunctions.java) — compat registrations included
+    val fns = e.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    assert(Set("strpos", "word_stem", "approx_distinct").subsetOf(fns))
+    // SET SESSION / RESET SESSION (SetSession.java / ResetSession.java)
+    e.sql("SET spark.sql.autoBroadcastJoinThreshold=1234567")
+    assert(e.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "1234567")
+    e.sql("RESET spark.sql.autoBroadcastJoinThreshold")
+    assert(e.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "1234567")
+    // DESCRIBE OUTPUT <prepared> (DescribeOutput.java): analysis only
+    e.prepare("po", "SELECT o_orderkey, round(o_totalprice, 2) AS p FROM orders")
+    assert(e.describeOutput("po") ==
+      Seq("o_orderkey" -> "BIGINT", "p" -> "DOUBLE"))
+  }
+
   test("Engine explain + validate surface") {
     val e = Engine(spark).loadCatalog(sf)
     val txt = e.explain("SELECT count(*) FROM orders", "formatted")

@@ -157,6 +157,12 @@ class FunctionsSpec extends AnyFunSuite {
       "FROM (SELECT explode(sequence(1, 100)) AS v))")
       .asInstanceOf[scala.collection.Seq[Int]]
     assert(ps.length == 3 && ps.head == 1 && ps.last == 100)
+    // weighted forms (x, w, p[, accuracy]) — 0.206's 3rd arg is the WEIGHT
+    // (ApproximateLongPercentileAggregations.java:57,78), not accuracy
+    assertFn("(SELECT approx_percentile(v, w, 0.5) " +
+      "FROM VALUES (1, 1), (2, 1), (3, 10) AS t(v, w))", 3.0)
+    assertFn("(SELECT approx_percentile(v, w, 0.5, 0.01) " +
+      "FROM VALUES (10, 5), (20, 1) AS t(v, w))", 10.0)
   }
 
   test("duration + timezone functions") {
