@@ -135,9 +135,21 @@ object Dedup {
   /** Library API: MinHash-LSH candidate pairs over a text column.
     * Pipeline: tokenize → k-shingles (exploded; each shingle hashed once per
     * hash function) → per-doc signature via groupBy-min → band → bucket
-    * self-join. Returns (id_a, id_b) with id_a < id_b, deduplicated. */
+    * self-join. Returns (id_a, id_b) with id_a < id_b, deduplicated.
+    *
+    * `maxBucketSize` caps the per-(band, hash) bucket: a bucket of B docs
+    * emits B² candidate rows from the self-join, so one boilerplate cluster
+    * (empty templates, licence headers) turns the candidate stage quadratic
+    * at corpus scale. Buckets above the cap are dropped BEFORE the join —
+    * the standard production guard: members of a hot bucket either re-pair
+    * through their other, more selective bands or are left to the exact
+    * dedup stage (identical docs never reach LSH anyway). The bucket-size
+    * aggregation shuffles one row per bucket key, and AQE broadcasts it
+    * back — cost O(#buckets), never O(candidates). Default = no cap (the
+    * oracled d04 pipeline is exact-recall by construction). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val shingled = df
       .select(col(idCol), tokens(col(textCol)).as("t"))
@@ -147,10 +159,19 @@ object Dedup {
     val sig = hashed.groupBy(idCol)
       .agg(min(col("h0")).as("h0"),
         (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-    val banded = sig.select(col(idCol),
+    val allBands = sig.select(col(idCol),
       posexplode(array((0 until numHashes / bandSize).map(b =>
         concat_ws(",", (0 until bandSize).map(j =>
           col(s"h${b * bandSize + j}")): _*)): _*)).as(Seq("band", "bh")))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) allBands
+      else {
+        val coolBuckets = allBands.groupBy("band", "bh")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select("band", "bh")
+        allBands.join(coolBuckets, Seq("band", "bh"))
+      }
     val l = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"),
       col(idCol).as("id_b"))

@@ -35,6 +35,31 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 9L -> 1L))
   }
 
+  test("LSH hot-bucket cap bounds the candidate stage") {
+    import spark.implicits._
+    // 20 identical boilerplate docs (every band hashes into one hot bucket)
+    // plus one near-dup pair of distinct text
+    val boiler = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pair = Seq(
+      (100L, "completely different content about spark engines at scale today"),
+      (101L, "completely different content about spark engines at scale now"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text")
+    // boilerplate cluster alone contributes C(20,2) = 190 pairs
+    assert(uncapped.count() >= 190)
+
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text", maxBucketSize = 5)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // hot buckets dropped: no boilerplate pairs survive, the small bucket does
+    assert(cappedPairs.toSet == Set((100L, 101L)))
+
+    // a cap above every bucket size changes nothing
+    val bigCap = Dedup.minhashLshPairs(df, "doc_id", "text", maxBucketSize = 1000)
+    assert(bigCap.count() == uncapped.count())
+  }
+
   test("d09 keeps exactly one doc per cluster") {
     val df = SparkEntry.all("d09_dedup_clusters").fn(spark, sf)
     val rows = df.collect()
