@@ -84,6 +84,37 @@ object Similarity {
         others.map(n => col(s"best.rest.$n").as(n)): _*)
   }
 
+  /** Library API: Lloyd's k-means over an embedding column — the centroid
+    * TRAINER for the IVF index (`ivfAssign`/`ivfSearch` consume the result).
+    *
+    * Each iteration = one broadcast assign pass (`ivfAssign`, cosine
+    * nearest with (cos desc, centroid_id) tie-break) + one element-wise
+    * mean: posexplode to (centroid, dim) cells, partial+final avg — the
+    * shuffle carries k×dim cells regardless of corpus size. Centroids stay
+    * a k-row DataFrame, `localCheckpoint`ed per round so lineage is O(1)
+    * in the iteration count (same discipline as
+    * `Dedup.connectedComponents`). Deterministic given a deterministic
+    * `init`; empty clusters drop (standard Lloyd collapse — seed with
+    * distinct vectors to avoid). */
+  def kmeansFit(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, init: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    var cents = init.select(col("centroid_id"),
+      transform(col("centroid"), x => x.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      cents = ivfAssign(corpus.select(col(idCol), col(vecCol)),
+          idCol, vecCol, cents)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy(col("centroid_id"), col("i"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   def ivfSearch(assigned: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, centroids: org.apache.spark.sql.DataFrame,
       queryVec: org.apache.spark.sql.DataFrame, nprobe: Int,
@@ -247,6 +278,76 @@ object Similarity {
             AS cos_sim
         FROM assigned a JOIN probed USING (centroid_id) CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id LIMIT 20""")),
+
+    // Distributed k-means (Lloyd) centroid training for the IVF index:
+    // 2 iterations from 4 seed centroids, then a final assignment. Every
+    // stage is deterministic arithmetic ((cos desc, centroid_id)
+    // tie-breaks), so the oracle unrolls both iterations declaratively
+    // (QUALIFY row_number for the argmax, lateral-unnest + list(ORDER BY)
+    // for the element-wise means). The oracle's assignment score drops the
+    // |v| factor (argmax-equivalent); output is per-cluster size + centroid
+    // component-sum — a fingerprint of the exact trained centroids.
+    "s07_kmeans_ivf" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val init = corpus.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            col("embedding").as("centroid"))
+        val fitted = kmeansFit(corpus, "vec_id", "embedding", init, iters = 2)
+        val counts = ivfAssign(corpus, "vec_id", "embedding", fitted)
+          .groupBy("centroid_id")
+          .agg(count(lit(1)).cast("long").as("n_assigned"))
+        fitted.join(counts, Seq("centroid_id"))
+          .select(col("centroid_id"), col("n_assigned"),
+            round(aggregate(col("centroid"), lit(0.0), (a, x) => a + x), 4)
+              .as("centroid_sum"))
+          .orderBy("centroid_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, v AS c
+               FROM e WHERE vec_id < 4),
+        a1 AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c0.centroid_id,
+              list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * c0.c[i])) /
+                sqrt(list_sum(list_transform(c0.c, x -> x*x))) AS cs
+            FROM e CROSS JOIN c0)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1),
+        c1 AS (
+          SELECT centroid_id, list(m ORDER BY i) AS c FROM (
+            SELECT a1.centroid_id AS centroid_id, t.i AS i, avg(e.v[t.i]) AS m
+            FROM a1 JOIN e USING (vec_id), unnest(range(1, len(e.v)+1)) AS t(i)
+            GROUP BY a1.centroid_id, t.i)
+          GROUP BY centroid_id),
+        a2 AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c1.centroid_id,
+              list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * c1.c[i])) /
+                sqrt(list_sum(list_transform(c1.c, x -> x*x))) AS cs
+            FROM e CROSS JOIN c1)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1),
+        c2 AS (
+          SELECT centroid_id, list(m ORDER BY i) AS c FROM (
+            SELECT a2.centroid_id AS centroid_id, t.i AS i, avg(e.v[t.i]) AS m
+            FROM a2 JOIN e USING (vec_id), unnest(range(1, len(e.v)+1)) AS t(i)
+            GROUP BY a2.centroid_id, t.i)
+          GROUP BY centroid_id),
+        a3 AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c2.centroid_id,
+              list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * c2.c[i])) /
+                sqrt(list_sum(list_transform(c2.c, x -> x*x))) AS cs
+            FROM e CROSS JOIN c2)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1)
+        SELECT c2.centroid_id, n.n_assigned, round(list_sum(c2.c), 4) AS centroid_sum
+        FROM c2 JOIN (
+          SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_assigned
+          FROM a3 GROUP BY centroid_id) n USING (centroid_id)
+        ORDER BY centroid_id""")),
 
     // Int8 quantization + integer-dot-product search — the compressed
     // similarity path (4× smaller vectors; integer dots are exact, so the

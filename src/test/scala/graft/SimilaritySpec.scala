@@ -46,4 +46,31 @@ class SimilaritySpec extends AnyFunSuite {
       .select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
     assert(resBuckets.subsetOf(probed))
   }
+
+  test("kmeansFit recovers well-separated cluster means") {
+    import TestSession.spark.implicits._
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f)), (12L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val init = pts.filter(col("vec_id").isin(0L, 10L))
+      .select((col("vec_id") / 10).cast("int").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val fitted = Similarity.kmeansFit(pts, "vec_id", "embedding", init, iters = 3)
+    val cents = fitted.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // converged centroids are the exact per-cluster coordinate means
+    assert(math.abs(cents(0)(0) - 0.95) < 1e-6 && math.abs(cents(0)(1) - 0.05) < 1e-6)
+    assert(math.abs(cents(1)(0) - 0.05) < 1e-6 && math.abs(cents(1)(1) - 0.95) < 1e-6)
+  }
+
+  test("kmeansFit with zero iterations returns the init centroids") {
+    import TestSession.spark.implicits._
+    val pts = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val init = pts.select(lit(7).as("centroid_id"), col("embedding").as("centroid"))
+    val out = Similarity.kmeansFit(pts, "vec_id", "embedding", init, iters = 0)
+      .collect()
+    assert(out.length == 1 && out.head.getInt(0) == 7 &&
+      out.head.getSeq[Double](1) == Seq(1.0, 2.0))
+  }
 }
