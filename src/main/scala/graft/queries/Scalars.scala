@@ -202,6 +202,33 @@ object Scalars {
           json_extract_string(props, '$.missing') IS NULL AS missing_null
         FROM events ORDER BY event_id""")),
 
+    // JSON as a first-class typed value: Presto's `json` type (SURVEY §1.3)
+    // on the modern mapping — Spark 4 VariantType. Parse once
+    // (parse_json), typed extraction (variant_get), error-as-null
+    // (try_parse_json on non-JSON input). The oracle uses DuckDB's native
+    // JSON type for the same parse-once/extract-typed shape.
+    "q82_json_variant" -> Q(
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          expr("variant_get(parse_json(props), '$.missing', 'string')").as("miss"),
+          expr("try_parse_json(event_type)").as("bare"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          count(col("miss")).cast("long").as("n_missing"),
+          count(col("bare")).cast("long").as("n_bare_json"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+          CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+          CAST(count(props->>'$.missing') AS BIGINT) AS n_missing,
+          CAST(count(TRY_CAST(event_type AS JSON)) AS BIGINT) AS n_bare_json
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Regex functions (JoniRegexpFunctions.java — Java regex ≈ Joni on this
     // conservative subset; DuckDB is RE2, so patterns avoid dialect corners).
     "q75_regex_fns" -> Q(
