@@ -81,6 +81,34 @@ object EventStream {
       }
   }
 
+  case class Alert(user_id: Long, event_id: Long, cum_value: Double)
+
+  /** flatMapGroupsWithState — the 0..n-outputs-per-group stateful path
+    * (mapGroupsWithState emits exactly one): keep a per-user running sum of
+    * `value` and emit an alert for EACH event that pushes the cumulative
+    * total across a multiple of `threshold`. State per key is one double,
+    * folded in (ts, event_id) order so replays are deterministic. */
+  def thresholdAlerts(events: DataFrame, threshold: Double): Dataset[Alert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          val alerts = Seq.newBuilder[Alert]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val before = math.floor(total / threshold)
+            total += e.value
+            if (math.floor(total / threshold) > before)
+              alerts += Alert(uid, e.event_id, total)
+          }
+          state.update(total)
+          alerts.result().iterator
+      }
+  }
+
   /** Streaming dedup — the training-pipeline shape on a live stream: keep
     * the first event per (user_id, event_type, value) key, with a watermark
     * bounding how long keys stay in state (without it, state grows without

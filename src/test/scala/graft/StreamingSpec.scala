@@ -112,4 +112,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(total == Tables.t(spark, sf, "events").count())
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState alerts equal batch cumulative-sum crossings") {
+    import org.apache.spark.sql.expressions.Window
+    val threshold = 500.0
+    val q = EventStream.runToMemory(
+      EventStream.thresholdAlerts(EventStream.read(spark, eventsDir), threshold)
+        .toDF(), "alerts", OutputMode.Append())
+    try {
+      val streaming = spark.table("alerts")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch replay: same fold order (ts, event_id) per user
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val batch = Tables.t(spark, sf, "events")
+        .withColumn("cum", sum("value").over(w))
+        .withColumn("prev", coalesce(lag("cum", 1).over(w), lit(0.0)))
+        .filter(floor(col("cum") / threshold) > floor(col("prev") / threshold))
+        .select("user_id", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streaming.nonEmpty && streaming == batch)
+    } finally q.stop()
+  }
 }
