@@ -111,6 +111,36 @@ object Events {
              min(CASE WHEN event_type = 'view' THEN ts END)) AS converted
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // Retention cohorts — the classic product-analytics grid: users
+    // bucketed by first-active day, counted distinct per (cohort, days
+    // since first seen). Two shuffles at any scale: first-seen per user,
+    // then the (cohort, day_n) count. Integer day arithmetic keeps the
+    // grid hash-exact.
+    "e07_retention_cohort" -> Q(
+      (s, d) => {
+        val days = ev(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val first = days.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        days.join(first, "user_id")
+          .select(col("user_id"), col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_n"))
+          .groupBy("cohort_day", "day_n")
+          .agg(count(lit(1)).cast("long").as("n_active"))
+          .orderBy("cohort_day", "day_n")
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        first AS (
+          SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+        SELECT cohort_day,
+          CAST(date_diff('day', cohort_day, day) AS INT) AS day_n,
+          CAST(count(*) AS BIGINT) AS n_active
+        FROM days JOIN first USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, day_n""")),
+
     // AS-OF JOIN via the custom operator stack (graft.plans.AsOfJoin:
     // logical node → strategy → co-partitioned physical merge): each
     // purchase paired with the user's latest prior-or-equal view. Right

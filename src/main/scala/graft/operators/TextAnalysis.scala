@@ -168,6 +168,106 @@ object TextAnalysis {
             log2(len(list_filter(chars, x -> x = ch)) / n))), 6) AS entropy
         FROM d ORDER BY doc_id""")),
 
+    // PII detection + redaction — the scrubbing stage of a training-data
+    // pipeline. The fixture text is synthetic and PII-free, so the query
+    // plants deterministic PII (email / IPv4 / phone derived from doc_id)
+    // and then detects and redacts it: counts per category plus the
+    // scrubbed length, with a postcondition column proving no email
+    // survives the scrub. Conservative character-class regexes (identical
+    // semantics in Java regex and DuckDB's RE2). Map-only at scale.
+    "t07_pii_scrub" -> Q(
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        val phone = "[0-9]{3}-[0-9]{4,6}"
+        // SQL string literals eat one level of backslash escaping, the
+        // DataFrame-API regexp_replace takes the pattern verbatim
+        def rxAll(c: String, rx: String) =
+          expr(s"regexp_extract_all($c, '${rx.replace("\\", "\\\\")}', 0)")
+        docs(s, d)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com from 10.0."), (col("doc_id") % 256),
+              lit(".7 phone 555-01"), (col("doc_id") % 10),
+              (col("doc_id") % 7)).as("raw"))
+          .select(col("doc_id"),
+            size(rxAll("raw", email)).as("n_emails"),
+            size(rxAll("raw", ip)).as("n_ips"),
+            size(rxAll("raw", phone)).as("n_phones"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("scrubbed"))
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            length(col("scrubbed")).as("len_scrubbed"),
+            (size(rxAll("scrubbed", email)) === 0).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+              (doc_id % 256) || '.7 phone 555-01' || (doc_id % 10) ||
+              (doc_id % 7) AS raw
+          FROM documents),
+        det AS (
+          SELECT doc_id, raw,
+            CAST(len(regexp_extract_all(raw,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(raw,
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+            CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4,6}')) AS INT) AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(raw,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+              '[0-9]{3}-[0-9]{4,6}', '<PHONE>', 'g') AS scrubbed
+          FROM raw)
+        SELECT doc_id, n_emails, n_ips, n_phones,
+          length(scrubbed) AS len_scrubbed,
+          len(regexp_extract_all(scrubbed,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0 AS clean
+        FROM det ORDER BY doc_id""")),
+
+    // Repetition signals (the Gopher-style quality filters): type-token
+    // ratio, most-frequent-token share, distinct-bigram fraction. High
+    // repetition = boilerplate/spam. Pure expression trees (map-only);
+    // distinct lists sorted so every fold order is engine-identical.
+    "t08_repetition" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          sort_array(array_distinct(col("t"))).as("dt"))
+        .select(col("doc_id"), col("t"), col("dt"),
+          Dedup.shinglesOf(col("t"), 2).as("bg"))
+        .select(col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          round(size(col("dt")).cast("double") /
+            size(col("t")).cast("double"), 6).as("type_token_ratio"),
+          round(expr("array_max(transform(dt, w -> size(filter(t, x -> x = w))))")
+            .cast("double") / size(col("t")).cast("double"), 6)
+            .as("top_token_share"),
+          round(size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")).cast("double"), 6).as("distinct_bigram_ratio"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        w AS (
+          SELECT doc_id, t, list_sort(list_distinct(t)) AS dt,
+            list_transform(range(1, len(t)),
+              i -> array_to_string(t[i:i+1], ' ')) AS bg
+          FROM toks)
+        SELECT doc_id,
+          CAST(len(t) AS INT) AS n_tokens,
+          round(CAST(len(dt) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6)
+            AS type_token_ratio,
+          round(CAST(list_max(list_transform(dt,
+              w2 -> len(list_filter(t, x -> x = w2)))) AS DOUBLE) /
+            CAST(len(t) AS DOUBLE), 6) AS top_token_share,
+          round(CAST(len(list_distinct(bg)) AS DOUBLE) /
+            CAST(len(bg) AS DOUBLE), 6) AS distinct_bigram_ratio
+        FROM w ORDER BY doc_id""")),
+
     // Stratified (class-balanced) sampling — the training-mix operation:
     // per-language fractions via sampleBy. Per-stratum populations are
     // hash-checked; the sampled size is pinned by a Bernoulli bound.
