@@ -309,6 +309,8 @@ case class GeoPredicate(left: Expression, right: Expression, op: String)
       case "contains" => Geo.contains(a, b)
       case "within" => Geo.contains(b, a)
       case "intersects" => Geo.intersects(a, b)
+      case "disjoint" => !(Geo.intersects(a, b) ||
+        Geo.contains(a, b) || Geo.contains(b, a))
     }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -326,22 +328,99 @@ case class StDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Structural accessors with non-double results. */
+/** Structural accessors with non-double results (ST_NumPoints,
+  * ST_GeometryType, ST_IsClosed, ST_Dimension, ST_IsEmpty, ST_CoordDim,
+  * ST_NumInteriorRing, ST_NumGeometries — GeoFunctions.java). */
 case class GeoInfo(child: Expression, info: String)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = info match {
-    case "numpoints" => IntegerType
+    case "numpoints" | "dimension" | "coorddim" => IntegerType
+    case "numinteriorring" | "numgeometries" => IntegerType
     case "geometrytype" => StringType
-    case "isclosed" => BooleanType
+    case "isclosed" | "isempty" => BooleanType
   }
+  // numinteriorring is null off-type even for non-null input
+  override def nullable: Boolean = info == "numinteriorring" || super.nullable
   override protected def nullSafeEval(v: Any): Any = {
     val (t, xs, _) = Geo.unpack(v)
     info match {
       case "numpoints" => if (t == "POLYGON") xs.length + 1 else xs.length
       case "geometrytype" => UTF8String.fromString(t)
       case "isclosed" => t == "POLYGON"
+      case "dimension" => t match {
+        case "POINT" => 0; case "LINESTRING" => 1; case "POLYGON" => 2
+      }
+      case "isempty" => xs.isEmpty
+      case "coorddim" => 2
+      // single-ring model: polygons have no holes; null for non-polygons
+      // (the reference returns null off-type too)
+      case "numinteriorring" => if (t == "POLYGON") 0 else null
+      case "numgeometries" => if (xs.isEmpty) 0 else 1
     }
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = s"st_$info"
+}
+
+/** LINESTRING vertex accessors (ST_StartPoint / ST_EndPoint / ST_PointN —
+  * GeoFunctions.java stStartPoint:…): POINT result; ST_PointN is 1-based
+  * and NULL out of range (reference semantics). */
+case class StLinePoint(line: Expression, n: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = line
+  override def right: Expression = n
+  override def dataType: DataType = Geo.geometryType
+  override def nullable: Boolean = true // NULL out of range
+  override protected def nullSafeEval(lv: Any, nv: Any): Any = {
+    val (t, xs, ys) = Geo.unpack(lv)
+    require(t == "LINESTRING", s"line accessor requires LINESTRING, got $t")
+    val i0 = nv.asInstanceOf[Int] match {
+      case neg if neg < 0 => xs.length + neg // -1 = last (internal endpoint)
+      case pos => pos - 1 // 1-based
+    }
+    if (i0 < 0 || i0 >= xs.length) null
+    else Geo.row("POINT", Array(xs(i0)), Array(ys(i0)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(line = l, n = r)
+}
+
+/** ST_ExteriorRing (GeoFunctions.java stExteriorRing): the polygon shell as
+  * a closed LINESTRING. */
+case class StExteriorRing(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = Geo.geometryType
+  override protected def nullSafeEval(v: Any): Any = {
+    val (t, xs, ys) = Geo.unpack(v)
+    require(t == "POLYGON", s"ST_ExteriorRing requires POLYGON, got $t")
+    Geo.row("LINESTRING", xs :+ xs(0), ys :+ ys(0))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** ST_Equals (GeoFunctions.java stEquals): geometric equality on the
+  * single-ring model — points exact; linestrings equal forward or
+  * reversed; polygon rings equal under rotation and orientation flip. */
+case class StEquals(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (ta, axs, ays) = Geo.unpack(l)
+    val (tb, bxs, bys) = Geo.unpack(r)
+    if (ta != tb || axs.length != bxs.length) false
+    else {
+      val a = axs.zip(ays).toSeq
+      val b = bxs.zip(bys).toSeq
+      ta match {
+        case "POINT" => a == b
+        case "LINESTRING" => a == b || a == b.reverse
+        case "POLYGON" =>
+          def rot(s: Seq[(Double, Double)], k: Int) = s.drop(k) ++ s.take(k)
+          b.indices.exists(k => rot(b, k) == a) ||
+            b.indices.exists(k => rot(b.reverse, k) == a)
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

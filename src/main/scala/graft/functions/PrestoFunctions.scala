@@ -430,6 +430,20 @@ object PrestoFunctions {
     "st_numpoints" -> (e => GeoInfo(e(0), "numpoints")),
     "st_geometrytype" -> (e => GeoInfo(e(0), "geometrytype")),
     "st_isclosed" -> (e => GeoInfo(e(0), "isclosed")),
+    "st_dimension" -> (e => GeoInfo(e(0), "dimension")),
+    "st_isempty" -> (e => GeoInfo(e(0), "isempty")),
+    "st_coorddim" -> (e => GeoInfo(e(0), "coorddim")),
+    "st_numinteriorring" -> (e => GeoInfo(e(0), "numinteriorring")),
+    "st_numgeometries" -> (e => GeoInfo(e(0), "numgeometries")),
+    "st_startpoint" -> (e => StLinePoint(e(0), Literal(1))),
+    "st_endpoint" -> (e => StLinePoint(e(0), Literal(-1))),
+    "st_pointn" -> (e => StLinePoint(e(0), Cast(e(1), IntegerType))),
+    "st_exteriorring" -> (e => StExteriorRing(e(0))),
+    "st_equals" -> (e => StEquals(e(0), e(1))),
+    "st_disjoint" -> (e => GeoPredicate(e(0), e(1), "disjoint")),
+    // WKT constructors restricted by type (stLineFromText / stPolygon)
+    "st_linefromtext" -> (e => StGeometryFromText(e(0))),
+    "st_polygon" -> (e => StGeometryFromText(e(0))),
     // --- conditional ---
     // Presto greatest/least RETURN_NULL_ON_NULL (AbstractGreatestLeast
     // .java:118); Spark's builtins skip nulls.

@@ -67,4 +67,13 @@ package object functions {
     c(GeoPredicate(x(a), x(b), "within"))
   def st_intersects(a: Column, b: Column): Column =
     c(GeoPredicate(x(a), x(b), "intersects"))
+  def st_disjoint(a: Column, b: Column): Column =
+    c(GeoPredicate(x(a), x(b), "disjoint"))
+  def st_equals(a: Column, b: Column): Column = c(StEquals(x(a), x(b)))
+  def st_start_point(g: Column): Column =
+    c(StLinePoint(x(g), org.apache.spark.sql.catalyst.expressions.Literal(1)))
+  def st_end_point(g: Column): Column =
+    c(StLinePoint(x(g), org.apache.spark.sql.catalyst.expressions.Literal(-1)))
+  def st_point_n(g: Column, n: Column): Column = c(StLinePoint(x(g), x(n)))
+  def st_exterior_ring(g: Column): Column = c(StExteriorRing(x(g)))
 }

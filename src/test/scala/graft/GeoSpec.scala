@@ -74,4 +74,46 @@ class GeoSpec extends AnyFunSuite {
     assert(one("st_xmin(st_geometry_from_text('LINESTRING (1 2, 5 7)'))") == 1.0)
     assert(one("st_ymax(st_geometry_from_text('LINESTRING (1 2, 5 7)'))") == 7.0)
   }
+
+  test("dimension/empty/coorddim/interior-ring/geometry-count accessors") {
+    assert(one("st_dimension(st_point(1.0, 1.0))") == 0)
+    assert(one("st_dimension(st_geometry_from_text('LINESTRING (0 0, 1 1)'))") == 1)
+    assert(one("st_dimension(st_geometry_from_text('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))") == 2)
+    assert(one("st_isempty(st_point(1.0, 1.0))") == false)
+    assert(one("st_coorddim(st_point(1.0, 1.0))") == 2)
+    assert(one("st_numinteriorring(st_geometry_from_text('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))") == 0)
+    assert(one("st_numinteriorring(st_point(1.0, 1.0))") == null)
+    assert(one("st_numgeometries(st_point(1.0, 1.0))") == 1)
+  }
+
+  test("line vertex accessors: start/end/pointN with 1-based NULL-OOR") {
+    val line = "st_geometry_from_text('LINESTRING (0 0, 1 1, 2 0)')"
+    assert(one(s"st_astext(st_startpoint($line))") == "POINT (0 0)")
+    assert(one(s"st_astext(st_endpoint($line))") == "POINT (2 0)")
+    assert(one(s"st_astext(st_pointn($line, 2))") == "POINT (1 1)")
+    assert(one(s"st_pointn($line, 4)") == null)
+    assert(one(s"st_pointn($line, 0)") == null)
+  }
+
+  test("exterior ring, equals, disjoint") {
+    assert(one("st_astext(st_exteriorring(" +
+      "st_geometry_from_text('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')))") ==
+      "LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)")
+    // same ring, rotated start vertex and reversed orientation
+    assert(one("st_equals(" +
+      "st_geometry_from_text('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), " +
+      "st_geometry_from_text('POLYGON ((1 1, 1 0, 0 0, 0 1, 1 1))'))") == true)
+    assert(one("st_equals(" +
+      "st_geometry_from_text('LINESTRING (0 0, 1 1)'), " +
+      "st_geometry_from_text('LINESTRING (1 1, 0 0)'))") == true)
+    assert(one("st_equals(st_point(0.0, 0.0), st_point(0.0, 1.0))") == false)
+    assert(one("st_disjoint(" +
+      "st_geometry_from_text('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), " +
+      "st_geometry_from_text('POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))'))") == true)
+    assert(one("st_disjoint(" +
+      "st_geometry_from_text('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), " +
+      "st_point(1.0, 1.0))") == false)
+    assert(one("st_geometrytype(st_linefromtext('LINESTRING (0 0, 2 2)'))") ==
+      "LINESTRING")
+  }
 }
