@@ -508,6 +508,11 @@ object PrestoFunctions {
         .toAggregateExpression()
       else Min(e.head).toAggregateExpression()),
     "histogram" -> (e => HistogramAgg(e.head).toAggregateExpression()),
+    // approx_most_frequent(buckets, value, capacity): Misra-Gries
+    // heavy-hitters summary (post-0.206 Presto surface; exact whenever
+    // per-group distincts fit in capacity)
+    "approx_most_frequent" -> (e => ApproxMostFrequentAgg(
+      e(1), litInt(e(0)), litInt(e(2))).toAggregateExpression()),
     "numeric_histogram" -> (e =>
       NumericHistogramAgg(litInt(e(0)), e(1), e.lift(2)).toAggregateExpression()),
     "map_union" -> (e => MapUnionAgg(e.head).toAggregateExpression()),

@@ -43,6 +43,11 @@ package object functions {
   def histogram(col: Column): Column =
     c(HistogramAgg(x(col)).toAggregateExpression())
 
+  /** Misra-Gries heavy hitters: top `buckets` values with `capacity`
+    * counters (map<value, approx_count>). */
+  def approx_most_frequent(buckets: Int, col: Column, capacity: Int): Column =
+    c(ApproxMostFrequentAgg(x(col), buckets, capacity).toAggregateExpression())
+
   /** Porter-style word stem. */
   def word_stem(col: Column): Column = c(WordStem(x(col)))
 

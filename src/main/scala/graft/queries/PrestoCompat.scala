@@ -159,6 +159,42 @@ object PrestoCompat {
           true AS approx_ok
         FROM customer""")),
 
+    // Heavy hitters (approx_most_frequent = Misra-Gries summary): per-source
+    // top-5 tokens. The fixture vocabulary (31 distinct tokens) fits the
+    // 64-counter capacity, so the summary is EXACT — the oracle recomputes
+    // the true top-5 (count desc, token asc) and the strings must match
+    // byte-for-byte. At corpus scale the same plan ships 64 counters per
+    // group through partial/final aggregation, never the token stream.
+    "p10_heavy_hitters" -> Q(
+      presto("""
+        WITH toks AS (
+          SELECT source,
+            explode(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) AS tok
+          FROM documents),
+        hh AS (
+          SELECT source, approx_most_frequent(5, tok, 64) AS m
+          FROM toks GROUP BY source)
+        SELECT source,
+          array_join(transform(
+            array_sort(map_entries(m), (a, b) -> CASE
+              WHEN a.value > b.value THEN -1 WHEN a.value < b.value THEN 1
+              WHEN a.key < b.key THEN -1 WHEN a.key > b.key THEN 1 ELSE 0 END),
+            e -> concat(e.key, ':', CAST(e.value AS STRING))), ',') AS top_tokens
+        FROM hh ORDER BY source"""),
+      Some("""
+        WITH toks AS (
+          SELECT source,
+            unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents),
+        cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+        rk AS (SELECT source, tok, c,
+          row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+          FROM cnt)
+        SELECT source,
+          string_agg(tok || ':' || c, ',' ORDER BY c DESC, tok) AS top_tokens
+        FROM rk WHERE rn <= 5
+        GROUP BY source ORDER BY source""")),
+
     // Native codegen'd cosine_similarity expression (CosineSimilarity
     // doGenCode) — same semantics as the HOF-based s01, checked vs DuckDB.
     "p07_cosine_native" -> Q(

@@ -142,6 +142,25 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[Exception](one("hamming_distance('ab', 'abc')"))
   }
 
+  test("approx_most_frequent: exact under capacity, MG bound over it") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    import graft.{functions => F}
+    // distincts (3) fit the capacity → exact counts, top-2 buckets
+    val m = one("(SELECT approx_most_frequent(2, v, 8) FROM VALUES " +
+      "('a'),('a'),('b'),('c'),('a'),('b') AS t(v))")
+      .asInstanceOf[scala.collection.Map[String, Long]]
+    assert(m == Map("a" -> 3L, "b" -> 2L))
+    // over capacity: 'hot' (60 of 90 rows) must survive 2 counters against
+    // 30 distinct cold keys, with count within the N/(capacity+1) MG bound
+    val df = spark.range(0, 90).select(
+      when(col("id") % 3 =!= lit(2), lit("hot"))
+        .otherwise(concat(lit("c"), col("id"))).as("v"))
+    val hh = df.agg(F.approx_most_frequent(1, col("v"), 2))
+      .head.getMap[String, Long](0)
+    assert(hh.keySet == Set("hot"), hh)
+    assert(hh("hot") >= 60L - 90L / 3 && hh("hot") <= 60L, hh)
+  }
+
   test("interval aggregates and approx_percentile array form") {
     // IntervalDayToSecondSum/AverageAggregation (FunctionRegistry.java):
     // Spark sums/averages ANSI intervals natively
