@@ -63,6 +63,49 @@ object Geo {
 
     // Spatial join: customers-as-points against 5 broadcast zone polygons
     // via ST_Contains (SpatialJoinOperator's replicated build side).
+    // Structural accessors over per-row constructed linestrings: dimension,
+    // point count, start/Nth vertex extraction, length, emptiness,
+    // disjointness. The oracle recomputes every value closed-form from the
+    // source columns (dimension/count are constants of the construction,
+    // vertices echo the inputs, length is the two-segment hypotenuse sum).
+    "g03_geo_accessors" -> Q(
+      presto("""
+        WITH g AS (
+          SELECT c_custkey,
+            st_geometry_from_text(concat('LINESTRING (0 0, ',
+              CAST(c_custkey % 7 + 1 AS STRING), ' ',
+              CAST(c_nationkey + 1 AS STRING), ', 10 5)')) AS line
+          FROM customer WHERE c_custkey <= 300)
+        SELECT c_custkey,
+          st_dimension(line) AS dim,
+          st_numpoints(line) AS np,
+          st_astext(st_startpoint(line)) AS sp,
+          st_astext(st_pointn(line, 2)) AS p2,
+          st_pointn(line, 9) IS NULL AS oor_null,
+          round(st_length(line), 6) AS len,
+          st_isempty(line) AS empty,
+          st_disjoint(line, st_point(-5.0, -5.0)) AS far_disjoint
+        FROM g ORDER BY c_custkey"""),
+      Some("""
+        WITH g AS (
+          SELECT c_custkey,
+            CAST(c_custkey % 7 + 1 AS DOUBLE) AS x,
+            CAST(c_nationkey + 1 AS DOUBLE) AS y
+          FROM customer WHERE c_custkey <= 300)
+        SELECT c_custkey,
+          CAST(1 AS INT) AS dim,
+          CAST(3 AS INT) AS np,
+          'POINT (0 0)' AS sp,
+          'POINT (' || CAST(CAST(x AS BIGINT) AS VARCHAR) || ' ' ||
+            CAST(CAST(y AS BIGINT) AS VARCHAR) || ')' AS p2,
+          true AS oor_null,
+          round(sqrt(x * x + y * y) +
+            sqrt((10 - x) * (10 - x) + (5 - y) * (5 - y)), 6) AS len,
+          false AS empty,
+          true AS far_disjoint
+        FROM g ORDER BY c_custkey"""),
+    ),
+
     "g02_spatial_join" -> Q(
       presto("""
         WITH zones AS (
