@@ -102,6 +102,17 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("TIME literals round-trip through string casts") {
+    val hms = Gen.zip(Gen.chooseNum(0, 23), Gen.chooseNum(0, 59), Gen.chooseNum(0, 59))
+    forAll(hms, minSuccessful(30)) { case (h, m, s) =>
+      val t = f"$h%02d:$m%02d:$s%02d"
+      assert(one(s"CAST(CAST(TIME '$t' AS STRING) AS TIME)") ==
+        java.time.LocalTime.of(h, m, s))
+      assert(one(s"hour(TIME '$t') * 3600 + minute(TIME '$t') * 60 + " +
+        s"second(TIME '$t')") == h * 3600 + m * 60 + s)
+    }
+  }
+
   test("hll estimate error stays within 5% across cardinalities") {
     Seq(100L, 1000L, 20000L).foreach { n =>
       val est = one(
