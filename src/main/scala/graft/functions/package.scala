@@ -51,6 +51,12 @@ package object functions {
   /** Porter-style word stem. */
   def word_stem(col: Column): Column = c(WordStem(x(col)))
 
+  /** Big-endian binary codecs (VarbinaryFunctions.java). */
+  def to_big_endian_64(col: Column): Column = c(ToBigEndian(x(col), 64))
+  def to_big_endian_32(col: Column): Column = c(ToBigEndian(x(col), 32))
+  def from_big_endian_64(col: Column): Column = c(FromBigEndian(x(col), 64))
+  def from_big_endian_32(col: Column): Column = c(FromBigEndian(x(col), 32))
+
   /** Streaming numeric histogram (merge-closest-centroid, O(buckets)). */
   def numeric_histogram(buckets: Int, value: Column): Column =
     c(NumericHistogramAgg(buckets, x(value), None).toAggregateExpression())
