@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline query set on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). Protocol mirrors the reference's
   * benchto setup (presto-benchto-benchmarks/.../tpch.yaml: prewarm + measured
-  * runs): 1 prewarm + 2 measured, best-of reported per query.
+  * runs): 1 prewarm + 3 measured, best-of reported per query (3 runs cuts
+  * the JIT/GC run-to-run noise that made sub-second queries jump 3x).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,7 +30,7 @@ object Bench {
       SparkEntry.all.get(name).map { q =>
         try {
           time(q.fn(spark, sfDir).count()) // prewarm (plans + file listing + JIT)
-          val runs = Seq.fill(2)(time(q.fn(spark, sfDir).count()))
+          val runs = Seq.fill(3)(time(q.fn(spark, sfDir).count()))
           name -> runs.min
         } catch { case _: Throwable => name -> -1.0 }
       }
