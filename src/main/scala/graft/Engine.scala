@@ -130,6 +130,28 @@ class Engine(parent: SparkSession) {
   /** DEALLOCATE PREPARE <name>. */
   def deallocate(name: String): Engine = { prepared.remove(name); this }
 
+  /** Presto DESCRIBE INPUT <prepared> (PARSER/tree/DescribeInput.java):
+    * the positional parameters of a prepared statement, from the PARSED
+    * plan only. Presto reports `unknown` for parameters whose type the
+    * analysis cannot pin down; Spark defers all binding to execution, so
+    * every position reports unknown — same surface, weaker inference. */
+  def describeInput(name: String): Seq[(Int, String)] = {
+    val text = prepared.getOrElse(name,
+      throw new IllegalArgumentException(s"Prepared statement $name not found"))
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val positions = scala.collection.mutable.SortedSet.empty[Int]
+    def scan(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      e.foreach {
+        case p: org.apache.spark.sql.catalyst.analysis.PosParameter =>
+          positions += p.pos
+        case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          sub.plan.foreach(_.expressions.foreach(scan))
+        case _ =>
+      }
+    parsed.foreach(_.expressions.foreach(scan))
+    positions.toSeq.zipWithIndex.map { case (_, i) => (i + 1) -> "unknown" }
+  }
+
   /** Presto DESCRIBE OUTPUT <prepared> (PARSER/tree/DescribeOutput.java):
     * the result schema of a prepared statement, derived by ANALYSIS only —
     * the statement is never executed. Returns (column, type-DDL) pairs. */

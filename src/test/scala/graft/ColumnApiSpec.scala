@@ -88,6 +88,11 @@ class ColumnApiSpec extends AnyFunSuite {
     e.prepare("po", "SELECT o_orderkey, round(o_totalprice, 2) AS p FROM orders")
     assert(e.describeOutput("po") ==
       Seq("o_orderkey" -> "BIGINT", "p" -> "DOUBLE"))
+    // DESCRIBE INPUT <prepared> (DescribeInput.java): positional parameters
+    e.prepare("pi", "SELECT count(*) FROM orders " +
+      "WHERE o_totalprice > ? AND o_orderstatus = ?")
+    assert(e.describeInput("pi") == Seq(1 -> "unknown", 2 -> "unknown"))
+    assert(e.describeInput("po").isEmpty)
   }
 
   test("Engine explain + validate surface") {
