@@ -76,6 +76,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("heavy hitters aggregate plans partial+final ObjectHashAggregate") {
+    // the sketch must ship capacity counters per group (map-side partial),
+    // not the token stream — TypedImperativeAggregate plans as
+    // ObjectHashAggregate with a partial_/final split around the exchange
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.{functions => F}
+    val df = Tables.t(spark, sf, "documents")
+      .select(col("source"), explode(operators.Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(F.approx_most_frequent(5, col("tok"), 64).as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_approx_most_frequent"), plan.take(800))
+    assert(plan.contains("approx_most_frequent"), plan.take(800))
+  }
+
   test("hive-style partitioned layout prunes partitions at the scan") {
     // the 100 TB layout story: a filter on the partition column must turn
     // into PartitionFilters (directory pruning), not a data filter
