@@ -151,6 +151,12 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    // Signature layout is DELIBERATELY explode+groupBy, not K map-only
+    // array_min(transform(...)) folds: CollapseProject inlines the bound
+    // shingle column into every fold, re-running the O(n·k) shingle
+    // construction K times per doc (measured 17x slower at sf0.1). The
+    // exploded form hashes each shingle exactly once per hash function and
+    // pays one map-side-combined shuffle of (doc, K mins) partials.
     val shingled = df
       .select(col(idCol), tokens(col(textCol)).as("t"))
       .select(col(idCol), explode(shinglesOf(col("t"), shingleK)).as("sh"))
