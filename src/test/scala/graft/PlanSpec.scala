@@ -92,6 +92,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("approx_most_frequent"), plan.take(800))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the 100 TB fact⋈filtered-dim story: InjectRuntimeFilter builds a
+    // bloom filter from the selective side and applies it to the fact scan
+    // BEFORE the shuffle — these are the conf knobs a deployment sets
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val li = Tables.t(spark, sf, "lineitem")
+      val o = Tables.t(spark, sf, "orders").filter(col("o_totalprice") > 400000)
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        plan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("hive-style partitioned layout prunes partitions at the scan") {
     // the 100 TB layout story: a filter on the partition column must turn
     // into PartitionFilters (directory pruning), not a data filter
