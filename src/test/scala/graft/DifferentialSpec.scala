@@ -88,6 +88,43 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random window top-k queries agree across API and SQL paths") {
+    import org.apache.spark.sql.expressions.Window
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(11L)
+    val gen = for {
+      fn <- Gen.oneOf("row_number", "rank", "dense_rank")
+      part <- Gen.oneOf("l_returnflag", "l_linestatus")
+      ord <- Gen.oneOf("l_extendedprice", "l_quantity", "l_orderkey")
+      k <- Gen.chooseNum(1, 5)
+    } yield (fn, part, ord, k)
+    (1 to 12).foreach { i =>
+      val (fn, part, ord, k) = gen(params, seed).get
+      seed = seed.next
+      // unique (orderkey, linenumber) tie-break keeps ranks deterministic
+      val w = Window.partitionBy(part)
+        .orderBy(col(ord), col("l_orderkey"), col("l_linenumber"))
+      val f = fn match {
+        case "row_number" => row_number()
+        case "rank" => rank()
+        case _ => dense_rank()
+      }
+      val api = Tables.t(spark, sf, "lineitem")
+        .withColumn("rn", f.over(w)).filter(col("rn") <= k)
+        .groupBy(part).agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).cast("long").as("s"))
+        .orderBy(part).collect().map(_.toString).toSeq
+      Tables.registerAll(spark, sf)
+      val sql = spark.sql(s"""
+        SELECT $part, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS s
+        FROM (SELECT *, $fn() OVER (PARTITION BY $part
+          ORDER BY $ord, l_orderkey, l_linenumber) AS rn FROM lineitem)
+        WHERE rn <= $k GROUP BY $part ORDER BY $part""")
+        .collect().map(_.toString).toSeq
+      assert(api == sql, s"case $i: ($fn, $part, $ord, $k)")
+    }
+  }
+
   test("random filter+group+agg queries agree across API and SQL paths") {
     val params = Gen.Parameters.default
     var seed = org.scalacheck.rng.Seed(42L)
