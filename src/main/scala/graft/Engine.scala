@@ -130,6 +130,53 @@ class Engine(parent: SparkSession) {
   /** DEALLOCATE PREPARE <name>. */
   def deallocate(name: String): Engine = { prepared.remove(name); this }
 
+  /** Presto SHOW STATS FOR <table> (SqlBase.g4:78, the statistics surface
+    * behind the reference's CBO — MAIN/cost/StatsCalculator.java): one
+    * aggregation pass computes per-column (data_size, distinct_values_count
+    * approx, nulls_fraction, low/high) plus the summary row_count row, in
+    * Presto's SHOW STATS output shape. Complex-typed columns report null
+    * stats (the reference does the same for unsupported types). */
+  def showStats(table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.table(table)
+    val atomic = df.schema.fields.map(f => f.name -> (f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    })).toMap
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      val sizeAgg = f.dataType match {
+        case StringType => sum(length(c).cast("long"))
+        case BinaryType => sum(octet_length(c).cast("long"))
+        case t => sum(when(c.isNull, 0L).otherwise(t.defaultSize.toLong))
+      }
+      if (!atomic(f.name)) Seq.empty
+      else Seq(
+        approx_count_distinct(c).as(s"__ndv_${f.name}"),
+        avg(c.isNull.cast("double")).as(s"__nf_${f.name}"),
+        min(c).cast("string").as(s"__lo_${f.name}"),
+        max(c).cast("string").as(s"__hi_${f.name}"),
+        sizeAgg.as(s"__sz_${f.name}"))
+    }
+    val r = df.agg(count(lit(1)).as("__rc"), aggs.toSeq: _*).head
+    def opt[T](name: String): Option[T] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+    }
+    val rc = r.getAs[Long]("__rc")
+    val rows = df.schema.fields.toSeq.map { f =>
+      if (atomic(f.name))
+        (f.name, opt[Long](s"__sz_${f.name}"), opt[Long](s"__ndv_${f.name}"),
+          opt[Double](s"__nf_${f.name}"), Option.empty[Long],
+          opt[String](s"__lo_${f.name}"), opt[String](s"__hi_${f.name}"))
+      else (f.name, None, None, None, None, None, None)
+    } :+ ((null: String), None, None, None, Some(rc), None, None)
+    import spark.implicits._
+    rows.toDF("column_name", "data_size", "distinct_values_count",
+      "nulls_fraction", "row_count", "low_value", "high_value")
+  }
+
   /** Presto DESCRIBE INPUT <prepared> (PARSER/tree/DescribeInput.java):
     * the positional parameters of a prepared statement, from the PARSED
     * plan only. Presto reports `unknown` for parameters whose type the

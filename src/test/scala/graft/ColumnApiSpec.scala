@@ -95,6 +95,22 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(e.describeInput("po").isEmpty)
   }
 
+  test("SHOW STATS surface: per-column stats + summary row count") {
+    val e = Engine(spark).loadCatalog(sf)
+    val stats = e.showStats("orders").collect()
+      .map(r => Option(r.getString(0)) -> r).toMap
+    val n = e.sql("SELECT count(*) FROM orders").head.getLong(0)
+    // summary row carries the table row count
+    assert(stats(None).getLong(4) == n)
+    val key = stats(Some("o_orderkey"))
+    assert(!key.isNullAt(2) && math.abs(key.getLong(2) - n).toDouble / n < 0.10,
+      s"ndv=${key.get(2)} vs $n") // pk: ndv ≈ row count (HLL estimate)
+    assert(key.getDouble(3) == 0.0) // no nulls
+    assert(key.getString(5) == "0") // low_value
+    val status = stats(Some("o_orderstatus"))
+    assert(status.getLong(2) <= 5 && status.getLong(1) == n) // 1-char strings
+  }
+
   test("Engine explain + validate surface") {
     val e = Engine(spark).loadCatalog(sf)
     val txt = e.explain("SELECT count(*) FROM orders", "formatted")
