@@ -130,6 +130,19 @@ class Engine(parent: SparkSession) {
   /** DEALLOCATE PREPARE <name>. */
   def deallocate(name: String): Engine = { prepared.remove(name); this }
 
+  /** Presto SHOW CREATE TABLE (SqlBase.g4:70): reconstructed DDL for a
+    * registered table — columns from the resolved schema, storage clause
+    * from the path registration (Spark's native statement only covers
+    * catalog tables, not path-backed temp views). */
+  def showCreateTable(name: String): String = {
+    val cols = spark.table(name).schema.fields
+      .map(f => s"   ${f.name} ${f.dataType.sql}").mkString(",\n")
+    val storage = tablePaths.get(name)
+      .map { case (p, fmt) => s"\nUSING $fmt\nLOCATION '$p'" }
+      .getOrElse("")
+    s"CREATE TABLE $name (\n$cols\n)$storage"
+  }
+
   /** Presto SHOW STATS FOR <table> (SqlBase.g4:78, the statistics surface
     * behind the reference's CBO — MAIN/cost/StatsCalculator.java): one
     * aggregation pass computes per-column (data_size, distinct_values_count

@@ -95,6 +95,18 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(e.describeInput("po").isEmpty)
   }
 
+  test("SHOW CREATE TABLE reconstructs DDL for path-backed tables") {
+    val e = Engine(spark).loadCatalog(sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-sct").toString
+    e.ctas("sct_probe", "SELECT o_orderkey, o_orderstatus FROM orders LIMIT 5", path)
+    val ddl = e.showCreateTable("sct_probe")
+    assert(ddl.contains("CREATE TABLE sct_probe"), ddl)
+    assert(ddl.contains("o_orderkey BIGINT"), ddl)
+    assert(ddl.contains("USING parquet") && ddl.contains(path), ddl)
+    // plain catalog views still render their columns
+    assert(e.showCreateTable("orders").contains("o_orderdate TIMESTAMP_NTZ"))
+  }
+
   test("SHOW STATS surface: per-column stats + summary row count") {
     val e = Engine(spark).loadCatalog(sf)
     val stats = e.showStats("orders").collect()
