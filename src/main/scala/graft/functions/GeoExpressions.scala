@@ -363,9 +363,12 @@ case class GeoInfo(child: Expression, info: String)
 }
 
 /** LINESTRING vertex accessors (ST_StartPoint / ST_EndPoint / ST_PointN —
-  * GeoFunctions.java stStartPoint:…): POINT result; ST_PointN is 1-based
-  * and NULL out of range (reference semantics). */
-case class StLinePoint(line: Expression, n: Expression)
+  * GeoFunctions.java): POINT result; ST_PointN is 1-based and NULL for ANY
+  * out-of-range index, negatives included (reference semantics).
+  * `fromEnd` is the internal flag for ST_EndPoint (index 1 = last vertex);
+  * user-facing st_pointn never sets it. */
+case class StLinePoint(line: Expression, n: Expression,
+    fromEnd: Boolean = false)
     extends BinaryExpression with CodegenFallback {
   override def left: Expression = line
   override def right: Expression = n
@@ -374,11 +377,9 @@ case class StLinePoint(line: Expression, n: Expression)
   override protected def nullSafeEval(lv: Any, nv: Any): Any = {
     val (t, xs, ys) = Geo.unpack(lv)
     require(t == "LINESTRING", s"line accessor requires LINESTRING, got $t")
-    val i0 = nv.asInstanceOf[Int] match {
-      case neg if neg < 0 => xs.length + neg // -1 = last (internal endpoint)
-      case pos => pos - 1 // 1-based
-    }
-    if (i0 < 0 || i0 >= xs.length) null
+    val k = nv.asInstanceOf[Int]
+    val i0 = if (fromEnd) xs.length - k else k - 1 // both 1-based
+    if (k < 1 || i0 < 0 || i0 >= xs.length) null
     else Geo.row("POINT", Array(xs(i0)), Array(ys(i0)))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

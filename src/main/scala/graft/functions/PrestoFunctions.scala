@@ -436,7 +436,7 @@ object PrestoFunctions {
     "st_numinteriorring" -> (e => GeoInfo(e(0), "numinteriorring")),
     "st_numgeometries" -> (e => GeoInfo(e(0), "numgeometries")),
     "st_startpoint" -> (e => StLinePoint(e(0), Literal(1))),
-    "st_endpoint" -> (e => StLinePoint(e(0), Literal(-1))),
+    "st_endpoint" -> (e => StLinePoint(e(0), Literal(1), fromEnd = true)),
     "st_pointn" -> (e => StLinePoint(e(0), Cast(e(1), IntegerType))),
     "st_exteriorring" -> (e => StExteriorRing(e(0))),
     "st_equals" -> (e => StEquals(e(0), e(1))),

@@ -84,7 +84,8 @@ package object functions {
   def st_start_point(g: Column): Column =
     c(StLinePoint(x(g), org.apache.spark.sql.catalyst.expressions.Literal(1)))
   def st_end_point(g: Column): Column =
-    c(StLinePoint(x(g), org.apache.spark.sql.catalyst.expressions.Literal(-1)))
+    c(StLinePoint(x(g), org.apache.spark.sql.catalyst.expressions.Literal(1),
+      fromEnd = true))
   def st_point_n(g: Column, n: Column): Column = c(StLinePoint(x(g), x(n)))
   def st_exterior_ring(g: Column): Column = c(StExteriorRing(x(g)))
 }

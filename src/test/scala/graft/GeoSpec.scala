@@ -93,6 +93,7 @@ class GeoSpec extends AnyFunSuite {
     assert(one(s"st_astext(st_pointn($line, 2))") == "POINT (1 1)")
     assert(one(s"st_pointn($line, 4)") == null)
     assert(one(s"st_pointn($line, 0)") == null)
+    assert(one(s"st_pointn($line, -1)") == null) // negatives are OOR too
   }
 
   test("exterior ring, equals, disjoint") {
