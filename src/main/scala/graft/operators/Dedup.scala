@@ -399,6 +399,70 @@ object Dedup {
         FROM comp c JOIN sizes s ON c.cluster_rep = s.rep
         ORDER BY doc_id""")),
 
+    // URL canonicalization dedup — the web-corpus stage before content
+    // dedup: scheme/www/default-port/fragment/tracking-param noise
+    // collapses to one canonical URL per page. The fixture has no URL
+    // column, so deterministic noisy URLs are planted from doc_id (10
+    // variants per canonical page); the canonicalizer is a pure regex
+    // chain (map-only at scale) and the oracle replays it, pinning group
+    // count, sizes, and min-doc_id keepers.
+    "d10_url_canonical" -> Q(
+      (s, d) => {
+        val url = concat(
+          lit("http"), when(col("doc_id") % 2 === 0, "s").otherwise(""),
+          lit("://"), when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+          lit("site"), col("doc_id") % 50, lit(".example.com"),
+          when(col("doc_id") % 5 === 0, ":80").otherwise(""),
+          lit("/page/"), col("doc_id") % 25,
+          when(col("doc_id") % 7 === 0, "/").otherwise(""),
+          lit("?utm_source="), col("doc_id") % 11, lit("&id="), col("doc_id") % 25,
+          when(col("doc_id") % 13 === 0, "#frag").otherwise(""))
+        val canonical = Seq[Column => Column](
+          lower,
+          regexp_replace(_, "^https://", "http://"),
+          regexp_replace(_, "^http://www\\.", "http://"),
+          regexp_replace(_, ":80/", "/"),
+          regexp_replace(_, "#.*$", ""),
+          regexp_replace(_, "utm_[^&]*&", ""),
+          regexp_replace(_, "/\\?", "?")
+        ).foldLeft(url)((c, f) => f(c))
+        docs(s, d)
+          .select(col("doc_id"), canonical.as("canonical"))
+          .groupBy("canonical")
+          .agg(count(lit(1)).cast("long").as("n_variants"),
+            min(col("doc_id")).as("keep_id"))
+          .orderBy("canonical")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END ||
+            '://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+            'site' || (doc_id % 50) || '.example.com' ||
+            CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+            '/page/' || (doc_id % 25) ||
+            CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+            '?utm_source=' || (doc_id % 11) || '&id=' || (doc_id % 25) ||
+            CASE WHEN doc_id % 13 = 0 THEN '#frag' ELSE '' END AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(lower(url), '^https://', 'http://'),
+                      '^http://www\.', 'http://'),
+                    ':80/', '/'),
+                  '#.*$', ''),
+                'utm_[^&]*&', ''),
+              '/\?', '?') AS canonical
+          FROM u)
+        SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
+          min(doc_id) AS keep_id
+        FROM c GROUP BY canonical ORDER BY canonical""")),
+
     // SimHash signatures, hash-checked bit-for-bit: the query variant uses a
     // 32-bit md5-derived token hash both engines can compute (the library
     // `simhash` API keeps xxhash64 — cheaper at scale, same algorithm).
