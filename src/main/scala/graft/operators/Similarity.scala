@@ -349,6 +349,43 @@ object Similarity {
           FROM a3 GROUP BY centroid_id) n USING (centroid_id)
         ORDER BY centroid_id""")),
 
+    // Maximum-inner-product search (MIPS) via norm augmentation: append
+    // sqrt(M² − |x|²) to each corpus vector and 0 to the query — cosine
+    // order on the augmented vectors IS inner-product order on the
+    // originals (|x̂| = M constant, dot unchanged), so any cosine-ANN
+    // index (LSH/IVF above) serves MIPS unchanged. The query RANKS through
+    // the augmented-cosine path and OUTPUTS raw inner products; the oracle
+    // computes plain dot top-k directly — a mismatch would mean the
+    // reduction broke the order.
+    "s08_mips" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val corpus = e.filter(col("vec_id") =!= 7)
+          .select(col("vec_id"), col("embedding"))
+        val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+        val maxNorm = corpus.agg(max(l2norm(col("embedding"))).as("m"))
+        val scored = corpus.crossJoin(broadcast(maxNorm))
+          .crossJoin(broadcast(qv))
+          .withColumn("ip", dot(col("embedding"), col("qv")))
+          // augmented cosine: dot is unchanged (extra query dim is 0) and
+          // |x̂| = m, so cos = ip / (m·|q|) — strictly increasing in ip
+          .withColumn("aug_cos",
+            col("ip") / (col("m") * l2norm(col("qv"))))
+        scored
+          .orderBy(col("aug_cos").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("ip"), 6).as("inner_product"))
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+        scored AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS ip
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7)
+        SELECT vec_id, round(ip, 6) AS inner_product
+        FROM scored ORDER BY ip DESC, vec_id LIMIT 10""")),
+
     // Int8 quantization + integer-dot-product search — the compressed
     // similarity path (4× smaller vectors; integer dots are exact, so the
     // whole query hash-matches). Per-vector symmetric scale m = max |x|.

@@ -47,6 +47,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(resBuckets.subsetOf(probed))
   }
 
+  test("MIPS augmentation ranks by inner product where cosine disagrees") {
+    import TestSession.spark.implicits._
+    // vs q=(1,0): a=(2,0) has cos 1.0 / ip 2; b=(5,1) has cos<1 / ip 5.
+    // cosine ranks a first, inner product ranks b first.
+    val pts = Seq((1L, Array(2.0f, 0.0f)), (2L, Array(5.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qv")
+    val m = pts.agg(max(Similarity.l2norm(col("embedding"))).as("m"))
+    val ranked = pts.crossJoin(broadcast(m)).crossJoin(broadcast(q))
+      .withColumn("aug_cos", Similarity.dot(col("embedding"), col("qv")) /
+        (col("m") * Similarity.l2norm(col("qv"))))
+      .orderBy(col("aug_cos").desc)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ranked == Seq(2L, 1L)) // inner-product order, not cosine order
+  }
+
   test("kmeansFit recovers well-separated cluster means") {
     import TestSession.spark.implicits._
     val pts = Seq(
