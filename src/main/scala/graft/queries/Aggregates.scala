@@ -20,6 +20,30 @@ object Aggregates {
 
   val queries: Map[String, Q] = Map(
 
+    // FILTER clause on aggregates (the reference desugars it to masks —
+    // ImplementFilteredAggregations.java; Spark plans it natively,
+    // including on a DISTINCT aggregate). Same SQL runs on both engines.
+    "q63_filtered_agg" -> Q(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""
+          SELECT l_returnflag,
+            count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+              FILTER (WHERE l_discount > 0.05) AS DECIMAL(38,2)) AS qty_disc,
+            CAST(count(DISTINCT l_suppkey)
+              FILTER (WHERE l_shipdate >= TIMESTAMP '1996-06-01') AS BIGINT) AS n_supp
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag,
+          count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount > 0.05) AS DECIMAL(38,2)) AS qty_disc,
+          CAST(count(DISTINCT l_suppkey)
+            FILTER (WHERE l_shipdate >= TIMESTAMP '1996-06-01') AS BIGINT) AS n_supp
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // TPC-H Q1: the canonical scan→filter→groupBy-agg pipeline.
     // Money sums in decimal → order-independent, deterministic at any SF.
     "q01_tpch_q1" -> Q(
