@@ -111,6 +111,55 @@ object Events {
              min(CASE WHEN event_type = 'view' THEN ts END)) AS converted
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // Time-series gap filling: a dense per-user hourly spine (sequence +
+    // explode — generated, never materialized on the driver) left-joined
+    // with hourly aggregates, missing hours forward-filled by
+    // last(ignoreNulls) over the time window. The sensor/event resampling
+    // operator every telemetry pipeline runs; spine size = users × hours
+    // regardless of event volume.
+    "e08_gap_fill" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = ev(s, d)
+        val e = all.filter(col("user_id") < 5)
+        val b = all.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val spine = e.select(col("user_id")).distinct()
+          .crossJoin(broadcast(b))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val hourly = e
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sv"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            coalesce(col("n"), lit(0L)).cast("long").as("n"),
+            last(col("sv"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy("user_id", "h")
+      },
+      Some("""
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                          date_trunc('hour', max(ts)) AS hi FROM events),
+        u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+        spine AS (
+          SELECT u.user_id, s.h
+          FROM u, b, unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS s(h)),
+        hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv
+          FROM events WHERE user_id < 5 GROUP BY 1, 2)
+        SELECT s.user_id, s.h, coalesce(n, 0) AS n,
+          last_value(sv IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM spine s
+        LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
+        ORDER BY s.user_id, s.h""")),
+
     // Retention cohorts — the classic product-analytics grid: users
     // bucketed by first-active day, counted distinct per (cohort, days
     // since first seen). Two shuffles at any scale: first-seen per user,
