@@ -125,6 +125,40 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random set-operation queries agree across API and SQL paths") {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(23L)
+    val gen = for {
+      op <- Gen.oneOf("UNION", "UNION ALL", "INTERSECT", "EXCEPT")
+      cutA <- Gen.chooseNum(10.0, 40.0)
+      cutB <- Gen.chooseNum(10.0, 40.0)
+    } yield (op, cutA, cutB)
+    (1 to 12).foreach { i =>
+      val (op, cutA, cutB) = gen(params, seed).get
+      seed = seed.next
+      val a = Tables.t(spark, sf, "lineitem")
+        .filter(col("l_quantity") <= cutA).select("l_returnflag", "l_linestatus")
+      val b = Tables.t(spark, sf, "lineitem")
+        .filter(col("l_quantity") <= cutB).select("l_returnflag", "l_linestatus")
+      val api = (op match {
+        case "UNION" => a.union(b).distinct()
+        case "UNION ALL" => a.union(b)
+        case "INTERSECT" => a.intersect(b)
+        case "EXCEPT" => a.except(b)
+      }).groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag").collect().map(_.toString).toSeq
+      Tables.registerAll(spark, sf)
+      val sql = spark.sql(s"""
+        SELECT l_returnflag, count(*) AS n FROM (
+          SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= $cutA
+          $op
+          SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= $cutB)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+        .collect().map(_.toString).toSeq
+      assert(api == sql, s"case $i: ($op, $cutA, $cutB)")
+    }
+  }
+
   test("random filter+group+agg queries agree across API and SQL paths") {
     val params = Gen.Parameters.default
     var seed = org.scalacheck.rng.Seed(42L)
