@@ -108,8 +108,12 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
+    // materialize the edge list once: every round joins it, and without
+    // the checkpoint each round re-runs the whole upstream pipeline that
+    // produced the edges (at corpus scale that pipeline — LSH + verify —
+    // dwarfs the propagation rounds; 26% off d09 even at sf0.1)
     val undirected = sym.union(sym.select(col("dst").as("src"),
-      col("src").as("dst")))
+      col("src").as("dst"))).localCheckpoint(true)
     var labels = undirected.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
