@@ -115,6 +115,75 @@ object Similarity {
     cents
   }
 
+  /** Product quantization (PQ): split the vector into `m` subvectors and
+    * k-means-train a `k`-codeword codebook per subspace (`kmeansFit` —
+    * each subspace trains independently). A vector encodes to `m` small
+    * code ids (m·log2 k bits instead of dim·32 — e.g. 64 floats → 8
+    * bytes), and asymmetric-distance (ADC) scoring approximates
+    * dot(query, x) as Σ_s lut_s[code_s] where lut_s[c] = dot(query_s,
+    * codeword_c): the per-query lookup tables are m·k doubles, broadcast,
+    * so scoring the corpus is a map over the tiny code columns — the
+    * memory-bound regime where PQ beats raw vectors at billion scale.
+    *
+    * Returns (codebooks, encoded): codebooks = (subspace, centroid_id,
+    * centroid), encoded = (idCol, codes array<int>). */
+  def pqTrain(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int,
+      iters: Int = 2): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val w = dim / m
+    def sub(s: Int, c: Column): Column = slice(c, s * w + 1, w)
+    val codebooks = (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol), sub(s, col(vecCol)).as("v"))
+      // deterministic seeds: the k smallest-id subvectors (k rows — the
+      // single-partition window is trivial)
+      val win = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+      val init = sliced.orderBy(idCol).limit(k)
+        .select((row_number().over(win) - 1).cast("int").as("centroid_id"),
+          col("v").as("centroid"))
+      kmeansFit(sliced, idCol, "v", init, iters)
+        .select(lit(s).as("subspace"), col("centroid_id"), col("centroid"))
+    }.reduce(_ union _).localCheckpoint(true)
+    val encoded = (0 until m).foldLeft(
+      corpus.select(col(idCol), col(vecCol))) { (acc, s) =>
+      val cb = codebooks.filter(col("subspace") === s)
+        .select(col("centroid_id"), col("centroid"))
+      ivfAssign(acc.withColumn("_sub", sub(s, col(vecCol))),
+        idCol, "_sub", cb)
+        .withColumnRenamed("centroid_id", s"_c$s").drop("_sub")
+    }
+    val enc = encoded.select(col(idCol),
+      array((0 until m).map(s => col(s"_c$s").cast("int")): _*).as("codes"))
+    (codebooks, enc)
+  }
+
+  /** ADC top-k: score = Σ over subspaces of dot(query_sub, codeword). */
+  def pqSearch(codebooks: org.apache.spark.sql.DataFrame,
+      encoded: org.apache.spark.sql.DataFrame, idCol: String,
+      queryVec: org.apache.spark.sql.DataFrame, m: Int,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val dim = codebooks.select(size(col("centroid"))).head.getInt(0) * m
+    val w = dim / m
+    // per-query lookup tables: (subspace, centroid_id) -> dot(query_s, c)
+    val lut = codebooks.crossJoin(broadcast(queryVec))
+      .select(col("subspace"), col("centroid_id").cast("int").as("code"),
+        dot(col("centroid"),
+          slice(col("qv"), col("subspace") * w + 1, lit(w))).as("score"))
+    val lutMap = broadcast(lut.groupBy("subspace")
+      .agg(map_from_entries(collect_list(struct(col("code"), col("score"))))
+        .as("lut")))
+    // one generate + join on the broadcast luts; scoring never touches
+    // the original vectors
+    encoded
+      .select(col(idCol), posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(lutMap, "subspace")
+      .select(col(idCol), element_at(col("lut"), col("code")).as("s"))
+      .groupBy(idCol).agg(sum(col("s")).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(topK)
+  }
+
   def ivfSearch(assigned: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, centroids: org.apache.spark.sql.DataFrame,
       queryVec: org.apache.spark.sql.DataFrame, nprobe: Int,

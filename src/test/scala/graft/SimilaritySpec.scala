@@ -47,6 +47,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(resBuckets.subsetOf(probed))
   }
 
+  test("product quantization: 8-byte codes, deterministic, useful recall") {
+    val e = Tables.t(TestSession.spark, TestSession.sf, "embeddings")
+    val all = e.select(col("vec_id"), col("embedding"))
+    val corpus = all.filter(col("vec_id") =!= 3)
+    val qv = e.filter(col("vec_id") === 3).select(col("embedding").as("qv"))
+    val (cb, enc) = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
+    // 64 floats → 8 code ids, each within [0, k)
+    val codes = enc.select(explode(col("codes")).as("c"))
+    assert(enc.select(size(col("codes"))).distinct().head.getInt(0) == 8)
+    assert(codes.filter(col("c") < 0 || col("c") >= 16).count() == 0)
+    // codebooks: 8 subspaces × ≤16 centroids of width 8
+    assert(cb.select("subspace").distinct().count() == 8)
+    assert(cb.select(size(col("centroid"))).distinct().head.getInt(0) == 8)
+    // ADC search on i.i.d. random vectors — PQ's worst case (no structure
+    // to exploit): pin a calibrated recall floor and the score correlation;
+    // the pipeline is deterministic so the numbers are stable run-to-run
+    val pqTop = Similarity.pqSearch(cb, enc, "vec_id", qv, m = 8, topK = 50)
+      .collect().map(_.getLong(0))
+    assert(pqTop.toSeq == Similarity.pqSearch(cb, enc, "vec_id", qv, m = 8,
+      topK = 50).collect().map(_.getLong(0)).toSeq) // deterministic
+    val ips = corpus.crossJoin(broadcast(qv))
+      .select(col("vec_id"), Similarity.dot(col("embedding"), col("qv")).as("ip"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactTop10 = ips.toSeq.sortBy(-_._2).take(10).map(_._1)
+    assert(exactTop10.count(pqTop.toSet.contains) >= 4,
+      s"recall floor broken: $exactTop10 vs ${pqTop.toSeq}")
+    // ADC scores correlate with true dots: PQ's picks beat the corpus mean
+    val meanAll = ips.values.sum / ips.size
+    val meanPq = pqTop.map(ips).sum / pqTop.length
+    assert(meanPq > meanAll, s"$meanPq !> $meanAll")
+  }
+
+  test("product quantization is EXACT on codebook-grid data") {
+    import TestSession.spark.implicits._
+    // every subvector is one of 4 prototypes → zero quantization error →
+    // ADC scores ARE the true dots and PQ top-k equals exact top-k
+    val protos = Seq(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f), Array(0f, -1f))
+    // diagonal first: the 4 smallest ids seed all 4 prototypes per subspace
+    val pairs = (0 until 4).map(i => (i, i)) ++
+      (for (a <- 0 until 4; b <- 0 until 4 if a != b) yield (a, b))
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, protos(a) ++ protos(b))
+    }
+    val grid = rows.toDF("vec_id", "embedding")
+    val (cb, enc) = Similarity.pqTrain(grid, "vec_id", "embedding", m = 2, k = 4)
+    val qv = Seq(Tuple1(Array(0.5f, 0.2f, 0.1f, 0.9f))).toDF("qv")
+    val pq = Similarity.pqSearch(cb, enc, "vec_id", qv, m = 2, topK = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = grid.crossJoin(broadcast(qv))
+      .select(col("vec_id"), Similarity.dot(col("embedding"), col("qv")).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq == exact, s"pq=$pq exact=$exact")
+  }
+
   test("MIPS augmentation ranks by inner product where cosine disagrees") {
     import TestSession.spark.implicits._
     // vs q=(1,0): a=(2,0) has cos 1.0 / ip 2; b=(5,1) has cos<1 / ip 5.
