@@ -115,6 +115,35 @@ object Similarity {
     cents
   }
 
+  /** Batch IVF search: per-query top-k for a whole QUERY TABLE in one
+    * plan — probe selection is a windowed top-nprobe per query over the
+    * (tiny) query×centroid cross, and the corpus is touched once, joined
+    * against the broadcast probe set. The retrieval shape batch curation
+    * jobs run (N queries against one index), not N sequential searches. */
+  def ivfSearchBatch(assigned: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, centroids: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, qidCol: String, qvCol: String,
+      nprobe: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeW = Window.partitionBy(qidCol)
+      .orderBy(col("qc").desc, col("centroid_id"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("qc", cosine(col("centroid"), col(qvCol)))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col(qidCol), col("centroid_id"), col(qvCol))
+    val scoreW = Window.partitionBy(qidCol)
+      .orderBy(col("cos_sim").desc, col(idCol))
+    assigned
+      .join(broadcast(probed), "centroid_id")
+      .select(col(qidCol), col(idCol),
+        round(cosine(col(vecCol), col(qvCol)), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(scoreW))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col(idCol), col("cos_sim"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Product quantization (PQ): split the vector into `m` subvectors and
     * k-means-train a `k`-codeword codebook per subspace (`kmeansFit` —
     * each subspace trains independently). A vector encodes to `m` small
@@ -417,6 +446,66 @@ object Similarity {
           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_assigned
           FROM a3 GROUP BY centroid_id) n USING (centroid_id)
         ORDER BY centroid_id""")),
+
+    // Batch ANN: 5 query vectors against the IVF index in ONE plan (probe
+    // top-2 buckets per query, score only those buckets, top-5 per query).
+    // Deterministic arithmetic throughout, so the oracle replays assign →
+    // per-query probe → per-query rank declaratively (QUALIFY windows).
+    "s09_ann_batch" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        val corpus = e.filter(col("vec_id") >= 8 && col("vec_id") < 495)
+        val queries = e.filter(col("vec_id") >= 495)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val assigned = ivfAssign(corpus, "vec_id", "embedding", centroids)
+        ivfSearchBatch(assigned, "vec_id", "embedding", centroids,
+          queries, "q_id", "qv", nprobe = 2, k = 5)
+          .orderBy("q_id", "rnk")
+      },
+      Some("""
+        WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+                   FROM embeddings WHERE vec_id < 8),
+        corpus AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id >= 8 AND vec_id < 495),
+        q AS (SELECT vec_id AS q_id, embedding AS qv
+              FROM embeddings WHERE vec_id >= 495),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT v.vec_id, v.embedding, c.centroid_id,
+              list_sum(list_transform(range(1, len(v.embedding) + 1),
+                i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+            FROM corpus v CROSS JOIN c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) = 1),
+        probed AS (
+          SELECT q_id, centroid_id, qv FROM (
+            SELECT q.q_id, c.centroid_id, q.qv,
+              list_sum(list_transform(range(1, len(c.centroid) + 1),
+                i -> CAST(c.centroid[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS qc
+            FROM q CROSS JOIN c)
+          QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, centroid_id) <= 2)
+        SELECT q_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+          SELECT p.q_id, a.vec_id,
+            round(
+              list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim,
+            row_number() OVER (PARTITION BY p.q_id ORDER BY
+              round(
+                list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE))) /
+                (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                 sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) DESC,
+              a.vec_id) AS rnk
+          FROM assigned a JOIN probed p USING (centroid_id))
+        WHERE rnk <= 5
+        ORDER BY q_id, rnk""")),
 
     // Maximum-inner-product search (MIPS) via norm augmentation: append
     // sqrt(M² − |x|²) to each corpus vector and 0 to the query — cosine
