@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
 /** Presto → Spark function-name/semantics compatibility layer.
@@ -535,8 +536,46 @@ object PrestoFunctions {
     "url_extract_query" -> (e => fn("parse_url", Seq(e(0), lit("QUERY")))),
     "url_extract_fragment" -> (e => fn("parse_url", Seq(e(0), lit("REF")))),
     "url_extract_parameter" -> (e =>
-      fn("parse_url", Seq(e(0), lit("QUERY"), e(1))))
+      fn("parse_url", Seq(e(0), lit("QUERY"), e(1)))),
+    // --- color / terminal rendering (ColorFunctions.java) ---
+    // COLOR type maps to BIGINT (the reference's own encoding: rgb >= 0,
+    // system colors negative). StaticInvoke participates in codegen.
+    "color" -> (e => e.length match {
+      case 1 => colorCall(LongType, "color", Seq(e(0)), Seq(StringType))
+      case 3 => colorCall(LongType, "interpolate",
+        Seq(Cast(e(0), DoubleType), Cast(e(1), LongType), Cast(e(2), LongType)),
+        Seq(DoubleType, LongType, LongType))
+      case _ => colorCall(LongType, "colorBetween",
+        Seq(Cast(e(0), DoubleType), Cast(e(1), DoubleType),
+          Cast(e(2), DoubleType), Cast(e(3), LongType), Cast(e(4), LongType)),
+        Seq(DoubleType, DoubleType, DoubleType, LongType, LongType))
+    }),
+    "rgb" -> (e => colorCall(LongType, "rgb",
+      e.take(3).map(Cast(_, LongType)), Seq(LongType, LongType, LongType))),
+    "render" -> (e =>
+      if (e.length == 1)
+        colorCall(StringType, "renderBool", Seq(Cast(e(0), BooleanType)),
+          Seq(BooleanType))
+      else
+        colorCall(StringType, "render",
+          Seq(Cast(e(0), StringType), Cast(e(1), LongType)),
+          Seq(StringType, LongType))),
+    "bar" -> (e => {
+      val args = Seq(Cast(e(0), DoubleType), Cast(e(1), LongType)) ++
+        e.drop(2).take(2).map(Cast(_, LongType))
+      colorCall(StringType, "bar", args,
+        DoubleType +: Seq.fill(args.length - 1)(LongType))
+    })
   )
+
+  // ColorFns is a top-level object: scalac emits static forwarders on the
+  // paired `graft.functions.ColorFns` class, which StaticInvoke targets.
+  private val colorCls: Class[_] = Class.forName("graft.functions.ColorFns")
+
+  private def colorCall(dt: DataType, method: String, args: Seq[Expression],
+                        inputTypes: Seq[DataType]): Expression =
+    StaticInvoke(colorCls, dt, method, args, inputTypes,
+      propagateNull = true, returnNullable = false)
 
   /** Register everything into the session's function registry. */
   def registerAll(spark: SparkSession): Unit = {

@@ -195,6 +195,49 @@ object PrestoCompat {
         FROM rk WHERE rn <= 5
         GROUP BY source ORDER BY source""")),
 
+    // Color/terminal rendering surface (ColorFunctions.java:35-323):
+    // render/bar/color/rgb emit byte-exact ANSI escapes. The oracle replays
+    // the encoding closed-form in DuckDB: system colors are fixed ANSI
+    // indices, #0f0 → cube index 46, and the default red→green gradient's
+    // 8 per-block indices (196,202,214,226,226,154,82,46 — HSB-space lerp)
+    // are constants for a fixed width.
+    "p11_color_bar" -> Q(
+      presto("""
+        SELECT n_nationkey,
+          render(n_name, color('#0f0')) AS name_green,
+          render(n_nationkey % 2 = 0) AS even_mark,
+          bar(CAST(n_nationkey AS DOUBLE) / 24, 10,
+              rgb(0, 255, 0), rgb(0, 255, 0)) AS greenbar,
+          bar(CAST(n_nationkey AS DOUBLE) / 24, 8) AS gradbar,
+          rgb(n_nationkey * 10, 0, 255 - n_nationkey * 10) AS rgbv,
+          color('red') AS sys_red
+        FROM nation ORDER BY n_nationkey"""),
+      Some("""
+        WITH g AS (
+          SELECT n_nationkey, n_name,
+            CAST(floor(n_nationkey / 24.0 * 10) AS INT) AS c10,
+            CAST(floor(n_nationkey / 24.0 * 8) AS INT) AS c8,
+            [chr(27)||'[38;5;196m'||chr(9608), chr(27)||'[38;5;202m'||chr(9608),
+             chr(27)||'[38;5;214m'||chr(9608), chr(27)||'[38;5;226m'||chr(9608),
+             chr(27)||'[38;5;226m'||chr(9608), chr(27)||'[38;5;154m'||chr(9608),
+             chr(27)||'[38;5;82m'||chr(9608), chr(27)||'[38;5;46m'||chr(9608)]
+              AS blocks
+          FROM nation)
+        SELECT n_nationkey,
+          chr(27)||'[38;5;46m'||n_name||chr(27)||'[0m' AS name_green,
+          CASE WHEN n_nationkey % 2 = 0
+            THEN chr(27)||'[38;5;2m'||chr(10003)||chr(27)||'[0m'
+            ELSE chr(27)||'[38;5;1m'||chr(10007)||chr(27)||'[0m'
+          END AS even_mark,
+          repeat(chr(27)||'[38;5;46m'||chr(9608), c10)||chr(27)||'[0m'||
+            repeat(' ', 10 - c10) AS greenbar,
+          coalesce(array_to_string(blocks[1:c8], ''), '')||chr(27)||'[0m'||
+            repeat(' ', 8 - c8) AS gradbar,
+          CAST(n_nationkey * 10 * 65536 + (255 - n_nationkey * 10) AS BIGINT)
+            AS rgbv,
+          CAST(-2 AS BIGINT) AS sys_red
+        FROM g ORDER BY n_nationkey""")),
+
     // Native codegen'd cosine_similarity expression (CosineSimilarity
     // doGenCode) — same semantics as the HOF-based s01, checked vs DuckDB.
     "p07_cosine_native" -> Q(

@@ -6,7 +6,9 @@ object RunQuery {
     val spark = GraftSession.local(8)
     val df = SparkEntry.all(args(0)).fn(spark,
       if (args.length > 1) args(1) else "/root/testdata/sf0.01")
-    df.show(100, truncate = false)
+    if (args.length > 2)
+      Verify.normalize(df).coalesce(1).write.mode("overwrite").parquet(args(2))
+    else df.show(100, truncate = false)
     spark.stop()
   }
 }

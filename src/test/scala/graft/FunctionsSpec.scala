@@ -452,4 +452,53 @@ class FunctionsSpec extends AnyFunSuite {
       assert(top5.toSet == expect, s"flag=$flag")
     }
   }
+
+  test("color functions: encoding (ColorFunctions.java:88-116)") {
+    assertFn("color('red')", -2L) // system color index 1 → -(1+1)
+    assertFn("color('GREEN')", -3L) // case-insensitive
+    assertFn("color('#f00')", 0xFF0000L) // css nibble replication
+    assertFn("color('#0f0')", 0x00FF00L)
+    assertFn("color('#123')", 0x112233L)
+    assertFn("rgb(255, 0, 0)", 0xFF0000L)
+    assertFn("rgb(1, 2, 3)", 0x010203L)
+    intercept[Exception](one("color('no_such_color')"))
+    intercept[Exception](one("rgb(256, 0, 0)"))
+  }
+
+  test("color interpolation clamps and lerps in HSB space") {
+    // endpoints are exact
+    assertFn("color(0.0, color('#f00'), color('#0f0'))", 0xFF0000L)
+    assertFn("color(1.0, color('#f00'), color('#0f0'))", 0x00FF00L)
+    assertFn("color(-5.0, color('#f00'), color('#0f0'))", 0xFF0000L) // clamp
+    assertFn("color(9.0, color('#f00'), color('#0f0'))", 0x00FF00L) // clamp
+    // 5-arg form rescales value into [low, high]
+    assertFn("color(50.0, 0.0, 100.0, color('#f00'), color('#0f0'))",
+      graft.functions.ColorFns.interpolate(0.5, 0xFF0000L, 0x00FF00L))
+    // grayscale midpoint: hue/sat 0, value lerps 0→1 (HSB, not RGB, space)
+    assertFn("color(0.5, color('#000'), color('#fff'))",
+      graft.functions.ColorFns.interpolate(0.5, 0L, 0xFFFFFFL))
+  }
+
+  test("render emits ANSI 256-color escapes (ColorFunctions.java:161-192)") {
+    assertFn("render('x', color('red'))", "\u001b[38;5;1mx\u001b[0m")
+    // rgb(255,0,0) → cube index 16 + 5*36 = 196
+    assertFn("render('hi', rgb(255, 0, 0))", "\u001b[38;5;196mhi\u001b[0m")
+    assertFn("render(42, color('blue'))", "\u001b[38;5;4m42\u001b[0m")
+    assertFn("render(true)", "\u001b[38;5;2m✓\u001b[0m")
+    assertFn("render(false)", "\u001b[38;5;1m✗\u001b[0m")
+  }
+
+  test("bar renders a fixed-width gradient bar (ColorFunctions.java:196-232)") {
+    // single-color gradient: every block gets the same escape
+    assertFn("bar(0.5, 4, rgb(0,255,0), rgb(0,255,0))",
+      "\u001b[38;5;46m█\u001b[38;5;46m█\u001b[0m  ")
+    assertFn("bar(0.0, 3, rgb(0,255,0), rgb(0,255,0))", "\u001b[0m   ")
+    assertFn("bar(2.0, 2, rgb(0,255,0), rgb(0,255,0))", // clamped to width
+      "\u001b[38;5;46m█\u001b[38;5;46m█\u001b[0m")
+    // default red→green: first block is pure red (fraction 0)
+    val s = one("bar(1.0, 10)").asInstanceOf[String]
+    assert(s.startsWith("\u001b[38;5;196m█"))
+    assert(s.endsWith("\u001b[0m"))
+    assert(s.count(_ == '█') == 10)
+  }
 }
