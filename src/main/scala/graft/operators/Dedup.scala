@@ -67,12 +67,21 @@ object Dedup {
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
   /** LSH candidates verified by exact shingle-Jaccard ≥ 0.8 (the d04
-    * pipeline): (id_a, id_b, j) with id_a < id_b, j unrounded. */
+    * pipeline): (id_a, id_b, j) with id_a < id_b, j unrounded.
+    *
+    * The shingle table is computed ONCE and materialized
+    * (`localCheckpoint`): it feeds three consumers — the minhash explode
+    * and both sides of the verify join — and without the checkpoint each
+    * re-runs normalize+tokenize+shingle over the corpus (3× the dominant
+    * scan cost; production pipelines materialize this table for the same
+    * reason). Duplicate shingles can't change a min-hash, so the
+    * `array_distinct` form is shared with the signature stage. */
   private def lshVerifiedPairs(dd: DataFrame): DataFrame = {
     val sh = dd.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(shinglesOf(col("t"), 3)).as("sh"))
-    minhashLshPairs(dd, "doc_id", "text")
+      .localCheckpoint(true)
+    minhashLshPairsFromShingles(sh, "doc_id", "sh")
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -155,15 +164,30 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    // Signature layout is DELIBERATELY explode+groupBy, not K map-only
-    // array_min(transform(...)) folds: CollapseProject inlines the bound
-    // shingle column into every fold, re-running the O(n·k) shingle
-    // construction K times per doc (measured 17x slower at sf0.1). The
-    // exploded form hashes each shingle exactly once per hash function and
-    // pays one map-side-combined shuffle of (doc, K mins) partials.
     val shingled = df
       .select(col(idCol), tokens(col(textCol)).as("t"))
-      .select(col(idCol), explode(shinglesOf(col("t"), shingleK)).as("sh"))
+      .select(col(idCol), array_distinct(shinglesOf(col("t"), shingleK)).as("sh"))
+    minhashLshPairsFromShingles(shingled, idCol, "sh",
+      numHashes, bandSize, maxBucketSize)
+  }
+
+  /** As `minhashLshPairs`, but over an already-computed array<string>
+    * shingle column — lets the caller materialize the shingle table once
+    * and share it with the exact-verify stage. */
+  def minhashLshPairsFromShingles(df: DataFrame, idCol: String,
+      shingleCol: String, numHashes: Int = 8, bandSize: Int = 2,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    // Signature layout is DELIBERATELY explode+groupBy, not K map-only
+    // array_min(transform(...)) folds: higher-order functions evaluate
+    // interpreted (outside codegen) and, when the shingle column is an
+    // inline expression, CollapseProject additionally re-runs the O(n·k)
+    // shingle construction K times per doc (measured 17x slower at sf0.1;
+    // the fold form re-measured 1.4x slower even against a materialized
+    // shingle column). The exploded form hashes each shingle exactly once
+    // per hash function inside whole-stage codegen and pays one
+    // map-side-combined shuffle of (doc, K mins) partials.
+    val shingled = df.select(col(idCol), explode(col(shingleCol)).as("sh"))
     val hashed = shingled.select(col(idCol) +:
       (0 until numHashes).map(i => xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
     val sig = hashed.groupBy(idCol)

@@ -186,23 +186,32 @@ object TpchMacro {
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC"""),
 
-      // Q2: minimum-cost supplier (correlated min + 5-way dim join). The
-      // fixture has no partsupp table, so the supply relation derives from
-      // lineitem ($PSUPP) — same join/subquery shape as the original.
-      both("h02_min_cost_supplier", s"""
-        WITH $PSUPP
+      // Q2: minimum-cost supplier. The fixture has no partsupp table, so the
+      // supply relation derives from lineitem. Two scale optimizations over
+      // the textbook correlated form: (1) the part predicate is a per-partkey
+      // semi-join, so it prunes lineitem BEFORE the heavy (partkey, suppkey)
+      // aggregation; (2) the correlated per-part min over EUROPE suppliers is
+      // a window min over the same join — computed once, no decorrelated
+      // second aggregate + self-join of the supply relation.
+      both("h02_min_cost_supplier", """
         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
-        FROM part, supplier, partsupp, nation, region
-        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-          AND p_size = 15 AND p_type = 'ECONOMY'
-          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-          AND r_name = 'EUROPE'
-          AND ps_supplycost = (
-            SELECT min(ps_supplycost)
-            FROM partsupp ps2, supplier s2, nation n2, region r2
-            WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
-              AND s2.s_nationkey = n2.n_nationkey
-              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        FROM (
+          SELECT ps_partkey, s_acctbal, s_name, n_name, ps_supplycost,
+            min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+          FROM (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+              CAST(min(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS ps_supplycost
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_size = 15 AND p_type = 'ECONOMY')
+            GROUP BY l_partkey, l_suppkey) ps,
+            supplier, nation, region
+          WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey AND r_name = 'EUROPE') eu,
+          part
+        WHERE p_partkey = ps_partkey AND p_size = 15 AND p_type = 'ECONOMY'
+          AND ps_supplycost = min_cost
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""),
 
       // Q4: order-priority checking (correlated EXISTS). Lateness predicate
@@ -222,8 +231,13 @@ object TpchMacro {
       // Q9: product-type profit (6-way join, profit = revenue − supply
       // cost), supply costs from the derived partsupp. All decimal products
       // stay at exactly-representable scales (cost ×  integral quantity).
-      both("h09_product_profit", s"""
-        WITH $PSUPP
+      // The derived partsupp is grouped by the SAME keys it joins back on
+      // (l_partkey, l_suppkey), so the aggregate-join-back collapses to a
+      // window min — one (partkey, suppkey) shuffle instead of a groupBy
+      // plus a shuffled self-join, and the '%red%' part filter (broadcast
+      // semi) prunes lineitem BEFORE the window: group membership is
+      // decided per partkey, so the per-group min is unchanged.
+      both("h09_product_profit", """
         SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(38,4)) AS sum_profit
         FROM (
           SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
@@ -232,11 +246,18 @@ object TpchMacro {
                  AS DECIMAL(18,4)) -
             CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
                  AS DECIMAL(18,4)) AS amount
-          FROM part, supplier, lineitem, partsupp, orders, nation
-          WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
-            AND ps_partkey = l_partkey AND p_partkey = l_partkey
-            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-            AND p_name LIKE '%red%') profit
+          FROM (
+            SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount,
+              l_quantity,
+              CAST(min(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY l_partkey, l_suppkey)
+                   AS DECIMAL(18,2)) AS ps_supplycost
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%red%')) l,
+            supplier, orders, nation
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND s_nationkey = n_nationkey) profit
         GROUP BY nation, o_year ORDER BY nation, o_year DESC"""),
 
       // Q11: important stock identification (grouped value vs global-share
@@ -309,21 +330,32 @@ object TpchMacro {
 
       // Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS against
       // the same fact table); lateness adapted to the 60-day ship delay.
+      // The two correlated quantifiers (EXISTS: another supplier in the
+      // order; NOT EXISTS: no OTHER supplier late) fold into per-order
+      // distinct-supplier counts: l1 is itself late, so "no other late
+      // supplier" ⇔ the order has exactly one distinct late supplier. One
+      // orderkey-partitioned aggregate replaces two shuffled semi/anti
+      // joins of lineitem against itself (the correlated-quantifier PLAN
+      // shape stays exercised by h04/q56-q59/q62).
       both("h21_waiting_supplier", """
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+            l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem, orders
+          WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'),
+        ag AS (
+          -- two-level distinct: (order, supp) partial-aggregates map-side,
+          -- then one row per order — no Expand from multi-DISTINCT rewrite
+          SELECT l_orderkey, count(*) AS n_supp,
+            sum(CASE WHEN any_late THEN 1 ELSE 0 END) AS n_late_supp
+          FROM (SELECT l_orderkey, l_suppkey, bool_or(late) AS any_late
+                FROM lo GROUP BY l_orderkey, l_suppkey)
+          GROUP BY l_orderkey)
         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-        FROM supplier, lineitem l1, orders, nation
-        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-          AND o_orderstatus = 'F'
-          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          AND EXISTS (
-            SELECT 1 FROM lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey
-              AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (
-            SELECT 1 FROM lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey
-              AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        FROM lo l1, ag, supplier, nation
+        WHERE ag.l_orderkey = l1.l_orderkey AND l1.late
+          AND ag.n_supp > 1 AND ag.n_late_supp = 1
+          AND s_suppkey = l1.l_suppkey
           AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""),
 
