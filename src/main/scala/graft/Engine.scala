@@ -49,18 +49,76 @@ class Engine(parent: SparkSession) {
     this
   }
 
+  // --- transactions (SqlBase.g4:86-88; MAIN/transaction/TransactionManager
+  // .java:77). The reference's transactions gate CONNECTOR WRITES: work is
+  // staged per-transaction and applied by the connector's commit. Same
+  // protocol here: inside a transaction, DML against path-backed tables is
+  // computed immediately (so row counts return, and the statement sees the
+  // pre-transaction snapshot) but its COMMIT STEP — the append / atomic
+  // directory swap — is deferred to commit(); rollback() discards the
+  // staging. Like the reference's Hive connector, at most one write
+  // statement per table per transaction (keeps snapshot counts equal to
+  // apply-time counts).
+  private var inTransaction = false
+  private val txOps = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  private val txTables = scala.collection.mutable.Set.empty[String]
+
+  /** START TRANSACTION. */
+  def startTransaction(): Engine = {
+    require(!inTransaction, "transaction already in progress")
+    inTransaction = true
+    this
+  }
+
+  /** COMMIT: apply the staged write operations in statement order. */
+  def commit(): Unit = {
+    require(inTransaction, "no transaction in progress")
+    try txOps.foreach(op => op())
+    finally { txOps.clear(); txTables.clear(); inTransaction = false }
+  }
+
+  /** ROLLBACK: discard the staged write operations. */
+  def rollback(): Unit = {
+    require(inTransaction, "no transaction in progress")
+    txOps.clear(); txTables.clear(); inTransaction = false
+  }
+
+  private def stageOrRun(table: String, run: () => Unit): Unit =
+    if (inTransaction) {
+      require(!txTables.contains(table),
+        s"table '$table' already written in this transaction " +
+          "(one write statement per table per transaction)")
+      txTables += table
+      txOps += run
+    } else run()
+
   /** INSERT INTO <name> SELECT … for path-backed tables: appends the query
     * result to the table's files and refreshes the view (TableWriterOperator
-    * append + TableFinishOperator commit). Returns rows inserted. */
+    * append + TableFinishOperator commit). Returns rows inserted. In a
+    * transaction the result is staged to a scratch directory and the append
+    * happens at COMMIT. */
   def insertInto(name: String, sqlText: String): Long = {
     val (path, format) = tablePaths.getOrElse(name,
       throw new IllegalArgumentException(
         s"INSERT requires a path-backed table; '$name' is not registered with a path"))
     val rows = spark.sql(sqlText)
-    val n = rows.count()
-    rows.write.mode("append").format(format).save(path)
-    registerTable(name, path, format)
-    n
+    if (!inTransaction) {
+      val n = rows.count()
+      rows.write.mode("append").format(format).save(path)
+      registerTable(name, path, format)
+      n
+    } else {
+      val staging = path.stripSuffix("/") + s"__tx_insert"
+      rows.write.mode("overwrite").format(format).save(staging)
+      val n = spark.read.format(format).load(staging).count()
+      stageOrRun(name, () => {
+        spark.read.format(format).load(staging).write
+          .mode("append").format(format).save(path)
+        Engine.deleteDir(new java.io.File(staging))
+        registerTable(name, path, format)
+      })
+      n
+    }
   }
 
   /** DELETE FROM <name> WHERE <predicate> for path-backed tables
@@ -80,17 +138,50 @@ class Engine(parent: SparkSession) {
     val survivors = spark.table(name).filter(s"NOT ($predicateSql)")
     val tmp = path.stripSuffix("/") + "__rewrite"
     survivors.write.mode("overwrite").format(format).save(tmp)
+    val deleted = before - spark.read.format(format).load(tmp).count()
     // commit: swap directories (TableFinishOperator's commit step)
-    val target = new java.io.File(path)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    stageOrRun(name, () => {
+      val target = new java.io.File(path)
+      Engine.deleteDir(target)
+      require(new java.io.File(tmp).renameTo(target),
+        s"DELETE commit failed: cannot move $tmp to $path")
+      registerTable(name, path, format)
+    })
+    deleted
+  }
+
+  /** SHOW PARTITIONS FROM <table> (SqlBase.g4:89 — the hive-metastore
+    * partition listing, deprecated upstream). For a hive-layout path table
+    * the partition set IS the k=v directory tree, so this enumerates
+    * directories — metadata-only, no data scan (the metastore-read cost
+    * profile). One row per partition, partition-key columns as strings. */
+  def showPartitions(name: String): DataFrame = {
+    val (path, _) = tablePaths.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"SHOW PARTITIONS requires a path-backed table; '$name' has no path"))
+    def walk(dir: java.io.File,
+             acc: Vector[(String, String)]): Vector[Vector[(String, String)]] = {
+      val subs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      if (subs.isEmpty) { if (acc.nonEmpty) Vector(acc) else Vector.empty }
+      else subs.toVector.flatMap { d =>
+        val Array(k, v) = d.getName.split("=", 2)
+        walk(d, acc :+ (k -> v))
+      }
     }
-    rm(target)
-    require(new java.io.File(tmp).renameTo(target),
-      s"DELETE commit failed: cannot move $tmp to $path")
-    registerTable(name, path, format)
-    before - spark.table(name).count()
+    val parts = walk(new java.io.File(path), Vector.empty)
+    require(parts.nonEmpty, s"table '$name' is not partitioned")
+    val keys = parts.head.map(_._1)
+    import spark.implicits._
+    val rows = parts.map(_.map(_._2) match {
+      case vs => org.apache.spark.sql.Row.fromSeq(vs)
+    })
+    val schema = org.apache.spark.sql.types.StructType(keys.map(k =>
+      org.apache.spark.sql.types.StructField(k,
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(keys.map(col => $"$col"): _*)
   }
 
   /** CREATE VIEW equivalent (stored SQL text, like
@@ -108,7 +199,33 @@ class Engine(parent: SparkSession) {
     registerTable(name, path, format)
   }
 
-  def sql(query: String): DataFrame = spark.sql(query)
+  /** Session access control (GRANT/REVOKE/SHOW GRANTS + enforcement —
+    * see graft.AccessControl). Allow-all until enabled, like the
+    * reference's AllowAllAccessControl default. */
+  val accessControl = new AccessControl
+
+  def sql(query: String): DataFrame = {
+    accessControl.check(spark, query)
+    spark.sql(query)
+  }
+
+  /** GRANT <privileges> ON <table> TO <grantee> (SqlBase.g4:58-61). */
+  def grant(privileges: Seq[String], table: String, grantee: String,
+            withGrantOption: Boolean = false): Engine = {
+    accessControl.grant(privileges, table, grantee, withGrantOption)
+    this
+  }
+
+  /** REVOKE <privileges> ON <table> FROM <grantee> (SqlBase.g4:62-65). */
+  def revoke(privileges: Seq[String], table: String, grantee: String): Engine = {
+    accessControl.revoke(privileges, table, grantee)
+    this
+  }
+
+  /** SHOW GRANTS [ON <table>] (SqlBase.g4:66). */
+  def showGrants(table: Option[String] = None,
+                 grantee: Option[String] = None): DataFrame =
+    accessControl.showGrants(spark, table, grantee)
 
   private val prepared = scala.collection.mutable.Map.empty[String, String]
 
@@ -269,6 +386,11 @@ class Engine(parent: SparkSession) {
 
 object Engine {
   def apply(spark: SparkSession): Engine = new Engine(spark)
+
+  private[graft] def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)
+    f.delete()
+  }
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Engine]()

@@ -193,6 +193,96 @@ class ColumnApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](e.delete("orders", "true"))
   }
 
+  test("Engine transactions: staged writes apply at COMMIT, vanish on ROLLBACK") {
+    val e = Engine(spark).loadCatalog(sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-tx").toString
+    e.ctas("tx_orders", "SELECT * FROM orders WHERE o_orderkey <= 100", path)
+    val base = e.sql("SELECT count(*) FROM tx_orders").head.getLong(0)
+
+    // ROLLBACK discards the staged insert
+    e.startTransaction()
+    val n1 = e.insertInto("tx_orders",
+      "SELECT * FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 150")
+    assert(n1 > 0)
+    // snapshot visibility: the table is unchanged until commit
+    assert(e.sql("SELECT count(*) FROM tx_orders").head.getLong(0) == base)
+    e.rollback()
+    assert(e.sql("SELECT count(*) FROM tx_orders").head.getLong(0) == base)
+
+    // COMMIT applies insert + delete on different tables in order
+    val path2 = java.nio.file.Files.createTempDirectory("graft-tx2").toString
+    e.ctas("tx_cust", "SELECT * FROM customer", path2)
+    val custBase = e.sql("SELECT count(*) FROM tx_cust").head.getLong(0)
+    e.startTransaction()
+    val n2 = e.insertInto("tx_orders",
+      "SELECT * FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 150")
+    val d2 = e.delete("tx_cust", "c_custkey <= 10")
+    assert(d2 > 0)
+    assert(e.sql("SELECT count(*) FROM tx_orders").head.getLong(0) == base)
+    assert(e.sql("SELECT count(*) FROM tx_cust").head.getLong(0) == custBase)
+    // one write statement per table per transaction (the reference's
+    // hive-connector restriction)
+    intercept[IllegalArgumentException](e.delete("tx_orders", "o_orderkey = 1"))
+    e.commit()
+    assert(e.sql("SELECT count(*) FROM tx_orders").head.getLong(0) == base + n2)
+    assert(e.sql("SELECT count(*) FROM tx_cust").head.getLong(0) == custBase - d2)
+    // transaction state machine
+    intercept[IllegalArgumentException](e.commit())
+    intercept[IllegalArgumentException](e.rollback())
+  }
+
+  test("Engine SHOW PARTITIONS lists the hive-layout partition tree") {
+    val e = Engine(spark).loadCatalog(sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-showpart").toString
+    Tables.t(spark, sf, "lineitem")
+      .write.mode("overwrite").partitionBy("l_returnflag", "l_linestatus")
+      .parquet(dir)
+    e.registerTable("li_part", dir)
+    val parts = e.showPartitions("li_part").collect()
+    assert(parts.nonEmpty)
+    assert(e.showPartitions("li_part").columns.toSeq ==
+      Seq("l_returnflag", "l_linestatus"))
+    // the directory listing matches the data's distinct partition values
+    val expect = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(parts.map(r => (r.getString(0), r.getString(1))).toSet == expect)
+    // unpartitioned table → error
+    val flat = java.nio.file.Files.createTempDirectory("graft-flat").toString
+    e.ctas("flat_nation", "SELECT * FROM nation", flat)
+    intercept[IllegalArgumentException](e.showPartitions("flat_nation"))
+  }
+
+  test("Engine GRANT/REVOKE/SHOW GRANTS with analysis-time enforcement") {
+    val e = Engine(spark).loadCatalog(sf)
+    // allow-all default: no identity, no enforcement
+    assert(e.sql("SELECT count(*) FROM nation").head.getLong(0) == 25)
+    e.accessControl.setIdentity("alice")
+    e.accessControl.setEnforcing(true)
+    // alice has no grants → denied, including tables inside subqueries
+    intercept[SecurityException](e.sql("SELECT count(*) FROM nation"))
+    intercept[SecurityException](e.sql(
+      "SELECT 1 WHERE EXISTS (SELECT 1 FROM nation)"))
+    e.grant(Seq("SELECT"), "nation", "alice")
+    assert(e.sql("SELECT count(*) FROM nation").head.getLong(0) == 25)
+    // a join still requires grants on BOTH tables
+    intercept[SecurityException](e.sql(
+      "SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey"))
+    e.grant(Seq("ALL"), "region", "alice")
+    assert(e.sql(
+      "SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey")
+      .head.getLong(0) == 25)
+    // SHOW GRANTS reflects grant + revoke
+    val g = e.showGrants(grantee = Some("alice")).collect()
+    assert(g.map(r => (r.getString(1), r.getString(2))).toSet.contains(
+      ("nation", "SELECT")))
+    assert(g.count(_.getString(1) == "region") == 4) // ALL = 4 privileges
+    e.revoke(Seq("SELECT"), "nation", "alice")
+    intercept[SecurityException](e.sql("SELECT count(*) FROM nation"))
+    e.accessControl.setEnforcing(false)
+    assert(e.sql("SELECT count(*) FROM nation").head.getLong(0) == 25)
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val active = SparkSession.getActiveSession
     val default = SparkSession.getDefaultSession
