@@ -85,7 +85,7 @@ object Geo {
     * around, points/lines do not. */
   def edges(gtype: String, xs: Array[Double], ys: Array[Double]): Seq[(Double, Double, Double, Double)] = {
     val n = xs.length
-    if (n < 2) Seq.empty
+    if (n < 2 || gtype == "POINT" || gtype == "MULTIPOINT") Seq.empty
     else {
       val base = (0 until n - 1).map(i => (xs(i), ys(i), xs(i + 1), ys(i + 1)))
       if (gtype == "POLYGON" && n >= 3)
@@ -146,6 +146,236 @@ object Geo {
     min
   }
 
+  // --- topology helpers for the relation predicates / constructors ---
+
+  /** Strict segment-interior crossing (shared endpoints excluded). */
+  def properlyCross(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(ox: Double, oy: Double, px: Double, py: Double,
+        qx: Double, qy: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    (o1 > 0) != (o2 > 0) && (o3 > 0) != (o4 > 0) &&
+      o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
+  }
+
+  def onBoundary(px: Double, py: Double,
+      g: (String, Array[Double], Array[Double])): Boolean = g._1 match {
+    case "POINT" | "MULTIPOINT" =>
+      g._2.indices.exists(i => g._2(i) == px && g._3(i) == py)
+    case _ => edges(g._1, g._2, g._3).exists { case (ax, ay, bx, by) =>
+      pointOnSegment(px, py, ax, ay, bx, by) }
+  }
+
+  def strictlyInside(px: Double, py: Double,
+      poly: (String, Array[Double], Array[Double])): Boolean =
+    pointInPolygon(px, py, poly._2, poly._3) && !onBoundary(px, py, poly)
+
+  /** Sample points whose strict-containment decides interior overlap:
+    * vertices + edge midpoints (+ centroid for polygons). */
+  private def samplePoints(g: (String, Array[Double], Array[Double])): Seq[(Double, Double)] = {
+    val verts = g._2.indices.map(i => (g._2(i), g._3(i)))
+    val mids = edges(g._1, g._2, g._3).map { case (ax, ay, bx, by) =>
+      ((ax + bx) / 2, (ay + by) / 2) }
+    val centroid =
+      if (g._1 == "POLYGON" && g._2.nonEmpty)
+        Seq((g._2.sum / g._2.length, g._3.sum / g._3.length))
+      else Seq.empty
+    verts ++ mids ++ centroid
+  }
+
+  /** Positive-length collinear overlap between two segment sets. */
+  private def segmentOverlap(ea: Seq[(Double, Double, Double, Double)],
+      eb: Seq[(Double, Double, Double, Double)]): Boolean =
+    ea.exists { case (ax, ay, bx, by) =>
+      eb.exists { case (cx, cy, dx, dy) =>
+        // collinear iff both c and d lie on line ab with zero cross product
+        def cross(px: Double, py: Double, qx: Double, qy: Double,
+            rx: Double, ry: Double): Double =
+          (qx - px) * (ry - py) - (qy - py) * (rx - px)
+        cross(ax, ay, bx, by, cx, cy) == 0 && cross(ax, ay, bx, by, dx, dy) == 0 && {
+          // 1-d interval overlap along the dominant axis
+          val horiz = math.abs(bx - ax) >= math.abs(by - ay)
+          val (a1, a2) = if (horiz) (math.min(ax, bx), math.max(ax, bx))
+            else (math.min(ay, by), math.max(ay, by))
+          val (b1, b2) = if (horiz) (math.min(cx, dx), math.max(cx, dx))
+            else (math.min(cy, dy), math.max(cy, dy))
+          math.min(a2, b2) - math.max(a1, b1) > 0
+        }
+      }
+    }
+
+  /** Interior-∩-interior non-empty — the discriminator between touches and
+    * crosses/overlaps (DE-9IM row the reference gets from ESRI relate).
+    * Decided by proper edge crossings, positive-length collinear overlap,
+    * strict containment of sampled points (vertices, edge midpoints,
+    * centroid), and ring equality. */
+  def interiorsIntersect(a: (String, Array[Double], Array[Double]),
+      b: (String, Array[Double], Array[Double])): Boolean = {
+    def dim(t: String) = t match {
+      case "POINT" | "MULTIPOINT" => 0; case "LINESTRING" => 1; case _ => 2 }
+    val (da, db) = (dim(a._1), dim(b._1))
+    if (da > db) return interiorsIntersect(b, a)
+    (da, db) match {
+      case (0, 0) =>
+        a._2.indices.exists(i => b._2.indices.exists(j =>
+          a._2(i) == b._2(j) && a._3(i) == b._3(j)))
+      case (0, 1) =>
+        // line interior excludes its two endpoints
+        a._2.indices.exists { i =>
+          val (px, py) = (a._2(i), a._3(i))
+          val n = b._2.length
+          onBoundary(px, py, b) &&
+            !(px == b._2(0) && py == b._3(0)) &&
+            !(px == b._2(n - 1) && py == b._3(n - 1))
+        }
+      case (0, 2) =>
+        a._2.indices.exists(i => strictlyInside(a._2(i), a._3(i), b))
+      case (1, 1) =>
+        val ea = edges(a._1, a._2, a._3); val eb = edges(b._1, b._2, b._3)
+        ea.exists { case (ax, ay, bx, by) => eb.exists { case (cx, cy, dx, dy) =>
+          properlyCross(ax, ay, bx, by, cx, cy, dx, dy) } } ||
+          segmentOverlap(ea, eb)
+      case (1, 2) =>
+        val eb = edges(b._1, b._2, b._3)
+        samplePoints(a).exists { case (px, py) => strictlyInside(px, py, b) } ||
+          edges(a._1, a._2, a._3).exists { case (ax, ay, bx, by) =>
+            eb.exists { case (cx, cy, dx, dy) =>
+              properlyCross(ax, ay, bx, by, cx, cy, dx, dy) } }
+      case _ =>
+        edges(a._1, a._2, a._3).exists { case (ax, ay, bx, by) =>
+          edges(b._1, b._2, b._3).exists { case (cx, cy, dx, dy) =>
+            properlyCross(ax, ay, bx, by, cx, cy, dx, dy) } } ||
+          samplePoints(a).exists { case (px, py) => strictlyInside(px, py, b) } ||
+          samplePoints(b).exists { case (px, py) => strictlyInside(px, py, a) } ||
+          equalsGeom(a, b)
+    }
+  }
+
+  /** Geometric equality (shared by ST_Equals / the relation predicates). */
+  def equalsGeom(a: (String, Array[Double], Array[Double]),
+      b: (String, Array[Double], Array[Double])): Boolean = {
+    val (ta, axs, ays) = a; val (tb, bxs, bys) = b
+    if (ta != tb || axs.length != bxs.length) false
+    else {
+      val as = axs.zip(ays).toSeq
+      val bs = bxs.zip(bys).toSeq
+      ta match {
+        case "POINT" => as == bs
+        case "MULTIPOINT" => as.sorted == bs.sorted
+        case "LINESTRING" => as == bs || as == bs.reverse
+        case "POLYGON" =>
+          def rot(s: Seq[(Double, Double)], k: Int) = s.drop(k) ++ s.take(k)
+          bs.indices.exists(k => rot(bs, k) == as) ||
+            bs.indices.exists(k => rot(bs.reverse, k) == as)
+        case _ => false
+      }
+    }
+  }
+
+  /** ST_Touches: boundaries meet, interiors don't. */
+  def touches(a: (String, Array[Double], Array[Double]),
+      b: (String, Array[Double], Array[Double])): Boolean =
+    distance(a, b) == 0.0 && !interiorsIntersect(a, b)
+
+  /** ST_Crosses: interiors meet in a lower-dimensional set. */
+  def crosses(a: (String, Array[Double], Array[Double]),
+      b: (String, Array[Double], Array[Double])): Boolean = {
+    def isLine(t: String) = t == "LINESTRING"
+    def isPoly(t: String) = t == "POLYGON"
+    if (isLine(a._1) && isLine(b._1)) {
+      val ea = edges(a._1, a._2, a._3); val eb = edges(b._1, b._2, b._3)
+      ea.exists { case (ax, ay, bx, by) => eb.exists { case (cx, cy, dx, dy) =>
+        properlyCross(ax, ay, bx, by, cx, cy, dx, dy) } } &&
+        !segmentOverlap(ea, eb)
+    } else if (isLine(a._1) && isPoly(b._1)) crossesLinePoly(a, b)
+    else if (isPoly(a._1) && isLine(b._1)) crossesLinePoly(b, a)
+    else false
+  }
+
+  private def crossesLinePoly(line: (String, Array[Double], Array[Double]),
+      poly: (String, Array[Double], Array[Double])): Boolean = {
+    val pts = samplePoints(line)
+    pts.exists { case (px, py) => strictlyInside(px, py, poly) } &&
+      pts.exists { case (px, py) => !pointInPolygon(px, py, poly._2, poly._3) }
+  }
+
+  /** ST_Overlaps: same dimension, interiors meet, neither contains the
+    * other, intersection of the same dimension. */
+  def overlaps(a: (String, Array[Double], Array[Double]),
+      b: (String, Array[Double], Array[Double])): Boolean = {
+    def lineContains(outer: (String, Array[Double], Array[Double]),
+        inner: (String, Array[Double], Array[Double])): Boolean =
+      samplePoints(inner).forall { case (px, py) => onBoundary(px, py, outer) }
+    (a._1, b._1) match {
+      case ("POLYGON", "POLYGON") =>
+        interiorsIntersect(a, b) && !contains(a, b) && !contains(b, a) &&
+          !equalsGeom(a, b)
+      case ("LINESTRING", "LINESTRING") =>
+        segmentOverlap(edges(a._1, a._2, a._3), edges(b._1, b._2, b._3)) &&
+          !lineContains(a, b) && !lineContains(b, a)
+      case _ => false
+    }
+  }
+
+  /** Monotone-chain convex hull. Degenerate inputs keep their natural type:
+    * one distinct point → POINT, collinear → LINESTRING, else an open CCW
+    * POLYGON ring. */
+  def convexHull(xs: Array[Double], ys: Array[Double]): (String, Array[Double], Array[Double]) = {
+    val pts = xs.zip(ys).distinct.sorted
+    if (pts.length == 1) return ("POINT", Array(pts(0)._1), Array(pts(0)._2))
+    def cross(o: (Double, Double), p: (Double, Double), q: (Double, Double)) =
+      (p._1 - o._1) * (q._2 - o._2) - (p._2 - o._2) * (q._1 - o._1)
+    def half(ps: Seq[(Double, Double)]): Vector[(Double, Double)] = {
+      var h = Vector.empty[(Double, Double)]
+      ps.foreach { p =>
+        while (h.length >= 2 && cross(h(h.length - 2), h(h.length - 1), p) <= 0)
+          h = h.dropRight(1)
+        h = h :+ p
+      }
+      h
+    }
+    val lower = half(pts)
+    val upper = half(pts.reverse)
+    val hull = (lower.dropRight(1) ++ upper.dropRight(1))
+    if (hull.length <= 2)
+      ("LINESTRING", Array(pts.head._1, pts.last._1),
+        Array(pts.head._2, pts.last._2))
+    else ("POLYGON", hull.map(_._1).toArray, hull.map(_._2).toArray)
+  }
+
+  /** No self-intersection: non-adjacent segments never meet; adjacent
+    * segments share exactly their common vertex. */
+  def isSimple(gtype: String, xs: Array[Double], ys: Array[Double]): Boolean = {
+    gtype match {
+      case "POINT" => true
+      case "MULTIPOINT" => xs.zip(ys).distinct.length == xs.length
+      case _ =>
+        val es = edges(gtype, xs, ys).toIndexedSeq
+        val n = es.length
+        // a closed path's first and last segments are cyclically adjacent
+        val closed = gtype == "POLYGON" ||
+          (xs.length > 1 && xs.head == xs.last && ys.head == ys.last)
+        (0 until n).forall { i =>
+          val (ax, ay, bx, by) = es(i)
+          if (ax == bx && ay == by) false // degenerate zero-length segment
+          else (i + 1 until n).forall { j =>
+            val (cx, cy, dx, dy) = es(j)
+            val adjacent = j == i + 1 || (closed && i == 0 && j == n - 1)
+            if (!adjacent) !segmentsIntersect(ax, ay, bx, by, cx, cy, dx, dy)
+            else {
+              // shared endpoint only: no collinear spill past the joint
+              !properlyCross(ax, ay, bx, by, cx, cy, dx, dy) &&
+                !segmentOverlap(Seq(es(i)), Seq(es(j)))
+            }
+          }
+        }
+    }
+  }
+
   private val Num = """[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"""
   private val PointRe = s"""(?i)\\s*POINT\\s*\\(\\s*($Num)\\s+($Num)\\s*\\)\\s*""".r
   private val LineRe = """(?i)\s*LINESTRING\s*\((.*)\)\s*""".r
@@ -179,6 +409,10 @@ object Geo {
       else d.toString
     gtype match {
       case "POINT" => s"POINT (${fmt(xs(0))} ${fmt(ys(0))})"
+      case "MULTIPOINT" =>
+        if (xs.isEmpty) "MULTIPOINT EMPTY"
+        else s"MULTIPOINT (${xs.indices.map(i => s"${fmt(xs(i))} ${fmt(ys(i))}").mkString(", ")})"
+      case "GEOMETRYCOLLECTION" if xs.isEmpty => "GEOMETRYCOLLECTION EMPTY"
       case "LINESTRING" =>
         s"LINESTRING (${xs.indices.map(i => s"${fmt(xs(i))} ${fmt(ys(i))}").mkString(", ")})"
       case "POLYGON" =>
@@ -311,6 +545,9 @@ case class GeoPredicate(left: Expression, right: Expression, op: String)
       case "intersects" => Geo.intersects(a, b)
       case "disjoint" => !(Geo.intersects(a, b) ||
         Geo.contains(a, b) || Geo.contains(b, a))
+      case "touches" => Geo.touches(a, b)
+      case "crosses" => Geo.crosses(a, b)
+      case "overlaps" => Geo.overlaps(a, b)
     }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -338,6 +575,7 @@ case class GeoInfo(child: Expression, info: String)
     case "numinteriorring" | "numgeometries" => IntegerType
     case "geometrytype" => StringType
     case "isclosed" | "isempty" => BooleanType
+    case "issimple" | "isring" | "isvalid" => BooleanType
   }
   // numinteriorring is null off-type even for non-null input
   override def nullable: Boolean = info == "numinteriorring" || super.nullable
@@ -356,6 +594,17 @@ case class GeoInfo(child: Expression, info: String)
       // (the reference returns null off-type too)
       case "numinteriorring" => if (t == "POLYGON") 0 else null
       case "numgeometries" => if (xs.isEmpty) 0 else 1
+      case "issimple" =>
+        val (_, xs2, ys2) = Geo.unpack(v); Geo.isSimple(t, xs2, ys2)
+      case "isring" =>
+        val (_, xs2, ys2) = Geo.unpack(v)
+        t == "LINESTRING" && xs2.length > 1 &&
+          xs2.head == xs2.last && ys2.head == ys2.last &&
+          Geo.isSimple(t, xs2, ys2)
+      case "isvalid" =>
+        val (_, xs2, ys2) = Geo.unpack(v)
+        if (t != "POLYGON") true
+        else xs2.zip(ys2).distinct.length >= 3 && Geo.isSimple(t, xs2, ys2)
     }
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -405,23 +654,112 @@ case class StExteriorRing(child: Expression)
 case class StEquals(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val (ta, axs, ays) = Geo.unpack(l)
-    val (tb, bxs, bys) = Geo.unpack(r)
-    if (ta != tb || axs.length != bxs.length) false
-    else {
-      val a = axs.zip(ays).toSeq
-      val b = bxs.zip(bys).toSeq
-      ta match {
-        case "POINT" => a == b
-        case "LINESTRING" => a == b || a == b.reverse
-        case "POLYGON" =>
-          def rot(s: Seq[(Double, Double)], k: Int) = s.drop(k) ++ s.take(k)
-          b.indices.exists(k => rot(b, k) == a) ||
-            b.indices.exists(k => rot(b.reverse, k) == a)
-      }
-    }
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Geo.equalsGeom(Geo.unpack(l), Geo.unpack(r))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** ST_ConvexHull (GeoFunctions.java stConvexHull): monotone-chain hull;
+  * degenerate inputs keep their natural type (point / collinear line). */
+case class StConvexHull(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = Geo.geometryType
+  override protected def nullSafeEval(v: Any): Any = {
+    val (_, xs, ys) = Geo.unpack(v)
+    val (t, hx, hy) = Geo.convexHull(xs, ys)
+    Geo.row(t, hx, hy)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** ST_Boundary (GeoFunctions.java stBoundary): polygon → its shell as a
+  * closed LINESTRING; open linestring → MULTIPOINT of its two endpoints;
+  * closed linestring → empty MULTIPOINT; point → empty collection. */
+case class StBoundary(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = Geo.geometryType
+  override protected def nullSafeEval(v: Any): Any = {
+    val (t, xs, ys) = Geo.unpack(v)
+    t match {
+      case "POINT" | "MULTIPOINT" =>
+        Geo.row("GEOMETRYCOLLECTION", Array.empty[Double], Array.empty[Double])
+      case "LINESTRING" =>
+        if (xs.length > 1 && xs.head == xs.last && ys.head == ys.last)
+          Geo.row("MULTIPOINT", Array.empty[Double], Array.empty[Double])
+        else Geo.row("MULTIPOINT", Array(xs.head, xs.last), Array(ys.head, ys.last))
+      case "POLYGON" => Geo.row("LINESTRING", xs :+ xs(0), ys :+ ys(0))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** ST_EnvelopeAsPts (GeoFunctions.java stEnvelopeAsPts): the bounding box
+  * as a 2-element array [lower-left POINT, upper-right POINT]. */
+case class StEnvelopeAsPts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(Geo.geometryType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val (_, xs, ys) = Geo.unpack(v)
+    new GenericArrayData(Array[Any](
+      Geo.row("POINT", Array(xs.min), Array(ys.min)),
+      Geo.row("POINT", Array(xs.max), Array(ys.max))))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** ST_Geometries (GeoFunctions.java stGeometries): component array — for
+  * the single-geometry model, [geometry] (NULL for an empty geometry, as
+  * the reference returns for empty input). */
+case class StGeometries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(Geo.geometryType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val (t, xs, ys) = Geo.unpack(v)
+    if (xs.isEmpty) null
+    else new GenericArrayData(Array[Any](Geo.row(t, xs, ys)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** ST_GeometryN (GeoFunctions.java stGeometryN): 1-based component access —
+  * the single-geometry model has exactly one component; out of range → NULL
+  * (reference semantics). */
+case class StGeometryN(geom: Expression, n: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = geom
+  override def right: Expression = n
+  override def dataType: DataType = Geo.geometryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(gv: Any, nv: Any): Any = {
+    val (t, xs, ys) = Geo.unpack(gv)
+    if (nv.asInstanceOf[Int] == 1 && xs.nonEmpty) Geo.row(t, xs, ys) else null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(geom = l, n = r)
+}
+
+/** ST_InteriorRingN / ST_InteriorRings (GeoFunctions.java): the single-ring
+  * polygon model has no holes — N-access is always out of range (NULL), the
+  * ring array is empty; both still require POLYGON input like the
+  * reference. */
+case class StInteriorRings(child: Expression, indexed: Boolean,
+    n: Option[Expression] = None)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = child +: n.toSeq
+  override def dataType: DataType =
+    if (indexed) Geo.geometryType
+    else ArrayType(Geo.geometryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val (t, _, _) = Geo.unpack(v)
+    require(t == "POLYGON", s"interior-ring accessor requires POLYGON, got $t")
+    if (indexed) null else new GenericArrayData(Array.empty[Any])
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head, n = c.drop(1).headOption)
 }

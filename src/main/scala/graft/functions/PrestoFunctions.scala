@@ -445,6 +445,23 @@ object PrestoFunctions {
     // WKT constructors restricted by type (stLineFromText / stPolygon)
     "st_linefromtext" -> (e => StGeometryFromText(e(0))),
     "st_polygon" -> (e => StGeometryFromText(e(0))),
+    // topology relations (GeoFunctions.java stTouches/stCrosses/stOverlaps)
+    "st_touches" -> (e => GeoPredicate(e(0), e(1), "touches")),
+    "st_crosses" -> (e => GeoPredicate(e(0), e(1), "crosses")),
+    "st_overlaps" -> (e => GeoPredicate(e(0), e(1), "overlaps")),
+    // constructors / accessors (stConvexHull, stBoundary, stEnvelopeAsPts,
+    // stGeometries/stGeometryN, interior rings, validity predicates)
+    "st_convexhull" -> (e => StConvexHull(e(0))),
+    "st_boundary" -> (e => StBoundary(e(0))),
+    "st_envelopeaspts" -> (e => StEnvelopeAsPts(e(0))),
+    "st_geometries" -> (e => StGeometries(e(0))),
+    "st_geometryn" -> (e => StGeometryN(e(0), Cast(e(1), IntegerType))),
+    "st_interiorringn" -> (e =>
+      StInteriorRings(e(0), indexed = true, Some(Cast(e(1), IntegerType)))),
+    "st_interiorrings" -> (e => StInteriorRings(e(0), indexed = false)),
+    "st_issimple" -> (e => GeoInfo(e(0), "issimple")),
+    "st_isring" -> (e => GeoInfo(e(0), "isring")),
+    "st_isvalid" -> (e => GeoInfo(e(0), "isvalid")),
     // --- conditional ---
     // Presto greatest/least RETURN_NULL_ON_NULL (AbstractGreatestLeast
     // .java:118); Spark's builtins skip nulls.

@@ -117,4 +117,115 @@ class GeoSpec extends AnyFunSuite {
     assert(one("st_geometrytype(st_linefromtext('LINESTRING (0 0, 2 2)'))") ==
       "LINESTRING")
   }
+
+  private def g(wkt: String): String = s"st_geometry_from_text('$wkt')"
+
+  test("convex hull: square from scattered points, collinear, single point") {
+    // hull of an L-shape ring: the notch vertex (2,2) drops, the re-entrant
+    // corner closes with the (4,2)-(2,4) chord
+    assert(one(s"st_astext(st_convexhull(${g("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")}))")
+      == "POLYGON ((0 0, 4 0, 4 2, 2 4, 0 4, 0 0))")
+    // zig-zag line: hull is the bounding triangle-ish polygon
+    assert(one(s"st_astext(st_convexhull(${g("LINESTRING (0 0, 1 3, 2 0, 3 3, 4 0)")}))")
+      == "POLYGON ((0 0, 4 0, 3 3, 1 3, 0 0))")
+    // collinear points degrade to the extent linestring
+    assert(one(s"st_astext(st_convexhull(${g("LINESTRING (0 0, 1 1, 3 3)")}))")
+      == "LINESTRING (0 0, 3 3)")
+    assert(one("st_astext(st_convexhull(st_point(2.0, 2.0)))") == "POINT (2 2)")
+    // hull area: L-shape (12) plus the chord triangle (2)
+    assert(one(s"st_area(st_convexhull(${g("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")}))")
+      == 14.0)
+  }
+
+  test("boundary: polygon ring, line endpoints, closed line, point") {
+    assert(one(s"st_astext(st_boundary(${g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")}))")
+      == "LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)")
+    assert(one(s"st_astext(st_boundary(${g("LINESTRING (0 0, 5 5)")}))")
+      == "MULTIPOINT (0 0, 5 5)")
+    assert(one(s"st_astext(st_boundary(${g("LINESTRING (0 0, 1 0, 1 1, 0 0)")}))")
+      == "MULTIPOINT EMPTY")
+    assert(one("st_astext(st_boundary(st_point(3.0, 4.0)))")
+      == "GEOMETRYCOLLECTION EMPTY")
+  }
+
+  test("envelope-as-points, geometries, geometryN, interior rings") {
+    assert(one(s"transform(st_envelopeaspts(${g("LINESTRING (1 7, 5 2)")}), p -> st_astext(p))")
+      == Seq("POINT (1 2)", "POINT (5 7)"))
+    assert(one(s"transform(st_geometries(st_point(1.0, 2.0)), p -> st_astext(p))")
+      == Seq("POINT (1 2)"))
+    assert(one(s"st_astext(st_geometryn(st_point(1.0, 2.0), 1))") == "POINT (1 2)")
+    assert(one(s"st_geometryn(st_point(1.0, 2.0), 2)") == null)
+    assert(one(s"st_geometryn(st_point(1.0, 2.0), 0)") == null)
+    // single-ring model: no holes
+    assert(one(s"st_interiorringn(${g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")}, 1)") == null)
+    assert(one(s"st_interiorrings(${g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")})")
+      == Seq.empty)
+    intercept[Exception](one("st_interiorringn(st_point(1.0, 1.0), 1)"))
+  }
+
+  test("issimple / isring / isvalid") {
+    assert(one(s"st_issimple(${g("LINESTRING (0 0, 1 1, 2 0)")})") == true)
+    // bowtie self-intersection
+    assert(one(s"st_issimple(${g("LINESTRING (0 0, 2 2, 2 0, 0 2)")})") == false)
+    assert(one(s"st_issimple(${g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")})") == true)
+    assert(one(s"st_issimple(${g("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")})") == false)
+    assert(one("st_issimple(st_point(1.0, 1.0))") == true)
+    assert(one(s"st_isring(${g("LINESTRING (0 0, 1 0, 1 1, 0 0)")})") == true)
+    assert(one(s"st_isring(${g("LINESTRING (0 0, 1 0, 1 1)")})") == false) // open
+    // closed but self-crossing → not a ring
+    assert(one(s"st_isring(${g("LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)")})") == false)
+    assert(one(s"st_isvalid(${g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")})") == true)
+    assert(one(s"st_isvalid(${g("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")})") == false)
+    assert(one(s"st_isvalid(${g("LINESTRING (0 0, 1 1)")})") == true)
+  }
+
+  test("touches: shared boundary without interior overlap") {
+    val left = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val right = "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))" // shares the x=2 edge
+    val overlapping = "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"
+    val far = "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))"
+    assert(one(s"st_touches(${g(left)}, ${g(right)})") == true)
+    assert(one(s"st_touches(${g(left)}, ${g(overlapping)})") == false)
+    assert(one(s"st_touches(${g(left)}, ${g(far)})") == false)
+    // corner-only contact still touches
+    val corner = "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"
+    assert(one(s"st_touches(${g(left)}, ${g(corner)})") == true)
+    // point on the boundary touches; point inside does not
+    assert(one(s"st_touches(${g(left)}, st_point(2.0, 1.0))") == true)
+    assert(one(s"st_touches(${g(left)}, st_point(1.0, 1.0))") == false)
+    // line ending on the boundary touches; line crossing into it does not
+    assert(one(s"st_touches(${g(left)}, ${g("LINESTRING (2 1, 5 1)")})") == true)
+    assert(one(s"st_touches(${g(left)}, ${g("LINESTRING (1 1, 5 1)")})") == false)
+  }
+
+  test("crosses: line through polygon, proper line crossing") {
+    val square = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert(one(s"st_crosses(${g("LINESTRING (-1 1, 3 1)")}, ${g(square)})") == true)
+    assert(one(s"st_crosses(${g(square)}, ${g("LINESTRING (-1 1, 3 1)")})") == true)
+    // fully inside → not crosses (no exterior point)
+    assert(one(s"st_crosses(${g("LINESTRING (0.5 1, 1.5 1)")}, ${g(square)})") == false)
+    // along the boundary → interiors never meet
+    assert(one(s"st_crosses(${g("LINESTRING (0 0, 2 0)")}, ${g(square)})") == false)
+    // X-crossing lines cross; collinear overlap does not (that's overlaps)
+    assert(one(s"st_crosses(${g("LINESTRING (0 0, 2 2)")}, ${g("LINESTRING (0 2, 2 0)")})") == true)
+    assert(one(s"st_crosses(${g("LINESTRING (0 0, 2 0)")}, ${g("LINESTRING (1 0, 3 0)")})") == false)
+    // polygon-polygon never crosses
+    assert(one(s"st_crosses(${g(square)}, ${g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")})") == false)
+  }
+
+  test("overlaps: partial same-dimension overlap only") {
+    val a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val b = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    val inner = "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+    assert(one(s"st_overlaps(${g(a)}, ${g(b)})") == true)
+    assert(one(s"st_overlaps(${g(a)}, ${g(a)})") == false) // equal
+    assert(one(s"st_overlaps(${g(a)}, ${g(inner)})") == false) // contained
+    // touching edge only → no interior overlap
+    assert(one(s"st_overlaps(${g(a)}, ${g("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")})") == false)
+    // collinear partial line overlap
+    assert(one(s"st_overlaps(${g("LINESTRING (0 0, 2 0)")}, ${g("LINESTRING (1 0, 3 0)")})") == true)
+    assert(one(s"st_overlaps(${g("LINESTRING (0 0, 2 0)")}, ${g("LINESTRING (0 0, 2 0)")})") == false)
+    // different dimensions never overlap
+    assert(one(s"st_overlaps(${g(a)}, ${g("LINESTRING (-1 1, 3 1)")})") == false)
+  }
 }
