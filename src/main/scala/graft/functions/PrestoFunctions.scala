@@ -554,6 +554,27 @@ object PrestoFunctions {
     "url_extract_fragment" -> (e => fn("parse_url", Seq(e(0), lit("REF")))),
     "url_extract_parameter" -> (e =>
       fn("parse_url", Seq(e(0), lit("QUERY"), e(1)))),
+    // --- ML (presto-ml/MLFunctions.java, MLFeaturesFunctions.java) ---
+    // features(x1, …) → map<bigint,double>, the reference's FeatureVector
+    "features" -> (e => CreateMap(e.zipWithIndex.flatMap { case (x, i) =>
+      Seq(Literal(i.toLong), Cast(x, DoubleType)) })),
+    "learn_regressor" -> (e =>
+      LearnModelAgg(Cast(e(0), DoubleType), e(1), classifier = false)
+        .toAggregateExpression()),
+    "learn_classifier" -> (e =>
+      LearnModelAgg(Cast(e(0), DoubleType), e(1), classifier = true)
+        .toAggregateExpression()),
+    // linear kernel only: the libsvm params string is accepted and ignored
+    "learn_libsvm_regressor" -> (e =>
+      LearnModelAgg(Cast(e(0), DoubleType), e(1), classifier = false)
+        .toAggregateExpression()),
+    "learn_libsvm_classifier" -> (e =>
+      LearnModelAgg(Cast(e(0), DoubleType), e(1), classifier = true)
+        .toAggregateExpression()),
+    "regress" -> (e => MlPredict(e(0), e(1), classify = false)),
+    "classify" -> (e => MlPredict(e(0), e(1), classify = true)),
+    "evaluate_classifier_predictions" -> (e =>
+      EvaluatePredictionsAgg(e(0), e(1)).toAggregateExpression()),
     // --- color / terminal rendering (ColorFunctions.java) ---
     // COLOR type maps to BIGINT (the reference's own encoding: rgb >= 0,
     // system colors negative). StaticInvoke participates in codegen.

@@ -238,6 +238,31 @@ object PrestoCompat {
           CAST(-2 AS BIGINT) AS sys_red
         FROM g ORDER BY n_nationkey""")),
 
+    // ML surface (presto-ml): per-group learn_regressor → regress, the
+    // model-as-aggregation-result dataflow. The Gram-sketch normal
+    // equations for ONE feature are exactly the textbook slope/intercept,
+    // so DuckDB's regr_slope/regr_intercept replay the whole pipeline.
+    "p12_ml_regression" -> Q(
+      presto("""
+        WITH m AS (
+          SELECT l_returnflag,
+            learn_regressor(CAST(l_extendedprice AS DOUBLE),
+              features(CAST(l_quantity AS DOUBLE))) AS model
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          round(regress(features(10.0), model), 2) AS pred10,
+          round(regress(features(30.0), model), 2) AS pred30
+        FROM m ORDER BY l_returnflag"""),
+      Some("""
+        WITH pts AS (
+          SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+            CAST(l_extendedprice AS DOUBLE) AS y
+          FROM lineitem)
+        SELECT l_returnflag,
+          round(regr_intercept(y, x) + regr_slope(y, x) * 10.0, 2) AS pred10,
+          round(regr_intercept(y, x) + regr_slope(y, x) * 30.0, 2) AS pred30
+        FROM pts GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Native codegen'd cosine_similarity expression (CosineSimilarity
     // doGenCode) — same semantics as the HOF-based s01, checked vs DuckDB.
     "p07_cosine_native" -> Q(
