@@ -247,6 +247,28 @@ class Engine(parent: SparkSession) {
   /** DEALLOCATE PREPARE <name>. */
   def deallocate(name: String): Engine = { prepared.remove(name); this }
 
+  // --- CALL procedures (SqlBase.g4:57 #call; the reference dispatches to
+  // connector procedures, SPI/procedure/Procedure.java). Registry +
+  // dispatch; `system.refresh_table` ships as the built-in example (the
+  // cache-invalidation procedure every deployment has).
+  private val procedures =
+    scala.collection.mutable.Map.empty[String, Seq[Any] => Unit]
+
+  registerProcedure("system.refresh_table",
+    args => spark.catalog.refreshTable(args.head.toString))
+
+  /** Register a procedure for CALL dispatch. */
+  def registerProcedure(name: String, p: Seq[Any] => Unit): Engine = {
+    procedures(name.toLowerCase) = p
+    this
+  }
+
+  /** CALL <name>(<args…>). */
+  def call(name: String, args: Any*): Unit =
+    procedures.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"Procedure not registered: $name")
+    )(args)
+
   /** Presto SHOW CREATE TABLE (SqlBase.g4:70): reconstructed DDL for a
     * registered table — columns from the resolved schema, storage clause
     * from the path registration (Spark's native statement only covers

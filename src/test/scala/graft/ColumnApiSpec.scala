@@ -283,6 +283,44 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(e.sql("SELECT count(*) FROM nation").head.getLong(0) == 25)
   }
 
+  test("Engine catalog DDL runs natively: schema, table, view, ALTER, USE") {
+    val e = Engine(spark).loadCatalog(sf)
+    e.sql("CREATE SCHEMA IF NOT EXISTS graft_ddl")
+    assert(e.sql("SHOW SCHEMAS").collect().map(_.getString(0))
+      .contains("graft_ddl"))
+    e.sql("USE graft_ddl")
+    e.sql("CREATE TABLE ddl_t (a BIGINT, b STRING) USING parquet")
+    e.sql("INSERT INTO ddl_t VALUES (1, 'x'), (2, 'y')")
+    assert(e.sql("SELECT count(*) FROM ddl_t").head.getLong(0) == 2)
+    e.sql("ALTER TABLE ddl_t ADD COLUMNS (c DOUBLE)")
+    assert(e.sql("DESCRIBE ddl_t").collect().map(_.getString(0))
+      .contains("c"))
+    e.sql("ALTER TABLE ddl_t RENAME TO ddl_t2")
+    assert(e.sql("SELECT count(*) FROM ddl_t2").head.getLong(0) == 2)
+    e.sql("CREATE VIEW ddl_v AS SELECT a FROM ddl_t2 WHERE a > 1")
+    assert(e.sql("SELECT count(*) FROM ddl_v").head.getLong(0) == 1)
+    assert(e.sql("SHOW CREATE TABLE ddl_v").head.getString(0)
+      .contains("CREATE VIEW"))
+    e.sql("DROP VIEW ddl_v")
+    e.sql("DROP TABLE ddl_t2")
+    e.sql("USE default")
+    e.sql("DROP SCHEMA graft_ddl")
+    assert(!e.sql("SHOW SCHEMAS").collect().map(_.getString(0))
+      .contains("graft_ddl"))
+  }
+
+  test("Engine CALL dispatches registered procedures") {
+    val e = Engine(spark).loadCatalog(sf)
+    // built-in: system.refresh_table
+    e.call("system.refresh_table", "nation")
+    // user-registered procedure receives its arguments
+    var got: Seq[Any] = Nil
+    e.registerProcedure("system.test_proc", args => got = args)
+    e.call("SYSTEM.TEST_PROC", "a", 42) // case-insensitive dispatch
+    assert(got == Seq("a", 42))
+    intercept[IllegalArgumentException](e.call("no.such.proc"))
+  }
+
   test("GraftExtensions injects functions into a fresh session") {
     val active = SparkSession.getActiveSession
     val default = SparkSession.getDefaultSession
