@@ -288,10 +288,16 @@ class Engine(parent: SparkSession) {
     * approx, nulls_fraction, low/high) plus the summary row_count row, in
     * Presto's SHOW STATS output shape. Complex-typed columns report null
     * stats (the reference does the same for unsupported types). */
-  def showStats(table: String): DataFrame = {
+  def showStats(table: String): DataFrame = showStatsOf(spark.table(table))
+
+  /** Presto SHOW STATS FOR (query) (SqlBase.g4 #showStatsForQuery): the
+    * same statistics pass over an arbitrary query's result. */
+  def showStatsForQuery(query: String): DataFrame = showStatsOf(sql(query))
+
+  private def showStatsOf(df0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val df = spark.table(table)
+    val df = df0
     val atomic = df.schema.fields.map(f => f.name -> (f.dataType match {
       case _: ArrayType | _: MapType | _: StructType => false
       case _ => true

@@ -121,6 +121,13 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(key.getString(5) == "0") // low_value
     val status = stats(Some("o_orderstatus"))
     assert(status.getLong(2) <= 5 && status.getLong(1) == n) // 1-char strings
+    // SHOW STATS FOR (query): same pass over a derived result
+    val qs = e.showStatsForQuery(
+      "SELECT o_orderkey FROM orders WHERE o_orderkey <= 100").collect()
+      .map(r => Option(r.getString(0)) -> r).toMap
+    assert(qs(None).getLong(4) ==
+      e.sql("SELECT count(*) FROM orders WHERE o_orderkey <= 100").head.getLong(0))
+    assert(qs(Some("o_orderkey")).getString(6).toLong <= 100) // high_value
   }
 
   test("Engine explain + validate surface") {
