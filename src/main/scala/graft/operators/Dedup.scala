@@ -23,26 +23,29 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
-  /** Canonical text normalization: lowercase, collapse whitespace, trim. */
-  def normalize(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  private def ex(c: Column) = org.apache.spark.sql.GraftBridge.expression(c)
+  private def cl(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftBridge.column(e)
+
+  /** Canonical text normalization: lowercase, collapse whitespace, trim —
+    * `trim(regexp_replace(lower(c), '\s+', ' '))` as a single-pass native
+    * expression (graft.functions.NormalizeWs; the regex form is the
+    * dominant cost of the dedup pipeline at corpus scale). */
+  def normalize(c: Column): Column = cl(graft.functions.NormalizeWs(ex(c)))
 
   /** 128-bit content fingerprint of normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c).cast("binary"))
 
-  /** Normalized word tokens. */
-  def tokens(c: Column): Column = split(normalize(c), " ")
+  /** Normalized word tokens: `split(normalize(c), ' ')` fused into the
+    * same single pass (graft.functions.NormalizedTokens). */
+  def tokens(c: Column): Column = cl(graft.functions.NormalizedTokens(ex(c)))
 
-  /** Word-level k-shingles over an ALREADY-MATERIALIZED tokens column.
-    *
-    * `toks` must be a bound attribute (select it into a column first), not an
-    * expression: the lambda references it per element (`slice`, `size`), and
-    * an unbound subtree would re-evaluate the tokenization once per token —
-    * O(len·n_tokens) per doc instead of O(len). */
+  /** Word-level k-shingles over a tokens column — one concatWs pass per
+    * window (graft.functions.WordShingles; the HOF transform/slice/
+    * array_join chain evaluates interpreted and was the second-largest
+    * cost of the shingle table). */
   def shinglesOf(toks: Column, k: Int): Column =
-    filter(
-      transform(toks, (_, i) =>
-        when(i + k <= size(toks), array_join(slice(toks, i + 1, lit(k)), " "))),
-      s => s.isNotNull)
+    cl(graft.functions.WordShingles(ex(toks), k))
 
   /** One MinHash value: min over shingles of an md5-derived 64-bit hash,
     * seeded by `seed` (distinct permutation per seed). */
