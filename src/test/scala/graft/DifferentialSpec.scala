@@ -170,4 +170,51 @@ class DifferentialSpec extends AnyFunSuite {
       assert(api == sql, s"case $i: $q\napi=$api\nsql=$sql")
     }
   }
+
+  test("native text normalization == the regex composition it replaced") {
+    // NormalizeWs/NormalizedTokens/WordShingles are single-pass rewrites of
+    // trim(regexp_replace(lower(t),'\s+',' ')) + split + HOF shingles; the
+    // dedup oracles pin them on fixture text — this pins them on
+    // adversarial text: unicode letters, NBSP (NOT regex-\s whitespace —
+    // must stay inside tokens), every ASCII \s char, empty and
+    // all-whitespace strings, multi-byte boundaries.
+    import org.apache.spark.sql.Column
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val genPiece: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("Füße", "ΑΒΓΔ", "中文 文本", "ÅÉÎ", "a b", "ß", "ﬁ"),
+      Gen.oneOf(wsChars).map(_.toString),
+      Gen.listOfN(3, Gen.oneOf(wsChars)).map(_.mkString),
+      Gen.const(""))
+    val genText: Gen[String] =
+      Gen.listOfN(8, genPiece).map(_.mkString)
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(7L)
+    val texts = (1 to 60).map { _ =>
+      val t = genText(params, seed).get; seed = seed.next; t
+    } ++ Seq("", " ", "\t\n\r", "a", " a ", "A B C")
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val legacyNorm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    def legacyShingles(toks: Column, k: Int): Column =
+      filter(
+        transform(toks, (_, i) =>
+          when(i + k <= size(toks), array_join(slice(toks, i + 1, lit(k)), " "))),
+        s => s.isNotNull)
+    val rows = df.select(
+      operators.Dedup.normalize(col("text")).as("nw"),
+      legacyNorm.as("nw0"),
+      operators.Dedup.tokens(col("text")).as("tk"),
+      split(legacyNorm, " ").as("tk0"),
+      operators.Dedup.shinglesOf(operators.Dedup.tokens(col("text")), 2).as("sh"),
+      legacyShingles(split(legacyNorm, " "), 2).as("sh0")
+    ).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.get(0) == r.get(1), s"normalize diverged on ${t.map(_.toInt)}")
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"tokens diverged on ${t.map(_.toInt)}")
+      assert(r.getSeq[String](4) == r.getSeq[String](5),
+        s"shingles diverged on ${t.map(_.toInt)}")
+    }
+  }
 }
