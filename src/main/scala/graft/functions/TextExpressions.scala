@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,42 +42,16 @@ object TextNorm {
     }
     if (out.isEmpty) Array(UTF8String.EMPTY_UTF8) else out.toArray
   }
-}
 
-/** `trim(regexp_replace(lower(text), '\s+', ' '))` in one byte pass. */
-case class NormalizeWs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = StringType
-  override protected def nullSafeEval(v: Any): Any = {
-    val toks = TextNorm.tokenize(v.asInstanceOf[UTF8String])
-    UTF8String.concatWs(UTF8String.fromString(" "), toks: _*)
-  }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "normalize_ws"
-}
+  // static entry points for whole-stage codegen (scalac emits forwarders
+  // on the paired TextNorm class)
+  def normalizeWs(text: UTF8String): UTF8String =
+    UTF8String.concatWs(UTF8String.fromString(" "), tokenize(text): _*)
 
-/** `split(normalize_ws(text), ' ')` without materializing the joined
-  * string or a second scan. */
-case class NormalizedTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override protected def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      TextNorm.tokenize(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
-  override def prettyName: String = "normalized_tokens"
-}
+  def tokensArray(text: UTF8String): ArrayData =
+    new GenericArrayData(tokenize(text).asInstanceOf[Array[Any]])
 
-/** Word k-shingles of a token array: one pass of UTF8String.concatWs per
-  * window — replaces the interpreted transform(slice → array_join) HOF
-  * chain. Empty result when the input has fewer than k tokens (the
-  * filter(isNotNull) semantics of the HOF form). */
-case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 1, "shingle size must be positive")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def shingles(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n < k) new GenericArrayData(Array.empty[Any])
     else {
@@ -94,6 +68,47 @@ case class WordShingles(child: Expression, k: Int)
       new GenericArrayData(out)
     }
   }
+}
+
+/** `trim(regexp_replace(lower(text), '\s+', ' '))` in one byte pass.
+  * Codegen delegates to the static TextNorm entry point, so the
+  * expression stays inside whole-stage codegen. */
+case class NormalizeWs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    TextNorm.normalizeWs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNorm.normalizeWs($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "normalize_ws"
+}
+
+/** `split(normalize_ws(text), ' ')` without materializing the joined
+  * string or a second scan. */
+case class NormalizedTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextNorm.tokensArray(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNorm.tokensArray($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "normalized_tokens"
+}
+
+/** Word k-shingles of a token array: one pass of UTF8String.concatWs per
+  * window — replaces the interpreted transform(slice → array_join) HOF
+  * chain. Empty result when the input has fewer than k tokens (the
+  * filter(isNotNull) semantics of the HOF form). */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextNorm.shingles(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNorm.shingles($c, $k);")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "word_shingles"
