@@ -100,7 +100,7 @@ case class Cardinality(child: Expression) extends UnaryExpression {
     case _: ArrayType => v.asInstanceOf[ArrayData].numElements()
     case _: MapType => v.asInstanceOf[MapData].numElements()
     case BinaryType =>
-      java.lang.Long.valueOf(HllSketch.deserialize(v.asInstanceOf[Array[Byte]]).cardinality())
+      java.lang.Long.valueOf(Sketches.cardinality(v.asInstanceOf[Array[Byte]]))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -109,7 +109,7 @@ case class Cardinality(child: Expression) extends UnaryExpression {
         nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $c.numElements();")
       case BinaryType =>
         nullSafeCodeGen(ctx, ev, c =>
-          s"${ev.value} = graft.functions.HllSketch.deserialize($c).cardinality();")
+          s"${ev.value} = graft.functions.Sketches.cardinality($c);")
     }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)

@@ -554,6 +554,13 @@ object PrestoFunctions {
     "url_extract_fragment" -> (e => fn("parse_url", Seq(e(0), lit("REF")))),
     "url_extract_parameter" -> (e =>
       fn("parse_url", Seq(e(0), lit("QUERY"), e(1)))),
+    // --- SetDigest (type/setdigest/SetDigestFunctions.java) ---
+    "make_set_digest" -> (e => MakeSetDigestAgg(e.head).toAggregateExpression()),
+    "merge_set_digest" -> (e => MergeSetDigestAgg(e.head).toAggregateExpression()),
+    "jaccard_index" -> (e => SetDigestBinary(e(0), e(1), "jaccard_index")),
+    "intersection_cardinality" -> (e =>
+      SetDigestBinary(e(0), e(1), "intersection_cardinality")),
+    "hash_counts" -> (e => HashCounts(e.head)),
     // --- ML (presto-ml/MLFunctions.java, MLFeaturesFunctions.java) ---
     // features(x1, …) → map<bigint,double>, the reference's FeatureVector
     "features" -> (e => CreateMap(e.zipWithIndex.flatMap { case (x, i) =>

@@ -238,6 +238,33 @@ object PrestoCompat {
           CAST(-2 AS BIGINT) AS sys_red
         FROM g ORDER BY n_nationkey""")),
 
+    // SetDigest surface (type/setdigest/SetDigestFunctions.java): in exact
+    // mode (< 8192 distinct hashes) cardinality, intersections, and the
+    // hash-count map size are hash-independent — DuckDB replays them as
+    // plain distinct counts. Partial digests merge through merge_set_digest
+    // (the sketch shuffles through partial/final aggregation).
+    "p13_setdigest" -> Q(
+      presto("""
+        WITH a AS (SELECT make_set_digest(c_custkey) d FROM customer
+                   WHERE c_custkey % 3 = 0),
+             b AS (SELECT make_set_digest(c_custkey) d FROM customer
+                   WHERE c_custkey % 2 = 0),
+             m AS (SELECT c_nationkey, make_set_digest(c_custkey) d
+                   FROM customer WHERE c_custkey < 5000 GROUP BY c_nationkey)
+        SELECT cardinality(a.d) AS card_a, cardinality(b.d) AS card_b,
+          intersection_cardinality(a.d, b.d) AS inter,
+          (SELECT cardinality(merge_set_digest(d)) FROM m) AS merged_card,
+          CAST(cardinality(hash_counts(a.d)) AS BIGINT) AS n_hashes
+        FROM a, b"""),
+      Some("""
+        SELECT
+          (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey % 3 = 0) AS card_a,
+          (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey % 2 = 0) AS card_b,
+          (SELECT count(DISTINCT c_custkey) FROM customer
+           WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0) AS inter,
+          (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey < 5000) AS merged_card,
+          (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey % 3 = 0) AS n_hashes""")),
+
     // ML surface (presto-ml): per-group learn_regressor → regress, the
     // model-as-aggregation-result dataflow. The Gram-sketch normal
     // equations for ONE feature are exactly the textbook slope/intercept,

@@ -453,6 +453,48 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("set digest: exact mode, jaccard, intersection, hash_counts") {
+    // exact mode (< 8192 distinct): cardinality and intersection are exact
+    assertFn("(SELECT cardinality(make_set_digest(c_custkey)) FROM customer)",
+      one("(SELECT count(DISTINCT c_custkey) FROM customer)"))
+    assertFn("""(WITH a AS (SELECT make_set_digest(c_custkey) d FROM customer WHERE c_custkey < 100),
+             b AS (SELECT make_set_digest(c_custkey) d FROM customer WHERE c_custkey BETWEEN 50 AND 149)
+        SELECT intersection_cardinality(a.d, b.d) FROM a, b)""", 50L)
+    // identical sets → jaccard 1.0; disjoint → 0.0
+    assertFn("""(WITH a AS (SELECT make_set_digest(c_custkey) d FROM customer)
+        SELECT jaccard_index(a.d, a.d) FROM a)""", 1.0)
+    assertFn("""(WITH a AS (SELECT make_set_digest(c_custkey) d FROM customer WHERE c_custkey < 75),
+             b AS (SELECT make_set_digest(c_custkey) d FROM customer WHERE c_custkey >= 75)
+        SELECT jaccard_index(a.d, b.d) FROM a, b)""", 0.0)
+    // partial overlap lands strictly between
+    val j = one("""(WITH a AS (SELECT make_set_digest(c_custkey) d FROM customer WHERE c_custkey < 100),
+             b AS (SELECT make_set_digest(c_custkey) d FROM customer WHERE c_custkey BETWEEN 50 AND 149)
+        SELECT jaccard_index(a.d, b.d) FROM a, b)""").asInstanceOf[Double]
+    assert(j > 0.15 && j < 0.55, s"jaccard=$j")
+    // hash_counts carries multiplicities (each key added twice → count 2)
+    val hc = one("""(SELECT hash_counts(make_set_digest(v)) FROM
+        (SELECT explode(array(1, 2, 3, 1, 2, 3)) AS v))""")
+      .asInstanceOf[scala.collection.Map[Long, Short]]
+    assert(hc.size == 3 && hc.values.forall(_ == 2), hc)
+    // merge_set_digest unions partial digests
+    assertFn("""(WITH parts AS (
+          SELECT c_nationkey, make_set_digest(c_custkey) d FROM customer GROUP BY c_nationkey)
+        SELECT cardinality(merge_set_digest(d)) FROM parts)""",
+      one("(SELECT count(DISTINCT c_custkey) FROM customer)"))
+  }
+
+  test("set digest: approximate mode stays within sketch error") {
+    // 40k distinct values exceeds maxHashes → HLL estimate path
+    // (view must live in the ENGINE's isolated session)
+    engine.spark.range(0, 40000).toDF("v").createOrReplaceTempView("sd_big")
+    val est = one("(SELECT cardinality(make_set_digest(v)) FROM sd_big)")
+      .asInstanceOf[Long]
+    assert(math.abs(est - 40000L).toDouble / 40000 < 0.05, s"est=$est")
+    // identical large sets still give jaccard 1.0 (bottom-k sets equal)
+    assertFn("""(WITH a AS (SELECT make_set_digest(v) d FROM sd_big)
+        SELECT jaccard_index(a.d, a.d) FROM a)""", 1.0)
+  }
+
   test("color functions: encoding (ColorFunctions.java:88-116)") {
     assertFn("color('red')", -2L) // system color index 1 → -(1+1)
     assertFn("color('GREEN')", -3L) // case-insensitive
