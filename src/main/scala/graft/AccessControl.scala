@@ -84,6 +84,17 @@ final class AccessControl {
       .toDF("grantee", "table_name", "privilege_type", "is_grantable")
   }
 
+  /** Single-table privilege check (checkCanInsertIntoTable /
+    * checkCanDeleteFromTable consultation points). */
+  def checkTable(table: String, privilege: String): Unit = {
+    if (!enforcing) return
+    val user = identity.getOrElse(
+      throw new SecurityException("Access Denied: no identity set"))
+    if (!hasPrivilege(user, table, privilege))
+      throw new SecurityException(
+        s"Access Denied: Cannot ${privilege.toLowerCase} table $table")
+  }
+
   /** The analysis-time check (AccessControlManager consultation point):
     * every table referenced by the statement needs `privilege` for the
     * current identity. Throws the reference's AccessDeniedException

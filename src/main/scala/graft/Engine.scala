@@ -101,7 +101,8 @@ class Engine(parent: SparkSession) {
     val (path, format) = tablePaths.getOrElse(name,
       throw new IllegalArgumentException(
         s"INSERT requires a path-backed table; '$name' is not registered with a path"))
-    val rows = spark.sql(sqlText)
+    accessControl.checkTable(name, "INSERT") // checkCanInsertIntoTable
+    val rows = sql(sqlText) // source query needs SELECT on its tables
     if (!inTransaction) {
       val n = rows.count()
       rows.write.mode("append").format(format).save(path)
@@ -134,6 +135,7 @@ class Engine(parent: SparkSession) {
     val (path, format) = tablePaths.getOrElse(name,
       throw new IllegalArgumentException(
         s"DELETE requires a path-backed table; '$name' is not registered with a path"))
+    accessControl.checkTable(name, "DELETE") // checkCanDeleteFromTable
     val before = spark.table(name).count()
     val survivors = spark.table(name).filter(s"NOT ($predicateSql)")
     val tmp = path.stripSuffix("/") + "__rewrite"

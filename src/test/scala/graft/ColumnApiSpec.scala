@@ -286,6 +286,17 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(g.count(_.getString(1) == "region") == 4) // ALL = 4 privileges
     e.revoke(Seq("SELECT"), "nation", "alice")
     intercept[SecurityException](e.sql("SELECT count(*) FROM nation"))
+    // write privileges gate the DML entry points too
+    val path = java.nio.file.Files.createTempDirectory("graft-acl").toString
+    e.accessControl.setEnforcing(false)
+    e.ctas("acl_t", "SELECT * FROM region", path)
+    e.accessControl.setEnforcing(true)
+    e.grant(Seq("SELECT"), "acl_t", "alice")
+    intercept[SecurityException](e.insertInto("acl_t", "SELECT * FROM region"))
+    intercept[SecurityException](e.delete("acl_t", "r_regionkey = 0"))
+    e.grant(Seq("INSERT", "DELETE"), "acl_t", "alice")
+    assert(e.insertInto("acl_t", "SELECT * FROM region") == 5)
+    assert(e.delete("acl_t", "r_regionkey = 0") == 2)
     e.accessControl.setEnforcing(false)
     assert(e.sql("SELECT count(*) FROM nation").head.getLong(0) == 25)
   }
