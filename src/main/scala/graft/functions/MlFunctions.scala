@@ -177,6 +177,7 @@ case class LearnModelAgg(
         case l: Long => l.toDouble
         case i: Int => i.toDouble
         case f: Float => f.toDouble
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case other => throw new IllegalArgumentException(
           s"learn_* label must be numeric, got $other")
       }

@@ -88,4 +88,46 @@ package object functions {
       fromEnd = true))
   def st_point_n(g: Column, n: Column): Column = c(StLinePoint(x(g), x(n)))
   def st_exterior_ring(g: Column): Column = c(StExteriorRing(x(g)))
+  def st_convex_hull(g: Column): Column = c(StConvexHull(x(g)))
+  def st_boundary(g: Column): Column = c(StBoundary(x(g)))
+  def st_touches(a: Column, b: Column): Column =
+    c(GeoPredicate(x(a), x(b), "touches"))
+  def st_crosses(a: Column, b: Column): Column =
+    c(GeoPredicate(x(a), x(b), "crosses"))
+  def st_overlaps(a: Column, b: Column): Column =
+    c(GeoPredicate(x(a), x(b), "overlaps"))
+
+  // --- SetDigest sketch family ---
+  def make_set_digest(col: Column): Column =
+    c(MakeSetDigestAgg(x(col)).toAggregateExpression())
+  def merge_set_digest(col: Column): Column =
+    c(MergeSetDigestAgg(x(col)).toAggregateExpression())
+  def jaccard_index(a: Column, b: Column): Column =
+    c(SetDigestBinary(x(a), x(b), "jaccard_index"))
+  def intersection_cardinality(a: Column, b: Column): Column =
+    c(SetDigestBinary(x(a), x(b), "intersection_cardinality"))
+  def hash_counts(d: Column): Column = c(HashCounts(x(d)))
+
+  // --- ML (Gram-sketch linear models) ---
+  def features(cols: Column*): Column = {
+    val kv = cols.zipWithIndex.flatMap { case (col0, i) =>
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(i.toLong),
+        org.apache.spark.sql.catalyst.expressions.Cast(x(col0),
+          org.apache.spark.sql.types.DoubleType))
+    }
+    c(org.apache.spark.sql.catalyst.expressions.CreateMap(kv))
+  }
+  def learn_regressor(label: Column, feats: Column): Column =
+    c(LearnModelAgg(x(label), x(feats), classifier = false).toAggregateExpression())
+  def learn_classifier(label: Column, feats: Column): Column =
+    c(LearnModelAgg(x(label), x(feats), classifier = true).toAggregateExpression())
+  def regress(feats: Column, model: Column): Column =
+    c(MlPredict(x(feats), x(model), classify = false))
+  def classify(feats: Column, model: Column): Column =
+    c(MlPredict(x(feats), x(model), classify = true))
+
+  /** Normalized-text primitives (single-pass, codegen'd). */
+  def normalize_ws(text: Column): Column = c(NormalizeWs(x(text)))
+  def normalized_tokens(text: Column): Column = c(NormalizedTokens(x(text)))
+  def word_shingles(tokens: Column, k: Int): Column = c(WordShingles(x(tokens), k))
 }

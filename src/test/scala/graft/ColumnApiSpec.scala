@@ -301,6 +301,41 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(e.sql("SELECT count(*) FROM nation").head.getLong(0) == 25)
   }
 
+  test("column API: set digest, ML, text primitives, geo topology") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.{functions => F}
+    val cust = Tables.t(spark, sf, "customer")
+    // set digest round trip through the typed API
+    val d = cust.agg(F.make_set_digest(col("c_custkey")).as("d"))
+    val card = d.select(F.cardinality(col("d"))).head.getLong(0)
+    assert(card == cust.select("c_custkey").distinct().count())
+    assert(d.select(F.jaccard_index(col("d"), col("d"))).head.getDouble(0) == 1.0)
+    // Gram-sketch regression recovers y = 2x + 1
+    val pts = spark.range(0, 100).selectExpr("CAST(id AS DOUBLE) AS x",
+      "2.0 * id + 1.0 AS y")
+    val model = pts.agg(F.learn_regressor(col("y"), F.features(col("x"))).as("m"))
+    val pred = model.select(F.regress(F.features(lit(7.0)), col("m")))
+      .head.getDouble(0)
+    assert(math.abs(pred - 15.0) < 1e-6)
+    // text primitives
+    val t = spark.sql("SELECT '  A  b\tC ' AS s")
+    assert(t.select(F.normalize_ws(col("s"))).head.getString(0) == "a b c")
+    assert(t.select(F.normalized_tokens(col("s"))).head.getSeq[String](0) ==
+      Seq("a", "b", "c"))
+    assert(t.select(F.word_shingles(F.normalized_tokens(col("s")), 2))
+      .head.getSeq[String](0) == Seq("a b", "b c"))
+    // geo topology through the typed API
+    val sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val g = spark.sql(s"SELECT 1 AS i")
+    assert(g.select(F.st_touches(
+      F.st_geometry_from_text(lit(sq)),
+      F.st_geometry_from_text(lit("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"))))
+      .head.getBoolean(0))
+    assert(g.select(F.st_astext(F.st_convex_hull(
+      F.st_geometry_from_text(lit("LINESTRING (0 0, 1 3, 2 0)")))))
+      .head.getString(0) == "POLYGON ((0 0, 2 0, 1 3, 0 0))")
+  }
+
   test("Engine catalog DDL runs natively: schema, table, view, ALTER, USE") {
     val e = Engine(spark).loadCatalog(sf)
     e.sql("CREATE SCHEMA IF NOT EXISTS graft_ddl")
