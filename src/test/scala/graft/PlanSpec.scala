@@ -51,6 +51,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan.take(800))
   }
 
+  test("h09 collapses the aggregate-join-back to a window (no self-join)") {
+    val plan = physical("h09_product_profit")
+    // supply costs come from ONE window over the (partkey, suppkey)
+    // exchange — not a groupBy + shuffled join back on the same keys
+    assert(plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("windowspecdefinition(l_partkey"), plan.take(1200))
+    // the part predicate prunes lineitem as a semi join BEFORE the shuffle
+    assert(plan.contains("LeftSemi"), plan.take(1200))
+    // exactly one hash-partitioned exchange on the supply keys, and no
+    // sort-merge join of lineitem against a derived aggregate
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
   test("q01 aggregation is partial+final (map-side combine)") {
     val plan = physical("q01_tpch_q1")
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
