@@ -378,6 +378,32 @@ class Engine(parent: SparkSession) {
     spark.sql(query).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
+  /** EXPLAIN (FORMAT GRAPHVIZ) (grammar explainOption FORMAT;
+    * QueryExplainer.java:137 graphvizLogicalPlan): the optimized logical
+    * plan as a DOT digraph, one node per operator. */
+  def explainGraphviz(query: String): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val plan = spark.sql(query).queryExecution.optimizedPlan
+    val sb = new StringBuilder("digraph logical_plan {\n")
+    var id = 0
+    def walk(node: LogicalPlan): Int = {
+      val me = id
+      id += 1
+      val label = node.nodeName +
+        (if (node.simpleString(40).length > node.nodeName.length)
+          "\\n" + node.simpleString(40).replace("\"", "'") else "")
+      sb.append(s"""  plannode_$me [label="$label", shape=rect];\n""")
+      node.children.foreach { ch =>
+        val c = walk(ch)
+        sb.append(s"  plannode_$c -> plannode_$me;\n")
+      }
+      me
+    }
+    walk(plan)
+    sb.append("}\n")
+    sb.toString
+  }
+
   /** Presto EXPLAIN ANALYZE (ExplainAnalyzeOperator.java:36): execute the
     * query, then report the EXECUTED plan (post-AQE — includes the runtime
     * join-strategy/coalescing decisions) with per-operator metrics. */

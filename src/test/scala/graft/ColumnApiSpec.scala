@@ -139,6 +139,12 @@ class ColumnApiSpec extends AnyFunSuite {
     // validate must analyze WITHOUT executing: the view must not be created.
     assert(e.validate("CREATE TEMP VIEW graft_validate_probe AS SELECT 1 AS x"))
     assert(spark.catalog.tableExists("graft_validate_probe") == false)
+    // EXPLAIN (FORMAT GRAPHVIZ): a DOT digraph with edges between operators
+    val dot = e.explainGraphviz(
+      "SELECT n_name, count(*) FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY n_name")
+    assert(dot.startsWith("digraph logical_plan {"), dot.take(120))
+    assert(dot.contains("Aggregate") && dot.contains("Join"), dot)
+    assert(dot.contains("->"), dot)
     val analyzed = e.explainAnalyze(
       "SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus")
     assert(analyzed.contains("Runtime metrics"), analyzed.take(300))
