@@ -109,6 +109,41 @@ object PrestoFunctions {
     sb.toString
   }
 
+  /** Teradata date token set → java.time pattern (DateFormatParser.java:
+    * 28-62). Tokens are uppercase, longest-match (HH24 before HH, YYYY
+    * before YY); unrecognized LETTERS throw like the reference's lexer;
+    * other characters pass through as literals. */
+  def teradataToJavaPattern(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val rest = p.substring(i)
+      if (rest.startsWith("YYYY")) { sb.append("yyyy"); i += 4 }
+      else if (rest.startsWith("YY")) { sb.append("yy"); i += 2 }
+      else if (rest.startsWith("MM")) { sb.append("MM"); i += 2 }
+      else if (rest.startsWith("DD")) { sb.append("dd"); i += 2 }
+      else if (rest.startsWith("HH24")) { sb.append("HH"); i += 4 }
+      else if (rest.startsWith("HH")) { sb.append("hh"); i += 2 }
+      else if (rest.startsWith("MI")) { sb.append("mm"); i += 2 }
+      else if (rest.startsWith("SS")) { sb.append("ss"); i += 2 }
+      else {
+        val c = p.charAt(i)
+        if (c.isLetter) throw new IllegalArgumentException(
+          s"Failed to tokenize string [$c] at offset [$i]")
+        if (c == '\'') sb.append("''") else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def teradataPattern(e: Expression): Expression = e match {
+    case Literal(s, StringType) if s != null =>
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        teradataToJavaPattern(s.toString)), StringType)
+    case other => other
+  }
+
   private def translatedPattern(e: Expression): Expression = e match {
     case Literal(s, StringType) if s != null =>
       Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
@@ -220,7 +255,10 @@ object PrestoFunctions {
       }
     },
     // --- datetime (DateTimeFunctions.java) ---
-    "date_parse" -> (e => fn("to_timestamp", Seq(e(0), translatedPattern(e(1))))),
+    // ParseToTimestamp/ParseToDate constructed DIRECTLY: delegating through
+    // the name would hit the Teradata to_timestamp/to_date compat entries
+    // (temp functions shadow builtins) and re-translate the pattern.
+    "date_parse" -> (e => new ParseToTimestamp(e(0), translatedPattern(e(1)))),
     // date_format shadows the builtin name → construct the Catalyst class
     // directly (delegating via UnresolvedFunction would recurse into us).
     "date_format" -> { e =>
@@ -234,7 +272,7 @@ object PrestoFunctions {
     // patterns agree on the y/M/d/H/m/s/S core; exotic tokens (e.g. Joda 'ZZ')
     // diverge — documented divergence, no translation attempted.
     "format_datetime" -> (e => DateFormatClass(e(0), e(1))),
-    "parse_datetime" -> (e => fn("to_timestamp", Seq(e(0), e(1)))),
+    "parse_datetime" -> (e => new ParseToTimestamp(e(0), e(1))),
     "to_unixtime" -> (e => Cast(fn("unix_timestamp", e), DoubleType)),
     "from_unixtime" -> (e => fn("timestamp_seconds", Seq(e(0)))),
     "to_iso8601" -> (e => Iso8601(e(0))),
@@ -554,6 +592,22 @@ object PrestoFunctions {
     "url_extract_fragment" -> (e => fn("parse_url", Seq(e(0), lit("REF")))),
     "url_extract_parameter" -> (e =>
       fn("parse_url", Seq(e(0), lit("QUERY"), e(1)))),
+    // --- Teradata compatibility (presto-teradata-functions plugin:
+    // TeradataDateFunctions.java to_char/to_date/to_timestamp with the
+    // YYYY/MM/DD/HH24/HH/MI/SS token set — DateFormatParser.java:28-62;
+    // TeradataStringFunctions.java index/char2hexint) ---
+    "to_char" -> (e =>
+      fn("date_format", Seq(e(0), teradataPattern(e(1))))),
+    "to_date" -> (e =>
+      if (e.length == 1) new ParseToDate(e(0))
+      else new ParseToDate(e(0), teradataPattern(e(1)))),
+    "to_timestamp" -> (e =>
+      if (e.length == 1) new ParseToTimestamp(e(0))
+      else new ParseToTimestamp(e(0), teradataPattern(e(1)))),
+    "index" -> (e => fn("locate", Seq(e(1), e(0)))),
+    // hex of the UTF-16BE encoding, uppercase (base16().upperCase())
+    "char2hexint" -> (e =>
+      fn("hex", Seq(fn("encode", Seq(e(0), lit("UTF-16BE")))))),
     // --- SetDigest (type/setdigest/SetDigestFunctions.java) ---
     "make_set_digest" -> (e => MakeSetDigestAgg(e.head).toAggregateExpression()),
     "merge_set_digest" -> (e => MergeSetDigestAgg(e.head).toAggregateExpression()),

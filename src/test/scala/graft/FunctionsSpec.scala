@@ -453,6 +453,22 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("teradata functions: to_char/to_date/to_timestamp, index, char2hexint") {
+    assertFn("to_char(TIMESTAMP '2001-08-22 03:04:05', 'YYYY/MM/DD HH24:MI:SS')",
+      "2001/08/22 03:04:05")
+    assertFn("to_char(TIMESTAMP '2001-08-22 15:04:05', 'HH')", "03") // half-day
+    assertFn("CAST(to_date('1988/04/08', 'YYYY/MM/DD') AS STRING)", "1988-04-08")
+    assertFn("CAST(to_timestamp('1988/04/08 14:03:02', 'YYYY/MM/DD HH24:MI:SS') AS STRING)",
+      "1988-04-08 14:03:02")
+    // unrecognized letters throw, like the reference's lexer
+    intercept[Exception](one("to_char(TIMESTAMP '2001-08-22 03:04:05', 'QQ')"))
+    assertFn("index('high', 'ig')", 2)
+    assertFn("index('high', 'zz')", 0)
+    // hex of the UTF-16BE encoding, uppercase
+    assertFn("char2hexint('abc')", "006100620063")
+    assertFn("char2hexint('z')", "007A")
+  }
+
   test("set digest: exact mode, jaccard, intersection, hash_counts") {
     // exact mode (< 8192 distinct): cardinality and intersection are exact
     assertFn("(SELECT cardinality(make_set_digest(c_custkey)) FROM customer)",
