@@ -96,7 +96,7 @@ object SetDigestSketch {
     * fraction among the smallest min(|A|,|B|) hashes of the union. */
   def jaccardIndex(a: SetDigestSketch, b: SetDigestSketch): Double = {
     val k = math.min(a.minhash.size(), b.minhash.size())
-    if (k == 0) return 0.0
+    if (k == 0) return Double.NaN // the reference's 0/0 on empty digests
     val union = new java.util.TreeSet[java.lang.Long](a.minhash.keySet())
     union.addAll(b.minhash.keySet())
     var inter = 0
