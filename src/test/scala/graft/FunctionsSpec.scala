@@ -469,6 +469,22 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("char2hexint('z')", "007A")
   }
 
+  test("teradata pattern round trip: to_char(to_timestamp(s)) == s") {
+    // any timestamp rendered with a token pattern must re-parse to itself
+    for (fmt <- Seq("YYYY-MM-DD HH24:MI:SS", "DD/MM/YYYY HH24:MI",
+      "YYYYMMDD", "SS.MI.HH24 DD?MM?YYYY")) {
+      val s = one(s"to_char(TIMESTAMP '1997-06-08 21:38:52', '$fmt')")
+      val back = one(
+        s"to_char(to_timestamp('$s', '$fmt'), 'YYYY-MM-DD HH24:MI:SS')")
+      val expect = fmt match {
+        case "YYYYMMDD" => "1997-06-08 00:00:00" // date-only pattern
+        case "DD/MM/YYYY HH24:MI" => "1997-06-08 21:38:00"
+        case _ => "1997-06-08 21:38:52"
+      }
+      assert(back == expect, s"fmt=$fmt rendered=$s back=$back")
+    }
+  }
+
   test("set digest: exact mode, jaccard, intersection, hash_counts") {
     // exact mode (< 8192 distinct): cardinality and intersection are exact
     assertFn("(SELECT cardinality(make_set_digest(c_custkey)) FROM customer)",
