@@ -174,16 +174,21 @@ object Geo {
       poly: (String, Array[Double], Array[Double])): Boolean =
     pointInPolygon(px, py, poly._2, poly._3) && !onBoundary(px, py, poly)
 
-  /** Sample points whose strict-containment decides interior overlap:
-    * vertices + edge midpoints (+ centroid for polygons). */
+  /** Sample points whose strict-containment decides interior overlap.
+    * Vertices and edge midpoints are sound probes: each touches the
+    * geometry's interior arbitrarily closely, so strict containment in the
+    * OTHER polygon's open interior implies the interiors meet. The
+    * vertex-centroid is only sound when it actually lies in the source
+    * polygon's own interior (a concave ring's centroid can fall outside). */
   private def samplePoints(g: (String, Array[Double], Array[Double])): Seq[(Double, Double)] = {
     val verts = g._2.indices.map(i => (g._2(i), g._3(i)))
     val mids = edges(g._1, g._2, g._3).map { case (ax, ay, bx, by) =>
       ((ax + bx) / 2, (ay + by) / 2) }
     val centroid =
-      if (g._1 == "POLYGON" && g._2.nonEmpty)
-        Seq((g._2.sum / g._2.length, g._3.sum / g._3.length))
-      else Seq.empty
+      if (g._1 == "POLYGON" && g._2.nonEmpty) {
+        val c = (g._2.sum / g._2.length, g._3.sum / g._3.length)
+        if (strictlyInside(c._1, c._2, g)) Seq(c) else Seq.empty
+      } else Seq.empty
     verts ++ mids ++ centroid
   }
 

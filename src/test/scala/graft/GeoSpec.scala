@@ -213,6 +213,21 @@ class GeoSpec extends AnyFunSuite {
     assert(one(s"st_crosses(${g(square)}, ${g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")})") == false)
   }
 
+  test("concave ring whose vertex-centroid falls outside itself") {
+    // C-shape opening left: big square minus the notch [-2,2]x[-1,2]. Its
+    // vertex-centroid (0.25, 0.5) lies in the NOTCH — outside the C but
+    // inside the unit square below — so an unguarded centroid probe would
+    // report interior overlap for two disjoint geometries.
+    val c = "POLYGON ((-2 -2, 3 -2, 3 3, -2 3, -2 2, 2 2, 2 -1, -2 -1))"
+    val unit = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert(one(s"st_overlaps(${g(c)}, ${g(unit)})") == false)
+    assert(one(s"st_overlaps(${g(unit)}, ${g(c)})") == false)
+    assert(one(s"st_touches(${g(c)}, ${g(unit)})") == false)
+    assert(one(s"st_disjoint(${g(c)}, ${g(unit)})") == true)
+    // sanity: the C really does overlap something crossing its arm
+    assert(one(s"st_overlaps(${g(c)}, ${g("POLYGON ((1 -3, 4 -3, 4 0, 1 0, 1 -3))")})") == true)
+  }
+
   test("overlaps: partial same-dimension overlap only") {
     val a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
     val b = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
