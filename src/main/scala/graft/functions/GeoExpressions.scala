@@ -303,9 +303,19 @@ object Geo {
 
   private def crossesLinePoly(line: (String, Array[Double], Array[Double]),
       poly: (String, Array[Double], Array[Double])): Boolean = {
-    val pts = samplePoints(line)
-    pts.exists { case (px, py) => strictlyInside(px, py, poly) } &&
-      pts.exists { case (px, py) => !pointInPolygon(px, py, poly._2, poly._3) }
+    // a PROPER crossing of a ring edge puts line-interior points strictly
+    // on both sides of the boundary — crossing is proven without sampling
+    // (sampling alone can miss a thin spike between two probe points)
+    val properCrossing = edges(line._1, line._2, line._3).exists {
+      case (ax, ay, bx, by) => edges(poly._1, poly._2, poly._3).exists {
+        case (cx, cy, dx, dy) => properlyCross(ax, ay, bx, by, cx, cy, dx, dy)
+      }
+    }
+    properCrossing || {
+      val pts = samplePoints(line)
+      pts.exists { case (px, py) => strictlyInside(px, py, poly) } &&
+        pts.exists { case (px, py) => !pointInPolygon(px, py, poly._2, poly._3) }
+    }
   }
 
   /** ST_Overlaps: same dimension, interiors meet, neither contains the

@@ -211,6 +211,10 @@ class GeoSpec extends AnyFunSuite {
     assert(one(s"st_crosses(${g("LINESTRING (0 0, 2 0)")}, ${g("LINESTRING (1 0, 3 0)")})") == false)
     // polygon-polygon never crosses
     assert(one(s"st_crosses(${g(square)}, ${g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")})") == false)
+    // a single long segment through a thin spike: no vertex or midpoint
+    // lands inside, but the proper edge crossings prove the crossing
+    val spike = "POLYGON ((0 0, 10 0, 10 0.1, 0.2 0.1, 0 0))"
+    assert(one(s"st_crosses(${g("LINESTRING (5 -5, 5.02 5)")}, ${g(spike)})") == true)
   }
 
   test("concave ring whose vertex-centroid falls outside itself") {
