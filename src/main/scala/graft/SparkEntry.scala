@@ -21,6 +21,7 @@ object SparkEntry {
     _root_.graft.queries.Coverage.queries,
     _root_.graft.queries.TpchMacro.queries,
     _root_.graft.queries.Geo.queries,
+    _root_.graft.queries.RefCorpus.queries,
     _root_.graft.operators.Dedup.queries,
     _root_.graft.operators.TextAnalysis.queries,
     _root_.graft.operators.Similarity.queries,

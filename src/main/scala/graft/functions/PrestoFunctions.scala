@@ -422,6 +422,11 @@ object PrestoFunctions {
     "reduce" -> (e => ArrayAggregate(e(0), e(1), e(2), e(3))),
     "any_match" -> (e => ArrayExists(e(0), e(1))),
     "all_match" -> (e => ArrayForAll(e(0), e(1))),
+    // apply(x, f): invoke a unary lambda on a scalar (LambdaFunctions.java
+    // "apply"). Spark has no scalar-lambda application, but transform over a
+    // one-element array is exactly it — element_at(transform(array(x), f), 1).
+    "apply" -> (e => ElementAt(ArrayTransform(CreateArray(Seq(e(0))), e(1)),
+      lit(1))),
     // none_match: the analyzer requires the expression RESOLVED FROM a
     // lambda-bearing call to itself be a higher-order function (Not(exists)
     // is rejected), so negate inside the lambda body instead.

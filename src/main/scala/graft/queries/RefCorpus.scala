@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import graft.{Engine, Q, Tables}
+
+/** The reference's OWN test-query corpus, run VERBATIM.
+  *
+  * presto-tests/src/main/java/com/facebook/presto/tests/AbstractTestQueries
+  * .java is the reference's end-to-end correctness suite (503 tests, each
+  * cross-checked against H2 by its own harness). This module runs a curated
+  * slice of that corpus — the statements whose grammar Spark parses — with
+  * the EXACT original SQL text, against views exposing Presto's
+  * tpch-connector column names (unprefixed: orderkey, custkey, …;
+  * TpchMetadata.java getColumnHandles lowercases the standard TPC-H names).
+  *
+  * The fixture parquet is a slimmed TPC-H: columns the fixtures lack
+  * (clerk, comment, shipmode, …) are synthesized deterministically from key
+  * columns. Every synthesized expression is written in the COMMON dialect
+  * subset of Spark SQL and DuckDB, and the same text builds both the Spark
+  * view and the DuckDB oracle prelude — so the two engines see identical
+  * tables by construction.
+  *
+  * The corpus text runs untouched on the Spark side (that is the point);
+  * output columns are renamed AFTER execution (`toDF`) so the driver's
+  * name-sorted hash compare has stable labels, and the oracle mirrors the
+  * names/types with explicit casts (DuckDB sums BIGINT into HUGEINT, which
+  * pandas renders differently — the cast is representation, not value).
+  */
+object RefCorpus {
+
+  /** Per-table view columns, Presto names ← fixture names. Shared verbatim
+    * between Spark (`CREATE TEMP VIEW`) and DuckDB (oracle WITH-prelude):
+    * every expression must stay inside both dialects (STRING / lpad / || /
+    * CASE / date+int all are). */
+  val viewCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq(
+      "o_orderkey AS orderkey",
+      "o_custkey AS custkey",
+      "o_orderstatus AS orderstatus",
+      "o_totalprice AS totalprice",
+      "CAST(o_orderdate AS DATE) AS orderdate",
+      "o_orderpriority AS orderpriority",
+      "'Clerk#' || lpad(CAST(o_custkey % 100 AS STRING), 9, '0') AS clerk",
+      "CAST(0 AS INT) AS shippriority",
+      "lower(o_orderpriority) AS comment"),
+    "lineitem" -> Seq(
+      "l_orderkey AS orderkey",
+      "l_partkey AS partkey",
+      "l_suppkey AS suppkey",
+      "l_linenumber AS linenumber",
+      "l_quantity AS quantity",
+      "l_extendedprice AS extendedprice",
+      "l_discount AS discount",
+      "l_tax AS tax",
+      "l_returnflag AS returnflag",
+      "l_linestatus AS linestatus",
+      "CAST(l_shipdate AS DATE) AS shipdate",
+      "CAST(l_shipdate AS DATE) + CAST(l_orderkey % 30 - 15 AS INT) AS commitdate",
+      "CAST(l_shipdate AS DATE) + CAST(l_suppkey % 10 AS INT) AS receiptdate",
+      "CASE CAST((l_orderkey + l_linenumber) % 7 AS INT) WHEN 0 THEN 'AIR' WHEN 1 THEN 'FOB' WHEN 2 THEN 'MAIL' WHEN 3 THEN 'RAIL' WHEN 4 THEN 'SHIP' WHEN 5 THEN 'TRUCK' ELSE 'REG AIR' END AS shipmode",
+      "CASE CAST(l_suppkey % 4 AS INT) WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD' WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS shipinstruct",
+      "lower(l_returnflag) || '-' || lower(l_linestatus) AS comment"),
+    "customer" -> Seq(
+      "c_custkey AS custkey",
+      "c_name AS name",
+      "c_nationkey AS nationkey",
+      "c_acctbal AS acctbal",
+      "c_mktsegment AS mktsegment",
+      "'addr-' || CAST(c_custkey AS STRING) AS address",
+      "'11-' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0') AS phone",
+      "lower(c_mktsegment) AS comment"),
+    "nation" -> Seq(
+      "n_nationkey AS nationkey",
+      "n_name AS name",
+      "n_regionkey AS regionkey",
+      "lower(n_name) AS comment"),
+    "region" -> Seq(
+      "r_regionkey AS regionkey",
+      "r_name AS name",
+      "lower(r_name) AS comment"),
+    "part" -> Seq(
+      "p_partkey AS partkey",
+      "p_name AS name",
+      "p_brand AS brand",
+      "p_type AS type",
+      "p_size AS size",
+      "p_retailprice AS retailprice",
+      "'Manufacturer#' || CAST(p_partkey % 5 + 1 AS STRING) AS mfgr",
+      "CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN 'SM CASE' WHEN 1 THEN 'MED BOX' WHEN 2 THEN 'LG JAR' ELSE 'JUMBO PKG' END AS container",
+      "lower(p_brand) AS comment"),
+    "supplier" -> Seq(
+      "s_suppkey AS suppkey",
+      "s_name AS name",
+      "s_nationkey AS nationkey",
+      "s_acctbal AS acctbal",
+      "'addr-' || CAST(s_suppkey AS STRING) AS address",
+      "'22-' || lpad(CAST(s_suppkey % 10000 AS STRING), 4, '0') AS phone",
+      "lower(s_name) AS comment"))
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Engine]()
+
+  /** Engine whose catalog is the Presto-named views (isolated session — the
+    * unprefixed names must not collide with the fixture views other query
+    * modules register). */
+  def engine(parent: SparkSession, dir: String): Engine =
+    cache.computeIfAbsent((parent, dir), { _ =>
+      val e = Engine(parent)
+      viewCols.foreach { case (name, cols) =>
+        Tables.t(e.spark, dir, name).createOrReplaceTempView(name + "_base")
+        e.spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT " +
+          cols.mkString(", ") + s" FROM ${name}_base")
+      }
+      e
+    })
+
+  private val tableNames = viewCols.keys.mkString("|")
+
+  /** DuckDB mirror of a verbatim corpus statement: prefix the view
+    * definitions as CTEs under ref_* names (a CTE cannot shadow the base
+    * table it reads from) and repoint the corpus text's table references. */
+  def oracleize(sql: String): String = {
+    val referenced = viewCols.keys.filter(t => s"\\b$t\\b".r.findFirstIn(sql).isDefined)
+    val prelude = referenced.map(t =>
+      s"ref_$t AS (SELECT ${viewCols(t).mkString(", ")} FROM $t)").mkString(", ")
+    val body = sql.replaceAll(s"\\b($tableNames)\\b", "ref_$1")
+    if (referenced.isEmpty) sql else s"WITH $prelude $body"
+  }
+
+  /** One verbatim statement; `oracleCols` are DuckDB select-exprs over the
+    * positionally-aliased subquery t(c1..cN) producing the same
+    * names/representations as the renamed Spark result. */
+  private def one(sql: String, cols: Seq[String], oracleCols: Seq[String]): Q =
+    Q((s, d) => engine(s, d).sql(sql).toDF(cols: _*),
+      Some(s"SELECT ${oracleCols.mkString(", ")} FROM (${oracleize(sql)}) " +
+        s"t(${(1 to cols.length).map("c" + _).mkString(", ")})"))
+
+  /** A batch of verbatim statements with identical single-column BIGINT
+    * output (the corpus's COUNT(*)/SUM shapes), unioned under a case tag.
+    * The tag column is attached OUTSIDE the SQL text on the Spark side. */
+  private def batch(cases: Seq[(String, String)]): Q =
+    Q((s, d) => cases.map { case (tag, sql) =>
+        engine(s, d).sql(sql).toDF("n").withColumn("tag", lit(tag))
+      }.reduce(_ unionAll _),
+      Some(cases.map { case (tag, sql) =>
+        s"SELECT CAST(c1 AS BIGINT) AS n, '$tag' AS tag FROM (${oracleize(sql)}) t(c1)"
+      }.mkString(" UNION ALL ")))
+
+  val queries: Map[String, Q] = Map(
+
+    // AbstractTestQueries.java:763 testComplexQuery — agg + HAVING +
+    // row_number + ORDER BY DESC + LIMIT in one statement.
+    "r01_ref_complex" -> one(
+      "SELECT sum(orderkey), row_number() OVER (ORDER BY orderkey) FROM orders WHERE orderkey <= 10 GROUP BY orderkey HAVING sum(orderkey) >= 3 ORDER BY orderkey DESC LIMIT 3",
+      Seq("sum_okey", "rn"),
+      Seq("CAST(c1 AS BIGINT) AS sum_okey", "CAST(c2 AS BIGINT) AS rn")),
+
+    // AbstractTestQueries.java:1845 testNonEqualityJoin — equi-join with
+    // every flavor of non-equi / NOT / LIKE / NULL residual condition.
+    "r02_ref_nonequality_join" -> batch(Seq(
+      "n01" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity + length(orders.comment) > 7",
+      "n02" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND NOT lineitem.quantity > 2",
+      "n03" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON NOT NOT lineitem.orderkey = orders.orderkey AND NOT NOT lineitem.quantity > 2",
+      "n04" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND NOT NOT NOT lineitem.quantity > 2",
+      "n05" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity <= 2",
+      "n06" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity != 2",
+      "n07" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.shipdate > orders.orderdate",
+      "n08" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.comment LIKE '%forges%'",
+      "n09" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.comment LIKE lineitem.comment",
+      "n10" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND NOT (orders.comment LIKE lineitem.comment)",
+      "n11" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND NULL")),
+
+    // AbstractTestQueries.java:1878 testNonEqualityLeftJoin — left joins
+    // whose residual rejects matches, probed through IS NULL.
+    "r03_ref_left_join" -> batch(Seq(
+      "l01" -> "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000 WHERE orders.orderkey IS NULL",
+      "l02" -> "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000.0 WHERE orders.orderkey IS NULL",
+      "l03" -> "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > orders.totalprice WHERE orders.orderkey IS NULL",
+      "l04" -> "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > lineitem.quantity WHERE orders.orderkey IS NULL",
+      "l05" -> "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 WHERE orders.orderkey IS NULL")),
+
+    // AbstractTestQueries.java:3222 testHaving2 (exact integer aggregate).
+    "r04_ref_having" -> one(
+      "SELECT custkey, sum(orderkey) FROM orders GROUP BY custkey HAVING sum(orderkey) > 400000",
+      Seq("custkey", "sum_okey"),
+      Seq("c1 AS custkey", "CAST(c2 AS BIGINT) AS sum_okey")),
+
+    // AbstractTestQueries.java:820 testDistinctHaving — COUNT(DISTINCT) in
+    // both the projection and the HAVING predicate.
+    "r05_ref_distinct_having" -> one(
+      "SELECT COUNT(DISTINCT clerk) AS count FROM orders GROUP BY orderdate HAVING COUNT(DISTINCT clerk) > 1",
+      Seq("count"),
+      Seq("CAST(c1 AS BIGINT) AS count")),
+
+    // AbstractTestQueries.java:798 testDistinctJoin — DISTINCT aggregate
+    // over a join, grouped by the probe side.
+    "r06_ref_distinct_join" -> one(
+      "SELECT COUNT(DISTINCT CAST(b.quantity AS BIGINT)), a.orderstatus FROM orders a JOIN lineitem b ON a.orderkey = b.orderkey GROUP BY a.orderstatus",
+      Seq("cnt", "orderstatus"),
+      Seq("CAST(c1 AS BIGINT) AS cnt", "c2 AS orderstatus")),
+
+    // AbstractTestQueries.java:786 testJoinWithMultiFieldGroupBy.
+    "r07_ref_join_multifield" -> one(
+      "SELECT orderstatus FROM lineitem JOIN (SELECT DISTINCT orderkey, orderstatus FROM orders) T on lineitem.orderkey = T.orderkey",
+      Seq("orderstatus"),
+      Seq("c1 AS orderstatus")),
+
+    // AbstractTestQueries.java:777 testWhereNull — a filter stack that
+    // leaves TRUE-with-null-flag on the stack (empty result by semantics).
+    "r08_ref_where_null" -> one(
+      "SELECT custkey FROM orders WHERE custkey = custkey AND CAST(nullif(custkey, custkey) AS boolean) AND CAST(nullif(custkey, custkey) AS boolean)",
+      Seq("custkey"),
+      Seq("c1 AS custkey")),
+
+    // AbstractTestQueries.java:1185 testRollupOverUnion (integer sums).
+    "r09_ref_rollup_union" -> one(
+      "SELECT orderstatus, sum(orderkey)\nFROM (SELECT orderkey, orderstatus\n      FROM orders\n      UNION ALL\n      SELECT orderkey, orderstatus\n      FROM orders) x\nGROUP BY ROLLUP (orderstatus)",
+      Seq("orderstatus", "sum_okey"),
+      Seq("c1 AS orderstatus", "CAST(c2 AS BIGINT) AS sum_okey")),
+
+    // AbstractTestQueries.java:4255 testIn — IN-list over table data,
+    // including a non-foldable element (rand()<0 keeps it non-constant).
+    "r10_ref_in" -> Q(
+      (s, d) => Seq(
+        "i1" -> "SELECT orderkey FROM orders WHERE orderkey IN (1, 2, 3)",
+        "i2" -> "SELECT orderkey FROM orders WHERE totalprice IN (1, 2, 3)",
+        "i3" -> "SELECT orderkey FROM orders WHERE orderkey IN (1 + CAST(rand() < 0 AS bigint), 2 + CAST(rand() < 0 AS bigint), 4)")
+        .map { case (tag, sql) =>
+          engine(s, d).sql(sql).toDF("orderkey").withColumn("tag", lit(tag)) }
+        .reduce(_ unionAll _),
+      Some(Seq(
+        ("i1", "SELECT orderkey FROM orders WHERE orderkey IN (1, 2, 3)"),
+        ("i2", "SELECT orderkey FROM orders WHERE totalprice IN (1, 2, 3)"),
+        ("i3", "SELECT orderkey FROM orders WHERE orderkey IN (1, 2, 4)"))
+        .map { case (tag, sql) =>
+          s"SELECT c1 AS orderkey, '$tag' AS tag FROM (${oracleize(sql)}) t(c1)" }
+        .mkString(" UNION ALL "))),
+
+    // AbstractTestQueries.java:3242 testJoinWithGroupByAsProbe.
+    "r11_ref_groupby_probe" -> one(
+      "SELECT   b.orderkey,   b.custkey,   a.custkey FROM (   SELECT custkey  FROM orders   GROUP BY custkey) a JOIN orders b   ON a.custkey = b.custkey ",
+      Seq("orderkey", "custkey_b", "custkey_a"),
+      Seq("c1 AS orderkey", "c2 AS custkey_b", "c3 AS custkey_a")),
+
+    // AbstractTestQueries.java:873-885 testOrderByLimit /
+    // testOrderByExpressionWithLimit (orderkey DESC is a total order).
+    "r12_ref_orderby_limit" -> one(
+      "SELECT custkey, orderstatus FROM orders ORDER BY orderkey + 1 DESC LIMIT 10",
+      Seq("custkey", "orderstatus"),
+      Seq("c1 AS custkey", "c2 AS orderstatus")))
+}
