@@ -208,7 +208,62 @@ class Engine(parent: SparkSession) {
 
   def sql(query: String): DataFrame = {
     accessControl.check(spark, query)
-    spark.sql(query)
+    val text = PrestoSql.rewrite(query)
+    val df =
+      try spark.sql(text)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("requires window to be ordered") =>
+          arbitraryWindowOrder(text)
+      }
+    oneBasedSubscripts(df)
+  }
+
+  /** Presto's WindowOperator/RowNumberOperator run ranking functions over
+    * UNORDERED windows (`row_number() OVER (PARTITION BY a)` — arbitrary
+    * order, MAIN/operator/RowNumberOperator.java); Spark's analyzer insists
+    * on an ORDER BY. Retry path: give exactly those windows a constant sort
+    * (SortOrder(1) — every row equal, i.e. arbitrary order, no extra
+    * exchange). Aggregate windows are left alone — adding an order would
+    * silently shrink their default frame to RANGE ... CURRENT ROW. */
+  private def arbitraryWindowOrder(text: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Literal, SortOrder, WindowExpression, WindowSpecDefinition}
+    val needsOrder = Set("row_number", "rank", "dense_rank", "percent_rank",
+      "cume_dist", "ntile", "lag", "lead")
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val fixed = parsed.transformAllExpressions {
+      case WindowExpression(f: UnresolvedFunction, spec: WindowSpecDefinition)
+          if spec.orderSpec.isEmpty &&
+            needsOrder(f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+        WindowExpression(f,
+          spec.copy(orderSpec = Seq(SortOrder(Literal(1), Ascending))))
+    }
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** Presto array subscripts are 1-based and the SQL `[i]` form is the
+    * idiomatic spelling (SPI/type/ArrayType — "SQL array indices start at
+    * 1"); Spark's parser resolves the same form 0-based. Shift every array
+    * subscript in the ANALYZED plan (GetArrayItem is array-only by then —
+    * map subscripts resolve to GetMapValue and pass through untouched),
+    * including inside subqueries. ANSI mode keeps Presto's
+    * out-of-bounds/zero-index errors. */
+  private def oneBasedSubscripts(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, GetArrayItem, Literal, Subtract, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    var changed = false
+    def shift(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+      case g: GetArrayItem =>
+        changed = true
+        GetArrayItem(g.child,
+          Subtract(g.ordinal, Cast(Literal(1), g.ordinal.dataType)),
+          g.failOnError)
+      case s: SubqueryExpression => s.withNewPlan(shift(s.plan))
+    }
+    val shifted = shift(df.queryExecution.analyzed)
+    if (!changed) df
+    else org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, shifted)
   }
 
   /** GRANT <privileges> ON <table> TO <grantee> (SqlBase.g4:58-61). */

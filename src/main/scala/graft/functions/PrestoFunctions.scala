@@ -422,11 +422,20 @@ object PrestoFunctions {
     "reduce" -> (e => ArrayAggregate(e(0), e(1), e(2), e(3))),
     "any_match" -> (e => ArrayExists(e(0), e(1))),
     "all_match" -> (e => ArrayForAll(e(0), e(1))),
-    // apply(x, f): invoke a unary lambda on a scalar (LambdaFunctions.java
-    // "apply"). Spark has no scalar-lambda application, but transform over a
-    // one-element array is exactly it — element_at(transform(array(x), f), 1).
-    "apply" -> (e => ElementAt(ArrayTransform(CreateArray(Seq(e(0))), e(1)),
-      lit(1))),
+    // ROW(a, b) anonymous-row constructor (SqlBase.g4 #rowConstructor).
+    "row" -> (e => CreateStruct(e)),
+    // apply(x, f): invoke a unary lambda on a scalar (LambdaFunctions.java).
+    // Must itself be a HigherOrderFunction — the analyzer rejects lambdas
+    // passed to anything else, so composing transform-over-array under a
+    // non-HOF head does not resolve.
+    "apply" -> (e => ApplyLambda(e(0), e(1))),
+    // map() / map(keys_array, values_array) (MapConstructor.java) — Spark's
+    // builtin `map` is the variadic k,v,... pair form, kept as a fallback
+    // for any other arity.
+    "map" -> (e =>
+      if (e.isEmpty) CreateMap(Nil)
+      else if (e.length == 2) MapFromArrays(e(0), e(1))
+      else CreateMap(e)),
     // none_match: the analyzer requires the expression RESOLVED FROM a
     // lambda-bearing call to itself be a higher-order function (Not(exists)
     // is rejected), so negate inside the lambda body instead.

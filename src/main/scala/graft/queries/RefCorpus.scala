@@ -125,27 +125,46 @@ object RefCorpus {
     val prelude = referenced.map(t =>
       s"ref_$t AS (SELECT ${viewCols(t).mkString(", ")} FROM $t)").mkString(", ")
     val body = sql.replaceAll(s"\\b($tableNames)\\b", "ref_$1")
-    if (referenced.isEmpty) sql else s"WITH $prelude $body"
+    if (referenced.isEmpty) sql
+    // a body that opens its own WITH merges into the prelude's CTE list
+    else if (body.trim.toUpperCase.startsWith("WITH"))
+      s"WITH $prelude, ${body.trim.drop(4).trim}"
+    else s"WITH $prelude $body"
   }
 
   /** One verbatim statement; `oracleCols` are DuckDB select-exprs over the
     * positionally-aliased subquery t(c1..cN) producing the same
     * names/representations as the renamed Spark result. */
-  private def one(sql: String, cols: Seq[String], oracleCols: Seq[String]): Q =
+  private def one(sql: String, cols: Seq[String], oracleCols: Seq[String],
+      oracleSql: String = null): Q =
     Q((s, d) => engine(s, d).sql(sql).toDF(cols: _*),
-      Some(s"SELECT ${oracleCols.mkString(", ")} FROM (${oracleize(sql)}) " +
+      Some(s"SELECT ${oracleCols.mkString(", ")} FROM " +
+        s"(${oracleize(Option(oracleSql).getOrElse(sql))}) " +
         s"t(${(1 to cols.length).map("c" + _).mkString(", ")})"))
 
-  /** A batch of verbatim statements with identical single-column BIGINT
-    * output (the corpus's COUNT(*)/SUM shapes), unioned under a case tag.
-    * The tag column is attached OUTSIDE the SQL text on the Spark side. */
-  private def batch(cases: Seq[(String, String)]): Q =
-    Q((s, d) => cases.map { case (tag, sql) =>
-        engine(s, d).sql(sql).toDF("n").withColumn("tag", lit(tag))
+  /** A batch of verbatim statements with an identical output schema,
+    * unioned under a case tag. The tag column is attached OUTSIDE the SQL
+    * text on the Spark side, so the statements stay untouched. A case may
+    * carry an oracle override (third element) when the verbatim text needs
+    * a DuckDB spelling (e.g. rand() → a constant with the same value). */
+  private def batchCols(cols: Seq[String], oracleCols: Seq[String],
+      cases: Seq[Product]): Q = {
+    val cs = cases.map {
+      case (tag: String, sql: String) => (tag, sql, sql)
+      case (tag: String, sql: String, oracle: String) => (tag, sql, oracle)
+    }
+    Q((s, d) => cs.map { case (tag, sql, _) =>
+        engine(s, d).sql(sql).toDF(cols: _*).withColumn("tag", lit(tag))
       }.reduce(_ unionAll _),
-      Some(cases.map { case (tag, sql) =>
-        s"SELECT CAST(c1 AS BIGINT) AS n, '$tag' AS tag FROM (${oracleize(sql)}) t(c1)"
+      Some(cs.map { case (tag, _, oracle) =>
+        s"SELECT ${oracleCols.mkString(", ")}, '$tag' AS tag FROM " +
+          s"(${oracleize(oracle)}) t(${(1 to cols.length).map("c" + _).mkString(", ")})"
       }.mkString(" UNION ALL ")))
+  }
+
+  /** Single-column BIGINT batch (the corpus's COUNT(*)/SUM shapes). */
+  private def batch(cases: Seq[Product]): Q =
+    batchCols(Seq("n"), Seq("CAST(c1 AS BIGINT) AS n"), cases)
 
   val queries: Map[String, Q] = Map(
 
@@ -248,5 +267,95 @@ object RefCorpus {
     "r12_ref_orderby_limit" -> one(
       "SELECT custkey, orderstatus FROM orders ORDER BY orderkey + 1 DESC LIMIT 10",
       Seq("custkey", "orderstatus"),
-      Seq("c1 AS custkey", "c2 AS orderstatus")))
+      Seq("c1 AS custkey", "c2 AS orderstatus")),
+
+    // AbstractTestQueries.java:1349 testIntersect.
+    "r13_ref_intersect" -> batch(Seq(
+      "i1" -> "SELECT regionkey FROM nation WHERE nationkey < 7 INTERSECT SELECT regionkey FROM nation WHERE nationkey > 21",
+      "i2" -> "SELECT regionkey FROM nation WHERE nationkey < 7 INTERSECT DISTINCT SELECT regionkey FROM nation WHERE nationkey > 21",
+      "i3" -> "WITH wnation AS (SELECT nationkey, regionkey FROM nation) SELECT regionkey FROM wnation WHERE nationkey < 7 INTERSECT SELECT regionkey FROM wnation WHERE nationkey > 21",
+      "i4" -> "SELECT num FROM (SELECT 1 AS num FROM nation WHERE nationkey=10 INTERSECT SELECT 1 FROM nation WHERE nationkey=20) T",
+      "i5" -> "SELECT regionkey FROM (SELECT regionkey FROM nation WHERE nationkey < 7 INTERSECT SELECT regionkey FROM nation WHERE nationkey > 21) UNION SELECT 4",
+      "i6" -> "SELECT regionkey FROM (SELECT regionkey FROM nation WHERE nationkey < 7 UNION SELECT regionkey FROM nation WHERE nationkey > 21) INTERSECT SELECT 1",
+      "i7" -> "SELECT regionkey FROM (SELECT regionkey FROM nation WHERE nationkey < 7 INTERSECT SELECT regionkey FROM nation WHERE nationkey > 21) UNION ALL SELECT 3",
+      "i8" -> "SELECT 100 INTERSECT (SELECT regionkey FROM nation WHERE nationkey <10)")),
+
+    // AbstractTestQueries.java:1412 testExcept.
+    "r14_ref_except" -> batch(Seq(
+      "e1" -> "SELECT regionkey FROM nation WHERE nationkey < 7 EXCEPT SELECT regionkey FROM nation WHERE nationkey > 21",
+      "e2" -> "SELECT regionkey FROM nation WHERE nationkey < 7 EXCEPT DISTINCT SELECT regionkey FROM nation WHERE nationkey > 21",
+      "e3" -> "WITH wnation AS (SELECT nationkey, regionkey FROM nation) SELECT regionkey FROM wnation WHERE nationkey < 7 EXCEPT SELECT regionkey FROM wnation WHERE nationkey > 21",
+      "e4" -> "SELECT num FROM (SELECT 1 AS num FROM nation WHERE nationkey=10 EXCEPT SELECT 2 FROM nation WHERE nationkey=20) T",
+      "e5" -> "SELECT regionkey FROM (SELECT regionkey FROM nation WHERE nationkey < 7 EXCEPT SELECT regionkey FROM nation WHERE nationkey > 21) UNION SELECT 3",
+      "e6" -> "SELECT regionkey FROM (SELECT regionkey FROM nation WHERE nationkey < 7 UNION SELECT regionkey FROM nation WHERE nationkey > 21) EXCEPT SELECT 1",
+      ("e7", "(SELECT * FROM (VALUES 1) EXCEPT SELECT * FROM (VALUES 0)) EXCEPT (SELECT * FROM (VALUES 1) EXCEPT SELECT * FROM (VALUES 1))",
+        // DuckDB's VALUES rows need parentheses
+        "(SELECT * FROM (VALUES (1)) EXCEPT SELECT * FROM (VALUES (0))) EXCEPT (SELECT * FROM (VALUES (1)) EXCEPT SELECT * FROM (VALUES (1)))"),
+      "e8" -> "SELECT 0 EXCEPT (SELECT regionkey FROM nation WHERE nationkey <10)")),
+
+    // AbstractTestQueries.java:1395/1458 testIntersectWithAggregation /
+    // testExceptWithAggregation (single-column aggregate shapes).
+    "r15_ref_setop_agg" -> batch(Seq(
+      "a1" -> "SELECT COUNT(*) FROM nation INTERSECT SELECT COUNT(regionkey) FROM nation HAVING SUM(regionkey) IS NOT NULL",
+      "a2" -> "SELECT COUNT(*) * 2 FROM nation INTERSECT (SELECT SUM(nationkey) FROM nation GROUP BY regionkey ORDER BY 1 LIMIT 2)",
+      "a3" -> "SELECT COUNT(a) FROM (SELECT nationkey AS a FROM (SELECT nationkey FROM nation INTERSECT SELECT regionkey FROM nation) n1 INTERSECT SELECT regionkey FROM nation) n2",
+      "a4" -> "SELECT COUNT(*) FROM (SELECT nationkey FROM nation INTERSECT SELECT 2) n1 INTERSECT SELECT regionkey FROM nation",
+      "a5" -> "SELECT COUNT(*) FROM nation EXCEPT SELECT COUNT(regionkey) FROM nation WHERE regionkey < 3 HAVING SUM(regionkey) IS NOT NULL",
+      "a6" -> "(SELECT SUM(nationkey) FROM nation GROUP BY regionkey ORDER BY 1 LIMIT 2) EXCEPT SELECT COUNT(*) * 2 FROM nation",
+      "a7" -> "SELECT COUNT(a) FROM (SELECT nationkey AS a FROM (SELECT nationkey FROM nation EXCEPT SELECT regionkey FROM nation) n1 EXCEPT SELECT regionkey FROM nation) n2",
+      "a8" -> "SELECT COUNT(*) FROM (SELECT nationkey FROM nation EXCEPT SELECT 10) n1 EXCEPT SELECT regionkey FROM nation")),
+
+    // AbstractTestQueries.java:636 testArrays — ARRAY constructors +
+    // Presto's 1-based subscript over table data (DuckDB subscripts are
+    // 1-based natively, so the verbatim text is its own oracle; cardinality
+    // and rand() take DuckDB spellings).
+    "r16_ref_arrays" -> batchCols(Seq("v"), Seq("CAST(c1 AS BIGINT) AS v"), Seq(
+      ("a1", "SELECT a[1] FROM (SELECT ARRAY[orderkey] AS a FROM orders ORDER BY orderkey) t"),
+      ("a2", "SELECT a[1 + CAST(round(rand()) AS BIGINT)] FROM (SELECT ARRAY[orderkey, orderkey] AS a FROM orders ORDER BY orderkey) t",
+             "SELECT a[1] FROM (SELECT ARRAY[orderkey, orderkey] AS a FROM orders ORDER BY orderkey) t"),
+      ("a3", "SELECT a[1] + 1 FROM (SELECT ARRAY[orderkey] AS a FROM orders ORDER BY orderkey) t"),
+      ("a4", "SELECT a[1] FROM (SELECT ARRAY[orderkey + 1] AS a FROM orders ORDER BY orderkey) t"),
+      ("a5", "SELECT a[1][1] FROM (SELECT ARRAY[ARRAY[orderkey + 1]] AS a FROM orders ORDER BY orderkey) t"),
+      ("a6", "SELECT CARDINALITY(a) FROM (SELECT ARRAY[orderkey, orderkey + 1] AS a FROM orders ORDER BY orderkey) t",
+             "SELECT len(a) FROM (SELECT ARRAY[orderkey, orderkey + 1] AS a FROM orders ORDER BY orderkey) t"))),
+
+    // AbstractTestQueries.java:5050-5224 testUnion family (single-column).
+    "r17_ref_union" -> batch(Seq(
+      "u1" -> "SELECT orderkey FROM orders UNION SELECT custkey FROM orders",
+      "u2" -> "SELECT 123 UNION DISTINCT SELECT 123 UNION ALL SELECT 123",
+      "u3" -> "SELECT orderkey FROM orders UNION DISTINCT SELECT custkey FROM orders",
+      "u4" -> "SELECT orderkey FROM orders UNION ALL SELECT custkey FROM orders",
+      "u5" -> "SELECT orderkey FROM orders UNION ALL SELECT 123 UNION ALL (SELECT custkey FROM orders GROUP BY custkey)",
+      "u6" -> "SELECT count(*) FROM (SELECT 1 FROM nation GROUP BY regionkey UNION ALL SELECT 1 FROM (   SELECT 1 FROM nation    UNION ALL    SELECT 1 FROM nation))",
+      "u7" -> "SELECT count(*) FROM (SELECT 1 FROM (   SELECT 1 FROM nation    UNION ALL    SELECT 1 FROM nation)UNION ALL SELECT 1 FROM nation GROUP BY regionkey)")),
+
+    // AbstractTestQueries.java:5238 testUnionWithJoinOnNonTranslateableSymbols
+    // (join keys computed from a union's output; VARCHAR cast shim).
+    "r18_ref_union_join" -> one(
+      "SELECT *\nFROM (SELECT orderdate ds, orderkey\n      FROM orders\n      UNION ALL\n      SELECT shipdate ds, orderkey\n      FROM lineitem) a\nJOIN orders o\nON (substr(cast(a.ds AS VARCHAR), 6, 2) = substr(cast(o.orderdate AS VARCHAR), 6, 2) AND a.orderkey = o.orderkey)",
+      Seq("ds", "okey", "orderkey", "custkey", "orderstatus", "totalprice",
+        "orderdate", "orderpriority", "clerk", "shippriority", "comment"),
+      Seq("c1 AS ds", "c2 AS okey", "c3 AS orderkey", "c4 AS custkey",
+        "c5 AS orderstatus", "c6 AS totalprice", "c7 AS orderdate",
+        "c8 AS orderpriority", "c9 AS clerk", "c10 AS shippriority",
+        "c11 AS comment")),
+
+    // AbstractTestQueries.java:3443 testRowNumberSpecialFilters — impossible
+    // row_number predicates must plan and return empty.
+    "r19_ref_rownumber_empty" -> batchCols(
+      Seq("a", "rn"), Seq("c1 AS a", "CAST(c2 AS BIGINT) AS rn"), Seq(
+      "f1" -> "SELECT * FROM (   SELECT a, row_number() OVER (PARTITION BY a ORDER BY a) rn\n   FROM (VALUES (1), (1), (1), (2), (2), (3)) t (a)) t WHERE rn = -1",
+      "f2" -> "SELECT * FROM (   SELECT a, row_number() OVER (PARTITION BY a ORDER BY a) rn\n   FROM (VALUES (1), (1), (1), (2), (2), (3)) t (a)) t WHERE rn <= -1",
+      "f3" -> "SELECT * FROM (   SELECT a, row_number() OVER (PARTITION BY a ORDER BY a) rn\n   FROM (VALUES (1), (1), (1), (2), (2), (3)) t (a)) t WHERE rn = 0",
+      "f4" -> "SELECT * FROM (   SELECT a, row_number() OVER (PARTITION BY a) rn\n   FROM (VALUES (1), (1), (1), (2), (2), (3)) t (a)) t WHERE rn = -1",
+      "f5" -> "SELECT * FROM (   SELECT a, row_number() OVER (PARTITION BY a) rn\n   FROM (VALUES (1), (1), (1), (2), (2), (3)) t (a)) t WHERE rn <= -1",
+      "f6" -> "SELECT * FROM (   SELECT a, row_number() OVER (PARTITION BY a) rn\n   FROM (VALUES (1), (1), (1), (2), (2), (3)) t (a)) t WHERE rn = 0")),
+
+    // AbstractTestQueries.java:5031 testUnionWithProjectionPushDown.
+    "r20_ref_union_pushdown" -> one(
+      "SELECT key + 5, status FROM (SELECT orderkey key, orderstatus status FROM orders UNION ALL SELECT orderkey key, linestatus status FROM lineitem)",
+      Seq("key5", "status"),
+      Seq("CAST(c1 AS BIGINT) AS key5", "c2 AS status"),
+      // `key` is reserved in DuckDB — the oracle aliases it k
+      oracleSql = "SELECT k + 5, status FROM (SELECT orderkey k, orderstatus status FROM orders UNION ALL SELECT orderkey k, linestatus status FROM lineitem)"))
 }

@@ -9,7 +9,8 @@ object EvalExprs {
     val e = Engine(spark)
     Source.fromFile(args(0)).getLines().zipWithIndex.foreach { case (expr, i) =>
       val v = try String.valueOf(e.sql(s"SELECT $expr AS v").head.get(0))
-        catch { case t: Throwable => "ERROR:" + t.getClass.getSimpleName }
+        catch { case t: Throwable => "ERROR:" + t.getClass.getSimpleName +
+          " " + String.valueOf(t.getMessage).replace('\n', ' ').take(300) }
       println(s"$i\t$v")
     }
   }

@@ -77,3 +77,41 @@ case class RegexpReplaceLambda(
 
   override def prettyName: String = "regexp_replace"
 }
+
+/** Presto's scalar lambda application `apply(x, f)`
+  * (LambdaFunctions.java:38 — "lambda apply function"). Spark's lambda
+  * machinery only fires inside HigherOrderFunction implementations and the
+  * analyzer requires the resolved function itself to BE one, so this is the
+  * minimal HOF: one argument, one unary lambda, result = lambda(argument).
+  */
+case class ApplyLambda(argument: Expression, function: Expression)
+  extends HigherOrderFunction with CodegenFallback {
+
+  override def dataType: DataType = function.dataType
+  override def nullable: Boolean = function.nullable
+  override def children: Seq[Expression] = Seq(argument, function)
+
+  override def arguments: Seq[Expression] = Seq(argument)
+  override def argumentTypes: Seq[AbstractDataType] = Seq(AnyDataType)
+
+  override def functions: Seq[Expression] = Seq(function)
+  override def functionTypes: Seq[AbstractDataType] = Seq(AnyDataType)
+
+  override def bindInternal(
+      f: (Expression, Seq[(DataType, Boolean)]) => LambdaFunction): HigherOrderFunction =
+    copy(function = f(function, Seq((argument.dataType, argument.nullable))))
+
+  @transient private lazy val LambdaFunction(lambdaBody, Seq(xVar: NamedLambdaVariable), _) =
+    function
+
+  override def eval(input: InternalRow): Any = {
+    xVar.value.set(argument.eval(input))
+    lambdaBody.eval(input)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(argument = c(0), function = c(1))
+
+  override def prettyName: String = "apply"
+}
