@@ -215,6 +215,9 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("requires window to be ordered") =>
           arbitraryWindowOrder(text)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("FILTER_NOT_BOOLEAN") =>
+          nullFilterAsBoolean(text)
       }
     oneBasedSubscripts(df)
   }
@@ -238,6 +241,22 @@ class Engine(parent: SparkSession) {
             needsOrder(f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
         WindowExpression(f,
           spec.copy(orderSpec = Seq(SortOrder(Literal(1), Ascending))))
+    }
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** Presto evaluates an untyped NULL predicate as UNKNOWN (no rows) —
+    * `WHERE NULL` is legal (AbstractTestAggregations testCountWithNull
+    * Predicate); Spark rejects the VOID filter. Retry with the null
+    * predicate cast to BOOLEAN. */
+  private def nullFilterAsBoolean(text: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.types.{BooleanType, NullType}
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val fixed = parsed.transformUp {
+      case Filter(l @ Literal(null, NullType), child) =>
+        Filter(Cast(l, BooleanType), child)
     }
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }

@@ -15,13 +15,114 @@ package graft
   */
 object PrestoSql {
 
-  def rewrite(sql: String): String = {
+  /** Complex-type spellings in a cast-target position → Spark's forms
+    * (SqlBase.g4 type rule): `AS ROW(name type, ...)` → `AS STRUCT<name:
+    * type>`, `AS ARRAY(t)` / `AS ARRAY<t>` / `AS MAP(k, v)` with row types
+    * anywhere inside convert recursively. Only fires after AS (cast
+    * targets) — `ROW(a, b)` VALUE constructors are left for the function
+    * registry. */
+  private def rowTypes(sql: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bAS\\s+(ROW|ARRAY|MAP)\\s*[(<]").matcher(sql)
+    if (!m.find()) return sql
+    val open = m.end() - 1 // the ( or < delimiter
+    var depth = 1
+    var i = open + 1
+    while (i < sql.length && depth > 0) {
+      sql(i) match {
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    val typeText = sql.substring(m.start(1), i)
+    sql.substring(0, m.start()) + "AS " + prestoType(typeText) +
+      rowTypes(sql.substring(i))
+  }
+
+  private def rowBody(body: String): String = {
+    // split top-level commas
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    for (i <- body.indices) body(i) match {
+      case '(' | '<' => depth += 1
+      case ')' | '>' => depth -= 1
+      case ',' if depth == 0 => fields += body.substring(start, i); start = i + 1
+      case _ =>
+    }
+    fields += body.substring(start)
+    val converted = fields.map { f =>
+      val t = f.trim
+      val sp = t.indexWhere(_.isWhitespace)
+      val (name, tpe) = (t.substring(0, sp), t.substring(sp).trim)
+      s"$name: ${prestoType(tpe)}"
+    }
+    converted.mkString("STRUCT<", ", ", ">")
+  }
+
+  /** Presto's parenthesized complex-type spellings → Spark's angle-bracket
+    * forms, recursively: ROW(a T, ...) → STRUCT<a: T>, ARRAY(T) → ARRAY<T>,
+    * MAP(K, V) → MAP<K, V>. Scalar types pass through. */
+  private def prestoType(t0: String): String = {
+    val t = t0.trim
+    def inner(prefix: String): Option[String] = {
+      val m = java.util.regex.Pattern
+        .compile(s"(?i)^$prefix\\s*[(<](.*)[)>]$$").matcher(t)
+      if (m.matches()) Some(m.group(1)) else None
+    }
+    inner("ROW").map(rowBody)
+      .orElse(inner("ARRAY").map(b => s"ARRAY<${prestoType(b)}>"))
+      .orElse(inner("MAP").map { b =>
+        var depth = 0
+        val cut = b.indices.find { i =>
+          b(i) match {
+            case '(' | '<' => depth += 1; false
+            case ')' | '>' => depth -= 1; false
+            case ',' => depth == 0
+            case _ => false
+          }
+        }.getOrElse(b.length)
+        s"MAP<${prestoType(b.substring(0, cut))}, ${prestoType(b.substring(cut + 1))}>"
+      })
+      .getOrElse(t)
+  }
+
+  def rewrite(sql0: String): String = {
+    val sql = rowTypes(sql0)
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]
     var i = 0
     val n = sql.length
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // VALUES-list tracking for Presto's `VALUES ROW(a, b)` row constructor
+    // (SqlBase.g4 #rowConstructor): the ROW keyword there declares the
+    // COLUMNS of the row — Spark's spelling is plain `VALUES (a, b)` — while
+    // `ROW(...)` anywhere else builds a nested struct (function registry).
+    var parenDepth = 0
+    var valuesDepths = List.empty[Int]
+    var rowStripPending = false
+    var phantom = List.empty[Int] // depths of dropped `(ROW(...))` wrappers
+    // `(ROW(args))` as a whole VALUES item is a PARENTHESIZED row
+    // constructor (grouping parens around #rowConstructor): the wrapper
+    // paren and the ROW keyword both vanish — `(args)` is Spark's form.
+    def isPureRowWrapper(at: Int): Boolean = {
+      var j = at + 1
+      while (j < n && sql(j).isWhitespace) j += 1
+      if (j + 3 > n || !sql.substring(j, j + 3).equalsIgnoreCase("row")) return false
+      j += 3
+      while (j < n && sql(j).isWhitespace) j += 1
+      if (j >= n || sql(j) != '(') return false
+      var d = 1; j += 1
+      while (j < n && d > 0) {
+        if (sql(j) == '(') d += 1 else if (sql(j) == ')') d -= 1
+        j += 1
+      }
+      while (j < n && sql(j).isWhitespace) j += 1
+      j < n && sql(j) == ')'
+    }
     while (i < n) {
       val c = sql(i)
       c match {
@@ -54,11 +155,24 @@ object PrestoSql {
             out.append("array(")
             stack ::= true
             i = j + 1
+            rowStripPending = false
           } else if (word.equalsIgnoreCase("varchar") && (j >= n || sql(j) != '(')) {
             // Presto's unbounded VARCHAR type — Spark's VARCHAR requires a
             // length; STRING is the unbounded equivalent.
             out.append("STRING")
-          } else out.append(word)
+            rowStripPending = false
+          } else if (word.equalsIgnoreCase("values")) {
+            out.append(word)
+            valuesDepths ::= parenDepth
+            rowStripPending = true
+          } else if (word.equalsIgnoreCase("row") && rowStripPending &&
+              j < n && sql(j) == '(') {
+            // drop the keyword; the parenthesized list IS the row
+            rowStripPending = false
+          } else {
+            out.append(word)
+            rowStripPending = false
+          }
         case '[' =>
           stack ::= false
           out.append('['); i += 1
@@ -69,7 +183,32 @@ object PrestoSql {
             case Nil => out.append(']')
           }
           i += 1
+        case '(' =>
+          if (rowStripPending && isPureRowWrapper(i)) {
+            phantom ::= parenDepth // drop the wrapper; pending stays armed
+            i += 1
+          } else {
+            parenDepth += 1
+            rowStripPending = false
+            out.append(c); i += 1
+          }
+        case ')' =>
+          if (phantom.nonEmpty && parenDepth == phantom.head) {
+            phantom = phantom.tail // matching end of a dropped wrapper
+            i += 1
+          } else {
+            parenDepth -= 1
+            while (valuesDepths.nonEmpty && parenDepth < valuesDepths.head)
+              valuesDepths = valuesDepths.tail
+            rowStripPending = false
+            out.append(c); i += 1
+          }
+        case ',' =>
+          if (valuesDepths.nonEmpty && parenDepth == valuesDepths.head)
+            rowStripPending = true
+          out.append(c); i += 1
         case other =>
+          if (!other.isWhitespace) rowStripPending = false
           out.append(other); i += 1
       }
     }

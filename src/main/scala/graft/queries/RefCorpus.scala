@@ -357,5 +357,45 @@ object RefCorpus {
       Seq("key5", "status"),
       Seq("CAST(c1 AS BIGINT) AS key5", "c2 AS status"),
       // `key` is reserved in DuckDB — the oracle aliases it k
-      oracleSql = "SELECT k + 5, status FROM (SELECT orderkey k, orderstatus status FROM orders UNION ALL SELECT orderkey k, linestatus status FROM lineitem)"))
+      oracleSql = "SELECT k + 5, status FROM (SELECT orderkey k, orderstatus status FROM orders UNION ALL SELECT orderkey k, linestatus status FROM lineitem)"),
+
+    // AbstractTestAggregations.java:36-130 — the count-under-predicate
+    // family (NULLIF/COALESCE/AND/OR/NOT/inline-view/nested shapes).
+    "r21_ref_agg_counts" -> batch(Seq(
+      "c01" -> "SELECT COUNT(true) FROM orders",
+      "c02" -> "SELECT COUNT(*) FROM lineitem WHERE tax < discount",
+      "c03" -> "SELECT COUNT(*) FROM lineitem WHERE NOT tax < discount",
+      "c04" -> "SELECT COUNT(*) FROM lineitem WHERE NULL",
+      "c05" -> "SELECT COUNT(*) FROM orders WHERE NULLIF(orderstatus, 'F') IS NULL",
+      "c06" -> "SELECT COUNT(*) FROM orders WHERE NULLIF(orderstatus, 'F') IS NOT NULL",
+      "c07" -> "SELECT COUNT(*) FROM orders WHERE NULLIF(orderstatus, 'F') = orderstatus ",
+      "c08" -> "SELECT COUNT(*) FROM orders WHERE COALESCE(NULLIF(orderstatus, 'F'), 'bar') = 'bar'",
+      "c09" -> "SELECT COUNT(*) FROM lineitem WHERE tax < discount AND tax > 0.01 AND discount < 0.05",
+      "c10" -> "SELECT COUNT(*) FROM lineitem WHERE tax < 0.01 OR discount > 0.05",
+      "c11" -> "SELECT COUNT(*) FROM (SELECT orderkey FROM lineitem) x",
+      "c12" -> "SELECT COUNT(*) FROM (SELECT orderkey, COUNT(*) FROM lineitem GROUP BY orderkey) x",
+      "c13" -> "SELECT COUNT(DISTINCT custkey + 1) FROM orders",
+      "c14" -> "SELECT COUNT(DISTINCT clerk) FROM orders WHERE LENGTH(clerk) > 5",
+      "c15" -> "SELECT count(1) FILTER (WHERE orderstatus = 'O') FROM orders")),
+
+    // AbstractTestAggregations.java:200/217 — the single-distinct and
+    // extract-distinct optimizer shapes (MarkDistinct in the reference).
+    "r22_ref_distinct_opt" -> one(
+      "SELECT custkey, orderstatus, COUNT(DISTINCT orderkey), SUM(DISTINCT orderkey) FROM orders GROUP BY custkey, orderstatus",
+      Seq("custkey", "orderstatus", "cnt_d", "sum_d"),
+      Seq("c1 AS custkey", "c2 AS orderstatus", "CAST(c3 AS BIGINT) AS cnt_d",
+        "CAST(c4 AS BIGINT) AS sum_d")),
+    "r23_ref_extract_distinct" -> one(
+      "SELECT max(orderstatus), COUNT(orderkey), sum(DISTINCT orderkey) FROM orders",
+      Seq("max_st", "cnt", "sum_d"),
+      Seq("c1 AS max_st", "CAST(c2 AS BIGINT) AS cnt", "CAST(c3 AS BIGINT) AS sum_d")),
+
+    // AbstractTestQueries.java:455 testRowFieldAccessorInJoin — a row-typed
+    // VALUES side joined to a table (the oracle unwraps the struct: same
+    // rows, plain columns).
+    "r24_ref_row_join" -> one(
+      "SELECT t.a.col1, custkey, orderkey FROM (VALUES ROW(CAST(ROW(1, 11) AS ROW(col0 integer, col1 integer))), ROW(CAST(ROW(2, 22) AS ROW(col0 integer, col1 integer))), ROW(CAST(ROW(3, 33) AS ROW(col0 integer, col1 integer)))) t(a) INNER JOIN orders ON t.a.col0 = orders.orderkey",
+      Seq("col1", "custkey", "orderkey"),
+      Seq("c1 AS col1", "c2 AS custkey", "c3 AS orderkey"),
+      oracleSql = "SELECT v.col1, custkey, orderkey FROM (VALUES (1, 11), (2, 22), (3, 33)) v(col0, col1) INNER JOIN orders ON v.col0 = orders.orderkey"))
 }
