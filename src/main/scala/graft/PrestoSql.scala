@@ -161,6 +161,22 @@ object PrestoSql {
             // length; STRING is the unbounded equivalent.
             out.append("STRING")
             rowStripPending = false
+          } else if ((word.equalsIgnoreCase("any") || word.equalsIgnoreCase("some")) &&
+              j < n && sql(j) == '(' && out.reverseIterator.dropWhile(_.isWhitespace).take(1).contains('=') &&
+              !out.reverseIterator.dropWhile(_.isWhitespace).slice(1, 2).exists(c => c == '<' || c == '>' || c == '!')) {
+            // `x = ANY(subquery)` (quantifiedComparison, SqlBase.g4) is
+            // exactly IN — Spark has no quantified-comparison grammar.
+            val cut = out.length - 1 - out.reverseIterator.indexWhere(!_.isWhitespace)
+            out.setLength(cut)
+            out.append(" IN ")
+          } else if (word.equalsIgnoreCase("all") && j < n && sql(j) == '(' && {
+              val tail = out.reverseIterator.dropWhile(_.isWhitespace).take(2).mkString
+              tail == "=!" || tail == "><" // "!=" reversed, "<>" reversed
+            }) {
+            // `x <> ALL(subquery)` / `x != ALL(subquery)` is NOT IN.
+            val cut = out.length - 1 - out.reverseIterator.indexWhere(!_.isWhitespace)
+            out.setLength(cut - 1)
+            out.append(" NOT IN ")
           } else if (word.equalsIgnoreCase("values")) {
             out.append(word)
             valuesDepths ::= parenDepth

@@ -397,5 +397,38 @@ object RefCorpus {
       "SELECT t.a.col1, custkey, orderkey FROM (VALUES ROW(CAST(ROW(1, 11) AS ROW(col0 integer, col1 integer))), ROW(CAST(ROW(2, 22) AS ROW(col0 integer, col1 integer))), ROW(CAST(ROW(3, 33) AS ROW(col0 integer, col1 integer)))) t(a) INNER JOIN orders ON t.a.col0 = orders.orderkey",
       Seq("col1", "custkey", "orderkey"),
       Seq("c1 AS col1", "c2 AS custkey", "c3 AS orderkey"),
-      oracleSql = "SELECT v.col1, custkey, orderkey FROM (VALUES (1, 11), (2, 22), (3, 33)) v(col0, col1) INNER JOIN orders ON v.col0 = orders.orderkey"))
+      oracleSql = "SELECT v.col1, custkey, orderkey FROM (VALUES (1, 11), (2, 22), (3, 33)) v(col0, col1) INNER JOIN orders ON v.col0 = orders.orderkey"),
+
+    // AbstractTestQueries.java:5498 testSemiJoin /
+    // :5901 testExistsSubquery / :5808 testScalarSubquery — the
+    // uncorrelated-subquery count shapes.
+    "r25_ref_subquery_counts" -> batch(Seq(
+      "s01" -> "SELECT COUNT(*) FROM lineitem WHERE EXISTS(SELECT max(orderkey) FROM orders)",
+      "s02" -> "SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS(SELECT max(orderkey) FROM orders)",
+      "s03" -> "SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS(SELECT orderkey FROM orders WHERE false)",
+      "s04" -> "SELECT COUNT(*) FROM lineitem WHERE EXISTS(SELECT orderkey FROM orders WHERE false)",
+      "s05" -> "SELECT COUNT(*) FROM lineitem WHERE (SELECT min(orderkey) FROM orders)<(SELECT max(orderkey) FROM orders)",
+      "s06" -> "SELECT COUNT(*) FROM lineitem WHERE (EXISTS(SELECT min(orderkey) FROM orders))=(NOT EXISTS(SELECT orderkey FROM orders WHERE false))",
+      "s07" -> "SELECT DISTINCT orderkey FROM lineitem WHERE EXISTS(SELECT avg(orderkey) FROM orders)",
+      "s08" -> "SELECT DISTINCT orderkey FROM lineitem WHERE orderkey BETWEEN   (SELECT avg(orderkey) FROM orders) - 10    AND   (SELECT avg(orderkey) FROM orders) + 10")),
+
+    // AbstractTestQueries.java:5498 testSemiJoin — HAVING with an IN
+    // subquery over the grouped aggregate.
+    "r26_ref_semijoin_having" -> one(
+      "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING min(orderkey) IN (SELECT orderkey FROM orders WHERE orderkey > 1)",
+      Seq("linenumber", "min_okey"),
+      Seq("c1 AS linenumber", "CAST(c2 AS BIGINT) AS min_okey")),
+
+    // AbstractTestQueries.java:5498 testSemiJoin — IN-subquery predicates in
+    // projection, join condition, WHERE and ORDER BY of one statement.
+    "r27_ref_in_everywhere" -> one(
+      "SELECT orderkey\n  IN (\n    SELECT orderkey\n    FROM lineitem\n    WHERE partkey % 4 = 0),\n  SUM(\n    CASE\n      WHEN orderkey\n        IN (\n          SELECT orderkey\n          FROM lineitem\n          WHERE suppkey % 4 = 0)\n      THEN 1\n      ELSE 0\n      END)\nFROM orders\nGROUP BY orderkey\n  IN (\n    SELECT orderkey\n    FROM lineitem\n    WHERE partkey % 4 = 0)\nHAVING SUM(\n  CASE\n    WHEN orderkey\n      IN (\n        SELECT orderkey\n        FROM lineitem\n        WHERE suppkey % 4 = 0)\n      THEN 1\n      ELSE 0\n      END) > 1",
+      Seq("in_p", "sum_s"),
+      Seq("c1 AS in_p", "CAST(c2 AS BIGINT) AS sum_s")),
+
+    // AbstractTestQueries.java:5589 testJoinConstantPropagation.
+    "r28_ref_join_const_prop" -> one(
+      "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
+      Seq("x", "y", "cnt"),
+      Seq("CAST(c1 AS INT) AS x", "CAST(c2 AS INT) AS y", "CAST(c3 AS BIGINT) AS cnt")))
 }

@@ -240,6 +240,42 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("group by complex map", "SELECT MAP_KEYS(x)[1] FROM (VALUES MAP(ARRAY['a'], ARRAY[ARRAY[1]]), MAP(ARRAY['b'], ARRAY[ARRAY[2]])) t(x) GROUP BY x", "VALUES 'a', 'b'")
   ref("distinct on row value", "SELECT count(DISTINCT a), max(b) FROM (VALUES (row(1, 2), 3)) t(a, b)", "VALUES (1, 3)")
 
+  // --- testScalarSubquery (:5808) ---
+  ref("nested scalar subqueries", "SELECT (SELECT (SELECT (SELECT 1)))", "SELECT 1")
+  ref("scalar subquery in in-list 1", "SELECT (SELECT 1) IN (1, 2, 3)", "SELECT true")
+  ref("scalar subquery in in-list 2", "SELECT (SELECT 1) IN (   2, 3)", "SELECT false")
+  ref("scalar subquery comparison eq", "SELECT (SELECT 1) = (SELECT 3)", "SELECT false")
+  ref("scalar subquery comparison lt", "SELECT (SELECT 1) < (SELECT 3)", "SELECT true")
+  ref("multiple scalar subqueries", "SELECT (SELECT 1), (SELECT 2), (SELECT 3)", "SELECT 1, 2, 3")
+  ref("scalar subquery division coercion", "SELECT 1.0/(SELECT 1), CAST(1.0 AS REAL)/(SELECT 1), 1/(SELECT 1)", "SELECT 1.0, 1.0, 1")
+  ref("correlated count coercion 1", "SELECT * FROM (VALUES 1) t(a) WHERE 1=(SELECT count(*) WHERE 1.0 = a)", "SELECT 1")
+  ref("correlated count coercion 2", "SELECT * FROM (VALUES 1.0) t(a) WHERE 1=(SELECT count(*) WHERE 1 = a)", "SELECT 1.0")
+
+  // --- testExistsSubquery (:5901) ---
+  ref("nested exists", "SELECT EXISTS(SELECT NOT EXISTS(SELECT EXISTS(SELECT 1)))", "SELECT true")
+  ref("exists in in-list 1", "SELECT (EXISTS(SELECT 1)) IN (false)", "SELECT false")
+  ref("exists in in-list 2", "SELECT (NOT EXISTS(SELECT 1)) IN (false)", "SELECT true")
+  ref("exists in in-list 3", "SELECT (EXISTS(SELECT 1)) IN (true, false)", "SELECT true")
+  ref("exists empty in in-list", "SELECT (EXISTS(SELECT 1 WHERE false)) IN (false)", "SELECT true")
+  ref("multiple exists filtered out", "SELECT (EXISTS(SELECT 1)) = (EXISTS(SELECT 1)) WHERE NOT EXISTS(SELECT 1)", "SELECT true WHERE false")
+  ref("multiple exists kept", "SELECT (EXISTS(SELECT 1)) = (EXISTS(SELECT 3)) WHERE NOT EXISTS(SELECT 1 WHERE false)", "SELECT true")
+  ref("five exists projections", "SELECT EXISTS(SELECT 1), EXISTS(SELECT 1), EXISTS(SELECT 3), NOT EXISTS(SELECT 1), NOT EXISTS(SELECT 1 WHERE false)", "SELECT true, true, true, false, true")
+
+  // --- testSemiJoin (:5498) — uncorrelated IN-subquery coercions ---
+  ref("in subquery twice", "SELECT * FROM (VALUES (1,1), (2,2), (3, 3)) t(x, y) WHERE (x+y in (SELECT * FROM VALUES 4, 5)) AND (x*y in (SELECT * FROM VALUES 4, 5))", "VALUES (2,2)")
+  ref("in subquery coercions", "SELECT 1.0 IN (SELECT 1), 1 IN (SELECT 1)", "SELECT true, true")
+  ref("in subquery in where", "SELECT 1 WHERE 1 IN (SELECT 1) AND 1.0 IN (SELECT 1)", "SELECT 1")
+  ref("in decimal supertype", "SELECT CAST(1 AS decimal(3,2)) IN (SELECT CAST(1 AS decimal(3,1)))", "SELECT true")
+  ref("in with lhs subquery 1", "SELECT (SELECT 1) IN (SELECT 1)", "SELECT true")
+  ref("in with lhs subquery 2", "SELECT (SELECT 2) IN (1, (SELECT 2))", "SELECT true")
+  ref("in with lhs arithmetic", "SELECT (2 + (SELECT 1)) IN (SELECT 1)", "SELECT false")
+  ref("in of in predicate", "SELECT (1 IN (SELECT 1)) IN (SELECT TRUE)", "SELECT true")
+  ref("in of exists", "SELECT (EXISTS(SELECT 1)) IN (SELECT TRUE)", "SELECT true")
+  ref("in of quantified", "SELECT (1 = ANY(SELECT 1)) IN (SELECT TRUE)", "SELECT true")
+
+  // --- testNoFrom (:4986) / testSelectCaseInsensitive (:4866) ---
+  ref("no from", "SELECT 1 + 2, 3 + 4", "SELECT 3, 7")
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
