@@ -218,6 +218,9 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("FILTER_NOT_BOOLEAN") =>
           nullFilterAsBoolean(text)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("INVALID_INLINE_TABLE") =>
+          inlineTableAsUnion(text)
       }
     oneBasedSubscripts(df)
   }
@@ -257,6 +260,25 @@ class Engine(parent: SparkSession) {
     val fixed = parsed.transformUp {
       case Filter(l @ Literal(null, NullType), child) =>
         Filter(Cast(l, BooleanType), child)
+    }
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** Presto VALUES rows may hold any expression; Spark's inline tables
+    * reject lambdas/HOFs (INVALID_INLINE_TABLE). Retry with the inline
+    * table lowered to a UNION ALL of one-row projections — same rows, same
+    * cross-branch type coercion. */
+  private def inlineTableAsUnion(text: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedInlineTable
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project, Union}
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val fixed = parsed.transformUpWithSubqueries {
+      case UnresolvedInlineTable(names, rows) =>
+        rows.map { r =>
+          Project(r.zip(names).map { case (e, nm) => Alias(e, nm)() },
+            OneRowRelation()): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        }.reduce(Union(_, _))
     }
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }

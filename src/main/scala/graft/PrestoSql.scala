@@ -89,8 +89,85 @@ object PrestoSql {
       .getOrElse(t)
   }
 
+  /** Presto UNNEST (SqlBase.g4 #unnest) → Spark's table-valued functions.
+    * `FROM UNNEST(a)` → `FROM explode(a)`; the join forms
+    * `CROSS JOIN UNNEST(a) AS u(c)` / `, UNNEST(a) u(c)` → Hive-style
+    * `LATERAL VIEW explode(a) u AS c` (correlated, like the reference's
+    * UnnestOperator probe side); multi-argument UNNEST zips —
+    * `inline(arrays_zip(...))`. `WITH ORDINALITY` occurrences are left
+    * untouched (documented divergence; the capability itself is covered by
+    * posexplode in q50). */
+  private def unnest(sql: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)(\\bCROSS\\s+JOIN\\s+|,\\s*)?\\bUNNEST\\s*\\(").matcher(sql)
+    if (!m.find()) return sql
+    val open = sql.indexOf('(', m.end() - 1)
+    var depth = 1
+    var i = open + 1
+    while (i < sql.length && depth > 0) {
+      if (sql(i) == '(') depth += 1 else if (sql(i) == ')') depth -= 1
+      i += 1
+    }
+    val args = sql.substring(open + 1, i - 1)
+    var rest = sql.substring(i)
+    // WITH ORDINALITY: Presto appends a 1-based BIGINT position as the LAST
+    // column; emitted as a posexplode-over-zip subquery.
+    val ordM = java.util.regex.Pattern
+      .compile("(?is)^\\s*WITH\\s+ORDINALITY").matcher(rest)
+    val ordinality = ordM.find()
+    if (ordinality) rest = rest.substring(ordM.end())
+    // top-level arg split
+    var d = 0
+    val cuts = scala.collection.mutable.ArrayBuffer(-1)
+    for (k <- args.indices) args(k) match {
+      case '(' | '[' => d += 1
+      case ')' | ']' => d -= 1
+      case ',' if d == 0 => cuts += k
+      case _ =>
+    }
+    cuts += args.length
+    val argList = cuts.sliding(2).map { w => args.substring(w(0) + 1, w(1)).trim }.toSeq
+    val u = s"u${unnestCounter.incrementAndGet()}"
+    val tvf =
+      if (ordinality)
+        s"(SELECT ${u}z.*, CAST(${u}p + 1 AS BIGINT) AS ${u}_ordinality " +
+          s"FROM posexplode(arrays_zip(${argList.mkString(", ")})) ${u}0(${u}p, ${u}z))"
+      else if (argList.length == 1) s"explode(${argList.head})"
+      else s"inline(arrays_zip(${argList.mkString(", ")}))"
+    val joinForm = Option(m.group(1)).exists(_.trim.nonEmpty)
+    // optional alias: [AS] ident [(col, ...)]
+    val am = java.util.regex.Pattern
+      .compile("(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*(\\(([^)]*)\\))?.*")
+      .matcher(rest)
+    val (alias, cols, aliasLen) =
+      if (am.matches() && !Set("on", "where", "group", "order", "join", "left",
+          "right", "cross", "inner", "full", "union", "limit", "having", "with",
+          "intersect", "except", "values", "lateral", "unnest")
+          .contains(am.group(1).toLowerCase(java.util.Locale.ROOT))) {
+        val end = if (am.group(2) != null) am.end(2) else am.end(1)
+        (am.group(1), Option(am.group(3)), end)
+      } else (u, None, 0)
+    if (!joinForm) {
+      val aliasPart =
+        if (aliasLen > 0) s" $alias" + cols.map(c => s"($c)").getOrElse("")
+        else if (ordinality) s" $alias" // a subquery needs an alias
+        else ""
+      sql.substring(0, m.start()) + tvf + aliasPart + unnest(rest.substring(aliasLen))
+    } else if (ordinality) {
+      val aliasPart = s" $alias" + cols.map(c => s"($c)").getOrElse("")
+      sql.substring(0, m.start()) + s" CROSS JOIN LATERAL $tvf$aliasPart" +
+        unnest(rest.substring(aliasLen))
+    } else {
+      val colsPart = cols.map(c => s" AS $c").getOrElse("")
+      sql.substring(0, m.start()) + s" LATERAL VIEW $tvf $alias$colsPart" +
+        unnest(rest.substring(aliasLen))
+    }
+  }
+
+  private val unnestCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   def rewrite(sql0: String): String = {
-    val sql = rowTypes(sql0)
+    val sql = unnest(rowTypes(sql0))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]
