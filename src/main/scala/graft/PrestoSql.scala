@@ -254,6 +254,14 @@ object PrestoSql {
             val cut = out.length - 1 - out.reverseIterator.indexWhere(!_.isWhitespace)
             out.setLength(cut - 1)
             out.append(" NOT IN ")
+          } else if (word.equalsIgnoreCase("decimal") && j < n && sql(j) == '\'') {
+            // DECIMAL 'x.y' literal (SqlBase.g4 #typeConstructor) → Spark's
+            // BD-suffixed decimal literal.
+            var k = j + 1
+            while (k < n && sql(k) != '\'') k += 1
+            out.append(sql.substring(j + 1, k)).append("BD")
+            i = math.min(k + 1, n)
+            rowStripPending = false
           } else if (word.equalsIgnoreCase("values")) {
             out.append(word)
             valuesDepths ::= parenDepth

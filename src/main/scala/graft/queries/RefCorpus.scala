@@ -426,6 +426,19 @@ object RefCorpus {
       Seq("in_p", "sum_s"),
       Seq("c1 AS in_p", "CAST(c2 AS BIGINT) AS sum_s")),
 
+    // AbstractTestQueries.java:4921 testTry — TRY over invalid casts and
+    // function arguments on table data (oracle = the reference's own
+    // H2-equivalent spellings).
+    "r29_ref_try" -> one(
+      "SELECT TRY(CAST(IF(round(totalprice) % 2 = 0, CAST(totalprice AS VARCHAR), '^&$' || CAST(totalprice AS VARCHAR)) AS DOUBLE)) FROM orders",
+      Seq("v"), Seq("c1 AS v"),
+      oracleSql = "SELECT CASE WHEN round(totalprice) % 2 = 0 THEN totalprice ELSE null END FROM orders"),
+    "r30_ref_try_counts" -> batchCols(Seq("n"), Seq("CAST(c1 AS BIGINT) AS n"), Seq(
+      ("y1", "SELECT COUNT(TRY(to_base(100, CAST(round(totalprice/100) AS BIGINT)))) FROM orders",
+             "SELECT SUM(CASE WHEN CAST(round(totalprice/100) AS BIGINT) BETWEEN 2 AND 36 THEN 1 ELSE 0 END) FROM orders"),
+      ("y2", "SELECT COUNT(CAST(orderkey AS VARCHAR) || TRY(to_base(100, CAST(round(totalprice/100) AS BIGINT)))) FROM orders",
+             "SELECT SUM(CASE WHEN CAST(round(totalprice/100) AS BIGINT) BETWEEN 2 AND 36 THEN 1 ELSE 0 END) FROM orders"))),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

@@ -304,6 +304,29 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("lambda array subscript", "SELECT x[5] FROM (VALUES transform(sequence(1, 5), x -> x * x)) t(x)", "SELECT 25")
   ref("in subquery with cross join unnest", "SELECT a FROM (VALUES (1),(2)) t(a) WHERE a IN (SELECT b FROM (VALUES (ARRAY[2])) AS t1 (a) CROSS JOIN UNNEST(a) AS t2(b))", "SELECT 2")
 
+  // --- testTry (:4921) ---
+  ref("try not pushed down", "SELECT x IS NULL FROM (SELECT TRY(1/y) AS x FROM (VALUES 3, 0, 4) t(y))", "VALUES false, true, false")
+  ref("try around lambda division", "SELECT TRY(apply(5, x -> x + 1) / 0)", "SELECT NULL")
+  ref("try around random lambda", "SELECT TRY(apply(5 + RANDOM(1), x -> x + 1) / 0)", "SELECT NULL")
+  ref("try inside lambda", "SELECT apply(5 + RANDOM(1), x -> x + TRY(1 / 0))", "SELECT NULL")
+  ref("try null cast", "SELECT TRY(CAST(NULL AS BIGINT))", "SELECT NULL")
+  ref("try valid cast", "SELECT TRY(CAST('123' AS BIGINT))", "SELECT 123")
+  ref("try invalid cast", "SELECT TRY(CAST('foo' AS BIGINT))", "SELECT NULL")
+  ref("try null propagation", "SELECT TRY(CAST('foo' AS BIGINT)) + TRY(CAST('123' AS BIGINT))", "SELECT NULL")
+  ref("try cast roundtrip", "SELECT TRY(CAST(CAST(123 AS VARCHAR) AS BIGINT))", "SELECT 123")
+  ref("concat cast fold", "SELECT COALESCE(CAST(CONCAT('123', CAST(123 AS VARCHAR)) AS BIGINT), 0)", "SELECT 123123")
+  ref("try concat invalid", "SELECT TRY(CAST(CONCAT('hello', CAST(123 AS VARCHAR)) AS BIGINT))", "SELECT NULL")
+  ref("coalesce try int", "SELECT COALESCE(TRY(CAST(CONCAT('a', CAST(123 AS VARCHAR)) AS INTEGER)), 0)", "SELECT 0")
+  ref("try abs overflow", "SELECT 123 + TRY(ABS(-9223372036854775807 - 1))", "SELECT NULL")
+  ref("try no error", "SELECT TRY(2/1)", "SELECT 2")
+  ref("try divide by zero", "SELECT TRY(2/0)", "SELECT null")
+  ref("coalesce try zero", "SELECT COALESCE(TRY(2/0), 0)", "SELECT 0")
+  ref("try abs", "SELECT TRY(ABS(-2))", "SELECT 2")
+
+  // --- testSemiJoin decimal supertype over values (:5519) ---
+  ref("in decimal values supertype", "SELECT CAST(1 AS decimal(3,2)) IN (SELECT * FROM VALUES (cast(1 AS decimal(3,1))), (cast (2 AS decimal(3,1))))", "SELECT true")
+  ref("decimal literal in list", "SELECT d IN (DECIMAL '2.0', DECIMAL '30.0') FROM (VALUES (2.0E0)) t(d)", "SELECT true")
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
