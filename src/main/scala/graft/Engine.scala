@@ -283,16 +283,25 @@ class Engine(parent: SparkSession) {
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }
 
-  /** Presto array subscripts are 1-based and the SQL `[i]` form is the
-    * idiomatic spelling (SPI/type/ArrayType — "SQL array indices start at
-    * 1"); Spark's parser resolves the same form 0-based. Shift every array
-    * subscript in the ANALYZED plan (GetArrayItem is array-only by then —
-    * map subscripts resolve to GetMapValue and pass through untouched),
-    * including inside subqueries. ANSI mode keeps Presto's
-    * out-of-bounds/zero-index errors. */
+  /** Post-analysis expression-semantics pass (both rewrites need resolved
+    * types, so they run on the ANALYZED plan, descending into subqueries):
+    *
+    *  - Presto array subscripts are 1-based and the SQL `[i]` form is the
+    *    idiomatic spelling (SPI/type/ArrayType — "SQL array indices start
+    *    at 1"); Spark's parser resolves the same form 0-based. Every
+    *    GetArrayItem ordinal shifts by -1 (map subscripts resolve to
+    *    GetMapValue and pass through untouched). ANSI mode keeps Presto's
+    *    out-of-bounds/zero-index errors.
+    *  - Presto CAST(double/real AS integral) is Math.round — i.e.
+    *    floor(x + 0.5), halves toward +inf (DoubleOperators.castToLong);
+    *    CAST(decimal AS integral) is HALF_UP away from zero
+    *    (DecimalCasts). Spark truncates toward zero, so the exact rounding
+    *    lands before the cast; TRY_CAST shares the Cast node and follows.
+    */
   private def oneBasedSubscripts(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, GetArrayItem, Literal, Subtract, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Floor, GetArrayItem, Literal, Round, Subtract, SubqueryExpression}
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
     var changed = false
     def shift(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
       case g: GetArrayItem =>
@@ -300,6 +309,18 @@ class Engine(parent: SparkSession) {
         GetArrayItem(g.child,
           Subtract(g.ordinal, Cast(Literal(1), g.ordinal.dataType)),
           g.failOnError)
+      case c @ Cast(child, LongType | IntegerType | ShortType | ByteType, _, _)
+          if (child.dataType == DoubleType || child.dataType == FloatType) &&
+            !child.isInstanceOf[Floor] =>
+        changed = true
+        c.copy(child = Floor(
+          org.apache.spark.sql.catalyst.expressions.Add(
+            Cast(child, DoubleType), Literal(0.5d))))
+      case c @ Cast(child, LongType | IntegerType | ShortType | ByteType, _, _)
+          if child.dataType.isInstanceOf[DecimalType] &&
+            !child.isInstanceOf[Round] =>
+        changed = true
+        c.copy(child = Round(child, Literal(0)))
       case s: SubqueryExpression => s.withNewPlan(shift(s.plan))
     }
     val shifted = shift(df.queryExecution.analyzed)

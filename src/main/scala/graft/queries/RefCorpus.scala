@@ -148,13 +148,16 @@ object RefCorpus {
     * carry an oracle override (third element) when the verbatim text needs
     * a DuckDB spelling (e.g. rand() → a constant with the same value). */
   private def batchCols(cols: Seq[String], oracleCols: Seq[String],
-      cases: Seq[Product]): Q = {
+      cases: Seq[Product], sparkCast: Map[String, String] = Map.empty): Q = {
     val cs = cases.map {
       case (tag: String, sql: String) => (tag, sql, sql)
       case (tag: String, sql: String, oracle: String) => (tag, sql, oracle)
     }
     Q((s, d) => cs.map { case (tag, sql, _) =>
-        engine(s, d).sql(sql).toDF(cols: _*).withColumn("tag", lit(tag))
+        val base = engine(s, d).sql(sql).toDF(cols: _*)
+        val cast = sparkCast.foldLeft(base) { case (df, (c, t)) =>
+          df.withColumn(c, df.col(c).cast(t)) }
+        cast.withColumn("tag", lit(tag))
       }.reduce(_ unionAll _),
       Some(cs.map { case (tag, _, oracle) =>
         s"SELECT ${oracleCols.mkString(", ")}, '$tag' AS tag FROM " +
@@ -438,6 +441,38 @@ object RefCorpus {
              "SELECT SUM(CASE WHEN CAST(round(totalprice/100) AS BIGINT) BETWEEN 2 AND 36 THEN 1 ELSE 0 END) FROM orders"),
       ("y2", "SELECT COUNT(CAST(orderkey AS VARCHAR) || TRY(to_base(100, CAST(round(totalprice/100) AS BIGINT)))) FROM orders",
              "SELECT SUM(CASE WHEN CAST(round(totalprice/100) AS BIGINT) BETWEEN 2 AND 36 THEN 1 ELSE 0 END) FROM orders"))),
+
+    // AbstractTestQueries.java:4130/4141 testWithChaining / testWithSelfJoin.
+    "r31_ref_with" -> batch(Seq(
+      "w1" -> "WITH a AS (SELECT orderkey n FROM orders)\n, b AS (SELECT n + 1 n FROM a)\n, c AS (SELECT n + 1 n FROM b)\nSELECT n + 1 FROM c",
+      "w2" -> "WITH x AS (SELECT DISTINCT orderkey FROM orders ORDER BY orderkey LIMIT 10)\nSELECT count(*) FROM x a JOIN x b USING (orderkey)")),
+
+    // AbstractTestQueries.java:3941 testValueWindowFunctions (first_value /
+    // nth_value with an explicit frame; DuckDB runs the verbatim text).
+    "r32_ref_value_windows" -> one(
+      "SELECT * FROM (   SELECT orderkey, orderstatus     , first_value(orderkey + 1000) OVER (PARTITION BY orderstatus ORDER BY orderkey) fvalue     , nth_value(orderkey + 1000, 2) OVER (PARTITION BY orderstatus ORDER BY orderkey         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) nvalue     FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x   ) x ORDER BY orderkey LIMIT 5",
+      Seq("orderkey", "orderstatus", "fvalue", "nvalue"),
+      Seq("c1 AS orderkey", "c2 AS orderstatus", "CAST(c3 AS BIGINT) AS fvalue",
+        "CAST(c4 AS BIGINT) AS nvalue")),
+
+    // AbstractTestQueries.java:4005 testCast over table data (Presto's
+    // rounding double->integral cast is the semantic under test; DuckDB
+    // rounds the same way).
+    "r33_ref_casts" -> batchCols(Seq("v"), Seq("CAST(c1 AS DOUBLE) AS v"), Seq(
+      // DuckDB CAST banker-rounds halves; Presto's double->integral cast is
+      // Math.round = floor(x + 0.5), which the oracle replays explicitly.
+      ("k1", "SELECT CAST(totalprice AS BIGINT) FROM orders",
+             "SELECT floor(totalprice + 0.5) FROM orders"),
+      "k2" -> "SELECT CAST(orderkey AS DOUBLE) FROM orders",
+      ("k4", "SELECT try_cast(totalprice AS BIGINT) FROM orders",
+             "SELECT floor(totalprice + 0.5) FROM orders"),
+      "k5" -> "SELECT try_cast(clerk AS BIGINT) FROM orders",
+      "k7" -> "SELECT try_cast(try_cast(orderkey AS VARCHAR) AS BIGINT) FROM orders",
+      "k8" -> "SELECT coalesce(try_cast(clerk AS BIGINT), 456) FROM orders"),
+      sparkCast = Map("v" -> "double")),
+    "r34_ref_casts_varchar" -> batchCols(Seq("v"), Seq("c1 AS v"), Seq(
+      "k3" -> "SELECT CAST(orderkey AS VARCHAR) FROM orders",
+      "k6" -> "SELECT try_cast(orderkey * orderkey AS VARCHAR) FROM orders")),
 
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(

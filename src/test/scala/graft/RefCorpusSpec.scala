@@ -327,6 +327,25 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("in decimal values supertype", "SELECT CAST(1 AS decimal(3,2)) IN (SELECT * FROM VALUES (cast(1 AS decimal(3,1))), (cast (2 AS decimal(3,1))))", "SELECT true")
   ref("decimal literal in list", "SELECT d IN (DECIMAL '2.0', DECIMAL '30.0') FROM (VALUES (2.0E0)) t(d)", "SELECT true")
 
+  // --- testWith family (:4098) ---
+  ref("with qualified prefix", "WITH a AS (SELECT 123) SELECT a.* FROM a", "SELECT 123")
+  ref("with column aliasing", "WITH a (id) AS (SELECT 123) SELECT id FROM a", "SELECT 123")
+  ref("with hiding", "WITH a AS (SELECT 1),      b AS (         WITH a AS (SELECT 2)         SELECT * FROM a    )SELECT * FROM b", "SELECT 2")
+  ref("with nested subqueries", "WITH a AS (\n  WITH aa AS (SELECT 123 x FROM orders LIMIT 1)\n  SELECT x y FROM aa\n), b AS (\n  WITH bb AS (\n    WITH bbb AS (SELECT y FROM a)\n    SELECT bbb.* FROM bbb\n  )\n  SELECT y z FROM bb\n)\nSELECT *\nFROM (\n  WITH q AS (SELECT z w FROM b)\n  SELECT j.*, k.*\n  FROM a j\n  JOIN q k ON (j.y = k.w)\n) t", "VALUES (123, 123)")
+
+  // --- testCast (:4005) — the VALUES-backed rows ---
+  ref("cast string bigint", "SELECT CAST('1' AS BIGINT)", "SELECT 1")
+  ref("try_cast invalid string", "SELECT try_cast('foo' AS BIGINT)", "SELECT CAST(null AS BIGINT)")
+  ref("try_cast coalesce", "SELECT coalesce(try_cast('foo' AS BIGINT), 456)", "SELECT 456")
+  ref("cast values with null", "SELECT CAST(x AS BIGINT) FROM (VALUES 1, 2, 3, NULL) t (x)", "VALUES 1, 2, 3, NULL")
+  ref("try_cast values with null", "SELECT try_cast(x AS BIGINT) FROM (VALUES 1, 2, 3, NULL) t (x)", "VALUES 1, 2, 3, NULL")
+  // Presto CAST(double AS integral) ROUNDS (DoubleOperators.castToLong);
+  // verified against the reference's semantics, not Spark's truncation.
+  ref("cast double rounds", "SELECT CAST(2.5E0 AS BIGINT), CAST(2.4E0 AS BIGINT)", "SELECT 3, 2")
+
+  // --- testScalarFunction (:3999) ---
+  ref("substr scalar", "SELECT SUBSTR('Quadratically', 5, 6)", "SELECT 'ratica'")
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
