@@ -474,6 +474,25 @@ object RefCorpus {
       "k3" -> "SELECT CAST(orderkey AS VARCHAR) FROM orders",
       "k6" -> "SELECT try_cast(orderkey * orderkey AS VARCHAR) FROM orders")),
 
+    // AbstractTestQueries.java:6068/6103 correlated scalar subqueries
+    // (DuckDB decorrelates the same shapes, so the verbatim text is its own
+    // oracle).
+    "r35_ref_correlated" -> batchCols(Seq("v"), Seq("CAST(c1 AS STRING) AS v"), Seq(
+      "x1" -> "SELECT (SELECT n.nationkey) FROM nation n",
+      "x2" -> "SELECT (SELECT 2 * n.nationkey) FROM nation n",
+      "x3" -> "SELECT nationkey FROM nation n WHERE 2 = (SELECT 2 * n.nationkey)",
+      "x4" -> "SELECT 1 FROM nation n WHERE 2 * nationkey - 1  = (SELECT * FROM (SELECT n.nationkey))",
+      "x5" -> "SELECT name FROM nation n WHERE 'AFRICA' = (SELECT name FROM region WHERE regionkey = n.regionkey)",
+      "x6" -> "SELECT nationkey FROM nation n WHERE (SELECT regionkey * 2 FROM (SELECT regionkey FROM region r WHERE n.regionkey = r.regionkey)) > 6 ORDER BY 1 LIMIT 3",
+      ("x7", "SELECT (SELECT name FROM nation WHERE nationkey = a) FROM (VALUES 1, 1, 2, 3) t(a)",
+             "SELECT (SELECT name FROM nation WHERE nationkey = a) FROM (VALUES (1), (1), (2), (3)) t(a)"),
+      ("x8", "SELECT (SELECT name FROM nation WHERE nationkey = a) FROM (VALUES 31) t(a)",
+             "SELECT (SELECT name FROM nation WHERE nationkey = a) FROM (VALUES (31)) t(a)"),
+      ("x9", "SELECT (SELECT r.name FROM nation n, region r WHERE r.regionkey = n.regionkey AND n.nationkey = a) FROM (VALUES 1) t(a)",
+             "SELECT (SELECT r.name FROM nation n, region r WHERE r.regionkey = n.regionkey AND n.nationkey = a) FROM (VALUES (1)) t(a)"),
+      "xa" -> "SELECT (SELECT 2 WHERE o.orderkey = 1) FROM orders o ORDER BY orderkey LIMIT 5"),
+      sparkCast = Map("v" -> "string")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

@@ -346,6 +346,10 @@ class RefCorpusSpec extends AnyFunSuite {
   // --- testScalarFunction (:3999) ---
   ref("substr scalar", "SELECT SUBSTR('Quadratically', 5, 6)", "SELECT 'ratica'")
 
+  // --- testCorrelatedNonAggregationScalarSubqueries (:6103) ---
+  ref("correlated empty scalar", "SELECT (SELECT 1 WHERE a = 2) FROM (VALUES 1) t(a)", "SELECT null")
+  ref("correlated matching scalar", "SELECT (SELECT 2 WHERE a = 1) FROM (VALUES 1) t(a)", "SELECT 2")
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
