@@ -222,7 +222,7 @@ class Engine(parent: SparkSession) {
             if String.valueOf(e.getMessage).contains("INVALID_INLINE_TABLE") =>
           inlineTableAsUnion(text)
       }
-    oneBasedSubscripts(df)
+    oneBasedSubscripts(df, text)
   }
 
   /** Presto's WindowOperator/RowNumberOperator run ranking functions over
@@ -298,12 +298,22 @@ class Engine(parent: SparkSession) {
     *    (DecimalCasts). Spark truncates toward zero, so the exact rounding
     *    lands before the cast; TRY_CAST shares the Cast node and follows.
     */
-  private def oneBasedSubscripts(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Floor, GetArrayItem, Literal, Round, Subtract, SubqueryExpression}
+  private def oneBasedSubscripts(df: DataFrame, text: String = ""): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Cast, Floor, GetArrayItem, Literal, NullsFirst, NullsLast, Round, SortOrder, Subtract, SubqueryExpression}
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    // Presto's DEFAULT null placement is NULLS LAST for BOTH directions
+    // (QueryPlanner.toSortOrder — UNDEFINED falls to the LAST branch);
+    // Spark's ascending default is NULLS FIRST. The parser materializes the
+    // default, so an explicit "ASC NULLS FIRST" is indistinguishable from a
+    // bare "ASC" in the plan — queries that spell NULLS anywhere keep their
+    // orderings verbatim, all others take Presto's default.
+    val fixNulls = !text.toUpperCase(java.util.Locale.ROOT).contains("NULLS")
     var changed = false
     def shift(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+      case s @ SortOrder(_, Ascending, NullsFirst, _) if fixNulls =>
+        changed = true
+        s.copy(nullOrdering = NullsLast)
       case g: GetArrayItem =>
         changed = true
         GetArrayItem(g.child,
