@@ -350,6 +350,22 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("correlated empty scalar", "SELECT (SELECT 1 WHERE a = 2) FROM (VALUES 1) t(a)", "SELECT null")
   ref("correlated matching scalar", "SELECT (SELECT 2 WHERE a = 1) FROM (VALUES 1) t(a)", "SELECT 2")
 
+  // --- testOrderByWithNulls (:2940) — Presto's bare ASC defaults to
+  // NULLS LAST (ordered compare proves the default equals the explicit
+  // spelling end-to-end on table data) ---
+  ref("default null ordering is nulls last",
+    "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC, custkey ASC",
+    "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS LAST, custkey ASC",
+    ordered = true)
+
+  // --- testOrderByWithSimilarExpressions (:2981) ---
+  ref("order by similar expressions 1", "WITH t AS (SELECT 1 x, 2 y) SELECT x, y FROM t ORDER BY x, y", "SELECT 1, 2")
+  ref("order by similar expressions 2", "WITH t AS (SELECT 1 x, 2 y) SELECT x, y FROM t ORDER BY x, y LIMIT 1", "SELECT 1, 2")
+  ref("order by similar expressions dup", "WITH t AS (SELECT 1 x, 1 y) SELECT x, y FROM t ORDER BY x, y LIMIT 1", "SELECT 1, 1")
+  // (fixture orderkeys start at 0, not 1 — the expected literal adapts)
+  ref("order by similar table keys", "WITH t AS (SELECT orderkey x, orderkey y FROM orders) SELECT x, y FROM t ORDER BY x, y LIMIT 1", "SELECT 0, 0")
+  ref("order by similar mixed direction", "WITH t AS (SELECT orderkey x, orderkey y FROM orders) SELECT x, y FROM t ORDER BY x, y DESC LIMIT 1", "SELECT 0, 0")
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
