@@ -506,6 +506,19 @@ object RefCorpus {
       "SELECT *\nFROM (\n  SELECT orderkey+1 AS a FROM orders WHERE orderstatus = 'F' UNION ALL \n  SELECT orderkey FROM orders WHERE orderkey % 2 = 0 UNION ALL \n  (SELECT orderkey+custkey FROM orders ORDER BY orderkey LIMIT 10)\n) \nWHERE a < 20 OR a > 100 \nORDER BY a",
       Seq("a"), Seq("CAST(c1 AS BIGINT) AS a")),
 
+    // AbstractTestQueries.java:6320-6446 correlated IN / EXISTS predicates.
+    "r38_ref_correlated_exists" -> batch(Seq(
+      "e1" -> "SELECT count(*) FROM orders o WHERE EXISTS(SELECT o.orderkey)",
+      "e2" -> "SELECT count(*) FROM customer WHERE NOT EXISTS(SELECT * FROM orders WHERE orders.custkey=customer.custkey)",
+      "e3" -> "SELECT count(*) FROM orders o WHERE EXISTS (SELECT avg(l.orderkey) FROM lineitem l WHERE o.orderkey = l.orderkey)",
+      "e4" -> "SELECT count(*) FROM orders o WHERE EXISTS (SELECT avg(l.orderkey) FROM lineitem l WHERE o.orderkey = l.orderkey GROUP BY l.linenumber)",
+      "e5" -> "SELECT count(*) FROM orders o WHERE EXISTS(SELECT 1 WHERE o.orderkey = 0)",
+      "e6" -> "SELECT orderkey FROM orders o WHERE clerk IN (SELECT clerk FROM orders s WHERE s.custkey = o.custkey AND s.orderkey < o.orderkey)")),
+    "r39_ref_correlated_in_proj" -> one(
+      "SELECT orderkey, clerk IN (SELECT clerk FROM orders s WHERE s.custkey = o.custkey AND s.orderkey < o.orderkey) FROM orders o",
+      Seq("orderkey", "has_prior"),
+      Seq("c1 AS orderkey", "c2 AS has_prior")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

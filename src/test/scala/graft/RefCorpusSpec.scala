@@ -366,6 +366,14 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("order by similar table keys", "WITH t AS (SELECT orderkey x, orderkey y FROM orders) SELECT x, y FROM t ORDER BY x, y LIMIT 1", "SELECT 0, 0")
   ref("order by similar mixed direction", "WITH t AS (SELECT orderkey x, orderkey y FROM orders) SELECT x, y FROM t ORDER BY x, y DESC LIMIT 1", "SELECT 0, 0")
 
+  // --- testCorrelatedInPredicateSubqueries / ...ExistsSubqueries (:6320) ---
+  ref("correlated exists with dup rows", "SELECT EXISTS(SELECT 1 WHERE a = 1) FROM (VALUES 1, 1, 2, 3) t(a)", "VALUES true, true, false, false")
+  // DIVERGENCE (documented): a correlated IN-subquery PROJECTED as a value
+  // loses three-valued logic on Spark — the ExistenceJoin it plans returns
+  // FALSE where Presto yields NULL (null probe value, or null-only subquery
+  // rows): (4,NULL)->false vs NULL, (30,2)->false vs NULL. The FILTER
+  // position (WHERE x IN (...)) agrees with the reference — r38/r39 gate it.
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
