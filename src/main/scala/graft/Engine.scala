@@ -299,9 +299,9 @@ class Engine(parent: SparkSession) {
     *    lands before the cast; TRY_CAST shares the Cast node and follows.
     */
   private def oneBasedSubscripts(df: DataFrame, text: String = ""): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Cast, Floor, GetArrayItem, Literal, NullsFirst, NullsLast, Round, SortOrder, Subtract, SubqueryExpression}
-    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.catalyst.expressions.{And, Ascending, CaseWhen, Cast, Exists, Expression, Floor, GetArrayItem, InSubquery, IsNull, ListQuery, Literal, NamedExpression, NullsFirst, NullsLast, Round, SortOrder, Subtract, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
     // Presto's DEFAULT null placement is NULLS LAST for BOTH directions
     // (QueryPlanner.toSortOrder — UNDEFINED falls to the LAST branch);
     // Spark's ascending default is NULLS FIRST. The parser materializes the
@@ -310,7 +310,11 @@ class Engine(parent: SparkSession) {
     // orderings verbatim, all others take Presto's default.
     val fixNulls = !text.toUpperCase(java.util.Locale.ROOT).contains("NULLS")
     var changed = false
-    def shift(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // One rewritten CASE per canonicalized IN-subquery: a GROUP BY key and
+    // its projection copy must stay STRUCTURALLY identical (same new
+    // ExprIds) or re-analysis rejects the aggregate.
+    val inCache = scala.collection.mutable.Map.empty[Expression, Expression]
+    lazy val basic: PartialFunction[Expression, Expression] = {
       case s @ SortOrder(_, Ascending, NullsFirst, _) if fixNulls =>
         changed = true
         s.copy(nullOrdering = NullsLast)
@@ -332,6 +336,35 @@ class Engine(parent: SparkSession) {
         changed = true
         c.copy(child = Round(child, Literal(0)))
       case s: SubqueryExpression => s.withNewPlan(shift(s.plan))
+    }
+    // Presto's IN keeps three-valued logic when PROJECTED as a value
+    // (SemiJoinOperator emits NULL for a null probe or a null-bearing build
+    // side); Spark plans ExistenceJoin, which collapses those cases to
+    // FALSE. Outside filter/join conditions (where NULL ≡ FALSE anyway) a
+    // projected `v IN (subq)` becomes
+    //   CASE WHEN v IN (subq) THEN TRUE
+    //        WHEN v IS NULL AND EXISTS (subq) THEN NULL
+    //        WHEN EXISTS (subq WHERE col IS NULL) THEN NULL
+    //        ELSE FALSE END.
+    lazy val projectedIn: PartialFunction[Expression, Expression] = {
+      case in @ InSubquery(Seq(v), l: ListQuery) if l.plan.output.length == 1 =>
+        changed = true
+        inCache.getOrElseUpdate(in.canonicalized, {
+          val nullB = Literal(null, BooleanType)
+          CaseWhen(Seq(
+            (in, Literal(true)),
+            (And(IsNull(v),
+              Exists(l.plan, l.outerAttrs, NamedExpression.newExprId)), nullB),
+            (Exists(Filter(IsNull(l.plan.output.head), l.plan),
+              l.outerAttrs, NamedExpression.newExprId), nullB)),
+            Some(Literal(false)))
+        })
+    }
+    def shift(plan: LogicalPlan): LogicalPlan = plan.transformUp { node =>
+      node match {
+        case _: Filter | _: Join => node.transformExpressionsUp(basic)
+        case _ => node.transformExpressionsUp(basic.orElse(projectedIn))
+      }
     }
     val shifted = shift(df.queryExecution.analyzed)
     if (!changed) df

@@ -368,11 +368,11 @@ class RefCorpusSpec extends AnyFunSuite {
 
   // --- testCorrelatedInPredicateSubqueries / ...ExistsSubqueries (:6320) ---
   ref("correlated exists with dup rows", "SELECT EXISTS(SELECT 1 WHERE a = 1) FROM (VALUES 1, 1, 2, 3) t(a)", "VALUES true, true, false, false")
-  // DIVERGENCE (documented): a correlated IN-subquery PROJECTED as a value
-  // loses three-valued logic on Spark — the ExistenceJoin it plans returns
-  // FALSE where Presto yields NULL (null probe value, or null-only subquery
-  // rows): (4,NULL)->false vs NULL, (30,2)->false vs NULL. The FILTER
-  // position (WHERE x IN (...)) agrees with the reference — r38/r39 gate it.
+  // A PROJECTED IN-subquery keeps three-valued logic (Spark's raw
+  // ExistenceJoin collapses the null cases to FALSE; Engine.sql rewrites the
+  // projected form to a null-aware CASE — see oneBasedSubscripts).
+  ref("correlated in all null cases", "SELECT t1.a, t1.b,   t1.b in (SELECT t2.b     FROM (values (2, 3), (2, 4), (3, 0), (30,NULL)) t2(a, b)     WHERE t1.a - 5 <= t2.a and t2.a <= t1.a and 0 <= t2.a) from (values (1,1), (2,4), (3,5), (4,NULL), (30,2), (40,NULL) ) t1(a, b) order by t1.a",
+    "VALUES (1,1,FALSE), (2,4,TRUE), (3,5,FALSE), (4,NULL,NULL), (30,2,NULL), (40,NULL,FALSE)", ordered = true)
 
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
