@@ -557,7 +557,39 @@ object RefCorpus {
              "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber"),
       "g4" -> "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)",
       ("g7", "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber, 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey > 3)",
-             "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey > 3)"))),
+             "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey > 3)"),
+      // AbstractTestQueries.java:6026 testExistsSubqueryWithGroupBy HAVING
+      "g9" -> "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)")),
+
+    // AbstractTestQueries.java:5974/6026 scalar-subquery and EXISTS with
+    // GROUP BY (constant subqueries in grouping keys dropped in the DuckDB
+    // oracle, as in r41).
+    "r43_ref_scalar_groupby" -> batchCols(
+      Seq("linenumber", "agg_okey", "scalar"),
+      Seq("c1 AS linenumber", "CAST(c2 AS BIGINT) AS agg_okey",
+        "CAST(c3 AS BIGINT) AS scalar"), Seq(
+      "q1" -> "SELECT linenumber, min(orderkey), (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber",
+      ("q2", "SELECT linenumber, min(orderkey), (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, (SELECT max(orderkey) FROM orders WHERE orderkey < 7)",
+             "SELECT linenumber, min(orderkey), (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber"),
+      ("q3", "SELECT linenumber, min(orderkey), (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, (SELECT max(orderkey) FROM orders WHERE orderkey < 7)HAVING min(orderkey) < (SELECT max(orderkey) FROM orders WHERE orderkey < 7)",
+             "SELECT linenumber, min(orderkey), (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber HAVING min(orderkey) < (SELECT max(orderkey) FROM orders WHERE orderkey < 7)"),
+      ("q4", "SELECT linenumber, min(orderkey), (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, (SELECT sum(orderkey) FROM orders WHERE orderkey < 7)",
+             "SELECT linenumber, min(orderkey), (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber"),
+      "q5" -> "SELECT linenumber, max(orderkey), (SELECT min(orderkey) FROM orders WHERE orderkey < 5)FROM lineitem GROUP BY linenumber HAVING sum(orderkey) > (SELECT min(orderkey) FROM orders WHERE orderkey < 7)")),
+    "r44_ref_exists_groupby" -> batchCols(
+      Seq("linenumber", "agg_okey", "flag"),
+      Seq("c1 AS linenumber", "CAST(c2 AS BIGINT) AS agg_okey", "c3 AS flag"), Seq(
+      "x1" -> "SELECT linenumber, min(orderkey), EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber",
+      ("x2", "SELECT linenumber, min(orderkey), EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)",
+             "SELECT linenumber, min(orderkey), EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber"),
+      ("x4", "SELECT linenumber, min(orderkey), EXISTS(SELECT orderkey FROM orders WHERE orderkey < 17)FROM lineitem GROUP BY linenumber, EXISTS(SELECT orderkey FROM orders WHERE orderkey < 17)HAVING EXISTS(SELECT orderkey FROM orders WHERE orderkey < 27)",
+             "SELECT linenumber, min(orderkey), EXISTS(SELECT orderkey FROM orders WHERE orderkey < 17)FROM lineitem GROUP BY linenumber HAVING EXISTS(SELECT orderkey FROM orders WHERE orderkey < 27)"),
+      "x5" -> "SELECT linenumber, max(orderkey), EXISTS(SELECT orderkey FROM orders WHERE orderkey < 5)FROM lineitem GROUP BY linenumber HAVING EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)")),
+
+    // AbstractTestQueries.java:6016 testOutputInEnforceSingleRow.
+    "r45_ref_single_row" -> batch(Seq(
+      "o1" -> "SELECT count(*) FROM (SELECT (SELECT 1))",
+      "o2" -> "SELECT * FROM (SELECT (SELECT 1))")),
 
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
