@@ -591,6 +591,18 @@ object RefCorpus {
       "o1" -> "SELECT count(*) FROM (SELECT (SELECT 1))",
       "o2" -> "SELECT * FROM (SELECT (SELECT 1))")),
 
+    // AbstractTestQueries.java:6234 correlated scalar subqueries with scalar
+    // aggregation — non-equality correlation under avg(), consecutive
+    // correlated aggregates.
+    // (the corpus's ORDER BY / join-condition positions for correlated
+    // scalar aggregates are Spark-unsupported — documented divergence)
+    "r46_ref_correlated_agg" -> batch(Seq(
+      "a1" -> "SELECT count(*) FROM orders o WHERE (SELECT avg(i.orderkey) FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 10000 = 0) > 100")),
+    "r47_ref_consecutive_correlated" -> one(
+      "SELECT (SELECT avg(regionkey)  FROM nation n2 WHERE n2.nationkey = n1.nationkey),(SELECT avg(regionkey)+1  FROM nation n3  WHERE n3.nationkey = n1.nationkey)FROM nation n1",
+      Seq("avg1", "avg2"),
+      Seq("c1 AS avg1", "c2 AS avg2")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
