@@ -603,6 +603,12 @@ object RefCorpus {
       Seq("avg1", "avg2"),
       Seq("c1 AS avg1", "c2 AS avg2")),
 
+    // AbstractTestQueries.java:3169 testDependentWindows — two adjacent
+    // window nodes, the second over the first's output.
+    "r48_ref_dependent_windows" -> one(
+      "WITH t1 AS (SELECT extendedprice FROM lineitem ORDER BY orderkey, partkey LIMIT 2),t2 AS (SELECT extendedprice, sum(extendedprice) OVER() AS x FROM t1),t3 AS (SELECT max(x) OVER() FROM t2) SELECT * FROM t3",
+      Seq("v"), Seq("c1 AS v")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
