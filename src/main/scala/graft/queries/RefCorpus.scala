@@ -609,6 +609,30 @@ object RefCorpus {
       "WITH t1 AS (SELECT extendedprice FROM lineitem ORDER BY orderkey, partkey LIMIT 2),t2 AS (SELECT extendedprice, sum(extendedprice) OVER() AS x FROM t1),t3 AS (SELECT max(x) OVER() FROM t2) SELECT * FROM t3",
       Seq("v"), Seq("c1 AS v")),
 
+    // AbstractTestAggregations.java:315-500 — repeated group keys, BETWEEN
+    // group expressions, aggregation below outer joins over set ops.
+    "r49_ref_agg_shapes" -> batch(Seq(
+      "h1" -> "SELECT sum(custkey) FROM orders GROUP BY orderstatus, orderstatus",
+      "h2" -> "SELECT count(*) FROM (SELECT orderstatus a, orderstatus b FROM orders) GROUP BY a, b",
+      "h3" -> "SELECT CAST(orderkey BETWEEN 1 AND 100 AS BIGINT) FROM orders GROUP BY orderkey",
+      "h4" -> "SELECT CAST(50 BETWEEN orderkey AND 100 AS BIGINT) FROM orders GROUP BY orderkey",
+      "h5" -> "SELECT CAST(50 BETWEEN 1 AND orderkey AS BIGINT) FROM orders GROUP BY orderkey",
+      "h6" -> "SELECT max(nationkey) FROM (SELECT regionkey FROM region EXCEPT SELECT regionkey FROM region WHERE regionkey < 4) AS r1 LEFT JOIN nation ON r1.regionkey = nation.regionkey GROUP BY r1.regionkey",
+      ("h7", "SELECT max(nationkey) FROM (VALUES CAST (1 AS BIGINT)) v1(col1) LEFT JOIN nation ON v1.col1 = nation.regionkey GROUP BY v1.col1",
+             "SELECT max(nationkey) FROM (VALUES (CAST (1 AS BIGINT))) v1(col1) LEFT JOIN nation ON v1.col1 = nation.regionkey GROUP BY v1.col1"))),
+    "r50_ref_agg_outer_join" -> one(
+      "SELECT max(name), min(name), count(nationkey) + 1, count(nationkey) FROM (SELECT DISTINCT regionkey FROM region) AS r1 LEFT JOIN nation ON r1.regionkey = nation.regionkey GROUP BY r1.regionkey HAVING sum(nationkey) < 20",
+      Seq("max_n", "min_n", "cnt1", "cnt"),
+      Seq("c1 AS max_n", "c2 AS min_n", "CAST(c3 AS BIGINT) AS cnt1", "CAST(c4 AS BIGINT) AS cnt")),
+    "r51_ref_nested_agg" -> one(
+      "SELECT sum(custkey), max(orderstatus), min(c) FROM (SELECT orderstatus, custkey, COUNT(*) c FROM orders GROUP BY orderstatus, custkey) T",
+      Seq("sum_ck", "max_st", "min_c"),
+      Seq("CAST(c1 AS BIGINT) AS sum_ck", "c2 AS max_st", "CAST(c3 AS BIGINT) AS min_c")),
+    "r52_ref_correlated_avg_filter" -> one(
+      "SELECT * FROM nation n1 WHERE (n1.nationkey > ( SELECT avg(nationkey) FROM nation n2 WHERE n1.regionkey=n2.regionkey))",
+      Seq("nationkey", "name", "regionkey", "comment"),
+      Seq("c1 AS nationkey", "c2 AS name", "c3 AS regionkey", "c4 AS comment")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
