@@ -633,6 +633,22 @@ object RefCorpus {
       Seq("nationkey", "name", "regionkey", "comment"),
       Seq("c1 AS nationkey", "c2 AS name", "c3 AS regionkey", "c4 AS comment")),
 
+    // AbstractTestQueries.java:1624-1844 simple-join family — constant
+    // equalities, coercion joins, double-clause overlaps, self joins.
+    "r53_ref_join_family" -> batch(Seq(
+      "j01" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey",
+      "j02" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = 2",
+      "j03" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON orders.orderkey = 2",
+      "j04" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = 2",
+      "j05" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = 2",
+      "j06" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = orders.custkey",
+      "j07" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = lineitem.partkey",
+      "j08" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND 123 = 123",
+      "j09" -> "SELECT SUM(custkey) FROM lineitem JOIN orders ON lineitem.orderkey = CAST(orders.orderkey AS BIGINT)",
+      "j10" -> "SELECT COUNT(*) FROM nation a JOIN nation b on not ((a.nationkey + b.nationkey) <> b.nationkey)",
+      "j11" -> "SELECT COUNT(*) FROM nation a JOIN nation b on not (a.nationkey <> b.nationkey)",
+      "j12" -> "SELECT COUNT(*) FROM orders a JOIN orders b on a.orderkey = b.orderkey")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
