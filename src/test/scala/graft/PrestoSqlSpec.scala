@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the dialect scanner itself — the text-level invariants
+  * the corpus runs rely on (string literals and comments must never be
+  * rewritten; bracket/paren matching must survive nesting). */
+class PrestoSqlSpec extends AnyFunSuite {
+
+  private def rw(s: String) = PrestoSql.rewrite(s)
+
+  test("ARRAY constructor with nesting and trailing subscripts") {
+    assert(rw("ARRAY[1, 2]") == "array(1, 2)")
+    assert(rw("ARRAY[ARRAY[1],ARRAY[2,3]]") == "array(array(1),array(2,3))")
+    assert(rw("ARRAY[1,2][1]") == "array(1,2)[1]")
+    assert(rw("x[1][2]") == "x[1][2]") // plain subscripts untouched
+  }
+
+  test("string literals, quoted identifiers and comments pass through") {
+    assert(rw("SELECT 'ARRAY[1]'") == "SELECT 'ARRAY[1]'")
+    assert(rw("SELECT 'it''s ARRAY[1]'") == "SELECT 'it''s ARRAY[1]'")
+    assert(rw("SELECT \"ARRAY\" FROM t") == "SELECT \"ARRAY\" FROM t")
+    assert(rw("SELECT 1 -- ARRAY[1]\n+ 2") == "SELECT 1 -- ARRAY[1]\n+ 2")
+    assert(rw("SELECT /* ARRAY[1] */ 2") == "SELECT /* ARRAY[1] */ 2")
+    assert(rw("SELECT 'a = ANY(b)'") == "SELECT 'a = ANY(b)'")
+  }
+
+  test("VALUES row constructors strip; row() elsewhere stays") {
+    assert(rw("VALUES ROW(1, 2)") == "VALUES (1, 2)")
+    assert(rw("VALUES (1), ROW(2)") == "VALUES (1), (2)")
+    assert(rw("(VALUES ROW(CAST(1 AS INT)))") == "(VALUES (CAST(1 AS INT)))")
+    assert(rw("SELECT row(1, 2)") == "SELECT row(1, 2)")
+    assert(rw("VALUES (ROW(1), 2)") == "VALUES (ROW(1), 2)") // nested struct kept
+  }
+
+  test("complex cast-target types convert recursively") {
+    assert(rw("CAST(x AS ROW(a INTEGER, b VARCHAR))") ==
+      "CAST(x AS STRUCT<a: INTEGER, b: STRING>)")
+    assert(rw("CAST(x AS ROW(a ROW(b INT)))") == "CAST(x AS STRUCT<a: STRUCT<b: INT>>)")
+    assert(rw("CAST(x AS ARRAY(ROW(a INT)))") == "CAST(x AS ARRAY<STRUCT<a: INT>>)")
+    assert(rw("CAST(x AS MAP(INTEGER, VARCHAR))") == "CAST(x AS MAP<INTEGER, STRING>)")
+    assert(rw("CAST(x AS array<row(aa bigint)>)") == "CAST(x AS STRUCT<aa: bigint>)" ||
+      rw("CAST(x AS array<row(aa bigint)>)") == "CAST(x AS ARRAY<STRUCT<aa: bigint>>)")
+  }
+
+  test("quantified comparisons become IN / NOT IN") {
+    assert(rw("x = ANY(SELECT 1)").replaceAll("\\s+", " ") == "x IN (SELECT 1)")
+    assert(rw("x = SOME(SELECT 1)").replaceAll("\\s+", " ") == "x IN (SELECT 1)")
+    assert(rw("x <> ALL(SELECT 1)").replaceAll("\\s+", " ") == "x NOT IN (SELECT 1)")
+    assert(rw("x != ALL(SELECT 1)").replaceAll("\\s+", " ") == "x NOT IN (SELECT 1)")
+    assert(rw("x <= 2") == "x <= 2") // bare comparison untouched
+    assert(rw("max(x) over ()") == "max(x) over ()") // ALL/ANY only with (
+  }
+
+  test("VARCHAR and DECIMAL literal spellings") {
+    assert(rw("CAST(x AS VARCHAR)") == "CAST(x AS STRING)")
+    assert(rw("CAST(x AS VARCHAR(10))") == "CAST(x AS VARCHAR(10))")
+    assert(rw("DECIMAL '2.5'") == "2.5BD")
+    assert(rw("DECIMAL '-0.1'") == "-0.1BD")
+  }
+
+  test("UNNEST forms") {
+    assert(rw("SELECT * FROM UNNEST(a)").contains("explode(a)"))
+    assert(rw("SELECT * FROM UNNEST(a, b) t(x, y)").contains("inline(arrays_zip(a, b))"))
+    assert(rw("t CROSS JOIN UNNEST(a) AS u(c)").contains("LATERAL VIEW explode(a) u AS c"))
+    assert(rw("FROM t, UNNEST(a) u(b)").contains("LATERAL VIEW explode(a) u AS b"))
+    val ord = rw("SELECT * FROM UNNEST(a) WITH ORDINALITY t(v, o)")
+    assert(ord.contains("posexplode(arrays_zip(a))") && ord.contains("t(v, o)"))
+  }
+}
