@@ -384,6 +384,12 @@ class RefCorpusSpec extends AnyFunSuite {
   // (APPROX_PERCENTILE(constant, column) — a non-foldable percentile
   // argument is rejected by Spark's percentile_approx; skipped)
 
+  // --- testJoinWithScalarSubqueryToBeExecutedAsPostJoinFilter (:2352) ---
+  ref("scalar subquery join inner", "SELECT * FROM (VALUES 1,2,3,4) t(x)  JOIN (VALUES 1,2,3,5) t2(y) ON (x+y = (SELECT 4))", "VALUES (1,3), (2,2), (3,1)")
+  ref("scalar subquery join left", "SELECT * FROM (VALUES 1,2,3,4) t(x) left JOIN (VALUES 1,2,3,5) t2(y) ON (x+y = (SELECT 4))", "VALUES (1,3), (2,2), (3,1), (4, null)")
+  ref("scalar subquery join right", "SELECT * FROM (VALUES 1,2,3,4) t(x) right JOIN (VALUES 1,2,3,5) t2(y) ON (x+y = (SELECT 4))", "VALUES (1,3), (2,2), (3,1), (null, 5)")
+  ref("scalar subquery join full", "SELECT * FROM (VALUES 1,2,3,4) t(x) full JOIN (VALUES 1,2,3,5) t2(y) ON (x+y = (SELECT 4))", "VALUES (1,3), (2,2), (3,1), (4, null), (null, 5)")
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
