@@ -649,6 +649,17 @@ object RefCorpus {
       "j11" -> "SELECT COUNT(*) FROM nation a JOIN nation b on not (a.nationkey <> b.nationkey)",
       "j12" -> "SELECT COUNT(*) FROM orders a JOIN orders b on a.orderkey = b.orderkey")),
 
+    // AbstractTestQueries.java:2481-2511 filtered joins + predicate motion.
+    "r54_ref_filtered_joins" -> batchCols(
+      Seq("custkey", "linestatus", "tax", "totalprice", "orderstatus"),
+      Seq("c1 AS custkey", "c2 AS linestatus", "c3 AS tax", "c4 AS totalprice",
+        "c5 AS orderstatus"), Seq(
+      "f1" -> "SELECT custkey, linestatus, tax, totalprice, orderstatus FROM (SELECT * FROM lineitem WHERE orderkey % 2 = 0) a JOIN orders ON a.orderkey = orders.orderkey",
+      "f2" -> "SELECT custkey, linestatus, tax, totalprice, orderstatus FROM lineitem JOIN (SELECT *  FROM orders WHERE orderkey % 2 = 0) a ON lineitem.orderkey = a.orderkey")),
+    "r55_ref_join_move_around" -> batch(Seq(
+      "m1" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON orders.custkey = 1 AND lineitem.orderkey = 1",
+      "m2" -> "SELECT COUNT(*)\nFROM (SELECT * FROM lineitem WHERE orderkey % 16 = 0 AND partkey % 2 = 0) lineitem\nJOIN (SELECT * FROM orders WHERE orderkey % 16 = 0 AND custkey % 2 = 0) orders\nON lineitem.orderkey % 8 = orders.orderkey % 8 AND lineitem.linenumber % 2 = 0\nWHERE orders.custkey % 8 < 7 AND orders.custkey % 8 = lineitem.orderkey % 8 AND lineitem.suppkey % 7 > orders.custkey % 7")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

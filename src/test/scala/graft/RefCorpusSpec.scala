@@ -390,6 +390,14 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("scalar subquery join right", "SELECT * FROM (VALUES 1,2,3,4) t(x) right JOIN (VALUES 1,2,3,5) t2(y) ON (x+y = (SELECT 4))", "VALUES (1,3), (2,2), (3,1), (null, 5)")
   ref("scalar subquery join full", "SELECT * FROM (VALUES 1,2,3,4) t(x) full JOIN (VALUES 1,2,3,5) t2(y) ON (x+y = (SELECT 4))", "VALUES (1,3), (2,2), (3,1), (4, null), (null, 5)")
 
+  // --- testJoinWithExpressionsThatMayReturnNull (:2441) ---
+  ref("join with nullif projection", "SELECT *\nFROM (\n    SELECT a, nullif(a, 1)\n    FROM (VALUES 1) w(a)\n) t(a,b)\nJOIN (VALUES 1) u(x) ON t.a = u.x", "SELECT 1, NULL, 1")
+  ref("join with null-contains projection", "SELECT *\nFROM (\n    SELECT a, contains(array[2, null], a)\n    FROM (VALUES 1) w(a)\n) t(a,b)\nJOIN (VALUES 1) u(x) ON t.a = u.x\n", "SELECT 1, NULL, 1")
+  ref("join with null-subscript projection", "SELECT *\nFROM (\n    SELECT a, array[null][a]\n    FROM (VALUES 1) w(a)\n) t(a,b)\nJOIN (VALUES 1) u(x) ON t.a = u.x", "SELECT 1, NULL, 1")
+  ref("join with try projection", "SELECT *\nFROM (\n    SELECT a, try(a / 0)\n    FROM (VALUES 1) w(a)\n) t(a,b)\nJOIN (VALUES 1) u(x) ON t.a = u.x", "SELECT 1, NULL, 1")
+  ref("in-list inside dead case branch", "SELECT CASE WHEN false THEN 1 IN (VALUES 2) END",
+    "SELECT CAST(NULL AS BOOLEAN)") // H2: SELECT NULL
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
