@@ -660,6 +660,16 @@ object RefCorpus {
       "m1" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON orders.custkey = 1 AND lineitem.orderkey = 1",
       "m2" -> "SELECT COUNT(*)\nFROM (SELECT * FROM lineitem WHERE orderkey % 16 = 0 AND partkey % 2 = 0) lineitem\nJOIN (SELECT * FROM orders WHERE orderkey % 16 = 0 AND custkey % 2 = 0) orders\nON lineitem.orderkey % 8 = orders.orderkey % 8 AND lineitem.linenumber % 2 = 0\nWHERE orders.custkey % 8 < 7 AND orders.custkey % 8 = lineitem.orderkey % 8 AND lineitem.suppkey % 7 > orders.custkey % 7")),
 
+    // AbstractTestQueries.java:5304 testTableQuery — the TABLE statement.
+    "r56_ref_table" -> one(
+      "TABLE orders",
+      Seq("orderkey", "custkey", "orderstatus", "totalprice", "orderdate",
+        "orderpriority", "clerk", "shippriority", "comment"),
+      Seq("c1 AS orderkey", "c2 AS custkey", "c3 AS orderstatus",
+        "c4 AS totalprice", "c5 AS orderdate", "c6 AS orderpriority",
+        "c7 AS clerk", "c8 AS shippriority", "c9 AS comment"),
+      oracleSql = "SELECT * FROM orders"),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

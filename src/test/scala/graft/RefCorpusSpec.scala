@@ -398,6 +398,12 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("in-list inside dead case branch", "SELECT CASE WHEN false THEN 1 IN (VALUES 2) END",
     "SELECT CAST(NULL AS BOOLEAN)") // H2: SELECT NULL
 
+  // --- testCrossJoinWithNulls / testSimpleCrossJoins (:5391/:5417) ---
+  ref("simple cross join", "SELECT * FROM (SELECT 1 a) x CROSS JOIN (SELECT 2 b) y", "SELECT 1, 2")
+  ref("cross join no nulls", "SELECT a, b FROM (VALUES (1), (2)) t (a) CROSS JOIN (VALUES (1), (3)) u (b)", "SELECT * FROM (VALUES  (1, 1), (1, 3), (2, 1), (2, 3))")
+  ref("cross join with nulls", "SELECT a, b FROM (VALUES (1), (2), (null)) t (a), (VALUES (11), (null), (13)) u (b)", "SELECT * FROM (VALUES (1, 11), (1, null), (1, 13), (2, 11), (2, null), (2, 13), (null, 11), (null, null), (null, 13))")
+  ref("union of distinct literals", "SELECT 1, 1, 'a', 'a' UNION ALL SELECT 1, 2, 'a', 'b'", "VALUES (1, 1, 'a', 'a'), (1, 2, 'a', 'b')")
+
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
