@@ -89,7 +89,12 @@ object PrestoSql {
       .getOrElse(t)
   }
 
-  /** Presto UNNEST (SqlBase.g4 #unnest) → Spark's table-valued functions.
+  /** NOTE: rowTypes/unnest run as regex pre-passes and are not
+    * string-literal-aware (the main scanner is); a string literal containing
+    * `AS ROW(`/`UNNEST(` would be rewritten. No real query embeds those
+    * fragments in strings — accepted over double-scanning the text.
+    *
+    * Presto UNNEST (SqlBase.g4 #unnest) → Spark's table-valued functions.
     * `FROM UNNEST(a)` → `FROM explode(a)`; the join forms
     * `CROSS JOIN UNNEST(a) AS u(c)` / `, UNNEST(a) u(c)` → Hive-style
     * `LATERAL VIEW explode(a) u AS c` (correlated, like the reference's
