@@ -670,6 +670,27 @@ object RefCorpus {
         "c7 AS clerk", "c8 AS shippriority", "c9 AS comment"),
       oracleSql = "SELECT * FROM orders"),
 
+    // AbstractTestQueries.java:972-996 / 4352-4400 LIMIT 0/ALL,
+    // case-insensitive references, parenthesized query bodies.
+    "r57_ref_limits_case" -> batchCols(
+      Seq("custkey", "totalprice"),
+      Seq("c1 AS custkey", "c2 AS totalprice"), Seq(
+      "l1" -> "SELECT custkey, totalprice FROM orders LIMIT 0",
+      "l2" -> "SELECT custkey, totalprice FROM orders LIMIT ALL",
+      "l3" -> "SELECT custkey, totalprice FROM orders ORDER BY orderkey LIMIT 0",
+      "l4" -> "SELECT custkey, totalprice FROM orders ORDER BY orderkey LIMIT ALL")),
+    "r58_ref_case_insensitive" -> batchCols(Seq("v"), Seq("CAST(c1 AS BIGINT) AS v"), Seq(
+      "c1" -> "SELECT orderkey X FROM orders ORDER BY x",
+      "c2" -> "SELECT x FROM (SELECT orderkey X FROM orders)"),
+      sparkCast = Map("v" -> "bigint")),
+    "r59_ref_subquery_body" -> one(
+      "(SELECT orderkey, custkey FROM orders ORDER BY custkey) ORDER BY orderkey",
+      Seq("orderkey", "custkey"),
+      Seq("c1 AS orderkey", "c2 AS custkey"),
+      // DuckDB rejects the double-ORDER BY body form; the inner ordering is
+      // superseded by the outer one anyway
+      oracleSql = "(SELECT orderkey, custkey FROM orders) ORDER BY orderkey"),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
