@@ -691,6 +691,36 @@ object RefCorpus {
       // superseded by the outer one anyway
       oracleSql = "(SELECT orderkey, custkey FROM orders) ORDER BY orderkey"),
 
+    // AbstractTestAggregations.java:464-646 — GROUP BY over CASE/CAST/
+    // COALESCE/NULLIF expressions, whole-expression and operand forms.
+    "r60_ref_groupby_case" -> batchCols(
+      Seq("k", "cnt"), Seq("c1 AS k", "CAST(c2 AS BIGINT) AS cnt"), Seq(
+      "c01" -> "SELECT CASE WHEN orderstatus = 'O' THEN 'a' ELSE 'b' END, count(*)\nFROM orders\nGROUP BY CASE WHEN orderstatus = 'O' THEN 'a' ELSE 'b' END",
+      "c02" -> "SELECT CASE WHEN orderstatus = 'O' THEN 'a' END, count(*)\nFROM orders\nGROUP BY CASE WHEN orderstatus = 'O' THEN 'a' END",
+      "c03" -> "SELECT CASE WHEN true THEN orderstatus END, count(*)\nFROM orders\nGROUP BY orderstatus",
+      "c04" -> "SELECT CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END, count(*)\nFROM orders\nGROUP BY CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END",
+      "c05" -> "SELECT CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END, count(*)\nFROM orders\nGROUP BY orderstatus",
+      "c06" -> "SELECT CASE 'O' WHEN orderstatus THEN 'a' ELSE 'b' END, count(*)\nFROM orders\nGROUP BY orderstatus",
+      "c07" -> "SELECT CASE 1 WHEN 1 THEN orderstatus ELSE 'x' END, count(*)\nFROM orders\nGROUP BY orderstatus",
+      "c08" -> "SELECT CASE 1 WHEN 1 THEN 'x' ELSE orderstatus END, count(*)\nFROM orders\nGROUP BY orderstatus",
+      "c09" -> "SELECT CASE orderstatus WHEN 'O' THEN 'a' END, count(*)\nFROM orders\nGROUP BY CASE orderstatus WHEN 'O' THEN 'a' END",
+      "c10" -> "SELECT CASE 'O' WHEN orderstatus THEN 'a' END, count(*)\nFROM orders\nGROUP BY orderstatus",
+      "c11" -> "SELECT CASE 1 WHEN 1 THEN orderstatus END, count(*)\nFROM orders\nGROUP BY orderstatus",
+      "c12" -> "SELECT CAST(orderkey AS VARCHAR), count(*) FROM orders GROUP BY CAST(orderkey AS VARCHAR)",
+      "c13" -> "SELECT CAST(orderkey AS VARCHAR), count(*) FROM orders GROUP BY orderkey")),
+    "r61_ref_groupby_nullfns" -> batchCols(
+      Seq("k", "cnt"), Seq("CAST(c1 AS BIGINT) AS k", "CAST(c2 AS BIGINT) AS cnt"), Seq(
+      "n1" -> "SELECT COALESCE(orderkey, custkey), count(*) FROM orders GROUP BY COALESCE(orderkey, custkey)",
+      "n2" -> "SELECT COALESCE(orderkey, 1), count(*) FROM orders GROUP BY orderkey",
+      "n3" -> "SELECT COALESCE(1, orderkey), count(*) FROM orders GROUP BY orderkey",
+      "n4" -> "SELECT NULLIF(orderkey, custkey), count(*) FROM orders GROUP BY NULLIF(orderkey, custkey)",
+      "n5" -> "SELECT NULLIF(orderkey, 1), count(*) FROM orders GROUP BY orderkey",
+      "n6" -> "SELECT NULLIF(1, orderkey), count(*) FROM orders GROUP BY orderkey")),
+    "r62_ref_15way_groupby" -> one(
+      "SELECT     orderkey + 1, orderkey + 2, orderkey + 3, orderkey + 4, orderkey + 5,     orderkey + 6, orderkey + 7, orderkey + 8, orderkey + 9, orderkey + 10,     count(*) FROM orders GROUP BY     orderkey + 1, orderkey + 2, orderkey + 3, orderkey + 4, orderkey + 5,     orderkey + 6, orderkey + 7, orderkey + 8, orderkey + 9, orderkey + 10",
+      (1 to 10).map("k" + _) :+ "cnt",
+      (1 to 10).map(i => s"c$i AS k$i") :+ "CAST(c11 AS BIGINT) AS cnt"),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
