@@ -283,7 +283,7 @@ class Engine(parent: SparkSession) {
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }
 
-  /** Post-analysis expression-semantics pass (both rewrites need resolved
+  /** Post-analysis expression-semantics pass (these rewrites need resolved
     * types, so they run on the ANALYZED plan, descending into subqueries):
     *
     *  - Presto array subscripts are 1-based and the SQL `[i]` form is the
@@ -292,32 +292,51 @@ class Engine(parent: SparkSession) {
     *    GetArrayItem ordinal shifts by -1 (map subscripts resolve to
     *    GetMapValue and pass through untouched). ANSI mode keeps Presto's
     *    out-of-bounds/zero-index errors.
-    *  - Presto CAST(double/real AS integral) is Math.round — i.e.
-    *    floor(x + 0.5), halves toward +inf (DoubleOperators.castToLong);
-    *    CAST(decimal AS integral) is HALF_UP away from zero
-    *    (DecimalCasts). Spark truncates toward zero, so the exact rounding
-    *    lands before the cast; TRY_CAST shares the Cast node and follows.
+    *  - Presto CAST(double/real AS integral) rounds halves AWAY FROM ZERO
+    *    (DoubleOperators.castToLong → DoubleMath.roundToLong(v, HALF_UP);
+    *    the narrower widths go through MathFunctions.round, which is
+    *    -Math.round(-x) for negatives): CAST(-2.5 AS BIGINT) = -3.
+    *    CAST(decimal AS integral) is HALF_UP away from zero (DecimalCasts).
+    *    Spark truncates toward zero, so the exact rounding lands before the
+    *    cast; TRY_CAST shares the Cast node and follows.
+    *  - Presto `/` between integral types is TRUNCATED integer division
+    *    (BigintOperators.divide `left / right` on Java longs: 7/2=3,
+    *    -7/2=-3); Spark (and DuckDB) widen to double. Coercion-inserted
+    *    casts are distinguished from user-written `CAST(x AS DOUBLE)` by
+    *    Cast.USER_SPECIFIED_CAST, so `CAST(a AS DOUBLE) / b` keeps double
+    *    division while `a / b` truncates. ANSI IntegralDivide keeps
+    *    Presto's division-by-zero error.
     */
   private def oneBasedSubscripts(df: DataFrame, text: String = ""): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Ascending, CaseWhen, Cast, Exists, Expression, Floor, GetArrayItem, InSubquery, IsNull, ListQuery, Literal, NamedExpression, NullsFirst, NullsLast, Round, SortOrder, Subtract, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, Cast, Divide, Exists, Expression, Floor, GetArrayItem, InSubquery, IntegralDivide, IsNull, ListQuery, Literal, NamedExpression, Round, Subtract, SubqueryExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
-    import org.apache.spark.sql.types.{BooleanType, ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
-    // Presto's DEFAULT null placement is NULLS LAST for BOTH directions
-    // (QueryPlanner.toSortOrder — UNDEFINED falls to the LAST branch);
-    // Spark's ascending default is NULLS FIRST. The parser materializes the
-    // default, so an explicit "ASC NULLS FIRST" is indistinguishable from a
-    // bare "ASC" in the plan — queries that spell NULLS anywhere keep their
-    // orderings verbatim, all others take Presto's default.
-    val fixNulls = !text.toUpperCase(java.util.Locale.ROOT).contains("NULLS")
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    def isIntegral(t: DataType): Boolean =
+      t == LongType || t == IntegerType || t == ShortType || t == ByteType
+    // (Presto's NULLS LAST default ordering is applied per sort item in the
+    // PrestoSql front-end — literal-aware, coexists with explicit NULLS
+    // FIRST/LAST in the same query.)
     var changed = false
+    var retyped = false
+    // A division operand that is integral in the USER's query: either the
+    // analyzer's coercion cast to double over an integral child (a
+    // user-written CAST(x AS DOUBLE) carries USER_SPECIFIED_CAST and is
+    // excluded), or the integral result of a nested rewrite (chained a/b/c,
+    // visited bottom-up).
+    object IntegralOperand {
+      def unapply(e: Expression): Option[Expression] = e match {
+        case c @ Cast(ch, DoubleType, _, _)
+            if isIntegral(ch.dataType) &&
+              c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => Some(ch)
+        case _ if isIntegral(e.dataType) => Some(e)
+        case _ => None
+      }
+    }
     // One rewritten CASE per canonicalized IN-subquery: a GROUP BY key and
     // its projection copy must stay STRUCTURALLY identical (same new
     // ExprIds) or re-analysis rejects the aggregate.
     val inCache = scala.collection.mutable.Map.empty[Expression, Expression]
     lazy val basic: PartialFunction[Expression, Expression] = {
-      case s @ SortOrder(_, Ascending, NullsFirst, _) if fixNulls =>
-        changed = true
-        s.copy(nullOrdering = NullsLast)
       case g: GetArrayItem =>
         changed = true
         GetArrayItem(g.child,
@@ -325,16 +344,32 @@ class Engine(parent: SparkSession) {
           g.failOnError)
       case c @ Cast(child, LongType | IntegerType | ShortType | ByteType, _, _)
           if (child.dataType == DoubleType || child.dataType == FloatType) &&
-            !child.isInstanceOf[Floor] =>
+            !child.isInstanceOf[CaseWhen] =>
         changed = true
-        c.copy(child = Floor(
-          org.apache.spark.sql.catalyst.expressions.Add(
-            Cast(child, DoubleType), Literal(0.5d))))
+        // Half away from zero: floor(x+0.5) for x>=0, ceil(x-0.5) for x<0.
+        val d = Cast(child, DoubleType)
+        c.copy(child = CaseWhen(Seq((
+          org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+            d, Literal(0d)),
+          Floor(org.apache.spark.sql.catalyst.expressions.Add(d, Literal(0.5d))))),
+          Some(org.apache.spark.sql.catalyst.expressions.Ceil(
+            org.apache.spark.sql.catalyst.expressions.Subtract(d, Literal(0.5d))))))
       case c @ Cast(child, LongType | IntegerType | ShortType | ByteType, _, _)
           if child.dataType.isInstanceOf[DecimalType] &&
             !child.isInstanceOf[Round] =>
         changed = true
         c.copy(child = Round(child, Literal(0)))
+      case Divide(IntegralOperand(le), IntegralOperand(re), ctx) =>
+        changed = true; retyped = true
+        val wide = Seq(le.dataType, re.dataType)
+          .maxBy(t => t.defaultSize) // Byte < Short < Int < Long
+        val q = IntegralDivide(Cast(le, LongType), Cast(re, LongType))
+        val typed = if (wide == LongType) q else Cast(q, wide)
+        // IntegralDivide has no TRY mode — try_divide(int, int) keeps its
+        // NULL-on-zero contract via a TryEval wrapper instead.
+        if (ctx.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+          org.apache.spark.sql.catalyst.expressions.TryEval(typed)
+        else typed
       case s: SubqueryExpression => s.withNewPlan(shift(s.plan))
     }
     // Presto's IN keeps three-valued logic when PROJECTED as a value
@@ -366,7 +401,57 @@ class Engine(parent: SparkSession) {
         case _ => node.transformExpressionsUp(basic.orElse(projectedIn))
       }
     }
-    val shifted = shift(df.queryExecution.analyzed)
+    // The integer-division rewrite changes an output TYPE (double →
+    // integral); any AttributeReference downstream of the defining Alias
+    // still carries the stale double, and the analyzer's old coercion casts
+    // around those references bake in the stale promotion (q + 1 must be
+    // integral again, not double). Refresh to a fixpoint: update stale refs
+    // from the alias types seen so far (CTERelationRef keeps an output
+    // snapshot — refresh it too), and STRIP untagged numeric coercion casts
+    // over integral children — re-analysis in ofRows re-inserts exactly the
+    // coercion the new types need, matching Presto's own promotion rules.
+    def refreshTypes(plan: LogicalPlan): LogicalPlan = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+      import org.apache.spark.sql.catalyst.plans.logical.CTERelationRef
+      val types = scala.collection.mutable.Map.empty[
+        org.apache.spark.sql.catalyst.expressions.ExprId, DataType]
+      var cur = plan
+      var dirty = true
+      var iters = 0
+      while (dirty && iters < 8) {
+        dirty = false; iters += 1
+        cur = cur.transformUpWithSubqueries { case node0 =>
+          val node = node0 match {
+            case r: CTERelationRef if r.output.exists(a =>
+                types.get(a.exprId).exists(_ != a.dataType)) =>
+              dirty = true
+              r.copy(output = r.output.map {
+                case a: AttributeReference
+                    if types.get(a.exprId).exists(_ != a.dataType) =>
+                  a.copy(dataType = types(a.exprId))(a.exprId, a.qualifier)
+                case a => a
+              })
+            case n => n
+          }
+          node.transformExpressionsUp {
+            case a: AttributeReference
+                if types.get(a.exprId).exists(_ != a.dataType) =>
+              dirty = true
+              a.copy(dataType = types(a.exprId))(a.exprId, a.qualifier)
+            case c @ Cast(ch, DoubleType | FloatType | _: DecimalType, _, _)
+                if isIntegral(ch.dataType) &&
+                  c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+              dirty = true
+              ch
+            case al: Alias =>
+              types(al.exprId) = al.dataType; al
+          }
+        }
+      }
+      cur
+    }
+    val shifted0 = shift(df.queryExecution.analyzed)
+    val shifted = if (retyped) refreshTypes(shifted0) else shifted0
     if (!changed) df
     else org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, shifted)
   }

@@ -171,8 +171,113 @@ object PrestoSql {
 
   private val unnestCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Position-preserving literal mask: the CONTENTS of single-quoted string
+    * literals (with '' escapes), double-quoted identifiers, and line/block
+    * comments are replaced by spaces, so regex/keyword passes can scan
+    * `mask` while editing the original at the same offsets. */
+  private[graft] def maskLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    val n = sql.length
+    def blank(from: Int, to: Int): Unit = {
+      var k = from
+      while (k < to) { out(k) = ' '; k += 1 }
+    }
+    while (i < n) {
+      sql(i) match {
+        case '\'' =>
+          val start = i; i += 1
+          while (i < n && (sql(i) != '\'' || (i + 1 < n && sql(i + 1) == '\'' && { i += 1; true }))) i += 1
+          i = math.min(i + 1, n)
+          blank(start + 1, math.max(start + 1, i - 1))
+        case '"' =>
+          val start = i; i += 1
+          while (i < n && sql(i) != '"') i += 1
+          i = math.min(i + 1, n)
+          blank(start + 1, math.max(start + 1, i - 1))
+        case '-' if i + 1 < n && sql(i + 1) == '-' =>
+          val start = i
+          while (i < n && sql(i) != '\n') i += 1
+          blank(start, i)
+        case '/' if i + 1 < n && sql(i + 1) == '*' =>
+          val start = i; i += 2
+          while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) i += 1
+          i = math.min(i + 2, n)
+          blank(start, i)
+        case _ => i += 1
+      }
+    }
+    new String(out)
+  }
+
+  /** Presto's DEFAULT null placement is NULLS LAST for BOTH sort directions
+    * (MAIN/sql/planner/QueryPlanner toSortOrder — UNDEFINED falls to the
+    * LAST branch); Spark's ascending default is NULLS FIRST. The parser
+    * materializes the default (a bare `ASC` is indistinguishable from
+    * `ASC NULLS FIRST` in the plan), so the default is applied HERE in the
+    * text, per sort item: every item that neither spells a NULLS ordering
+    * nor ends with DESC (Spark's DESC default is already NULLS LAST) gets
+    * `NULLS LAST` appended. Literal-aware via the position mask; applies to
+    * query-level ORDER BY and window-spec ORDER BY alike, and coexists with
+    * explicit NULLS FIRST/LAST on other items in the same query. */
+  private def defaultNullOrdering(sql: String): String = {
+    val mask = maskLiterals(sql).toUpperCase(java.util.Locale.ROOT)
+    val m = java.util.regex.Pattern.compile("\\bORDER\\s+BY\\b").matcher(mask)
+    // end-of-item terminators at paren depth 0 (clause keywords; a column
+    // literally named e.g. `rows` as the last sort key would stop the scan
+    // early and just miss the append — harmless for correctness of parsing)
+    val stop = Set("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS",
+      "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (m.find()) {
+      var i = m.end()
+      var depth = 0
+      var itemStart = i
+      var done = false
+      def endItem(endPos: Int): Unit = {
+        val words = mask.substring(itemStart, endPos)
+          .split("[^A-Z0-9_$]+").filter(_.nonEmpty)
+        val needs = words.nonEmpty && (words.last match {
+          case "DESC" | "FIRST" | "LAST" => false
+          case _ => true
+        })
+        if (needs) {
+          // insert right after the last non-space char of the item
+          var p = endPos
+          while (p > itemStart && sql(p - 1).isWhitespace) p -= 1
+          inserts += p
+        }
+      }
+      while (i < mask.length && !done) {
+        mask(i) match {
+          case '(' | '[' => depth += 1; i += 1
+          case ')' | ']' =>
+            if (depth == 0) { endItem(i); done = true }
+            else { depth -= 1; i += 1 }
+          case ',' if depth == 0 =>
+            endItem(i); i += 1; itemStart = i
+          case ';' if depth == 0 => endItem(i); done = true
+          case c if c.isLetter || c == '_' =>
+            val ws = i
+            while (i < mask.length && (mask(i).isLetterOrDigit || mask(i) == '_')) i += 1
+            if (depth == 0 && stop(mask.substring(ws, i))) {
+              endItem(ws); done = true
+            }
+          case _ => i += 1
+        }
+      }
+      if (!done) endItem(mask.length)
+    }
+    if (inserts.isEmpty) sql
+    else {
+      val out = new StringBuilder(sql)
+      inserts.sorted.reverse.foreach(p => out.insert(p, " NULLS LAST"))
+      out.toString
+    }
+  }
+
   def rewrite(sql0: String): String = {
-    val sql = unnest(rowTypes(sql0))
+    val sql = defaultNullOrdering(unnest(rowTypes(sql0)))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

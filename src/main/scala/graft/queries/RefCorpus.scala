@@ -743,5 +743,39 @@ object RefCorpus {
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
       Seq("x", "y", "cnt"),
-      Seq("CAST(c1 AS INT) AS x", "CAST(c2 AS INT) AS y", "CAST(c3 AS BIGINT) AS cnt")))
+      Seq("CAST(c1 AS INT) AS x", "CAST(c2 AS INT) AS y", "CAST(c3 AS BIGINT) AS cnt")),
+
+    // Presto `/` between integral types TRUNCATES (BigintOperators.divide is
+    // a plain Java long division: 7/2=3, -7/2=-3) while Spark AND DuckDB
+    // widen `/` to double — the DuckDB oracle is blind to the divergence
+    // unless it replays the truncation with its dedicated `//` operator.
+    // Verbatim text: AbstractTestQueries.java:1366 testIntersect.
+    "r64_ref_int_division" -> one(
+      "SELECT nationkey, nationkey / 2 FROM (SELECT nationkey FROM nation WHERE nationkey < 10 INTERSECT SELECT nationkey FROM nation WHERE nationkey > 4) T WHERE nationkey % 2 = 0",
+      Seq("nationkey", "half"),
+      Seq("c1 AS nationkey", "CAST(c2 AS BIGINT) AS half"),
+      oracleSql = "SELECT nationkey, nationkey // 2 FROM (SELECT nationkey FROM nation WHERE nationkey < 10 INTERSECT SELECT nationkey FROM nation WHERE nationkey > 4) T WHERE nationkey % 2 = 0"),
+
+    // Integer-division + rounding-cast semantics over table data: negative
+    // operands truncate toward zero; chained division stays integral;
+    // aggregates see the truncated values; CAST(double AS integral) rounds
+    // halves AWAY from zero (DuckDB banker-rounds doubles, so the oracle
+    // replays Presto's rule with a sign-aware floor/ceil). The user-cast
+    // `CAST(x AS DOUBLE) / 2` double-division path is pinned in
+    // RefCorpusSpec (its result is double-typed, not bigint).
+    "r65_ref_division_rounding" -> batch(Seq(
+      ("d1", "SELECT orderkey / 2 FROM orders WHERE orderkey = 7",
+             "SELECT orderkey // 2 FROM orders WHERE orderkey = 7"),
+      ("d2", "SELECT (0 - orderkey) / 2 FROM orders WHERE orderkey = 7",
+             "SELECT (0 - orderkey) // 2 FROM orders WHERE orderkey = 7"),
+      ("d3", "SELECT orderkey / 2 / 2 FROM orders WHERE orderkey = 7",
+             "SELECT orderkey // 2 // 2 FROM orders WHERE orderkey = 7"),
+      ("d4", "SELECT CAST(CAST(orderkey AS DOUBLE) / 2 AS BIGINT) FROM orders WHERE orderkey = 7",
+             "SELECT CAST(floor(CAST(orderkey AS DOUBLE) / 2 + 0.5) AS BIGINT) FROM orders WHERE orderkey = 7"),
+      ("d5", "SELECT CAST(0.5 - CAST(orderkey AS DOUBLE) AS BIGINT) FROM orders WHERE orderkey = 3",
+             "SELECT CAST(ceil(0.5 - CAST(orderkey AS DOUBLE) - 0.5) AS BIGINT) FROM orders WHERE orderkey = 3"),
+      ("d6", "SELECT sum(orderkey / 2) FROM orders WHERE orderkey IN (1, 2, 3)",
+             "SELECT sum(orderkey // 2) FROM orders WHERE orderkey IN (1, 2, 3)"),
+      ("d7", "SELECT orderkey FROM orders WHERE orderkey / 2 = 3",
+             "SELECT orderkey FROM orders WHERE orderkey // 2 = 3"))))
 }

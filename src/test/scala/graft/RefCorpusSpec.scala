@@ -407,4 +407,37 @@ class RefCorpusSpec extends AnyFunSuite {
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
+
+  // --- Presto integer division (MAIN/type/BigintOperators.java divide):
+  // `/` between integral types is plain Java long division — truncation
+  // toward zero — while a user-written CAST(.. AS DOUBLE) keeps double
+  // division. Chained division stays integral, and the integral result
+  // type propagates through subqueries/CTEs/aggregates.
+  ref("int division truncates", "SELECT 7 / 2, -7 / 2, 7 / -2, 7 / 2 / 2", "VALUES (3, -3, -3, 1)")
+  ref("int division over table", "SELECT orderkey / 2 FROM orders WHERE orderkey = 7", "VALUES 3")
+  ref("user double cast keeps double division", "SELECT CAST(7 AS DOUBLE) / 2, 7 / CAST(2 AS DOUBLE)", "VALUES (3.5E0, 3.5E0)")
+  ref("int division retype propagates", "SELECT q + 1 FROM (SELECT 7 / 2 AS q)", "VALUES 4")
+  ref("int division retype through cte", "WITH c AS (SELECT 7 / 2 AS q) SELECT q * 2 FROM c", "VALUES 6")
+  test("int division result is integral-typed") {
+    assert(engine.sql("SELECT 7 / 2").schema.head.dataType.simpleString == "int")
+    assert(engine.sql("SELECT orderkey / 2 FROM orders LIMIT 1")
+      .schema.head.dataType.simpleString == "bigint")
+  }
+
+  // --- CAST(double AS integral) rounds halves AWAY FROM ZERO
+  // (DoubleOperators.castToLong = DoubleMath.roundToLong HALF_UP; narrower
+  // widths via MathFunctions.round, -Math.round(-x) for negatives).
+  ref("double cast rounds half away from zero",
+    "SELECT CAST(2.5E0 AS BIGINT), CAST(-2.5E0 AS BIGINT), CAST(3.5E0 AS BIGINT), CAST(-3.5E0 AS BIGINT), CAST(-2.4E0 AS INTEGER)",
+    "VALUES (3, -3, 4, -4, -2)") // canon collapses numeric widths
+
+  // --- Presto's NULLS LAST default ordering is per SORT ITEM: an explicit
+  // NULLS FIRST on one key must not disable the default on a bare ASC key
+  // in the same query (QueryPlanner toSortOrder — UNDEFINED → LAST).
+  ref("mixed explicit and default null ordering",
+    "SELECT a, b FROM (VALUES (1, CAST(NULL AS INTEGER)), (1, 1), (CAST(NULL AS INTEGER), 5)) t(a, b) ORDER BY a NULLS FIRST, b",
+    "VALUES (NULL, 5), (1, 1), (1, NULL)", ordered = true)
+  ref("window default null ordering is last",
+    "SELECT a, row_number() OVER (ORDER BY b) FROM (VALUES (1, CAST(NULL AS INTEGER)), (2, 1), (3, 2)) t(a, b)",
+    "VALUES (1, 3), (2, 1), (3, 2)")
 }
