@@ -210,6 +210,144 @@ object PrestoSql {
     new String(out)
   }
 
+  /** Presto ordered aggregates (SqlBase.g4 aggregation orderBy;
+    * AggregationNode.java:77 carries the orderings):
+    * `array_agg(x ORDER BY k1 [ASC|DESC] [NULLS FIRST|LAST], ...)` —
+    * Spark has no ORDER BY inside aggregate calls, so the clause lowers to
+    * sorting AFTER collection: collect (key..., value) structs, array_sort
+    * with a comparator built from the sort items (Presto sort-item
+    * defaults: ASC, NULLS LAST), project the value back out. A trailing
+    * `FILTER (WHERE ...)` moves onto the collect_list (same pre-aggregation
+    * semantics); zero collected rows yield NULL, not an empty array
+    * (ArrayAggregationFunction returns NULL for an empty group). DISTINCT
+    * dedups the (key, value) structs — legal Presto ordered-DISTINCT
+    * requires sort keys ⊆ arguments, where that IS distinct-by-value. */
+  private def orderedAggs(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\barray_agg\\s*\\(").matcher(mask)
+    while (m.find()) {
+      val open = m.end() - 1
+      // one scan of the call body: top-level commas, ORDER BY, close paren
+      var depth = 1
+      var i = open + 1
+      var obStart = -1 // position of O in top-level ORDER
+      var obAfterBy = -1
+      val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (i < mask.length && depth > 0) {
+        mask(i) match {
+          case '(' | '[' => depth += 1; i += 1
+          case ')' | ']' => depth -= 1; i += 1
+          case ',' if depth == 1 => if (obStart < 0) commas += i; i += 1
+          case c if c.isLetter || c == '_' =>
+            val ws = i
+            while (i < mask.length && (mask(i).isLetterOrDigit || mask(i) == '_')) i += 1
+            if (depth == 1 && obStart < 0 &&
+                mask.substring(ws, i).equalsIgnoreCase("order")) {
+              var j = i
+              while (j < mask.length && mask(j).isWhitespace) j += 1
+              var k = j
+              while (k < mask.length && (mask(k).isLetterOrDigit || mask(k) == '_')) k += 1
+              if (mask.substring(j, k).equalsIgnoreCase("by")) {
+                obStart = ws; obAfterBy = k; i = k
+              }
+            }
+          case _ => i += 1
+        }
+      }
+      val close = i - 1
+      if (obStart >= 0 && depth == 0) {
+        // argument (strip an optional DISTINCT head)
+        var argFrom = open + 1
+        val dm = java.util.regex.Pattern.compile("(?is)^\\s*DISTINCT\\b")
+          .matcher(mask.substring(argFrom, obStart))
+        val distinct = dm.find()
+        if (distinct) argFrom += dm.end()
+        val arg = sql0.substring(argFrom, obStart).trim
+        // sort items: top-level commas within the ORDER BY region
+        var d2 = 0
+        var p = obAfterBy
+        val cuts = scala.collection.mutable.ArrayBuffer(obAfterBy)
+        while (p < close) {
+          mask(p) match {
+            case '(' | '[' => d2 += 1
+            case ')' | ']' => d2 -= 1
+            case ',' if d2 == 0 => cuts += p + 1
+            case _ =>
+          }
+          p += 1
+        }
+        val bounds = (cuts :+ (close + 1)).toSeq
+        case class Item(expr: String, asc: Boolean, nullsFirst: Boolean)
+        val items = bounds.sliding(2).map { w =>
+          var (from, to) = (w(0), w(1) - 1) // to excludes the , or )
+          var slice = mask.substring(from, to)
+          var asc = true
+          var nullsFirst = false // Presto sort-item default: NULLS LAST
+          val nm = java.util.regex.Pattern
+            .compile("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$").matcher(slice)
+          if (nm.find()) {
+            nullsFirst = nm.group(1).equalsIgnoreCase("first")
+            to = from + nm.start(); slice = mask.substring(from, to)
+          }
+          val am = java.util.regex.Pattern
+            .compile("(?is)\\s+(ASC|DESC)\\s*$").matcher(slice)
+          if (am.find()) {
+            asc = am.group(1).equalsIgnoreCase("asc")
+            to = from + am.start()
+          }
+          Item(sql0.substring(from, to).trim, asc, nullsFirst)
+        }.toSeq
+        // optional trailing FILTER (WHERE cond) — Spark only allows FILTER
+        // on a top-level aggregate call, so the condition folds INTO the
+        // collect instead: rows failing it produce a NULL (CASE without
+        // ELSE), which collect_list drops — same pre-aggregation semantics.
+        var tail = close + 1
+        var filterCond = ""
+        val fm = java.util.regex.Pattern
+          .compile("(?is)^\\s*FILTER\\s*\\(\\s*WHERE\\b")
+          .matcher(mask.substring(close + 1))
+        if (fm.find()) {
+          var fd = 1
+          var q = close + 1 + fm.end()
+          while (q < mask.length && fd > 0) {
+            if (mask(q) == '(') fd += 1 else if (mask(q) == ')') fd -= 1
+            q += 1
+          }
+          filterCond = sql0.substring(close + 1 + fm.end(), q - 1).trim
+          tail = q
+        }
+        // unique lambda/struct names (deterministic per input text)
+        val k = Iterator.from(0)
+          .find(n => !sql0.contains(s"__ga${n}l")).get
+        val (lv, rv, vv) = (s"__ga${k}l", s"__ga${k}r", s"__ga${k}v")
+        val fields = items.zipWithIndex
+          .map { case (it, n) => s"${it.expr} AS __s$n" } :+ s"$arg AS __v"
+        val struct = s"struct(${fields.mkString(", ")})"
+        val collected =
+          if (filterCond.isEmpty) struct
+          else s"CASE WHEN ($filterCond) THEN $struct END"
+        val core = s"collect_list($collected)"
+        val arr = if (distinct) s"array_distinct($core)" else core
+        val cmp = items.zipWithIndex.foldRight("0") { case ((it, n), next) =>
+          val (lt, gt) = if (it.asc) ("-1", "1") else ("1", "-1")
+          val (ln, rn) = if (it.nullsFirst) ("-1", "1") else ("1", "-1")
+          s"CASE WHEN $lv.__s$n IS NULL AND $rv.__s$n IS NULL THEN $next " +
+            s"WHEN $lv.__s$n IS NULL THEN $ln WHEN $rv.__s$n IS NULL THEN $rn " +
+            s"WHEN $lv.__s$n < $rv.__s$n THEN $lt " +
+            s"WHEN $lv.__s$n > $rv.__s$n THEN $gt ELSE $next END"
+        }
+        // padding spaces: the source may abut the call against the next
+        // token ("...)FROM" appears verbatim in the reference corpus)
+        val repl = s"CASE WHEN size($arr) = 0 THEN NULL ELSE " +
+          s"transform(array_sort($arr, ($lv, $rv) -> $cmp), $vv -> $vv.__v) END "
+        return orderedAggs(
+          sql0.substring(0, m.start()) + repl + sql0.substring(tail))
+      }
+    }
+    sql0
+  }
+
   /** Presto's DEFAULT null placement is NULLS LAST for BOTH sort directions
     * (MAIN/sql/planner/QueryPlanner toSortOrder — UNDEFINED falls to the
     * LAST branch); Spark's ascending default is NULLS FIRST. The parser
@@ -277,7 +415,7 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = defaultNullOrdering(unnest(rowTypes(sql0)))
+    val sql = defaultNullOrdering(orderedAggs(unnest(rowTypes(sql0))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -777,5 +777,28 @@ object RefCorpus {
       ("d6", "SELECT sum(orderkey / 2) FROM orders WHERE orderkey IN (1, 2, 3)",
              "SELECT sum(orderkey // 2) FROM orders WHERE orderkey IN (1, 2, 3)"),
       ("d7", "SELECT orderkey FROM orders WHERE orderkey / 2 = 3",
-             "SELECT orderkey FROM orders WHERE orderkey // 2 = 3"))))
+             "SELECT orderkey FROM orders WHERE orderkey // 2 = 3"))),
+
+    // AbstractTestAggregations.java:1190 testOrderedAggregations, VERBATIM:
+    // array_agg(x ORDER BY y) + FILTER + GROUPING SETS in one statement
+    // (ordered aggregates lower to array_sort-after-collect in PrestoSql).
+    // DuckDB supports the ordered-aggregate grammar natively, so the oracle
+    // is the same text; the array column is joined to a scalar string on
+    // both sides (the driver's row-sort cannot hash array cells).
+    "r66_ref_ordered_agg" -> {
+      val verbatim = "SELECT orderpriority, custkey, array_agg(orderstatus ORDER BY orderstatus) FILTER (WHERE custkey > 500)" +
+        "FROM orders " +
+        "WHERE orderkey IN (1, 2, 3, 4, 5) " +
+        "GROUP BY GROUPING SETS ((), (orderpriority), (orderpriority, custkey))"
+      Q(
+        (s, d) => {
+          val df = engine(s, d).sql(verbatim)
+            .toDF("orderpriority", "custkey", "statuses")
+          df.withColumn("statuses",
+            org.apache.spark.sql.functions.array_join(df.col("statuses"), ","))
+        },
+        Some("SELECT c1 AS orderpriority, c2 AS custkey, " +
+          "array_to_string(c3, ',') AS statuses " +
+          s"FROM (${oracleize(verbatim)}) t(c1, c2, c3)"))
+    })
 }

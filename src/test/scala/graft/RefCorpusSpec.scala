@@ -440,4 +440,32 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("window default null ordering is last",
     "SELECT a, row_number() OVER (ORDER BY b) FROM (VALUES (1, CAST(NULL AS INTEGER)), (2, 1), (3, 2)) t(a, b)",
     "VALUES (1, 3), (2, 1), (3, 2)")
+
+  // --- Presto ordered aggregates (AggregationNode.java:77 orderings;
+  // exercised by AbstractTestAggregations.java:1190). The clause lowers to
+  // array_sort-after-collect in the PrestoSql front-end.
+  ref("ordered array_agg asc",
+    "SELECT array_agg(v ORDER BY v) FROM (VALUES (3), (1), (2)) t(v)",
+    "SELECT ARRAY[1, 2, 3]")
+  ref("ordered array_agg desc",
+    "SELECT array_agg(v ORDER BY v DESC) FROM (VALUES (3), (1), (2)) t(v)",
+    "SELECT ARRAY[3, 2, 1]")
+  ref("ordered array_agg multi-key",
+    "SELECT array_agg(v ORDER BY k DESC, v) FROM (VALUES (1, 'b'), (2, 'a'), (3, 'b')) t(v, k)",
+    "SELECT ARRAY[1, 3, 2]")
+  ref("ordered array_agg nulls first",
+    "SELECT array_agg(v ORDER BY k NULLS FIRST) FROM (VALUES (1, 2), (2, CAST(NULL AS INT)), (3, 1)) t(v, k)",
+    "SELECT ARRAY[2, 3, 1]")
+  ref("ordered array_agg default is nulls last",
+    "SELECT array_agg(v ORDER BY k) FROM (VALUES (1, 2), (2, CAST(NULL AS INT)), (3, 1)) t(v, k)",
+    "SELECT ARRAY[3, 1, 2]")
+  ref("ordered array_agg distinct",
+    "SELECT array_agg(DISTINCT v ORDER BY v) FROM (VALUES (3), (1), (3), (2)) t(v)",
+    "SELECT ARRAY[1, 2, 3]")
+  ref("ordered array_agg filter",
+    "SELECT array_agg(v ORDER BY v) FILTER (WHERE v > 1) FROM (VALUES (3), (1), (2)) t(v)",
+    "SELECT ARRAY[2, 3]")
+  ref("ordered array_agg empty group is null",
+    "SELECT array_agg(v ORDER BY v) FILTER (WHERE v > 9) FROM (VALUES (3), (1), (2)) t(v)",
+    "SELECT CAST(NULL AS ARRAY(INTEGER))")
 }
