@@ -50,9 +50,14 @@ object Dedup {
   /** One MinHash value: min over shingles of an md5-derived 64-bit hash,
     * seeded by `seed` (distinct permutation per seed). */
   def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, sh =>
-      conv(substring(md5(concat(lit(seed.toString), lit(":"), sh).cast("binary")), 1, 15), 16, 10)
-        .cast("long")))
+    array_min(transform(shingleCol, sh => md5MinHashUnit(seed, sh)))
+
+  /** The per-shingle hash `minhash` minimizes: md5-derived, so an external
+    * oracle (DuckDB) reproduces it bit-for-bit. Slower than xxhash64 —
+    * prefer the default hash family when cross-engine parity isn't needed. */
+  def md5MinHashUnit(seed: Int, sh: Column): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), sh).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
 
   /** 64-bit SimHash of a token-array column: per-bit majority vote of token
     * xxhash64 values. Pure codegen'd expression tree (nested HOFs), no UDF.
@@ -179,7 +184,8 @@ object Dedup {
     * and share it with the exact-verify stage. */
   def minhashLshPairsFromShingles(df: DataFrame, idCol: String,
       shingleCol: String, numHashes: Int = 8, bandSize: Int = 2,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      hashFn: (Int, Column) => Column = (i, sh) => xxhash64(lit(i), sh)): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     // Signature layout is DELIBERATELY explode+groupBy, not K map-only
     // array_min(transform(...)) folds: higher-order functions evaluate
@@ -192,7 +198,7 @@ object Dedup {
     // map-side-combined shuffle of (doc, K mins) partials.
     val shingled = df.select(col(idCol), explode(col(shingleCol)).as("sh"))
     val hashed = shingled.select(col(idCol) +:
-      (0 until numHashes).map(i => xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
+      (0 until numHashes).map(i => hashFn(i, col("sh")).as(s"h$i")): _*)
     val sig = hashed.groupBy(idCol)
       .agg(min(col("h0")).as("h0"),
         (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
@@ -529,48 +535,85 @@ object Dedup {
               THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sig
         FROM h ORDER BY doc_id""")),
 
-    // Embedding-cosine near-dup detection: pairs above a cosine threshold
-    // (the semantic-dedup stage of a training pipeline). Exact over a slice
-    // here; the LSH-bucketed path (s03) is the scale route. Threshold 0.35
-    // sits in the synthetic fixture's extreme tail (max pairwise ≈ 0.44).
+    // Embedding-cosine near-dup detection via multi-table hyperplane LSH —
+    // the semantic-dedup stage of a training pipeline in its SCALE shape:
+    // candidates come from a (table, bucket) EQUI-join over
+    // Similarity.lshBuckets (4 tables × 4 planes; banding recall
+    // 1−(1−p⁴)⁴), cosine is verified on candidate pairs only, and the
+    // whole pipeline is deterministic md5-seeded arithmetic the DuckDB
+    // oracle replays bit-for-bit (same candidates, same survivors).
+    // Threshold 0.35 sits in the synthetic fixture's tail (max pairwise
+    // ≈ 0.51); DedupSpec pins the no-cartesian plan shape.
     "d07_embedding_neardup" -> Q(
       (s, d) => {
-        val e = Tables.t(s, d, "embeddings").filter(col("vec_id") < 200)
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-        a.join(b, col("id_a") < col("id_b"))
+        val e = Tables.t(s, d, "embeddings").localCheckpoint(true)
+        val b = e.select(col("vec_id"),
+          posexplode(Similarity.lshBuckets(col("embedding"), 4, 4))
+            .as(Seq("tbl", "bucket")))
+        val l = b.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+        val r = b.select(col("tbl").as("tbl_r"), col("bucket").as("bucket_r"),
+          col("vec_id").as("id_b"))
+        val cand = l.join(r, col("tbl") === col("tbl_r") &&
+            col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
           .select(col("id_a"), col("id_b"),
             round(Similarity.cosine(col("ea"), col("eb")), 6).as("cos"))
           .filter(col("cos") > 0.35)
           .orderBy("id_a", "id_b")
       },
       Some("""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-        pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        bt AS (
+          SELECT vec_id, tt.t AS tbl,
+            CAST(list_sum(list_transform(range(0, 4), p ->
+              CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                  CAST(embedding[i] AS DOUBLE) *
+                  (CASE WHEN ('0x' || substr(md5(CAST(tt.t * 4 + p AS VARCHAR) || ':' ||
+                      CAST(i - 1 AS VARCHAR)), 32, 1))::INT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END))) > 0
+                THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+          FROM e, (SELECT unnest(range(0, 4)) AS t) tt),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bt a JOIN bt b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT c.id_a, c.id_b,
             round(
-              list_sum(list_transform(range(1, len(a.embedding) + 1),
-                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-              (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-               sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
               6) AS cos
-          FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.35
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.id_a
+          JOIN e eb ON eb.vec_id = c.id_b)
+        SELECT id_a, id_b, cos FROM scored WHERE cos > 0.35
         ORDER BY id_a, id_b""")),
 
-    // n-gram Jaccard similarity on candidate pairs (same lang, close length)
-    // — the verification stage after LSH; exact set ops, oracle-checkable.
+    // n-gram (token-set) Jaccard VERIFICATION over LSH candidates — the
+    // stage after candidate generation, composed from the library API the
+    // way d04's pipeline does: candidates come from
+    // minhashLshPairsFromShingles (bucketed band self-join, never O(n²)),
+    // with the md5 hash family so the DuckDB oracle replays the exact same
+    // signatures/buckets/candidates bit-for-bit. The verify join touches
+    // candidate pairs only; DedupSpec pins the no-cartesian plan shape.
     "d06_ngram_jaccard" -> Q(
       (s, d) => {
-        val toks = (c: Column) => array_distinct(split(normalize(c), " "))
-        val a = docs(s, d).filter(col("doc_id") < 120)
-          .select(col("doc_id").as("id_a"), col("lang"),
-            col("n_chars").as("nc_a"), toks(col("text")).as("t_a"))
-        val b = docs(s, d).filter(col("doc_id") < 120)
-          .select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-            col("n_chars").as("nc_b"), toks(col("text")).as("t_b"))
-        a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b") &&
-            abs(col("nc_a") - col("nc_b")) < 20)
+        val base = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), array_distinct(col("t")).as("tset"),
+            array_distinct(shinglesOf(col("t"), 3)).as("sh"))
+          .localCheckpoint(true) // feeds LSH + both verify sides once
+        val cand = minhashLshPairsFromShingles(base, "doc_id", "sh",
+          hashFn = (i, sh) => md5MinHashUnit(i, sh))
+        cand
+          .join(base.select(col("doc_id").as("id_a"), col("tset").as("t_a")), "id_a")
+          .join(base.select(col("doc_id").as("id_b"), col("tset").as("t_b")), "id_b")
           .select(col("id_a"), col("id_b"),
             round(size(array_intersect(col("t_a"), col("t_b"))).cast("double") /
               size(array_union(col("t_a"), col("t_b"))).cast("double"), 6).as("jaccard"))
@@ -578,17 +621,43 @@ object Dedup {
           .orderBy("id_a", "id_b")
       },
       Some("""
-        WITH toks AS (
-          SELECT doc_id, lang, n_chars,
-            list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
-          FROM documents WHERE doc_id < 120)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
-            CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6) AS jaccard
-        FROM toks a JOIN toks b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) < 20
-        WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
-            CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6) > 0.5
+        WITH t0 AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        f AS (
+          SELECT doc_id, list_distinct(t) AS tset,
+            list_distinct(list_transform(range(1, len(t) - 2 + 1),
+              i -> array_to_string(t[i:i+2], ' '))) AS sh
+          FROM t0 WHERE len(t) >= 3),
+        sig AS (
+          SELECT doc_id,
+            list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh0,
+            list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('1:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh1,
+            list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('2:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh2,
+            list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('3:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh3,
+            list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('4:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh4,
+            list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('5:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh5,
+            list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('6:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh6,
+            list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('7:' || s), 1, 15)) AS UBIGINT)::BIGINT)) AS mh7
+          FROM f),
+        bands AS (
+          SELECT doc_id, b.band,
+            CASE b.band WHEN 0 THEN mh0 || ',' || mh1 WHEN 1 THEN mh2 || ',' || mh3
+                        WHEN 2 THEN mh4 || ',' || mh5 ELSE mh6 || ',' || mh7 END AS bh
+          FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM bands a JOIN bands b2
+            ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+            round(CAST(len(list_intersect(fa.tset, fb.tset)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(fa.tset, fb.tset))) AS DOUBLE), 6) AS jaccard
+          FROM cand c
+          JOIN f fa ON fa.doc_id = c.id_a
+          JOIN f fb ON fb.doc_id = c.id_b)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard > 0.5
         ORDER BY id_a, id_b"""))
   )
 }

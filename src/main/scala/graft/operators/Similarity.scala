@@ -49,6 +49,22 @@ object Similarity {
           pow(lit(2.0), p).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 
+  /** Multi-table LSH: `tables` independent bucket ids (table t draws its
+    * hyperplanes from global plane indices t·planes … t·planes+planes−1),
+    * the banding construction for hyperplane LSH — candidate recall is
+    * 1−(1−p^planes)^tables instead of a single table's p^planes. Returns
+    * an array; posexplode it and self-join on (table, bucket). At corpus
+    * scale `planes` must grow with log₂(n) to keep buckets O(1)-sized. */
+  def lshBuckets(v: Column, planes: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(
+        transform(sequence(lit(0), lit(planes - 1)), p =>
+          when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x.cast("double") * planeSign(t * lit(planes) + p, i)),
+            lit(0.0), (acc, x) => acc + x) > 0,
+            pow(lit(2.0), p).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
+
   /** Library API: exact top-k by cosine against a 1-row query-vector frame
     * (broadcast; single corpus pass + TakeOrderedAndProject). */
   def cosineTopK(corpus: org.apache.spark.sql.DataFrame, idCol: String,

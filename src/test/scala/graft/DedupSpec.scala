@@ -74,4 +74,17 @@ class DedupSpec extends AnyFunSuite {
     // every clustered doc pairs with at least one other (components of ≥2)
     assert(rows.forall(_.getLong(2) >= 2) || rows.isEmpty)
   }
+
+  // The two pair-finding driver entries must plan their candidate stages
+  // as bucketed EQUI-joins — a BroadcastNestedLoopJoin or CartesianProduct
+  // anywhere means an all-pairs O(n²) shape crept back in (the same pin
+  // RangeJoinSpec keeps on the interval join).
+  for (name <- Seq("d06_ngram_jaccard", "d07_embedding_neardup"))
+    test(s"$name plans no all-pairs join") {
+      val plan = Dedup.queries(name)
+        .fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(800))
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+    }
 }
