@@ -22,14 +22,15 @@ object PrestoSql {
     * targets) — `ROW(a, b)` VALUE constructors are left for the function
     * registry. */
   private def rowTypes(sql: String): String = {
+    val mask = maskLiterals(sql) // keyword search + paren scan skip literals
     val m = java.util.regex.Pattern
-      .compile("(?i)\\bAS\\s+(ROW|ARRAY|MAP)\\s*[(<]").matcher(sql)
+      .compile("(?i)\\bAS\\s+(ROW|ARRAY|MAP)\\s*[(<]").matcher(mask)
     if (!m.find()) return sql
     val open = m.end() - 1 // the ( or < delimiter
     var depth = 1
     var i = open + 1
-    while (i < sql.length && depth > 0) {
-      sql(i) match {
+    while (i < mask.length && depth > 0) {
+      mask(i) match {
         case '(' | '<' => depth += 1
         case ')' | '>' => depth -= 1
         case _ =>
@@ -89,31 +90,31 @@ object PrestoSql {
       .getOrElse(t)
   }
 
-  /** NOTE: rowTypes/unnest run as regex pre-passes and are not
-    * string-literal-aware (the main scanner is); a string literal containing
-    * `AS ROW(`/`UNNEST(` would be rewritten. No real query embeds those
-    * fragments in strings — accepted over double-scanning the text.
-    *
-    * Presto UNNEST (SqlBase.g4 #unnest) → Spark's table-valued functions.
+  /** Presto UNNEST (SqlBase.g4 #unnest) → Spark's table-valued functions.
     * `FROM UNNEST(a)` → `FROM explode(a)`; the join forms
     * `CROSS JOIN UNNEST(a) AS u(c)` / `, UNNEST(a) u(c)` → Hive-style
     * `LATERAL VIEW explode(a) u AS c` (correlated, like the reference's
     * UnnestOperator probe side); multi-argument UNNEST zips —
-    * `inline(arrays_zip(...))`. `WITH ORDINALITY` occurrences are left
-    * untouched (documented divergence; the capability itself is covered by
-    * posexplode in q50). */
-  private def unnest(sql: String): String = {
+    * `inline(arrays_zip(...))`; `WITH ORDINALITY` appends Presto's 1-based
+    * BIGINT position column via a posexplode-over-zip subquery. Keyword and
+    * bracket scanning run on the literal mask; generated aliases come from
+    * a per-rewrite counter (deterministic output) under a `__graft_u`
+    * prefix no real query uses. */
+  private def unnest(sql: String,
+      counter: java.util.concurrent.atomic.AtomicLong): String = {
+    val mask = maskLiterals(sql)
     val m = java.util.regex.Pattern
-      .compile("(?i)(\\bCROSS\\s+JOIN\\s+|,\\s*)?\\bUNNEST\\s*\\(").matcher(sql)
+      .compile("(?i)(\\bCROSS\\s+JOIN\\s+|,\\s*)?\\bUNNEST\\s*\\(").matcher(mask)
     if (!m.find()) return sql
-    val open = sql.indexOf('(', m.end() - 1)
+    val open = mask.indexOf('(', m.end() - 1)
     var depth = 1
     var i = open + 1
-    while (i < sql.length && depth > 0) {
-      if (sql(i) == '(') depth += 1 else if (sql(i) == ')') depth -= 1
+    while (i < mask.length && depth > 0) {
+      if (mask(i) == '(') depth += 1 else if (mask(i) == ')') depth -= 1
       i += 1
     }
     val args = sql.substring(open + 1, i - 1)
+    val argsMask = mask.substring(open + 1, i - 1)
     var rest = sql.substring(i)
     // WITH ORDINALITY: Presto appends a 1-based BIGINT position as the LAST
     // column; emitted as a posexplode-over-zip subquery.
@@ -121,10 +122,10 @@ object PrestoSql {
       .compile("(?is)^\\s*WITH\\s+ORDINALITY").matcher(rest)
     val ordinality = ordM.find()
     if (ordinality) rest = rest.substring(ordM.end())
-    // top-level arg split
+    // top-level arg split (bracket depth tracked on the mask)
     var d = 0
     val cuts = scala.collection.mutable.ArrayBuffer(-1)
-    for (k <- args.indices) args(k) match {
+    for (k <- argsMask.indices) argsMask(k) match {
       case '(' | '[' => d += 1
       case ')' | ']' => d -= 1
       case ',' if d == 0 => cuts += k
@@ -132,7 +133,7 @@ object PrestoSql {
     }
     cuts += args.length
     val argList = cuts.sliding(2).map { w => args.substring(w(0) + 1, w(1)).trim }.toSeq
-    val u = s"u${unnestCounter.incrementAndGet()}"
+    val u = s"__graft_u${counter.incrementAndGet()}"
     val tvf =
       if (ordinality)
         s"(SELECT ${u}z.*, CAST(${u}p + 1 AS BIGINT) AS ${u}_ordinality " +
@@ -157,19 +158,17 @@ object PrestoSql {
         if (aliasLen > 0) s" $alias" + cols.map(c => s"($c)").getOrElse("")
         else if (ordinality) s" $alias" // a subquery needs an alias
         else ""
-      sql.substring(0, m.start()) + tvf + aliasPart + unnest(rest.substring(aliasLen))
+      sql.substring(0, m.start()) + tvf + aliasPart + unnest(rest.substring(aliasLen), counter)
     } else if (ordinality) {
       val aliasPart = s" $alias" + cols.map(c => s"($c)").getOrElse("")
       sql.substring(0, m.start()) + s" CROSS JOIN LATERAL $tvf$aliasPart" +
-        unnest(rest.substring(aliasLen))
+        unnest(rest.substring(aliasLen), counter)
     } else {
       val colsPart = cols.map(c => s" AS $c").getOrElse("")
       sql.substring(0, m.start()) + s" LATERAL VIEW $tvf $alias$colsPart" +
-        unnest(rest.substring(aliasLen))
+        unnest(rest.substring(aliasLen), counter)
     }
   }
-
-  private val unnestCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Position-preserving literal mask: the CONTENTS of single-quoted string
     * literals (with '' escapes), double-quoted identifiers, and line/block
@@ -415,7 +414,8 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = defaultNullOrdering(orderedAggs(unnest(rowTypes(sql0))))
+    val sql = defaultNullOrdering(orderedAggs(unnest(rowTypes(sql0),
+      new java.util.concurrent.atomic.AtomicLong(0))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -136,6 +136,34 @@ object PrestoCompat {
           CAST(1 AS INT) AS status_len
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Weighted approx_percentile overloads (ApproximateLongPercentile
+    // Aggregations.java weightedInput: (value, weight, percentile
+    // [, accuracy]) — weight is a repetition count, must be > 0). The
+    // registry runs the weighted forms EXACT (Spark `percentile` with its
+    // frequency argument; exact satisfies any accuracy bound), so the
+    // DuckDB oracle replays the expansion literally: each row repeated
+    // `weight` times, then continuous quantiles — same multiset, same
+    // interpolation rule.
+    "p14_weighted_percentile" -> Q(
+      presto("""
+        SELECT l_returnflag,
+          round(approx_percentile(l_quantity, l_linenumber, 0.5), 6) AS wp50,
+          round(approx_percentile(l_quantity, l_linenumber, 0.9), 6) AS wp90,
+          round(approx_percentile(l_quantity, l_linenumber, 0.5, 0.01), 6) AS wp50_acc,
+          round(approx_percentile(l_extendedprice, l_linenumber, ARRAY[0.25, 0.75])[1], 6) AS wq25
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+        WITH expanded AS (
+          SELECT l_returnflag, l_quantity, l_extendedprice,
+            unnest(range(l_linenumber)) AS r
+          FROM lineitem)
+        SELECT l_returnflag,
+          round(quantile_cont(l_quantity, 0.5), 6) AS wp50,
+          round(quantile_cont(l_quantity, 0.9), 6) AS wp90,
+          round(quantile_cont(l_quantity, 0.5), 6) AS wp50_acc,
+          round(quantile_cont(l_extendedprice, 0.25), 6) AS wq25
+        FROM expanded GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // HLL sketch family end-to-end (approx_set → merge → cardinality):
     // partial sketches per nation merged to a region rollup — estimate-based
     // (no hash oracle); ScalaTest asserts the relative-error bound.

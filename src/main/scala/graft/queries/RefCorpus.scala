@@ -119,15 +119,30 @@ object RefCorpus {
 
   /** DuckDB mirror of a verbatim corpus statement: prefix the view
     * definitions as CTEs under ref_* names (a CTE cannot shadow the base
-    * table it reads from) and repoint the corpus text's table references. */
+    * table it reads from) and repoint the corpus text's table references.
+    * Matching runs on the literal MASK, so a table-name word inside a
+    * string literal (`LIKE '%orders%'`) or quoted identifier is left
+    * untouched in the rewritten body. */
   def oracleize(sql: String): String = {
-    val referenced = viewCols.keys.filter(t => s"\\b$t\\b".r.findFirstIn(sql).isDefined)
+    val mask = graft.PrestoSql.maskLiterals(sql)
+    val pat = s"\\b($tableNames)\\b".r
+    val matches = pat.findAllMatchIn(mask).toSeq
+    if (matches.isEmpty) return sql
+    val referenced = matches.map(_.group(1)).distinct
     val prelude = referenced.map(t =>
       s"ref_$t AS (SELECT ${viewCols(t).mkString(", ")} FROM $t)").mkString(", ")
-    val body = sql.replaceAll(s"\\b($tableNames)\\b", "ref_$1")
-    if (referenced.isEmpty) sql
+    val body = {
+      val sb = new StringBuilder
+      var last = 0
+      matches.foreach { mm =>
+        sb.append(sql.substring(last, mm.start)).append("ref_")
+          .append(sql.substring(mm.start, mm.end))
+        last = mm.end
+      }
+      sb.append(sql.substring(last)).toString
+    }
     // a body that opens its own WITH merges into the prelude's CTE list
-    else if (body.trim.toUpperCase.startsWith("WITH"))
+    if (body.trim.toUpperCase.startsWith("WITH"))
       s"WITH $prelude, ${body.trim.drop(4).trim}"
     else s"WITH $prelude $body"
   }

@@ -67,4 +67,24 @@ class PrestoSqlSpec extends AnyFunSuite {
     val ord = rw("SELECT * FROM UNNEST(a) WITH ORDINALITY t(v, o)")
     assert(ord.contains("posexplode(arrays_zip(a))") && ord.contains("t(v, o)"))
   }
+
+  test("rewrite output is deterministic (per-call alias counter)") {
+    val q = "SELECT * FROM UNNEST(a) WITH ORDINALITY"
+    assert(rw(q) == rw(q)) // a process-global counter would differ per call
+  }
+
+  test("pre-passes skip string literals") {
+    // UNNEST(/AS ROW( inside literals must pass through untouched
+    assert(rw("SELECT 'use UNNEST(x) here' FROM t")
+      == "SELECT 'use UNNEST(x) here' FROM t")
+    assert(rw("SELECT 'CAST(a AS ROW(x INT))' FROM t")
+      == "SELECT 'CAST(a AS ROW(x INT))' FROM t")
+  }
+
+  test("oracleize skips table names inside literals") {
+    val o = graft.queries.RefCorpus.oracleize(
+      "SELECT comment FROM orders WHERE comment LIKE '%orders%'")
+    assert(o.contains("FROM ref_orders"))
+    assert(o.contains("LIKE '%orders%'"), o)
+  }
 }

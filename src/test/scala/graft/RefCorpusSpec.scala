@@ -468,4 +468,18 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("ordered array_agg empty group is null",
     "SELECT array_agg(v ORDER BY v) FILTER (WHERE v > 9) FROM (VALUES (3), (1), (2)) t(v)",
     "SELECT CAST(NULL AS ARRAY(INTEGER))")
+
+  // --- approx_percentile weighted overloads (ApproximateLongPercentile
+  // Aggregations.java weightedInput) — weight w repeats the value w times;
+  // the registry runs these exact, so the expanded multiset {1,2,3,3,3,3}
+  // pins the interpolation. The accuracy argument is satisfied trivially.
+  ref("weighted approx_percentile",
+    "SELECT approx_percentile(v, w, 0.5) FROM (VALUES (1, 1), (2, 1), (3, 4)) t(v, w)",
+    "VALUES 3")
+  ref("weighted approx_percentile with accuracy",
+    "SELECT approx_percentile(v, w, 0.25, 0.01) FROM (VALUES (1, 1), (2, 1), (3, 4)) t(v, w)",
+    "VALUES 2.25E0") // index 0.25·5 = 1.25 → 2 + 0.25·(3−2)
+  ref("weighted approx_percentile array form",
+    "SELECT approx_percentile(v, w, ARRAY[0.5, 1.0]) FROM (VALUES (1, 1), (2, 1), (3, 4)) t(v, w)",
+    "SELECT ARRAY[3.0E0, 3.0E0]")
 }
