@@ -209,6 +209,18 @@ object PrestoSql {
     new String(out)
   }
 
+  /** Presto allows zero-argument `count()` (≡ count(*), SqlBase.g4
+    * functionCall with empty args; AbstractTestQueries
+    * testWindowFunctionWithoutParameters); Spark's parser rejects the empty
+    * argument list. */
+  private def countStar(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bCOUNT\\s*\\(\\s*\\)").matcher(mask)
+    if (!m.find()) return sql
+    sql.substring(0, m.start()) + "count(*)" + countStar(sql.substring(m.end()))
+  }
+
   /** Presto ordered aggregates (SqlBase.g4 aggregation orderBy;
     * AggregationNode.java:77 carries the orderings):
     * `array_agg(x ORDER BY k1 [ASC|DESC] [NULLS FIRST|LAST], ...)` —
@@ -414,8 +426,8 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = defaultNullOrdering(orderedAggs(unnest(rowTypes(sql0),
-      new java.util.concurrent.atomic.AtomicLong(0))))
+    val sql = defaultNullOrdering(orderedAggs(countStar(unnest(rowTypes(sql0),
+      new java.util.concurrent.atomic.AtomicLong(0)))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -157,6 +157,19 @@ object RefCorpus {
         s"(${oracleize(Option(oracleSql).getOrElse(sql))}) " +
         s"t(${(1 to cols.length).map("c" + _).mkString(", ")})"))
 
+  /** As `one`, but the result is gated on a SUBSET of its columns (`keep`).
+    * Used when a verbatim `ORDER BY k LIMIT n` has TIES at the cut: the
+    * multiset of sort-key column values in the top-n is deterministic, but
+    * which tied ROW is taken differs per engine — so only the sort-key
+    * columns are hash-compared (the full statement still executes). */
+  private def oneProj(sql: String, cols: Seq[String], keep: Seq[String],
+      oracleCols: Seq[String], oracleSql: String = null): Q =
+    Q((s, d) => engine(s, d).sql(sql).toDF(cols: _*)
+        .select(keep.head, keep.tail: _*),
+      Some(s"SELECT ${oracleCols.mkString(", ")} FROM " +
+        s"(${oracleize(Option(oracleSql).getOrElse(sql))}) " +
+        s"t(${(1 to cols.length).map("c" + _).mkString(", ")})"))
+
   /** A batch of verbatim statements with an identical output schema,
     * unioned under a case tag. The tag column is attached OUTSIDE the SQL
     * text on the Spark side, so the statements stay untouched. A case may
@@ -793,6 +806,146 @@ object RefCorpus {
              "SELECT sum(orderkey // 2) FROM orders WHERE orderkey IN (1, 2, 3)"),
       ("d7", "SELECT orderkey FROM orders WHERE orderkey / 2 = 3",
              "SELECT orderkey FROM orders WHERE orderkey // 2 = 3"))),
+
+    // --- AbstractTestQueries window suite (:3059-3146 and the surrounding
+    // window sections), VERBATIM. Reference expected-literals are keyed to
+    // real TPC-H data, so the DuckDB oracle regrades each statement on the
+    // fixture; statements whose ORDER BY ... LIMIT cuts across ties gate
+    // only the sort-key columns (oneProj — tie rows differ per engine).
+
+    // :3067 testWindowsSameOrdering — two windows, same partitioning,
+    // different order columns (ORDER BY 1 LIMIT 10 ties → gate col 1).
+    "r67_ref_win_same_ordering" -> oneProj(
+      "SELECT sum(quantity) OVER(PARTITION BY suppkey ORDER BY orderkey),min(tax) OVER(PARTITION BY suppkey ORDER BY shipdate)FROM lineitem ORDER BY 1 LIMIT 10",
+      Seq("s", "m"), Seq("s"), Seq("CAST(c1 AS DOUBLE) AS s")),
+
+    // :3093 testWindowsPrefixPartitioning — second window partitions on a
+    // prefix of the first's keys (full output = sort key → full gate).
+    "r68_ref_win_prefix_partitioning" -> one(
+      "SELECT max(tax) OVER(PARTITION BY suppkey, tax ORDER BY receiptdate),sum(quantity) OVER(PARTITION BY suppkey ORDER BY orderkey)FROM lineitem ORDER BY 2, 1 LIMIT 10",
+      Seq("mx", "s"),
+      Seq("CAST(c1 AS DOUBLE) AS mx", "CAST(c2 AS DOUBLE) AS s")),
+
+    // :3119 testWindowsDifferentPartitions — three windows, three distinct
+    // partitionings (gate the two sort-key cols; col 3 rides tie choice).
+    "r69_ref_win_different_partitions" -> oneProj(
+      "SELECT sum(quantity) OVER(PARTITION BY suppkey ORDER BY orderkey),count(discount) OVER(PARTITION BY partkey ORDER BY receiptdate),min(tax) OVER(PARTITION BY suppkey, tax ORDER BY receiptdate)FROM lineitem ORDER BY 1, 2 LIMIT 10",
+      Seq("s", "c", "m"), Seq("s", "c"),
+      Seq("CAST(c1 AS DOUBLE) AS s", "CAST(c2 AS BIGINT) AS c")),
+
+    // :3146 testWindowsConstantExpression (sum + lag over part). The lag
+    // orders by the fixture's non-unique `name` — which peer lag() sees is
+    // engine-dependent, so only the sum column (RANGE frame, peer-stable)
+    // is gated.
+    "r70_ref_win_constant_expr" -> oneProj(
+      "SELECT sum(size) OVER(PARTITION BY type ORDER BY brand),lag(partkey, 1) OVER(PARTITION BY type ORDER BY name)FROM part ORDER BY 1, 2 LIMIT 10",
+      Seq("ssum", "lg"), Seq("ssum"),
+      Seq("CAST(c1 AS BIGINT) AS ssum")),
+
+    // :3186 testWindowFunctionWithoutParameters — Presto's zero-argument
+    // count() (the countStar front-end rule); DuckDB spells count(*).
+    "r71_ref_win_count_noargs" -> one(
+      "SELECT count() over(partition by custkey) FROM orders WHERE custkey < 3 ORDER BY custkey",
+      Seq("cnt"), Seq("CAST(c1 AS BIGINT) AS cnt"),
+      oracleSql = "SELECT count(*) over(partition by custkey) FROM orders WHERE custkey < 3 ORDER BY custkey"),
+
+    // :3285 testWindowFunctionsExpressions — window results composed in
+    // scalar arithmetic (rn·rn + 100).
+    "r72_ref_win_expressions" -> one(
+      "SELECT orderkey, orderstatus , row_number() OVER (ORDER BY orderkey * 2) *   row_number() OVER (ORDER BY orderkey DESC) + 100 FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x ORDER BY orderkey LIMIT 5",
+      Seq("orderkey", "orderstatus", "v"),
+      Seq("c1 AS orderkey", "c2 AS orderstatus", "CAST(c3 AS BIGINT) AS v")),
+
+    // :3302 testWindowFunctionsFromAggregate — rank over an aggregate
+    // subquery, filtered to top-2 per group.
+    "r73_ref_win_from_aggregate" -> one(
+      "SELECT * FROM (  SELECT orderstatus, clerk, sales  , rank() OVER (PARTITION BY x.orderstatus ORDER BY sales DESC) rnk  FROM (    SELECT orderstatus, clerk, sum(totalprice) sales    FROM orders    GROUP BY orderstatus, clerk   ) x ) x WHERE rnk <= 2 ORDER BY orderstatus, rnk",
+      Seq("orderstatus", "clerk", "sales", "rnk"),
+      Seq("c1 AS orderstatus", "c2 AS clerk", "CAST(c3 AS DOUBLE) AS sales",
+        "CAST(c4 AS BIGINT) AS rnk")),
+
+    // :3330 testOrderByWindowFunction — ORDER BY the window result itself.
+    "r74_ref_win_orderby_window" -> one(
+      "SELECT orderkey, row_number() OVER (ORDER BY orderkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY 2 DESC LIMIT 5",
+      Seq("orderkey", "rn"),
+      Seq("c1 AS orderkey", "CAST(c2 AS BIGINT) AS rn")),
+
+    // :3345 testSameWindowFunctionsTwoCoerces — the same unordered window
+    // function referenced twice under different coercions.
+    "r75_ref_win_two_coerces" -> one(
+      "SELECT 12.0E0 * row_number() OVER ()/row_number() OVER(), row_number() OVER() FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY 2 DESC LIMIT 5",
+      Seq("v", "rn"),
+      Seq("CAST(c1 AS DOUBLE) AS v", "CAST(c2 AS BIGINT) AS rn")),
+
+    // :3659 testWindowPropertyDerivation — four windows over a window
+    // subquery, each a different partitioning/ordering refinement.
+    "r76_ref_win_property_derivation" -> one(
+      "SELECT orderstatus, orderkey, SUM(s) OVER (PARTITION BY orderstatus), SUM(s) OVER (PARTITION BY orderstatus, orderkey), SUM(s) OVER (PARTITION BY orderstatus ORDER BY orderkey), SUM(s) OVER (ORDER BY orderstatus, orderkey) FROM (    SELECT orderkey, orderstatus, SUM(orderkey) OVER (ORDER BY orderstatus, orderkey) s    FROM (        SELECT * FROM orders ORDER BY orderkey LIMIT 10    ) )",
+      Seq("orderstatus", "orderkey", "s1", "s2", "s3", "s4"),
+      Seq("c1 AS orderstatus", "c2 AS orderkey", "CAST(c3 AS BIGINT) AS s1",
+        "CAST(c4 AS BIGINT) AS s2", "CAST(c5 AS BIGINT) AS s3",
+        "CAST(c6 AS BIGINT) AS s4")),
+
+    // :3687/:3713 testTopNUnpartitionedWindow / testTopNPartitionedWindow —
+    // the rn <= k filter shapes (WindowGroupLimit plans pinned in PlanSpec).
+    "r77_ref_win_topn" -> batchCols(
+      Seq("rn", "orderkey", "orderstatus"),
+      Seq("CAST(c1 AS BIGINT) AS rn", "c2 AS orderkey", "c3 AS orderstatus"), Seq(
+      "t1" -> "SELECT * FROM (   SELECT row_number() OVER (ORDER BY orderkey) rn, orderkey, orderstatus   FROM orders ) WHERE rn <= 5",
+      "t2" -> "SELECT * FROM (    SELECT row_number() OVER (PARTITION BY orderstatus ORDER BY orderkey) rn, orderkey, orderstatus    FROM orders ) WHERE rn <= 2")),
+
+    // :3828-3902 pre-partitioned / pre-sorted window family (the physical-
+    // property derivation statements; correctness is the same COUNT frame).
+    "r78_ref_win_presorted" -> batchCols(
+      Seq("orderkey", "cnt"),
+      Seq("c1 AS orderkey", "CAST(c2 AS BIGINT) AS cnt"), Seq(
+      "p1" -> "SELECT orderkey, COUNT(*) OVER (PARTITION BY orderkey, custkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY orderkey LIMIT 5",
+      "p2" -> "SELECT orderkey, COUNT(*) OVER (PARTITION BY orderkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY orderkey LIMIT 5",
+      "p3" -> "SELECT orderkey, COUNT(*) OVER (ORDER BY orderkey, custkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY orderkey LIMIT 5",
+      "p4" -> "SELECT orderkey, COUNT(*) OVER (ORDER BY orderkey) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY orderkey LIMIT 5")),
+
+    // :3876/:3890 fully-partitioned + sorted window functions.
+    "r79_ref_win_fully_partitioned" -> one(
+      "SELECT orderkey, custkey, orderPriority, COUNT(*) OVER (PARTITION BY orderkey ORDER BY custkey, orderPriority) FROM (SELECT * FROM orders ORDER BY orderkey, custkey LIMIT 10) ORDER BY orderkey LIMIT 5",
+      Seq("orderkey", "custkey", "orderpriority", "cnt"),
+      Seq("c1 AS orderkey", "c2 AS custkey", "c3 AS orderpriority",
+        "CAST(c4 AS BIGINT) AS cnt")),
+    "r80_ref_win_fully_sorted" -> one(
+      "SELECT orderkey, custkey, COUNT(*) OVER (PARTITION BY orderkey ORDER BY custkey) FROM (SELECT * FROM orders ORDER BY orderkey, custkey LIMIT 10) ORDER BY orderkey LIMIT 5",
+      Seq("orderkey", "custkey", "cnt"),
+      Seq("c1 AS orderkey", "c2 AS custkey", "CAST(c3 AS BIGINT) AS cnt")),
+
+    // :3904 testOrderByWindowFunctionWithNulls — NULLS FIRST / NULLS LAST /
+    // bare (Presto defaults to NULLS LAST) inside a window ORDER BY.
+    "r81_ref_win_null_ordering" -> batchCols(
+      Seq("orderkey", "rn"),
+      Seq("c1 AS orderkey", "CAST(c2 AS BIGINT) AS rn"), Seq(
+      "n1" -> "SELECT orderkey, row_number() OVER (ORDER BY nullif(orderkey, 3) NULLS FIRST) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY 2 ASC LIMIT 5",
+      "n2" -> "SELECT orderkey, row_number() OVER (ORDER BY nullif(orderkey, 3) NULLS LAST) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY 2 DESC LIMIT 5",
+      "n3" -> "SELECT orderkey, row_number() OVER (ORDER BY nullif(orderkey, 3)) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) ORDER BY 2 DESC LIMIT 5")),
+
+    // :3941 testValueWindowFunctions — first_value + nth_value with an
+    // explicit full frame.
+    "r82_ref_win_value_fns" -> one(
+      "SELECT * FROM (   SELECT orderkey, orderstatus     , first_value(orderkey + 1000) OVER (PARTITION BY orderstatus ORDER BY orderkey) fvalue     , nth_value(orderkey + 1000, 2) OVER (PARTITION BY orderstatus ORDER BY orderkey         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) nvalue     FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x   ) x ORDER BY orderkey LIMIT 5",
+      Seq("orderkey", "orderstatus", "fvalue", "nvalue"),
+      Seq("c1 AS orderkey", "c2 AS orderstatus", "CAST(c3 AS BIGINT) AS fvalue",
+        "CAST(c4 AS BIGINT) AS nvalue")),
+
+    // :829 testDistinctWindow — RANK over a COUNT(DISTINCT) aggregate.
+    "r83_ref_win_distinct_agg" -> one(
+      "SELECT RANK() OVER (PARTITION BY orderdate ORDER BY COUNT(DISTINCT clerk)) rnk FROM orders GROUP BY orderdate, custkey ORDER BY rnk LIMIT 1",
+      Seq("rnk"), Seq("CAST(c1 AS BIGINT) AS rnk")),
+
+    // :1265 testGroupingInWindowFunction — grouping() inside a window
+    // PARTITION BY over ROLLUP output. DuckDB rejects grouping() inside a
+    // window spec, so the oracle hoists g into a subquery first (same rows).
+    "r84_ref_win_grouping" -> one(
+      "SELECT orderkey, custkey, sum(totalprice), grouping(orderkey)+grouping(custkey) AS g,        rank() OVER (PARTITION BY grouping(orderkey)+grouping(custkey),        CASE WHEN grouping(orderkey) = 0 THEN custkey END ORDER BY orderkey ASC) AS r FROM orders GROUP BY ROLLUP (orderkey, custkey) ORDER BY orderkey, custkey LIMIT 10",
+      Seq("orderkey", "custkey", "tp", "g", "r"),
+      Seq("c1 AS orderkey", "c2 AS custkey", "CAST(c3 AS DOUBLE) AS tp",
+        "CAST(c4 AS BIGINT) AS g", "CAST(c5 AS BIGINT) AS r"),
+      oracleSql = "SELECT orderkey, custkey, tp, g, rank() OVER (PARTITION BY g, cs ORDER BY orderkey ASC) AS r FROM (SELECT orderkey, custkey, sum(totalprice) AS tp, grouping(orderkey)+grouping(custkey) AS g, CASE WHEN grouping(orderkey) = 0 THEN custkey END AS cs FROM orders GROUP BY ROLLUP (orderkey, custkey)) ORDER BY orderkey, custkey LIMIT 10"),
 
     // AbstractTestAggregations.java:1190 testOrderedAggregations, VERBATIM:
     // array_agg(x ORDER BY y) + FILTER + GROUPING SETS in one statement

@@ -482,4 +482,32 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("weighted approx_percentile array form",
     "SELECT approx_percentile(v, w, ARRAY[0.5, 1.0]) FROM (VALUES (1, 1), (2, 1), (3, 4)) t(v, w)",
     "SELECT ARRAY[3.0E0, 3.0E0]")
+
+  // --- window suite, fixture-independent pairs (AbstractTestQueries) ---
+  // testDuplicateColumnsInWindowOrderByClause (:4332)
+  ref("duplicate columns in window order by",
+    "SELECT a, row_number() OVER (ORDER BY a ASC, a DESC) FROM (VALUES 3, 2, 1) t(a)",
+    "VALUES (1, 1), (2, 2), (3, 3)")
+  // testWindowFunctionWithImplicitCoercion (:3278)
+  ref("window function with implicit coercion",
+    "SELECT *, 1.0 * sum(x) OVER () FROM (VALUES 1) t(x)",
+    "SELECT 1, 1.0")
+  // testWindowNoChannels (:3983) — rank over an empty window spec: every
+  // row is a peer, every rank is 1.
+  ref("window no channels",
+    "SELECT rank() OVER () FROM (SELECT * FROM orders LIMIT 10) LIMIT 3",
+    "VALUES 1, 1, 1")
+  // testRowFieldAccessorInWindowFunction (:429) — the reference's own
+  // expected literals (VALUES-based input, fixture-independent).
+  ref("row field accessor in window function",
+    "SELECT a.col0, " +
+      "SUM(a.col1[1].col1) OVER(PARTITION BY a.col2.col0), " +
+      "SUM(a.col2.col1) OVER(PARTITION BY a.col2.col0) FROM " +
+      "(VALUES " +
+      "ROW(CAST(ROW(1.0, ARRAY[row(31, 14.5E0), row(12, 4.2E0)], row(3, 4.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+      "ROW(CAST(ROW(2.2, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+      "ROW(CAST(ROW(2.2, ARRAY[row(41, 17.1E0), row(45, 4.2E0)], row(7, 16.0E0)) AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+      "ROW(CAST(ROW(2.2, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
+      "ROW(CAST(ROW(3.1, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double))))) t(a) ",
+    "SELECT * FROM VALUES (1.0, 14.5, 4.0), (2.2, 39.3, 18.0), (2.2, 39.3, 18.0), (2.2, 17.1, 16.0), (3.1, 39.3, 18.0)")
 }
