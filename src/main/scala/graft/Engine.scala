@@ -97,12 +97,37 @@ class Engine(parent: SparkSession) {
     * append + TableFinishOperator commit). Returns rows inserted. In a
     * transaction the result is staged to a scratch directory and the append
     * happens at COMMIT. */
-  def insertInto(name: String, sqlText: String): Long = {
+  def insertInto(name: String, sqlText: String): Long =
+    insertInto(name, Nil, sqlText)
+
+  /** INSERT INTO <name> (col, ...) <query>: the column-list form
+    * (AbstractTestDistributedQueries testInsert) — named columns take the
+    * query's values IN LIST ORDER, every unmentioned column becomes NULL,
+    * matching the reference's writer semantics. */
+  def insertInto(name: String, columns: Seq[String], sqlText: String): Long = {
     val (path, format) = tablePaths.getOrElse(name,
       throw new IllegalArgumentException(
         s"INSERT requires a path-backed table; '$name' is not registered with a path"))
     accessControl.checkTable(name, "INSERT") // checkCanInsertIntoTable
-    val rows = sql(sqlText) // source query needs SELECT on its tables
+    val src = sql(sqlText) // source query needs SELECT on its tables
+    val rows =
+      if (columns.isEmpty) src
+      else {
+        val schema = spark.table(name).schema
+        require(columns.length == src.schema.length,
+          s"INSERT column list has ${columns.length} columns but the query produces ${src.schema.length}")
+        val byName = columns.zip(src.schema.fieldNames).toMap
+        val aligned = schema.fields.map { f =>
+          byName.get(f.name) match {
+            case Some(srcCol) =>
+              src.col(s"`$srcCol`").cast(f.dataType).as(f.name)
+            case None =>
+              org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+          }
+        }
+        src.select(aligned.toSeq: _*)
+      }
     if (!inTransaction) {
       val n = rows.count()
       rows.write.mode("append").format(format).save(path)
@@ -137,7 +162,11 @@ class Engine(parent: SparkSession) {
         s"DELETE requires a path-backed table; '$name' is not registered with a path"))
     accessControl.checkTable(name, "DELETE") // checkCanDeleteFromTable
     val before = spark.table(name).count()
-    val survivors = spark.table(name).filter(s"NOT ($predicateSql)")
+    // survivors via full SQL (not Dataset.filter, whose expression parser
+    // rejects subqueries): NULL predicate rows survive, like the
+    // reference's DELETE (three-valued WHERE keeps UNKNOWN rows unmatched)
+    val survivors = sql(
+      s"SELECT * FROM $name WHERE NOT ($predicateSql) OR ($predicateSql) IS NULL")
     val tmp = path.stripSuffix("/") + "__rewrite"
     survivors.write.mode("overwrite").format(format).save(tmp)
     val deleted = before - spark.read.format(format).load(tmp).count()
@@ -186,10 +215,87 @@ class Engine(parent: SparkSession) {
       .orderBy(keys.map(col => $"$col"): _*)
   }
 
-  /** CREATE VIEW equivalent (stored SQL text, like
-    * SPI/ConnectorViewDefinition.java). */
+  // Views are stored as TEXT and re-bound lazily, like the reference
+  // (SPI/ConnectorViewDefinition.java stores SQL; analysis happens per
+  // query): a view over a table that was later REPLACED with a compatible
+  // schema resolves against the new table, not a stale snapshot
+  // (AbstractTestDistributedQueries testCompatibleTypeChangeForView).
+  private val viewTexts =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** CREATE [OR REPLACE] VIEW equivalent. */
   def createView(name: String, sqlText: String): Engine = {
-    spark.sql(sqlText).createOrReplaceTempView(name)
+    viewTexts(name) = sqlText
+    rebindView(name)
+    this
+  }
+
+  /** DROP VIEW. */
+  def dropView(name: String): Engine = {
+    viewTexts.remove(name)
+    spark.catalog.dropTempView(name)
+    this
+  }
+
+  private def rebindView(name: String): Unit =
+    try spark.sql(PrestoSql.rewrite(viewTexts(name))).createOrReplaceTempView(name)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      // base table gone / incompatibly changed: the view is STALE — drop
+      // the binding so only queries that touch it fail (with NOT_FOUND)
+      spark.catalog.dropTempView(name)
+    }
+
+  /** DROP TABLE for a path-backed table: removes the files and the
+    * registration (connector drop). */
+  def dropTable(name: String): Engine = {
+    accessControl.checkTable(name, "DELETE")
+    tablePaths.remove(name).foreach { case (path, _) =>
+      Engine.deleteDir(new java.io.File(path))
+    }
+    spark.catalog.dropTempView(name)
+    this
+  }
+
+  /** ALTER TABLE ... RENAME TO (SqlBase.g4 #renameTable): a metadata-only
+    * move of the registration, like HiveMetadata.renameTable. */
+  def renameTable(oldName: String, newName: String): Engine = {
+    val (path, format) = tablePaths.getOrElse(oldName,
+      throw new IllegalArgumentException(s"table '$oldName' is not registered"))
+    require(!tablePaths.contains(newName), s"table '$newName' already exists")
+    tablePaths.remove(oldName)
+    spark.catalog.dropTempView(oldName)
+    registerTable(newName, path, format)
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN (#renameColumn): metadata-level — the
+    * table handle (our temp view) projects the stored files under the new
+    * name; the files themselves are untouched, like the reference's
+    * metastore-only rename. */
+  def renameColumn(table: String, oldCol: String, newCol: String): Engine = {
+    spark.table(table).withColumnRenamed(oldCol, newCol)
+      .createOrReplaceTempView(table)
+    this
+  }
+
+  /** ALTER TABLE ... ADD COLUMN (#addColumn): existing rows read NULL for
+    * the new column (the reference's semantics for files written before
+    * the schema change). */
+  def addColumn(table: String, colName: String, typeDdl: String): Engine = {
+    spark.table(table).withColumn(colName,
+      org.apache.spark.sql.functions.lit(null)
+        .cast(org.apache.spark.sql.types.DataType.fromDDL(typeDdl)))
+      .createOrReplaceTempView(table)
+    this
+  }
+
+  /** ALTER TABLE ... DROP COLUMN (#dropColumn). */
+  def dropColumn(table: String, colName: String): Engine = {
+    val remaining = spark.table(table).schema.fieldNames
+      .filterNot(_.equalsIgnoreCase(colName))
+    require(remaining.length < spark.table(table).schema.length,
+      s"column '$colName' not found in $table")
+    spark.table(table).select(remaining.head, remaining.tail: _*)
+      .createOrReplaceTempView(table)
     this
   }
 
@@ -208,6 +314,9 @@ class Engine(parent: SparkSession) {
 
   def sql(query: String): DataFrame = {
     accessControl.check(spark, query)
+    // late-bind stored views: each query re-analyzes the view text, so a
+    // view over a since-replaced table resolves against the NEW table
+    viewTexts.keys.foreach(rebindView)
     val text = PrestoSql.rewrite(query)
     val df =
       try spark.sql(text)
