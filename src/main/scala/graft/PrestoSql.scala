@@ -209,6 +209,128 @@ object PrestoSql {
     new String(out)
   }
 
+  /** Quantified comparisons beyond the IN forms (SqlBase.g4
+    * #quantifiedComparison; MAIN/sql/planner/QuantifiedComparisonRewriter):
+    * `X op ALL|ANY|SOME (subquery)` for op ∈ {<, <=, >, >=, =, <>, !=}.
+    * Spark has no quantified-comparison grammar, so each form lowers to the
+    * classic aggregate-bound expansion with full three-valued logic:
+    * empty subquery → TRUE for ALL / FALSE for ANY; a NULL element or NULL
+    * probe can only weaken a verdict to UNKNOWN, never flip it (the
+    * violating/witness element for an inequality is the subquery min/max).
+    * The probe expression is spliced more than once — fine for the
+    * deterministic expressions the grammar position allows. `= ANY` and
+    * `<> ALL` stay with the main scanner's IN / NOT IN rewrite. */
+  private def quantifiedCmp(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)(<=|>=|<>|!=|<|>|=)\\s*(ALL|ANY|SOME)\\s*\\(")
+      .matcher(mask)
+    while (m.find()) {
+      val op = m.group(1)
+      val quant = m.group(2).toUpperCase(java.util.Locale.ROOT)
+      val isAll = quant == "ALL"
+      val skip = (op == "=" && !isAll) || ((op == "<>" || op == "!=") && isAll)
+      if (!skip) {
+        // subquery bounds
+        val open = m.end() - 1
+        var depth = 1
+        var i = open + 1
+        while (i < mask.length && depth > 0) {
+          if (mask(i) == '(') depth += 1 else if (mask(i) == ')') depth -= 1
+          i += 1
+        }
+        val sub = sql.substring(open + 1, i - 1)
+        // probe expression: scan LEFT over one valueExpression — atoms
+        // (identifier/number/quoted/balanced-paren groups with an optional
+        // function-name head) glued by arithmetic/concat connectors.
+        val kw = Set("SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN",
+          "ELSE", "CASE", "END", "BY", "ON", "IN", "FROM", "HAVING", "SET",
+          "VALUES", "JOIN", "BETWEEN", "LIKE", "IS", "AS", "DISTINCT", "ALL")
+        var p = m.start()
+        while (p > 0 && mask(p - 1).isWhitespace) p -= 1
+        var probeStart = p
+        var continue2 = true
+        while (continue2) {
+          var q = probeStart
+          // one atom, scanning back from q
+          if (q > 0 && (mask(q - 1) == ')' || mask(q - 1) == ']')) {
+            val close = mask(q - 1)
+            val openCh = if (close == ')') '(' else '['
+            var d = 1; q -= 1
+            while (q > 0 && d > 0) {
+              q -= 1
+              if (mask(q) == close) d += 1
+              else if (mask(q) == openCh) d -= 1
+            }
+            // optional function-name head directly before the parens
+            while (q > 0 && (mask(q - 1).isLetterOrDigit || mask(q - 1) == '_')) q -= 1
+          } else if (q > 0 && (mask(q - 1).isLetterOrDigit || mask(q - 1) == '_' || mask(q - 1) == '.')) {
+            val e0 = q
+            while (q > 0 && (mask(q - 1).isLetterOrDigit || mask(q - 1) == '_' || mask(q - 1) == '.')) q -= 1
+            if (kw(mask.substring(q, e0).trim.toUpperCase(java.util.Locale.ROOT))) q = e0 // keyword: boundary
+          } else if (q > 0 && (mask(q - 1) == '\'' || mask(q - 1) == '"')) {
+            val quote = mask(q - 1); q -= 1
+            while (q > 0 && mask(q - 1) != quote) q -= 1
+            if (q > 0) q -= 1
+          }
+          if (q == probeStart) continue2 = false // no atom consumed: stop
+          else {
+            probeStart = q
+            // connector? (+ - * / % || or a dereference dot)
+            var r = probeStart
+            while (r > 0 && mask(r - 1).isWhitespace) r -= 1
+            if (r > 0 && "+-*/%|.".contains(mask(r - 1))) {
+              if (mask(r - 1) == '|' && !(r > 1 && mask(r - 2) == '|')) continue2 = false
+              else {
+                var r2 = r - 1
+                if (mask(r2) == '|') r2 -= 1 // second bar of ||
+                probeStart = r2
+              }
+            } else continue2 = false
+          }
+        }
+        if (probeStart < p) {
+          val x = sql.substring(probeStart, p).trim
+          def agg(f: String) =
+            s"(SELECT $f FROM ($sub) __qt(__qc))"
+          val cnt = agg("count(*)")
+          val nn = agg("count(__qc)")
+          val mn = agg("min(__qc)")
+          val mx = agg("max(__qc)")
+          val nul = "CAST(NULL AS BOOLEAN)"
+          val repl = (op, isAll) match {
+            case ("=", true) =>
+              s"CASE WHEN $cnt = 0 THEN true " +
+                s"WHEN ($x) <> $mn OR ($x) <> $mx THEN false " +
+                s"WHEN $nn < $cnt THEN $nul " +
+                s"WHEN ($x) = $mn AND ($x) = $mx THEN true ELSE $nul END"
+            case ("<>" | "!=", false) =>
+              s"CASE WHEN $cnt = 0 THEN false " +
+                s"WHEN $mn <> $mx THEN IF(($x) IS NULL, $nul, true) " +
+                s"WHEN ($x) <> $mn THEN true " +
+                s"WHEN $nn < $cnt THEN $nul " +
+                s"WHEN ($x) = $mn THEN false ELSE $nul END"
+            case (o, true) => // inequality ALL: violating element is the bound
+              val b = if (o == "<" || o == "<=") mn else mx
+              s"CASE WHEN $cnt = 0 THEN true " +
+                s"WHEN NOT (($x) $o $b) THEN false " +
+                s"WHEN $nn < $cnt THEN $nul " +
+                s"WHEN ($x) $o $b THEN true ELSE $nul END"
+            case (o, false) => // inequality ANY: witness element
+              val w = if (o == "<" || o == "<=") mx else mn
+              s"CASE WHEN $cnt = 0 THEN false " +
+                s"WHEN ($x) $o $w THEN true " +
+                s"WHEN $nn < $cnt THEN $nul " +
+                s"WHEN NOT (($x) $o $w) THEN false ELSE $nul END"
+          }
+          return quantifiedCmp(
+            sql.substring(0, probeStart) + repl + " " + sql.substring(i))
+        }
+      }
+    }
+    sql
+  }
+
   /** Presto allows zero-argument `count()` (≡ count(*), SqlBase.g4
     * functionCall with empty args; AbstractTestQueries
     * testWindowFunctionWithoutParameters); Spark's parser rejects the empty
@@ -426,8 +548,8 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = defaultNullOrdering(orderedAggs(countStar(unnest(rowTypes(sql0),
-      new java.util.concurrent.atomic.AtomicLong(0)))))
+    val sql = defaultNullOrdering(orderedAggs(quantifiedCmp(countStar(
+      unnest(rowTypes(sql0), new java.util.concurrent.atomic.AtomicLong(0))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -947,6 +947,30 @@ object RefCorpus {
         "CAST(c4 AS BIGINT) AS g", "CAST(c5 AS BIGINT) AS r"),
       oracleSql = "SELECT orderkey, custkey, tp, g, rank() OVER (PARTITION BY g, cs ORDER BY orderkey ASC) AS r FROM (SELECT orderkey, custkey, sum(totalprice) AS tp, grouping(orderkey)+grouping(custkey) AS g, CASE WHEN grouping(orderkey) = 0 THEN custkey END AS cs FROM orders GROUP BY ROLLUP (orderkey, custkey)) ORDER BY orderkey, custkey LIMIT 10"),
 
+    // AbstractTestQueries testQuantifiedComparison — the full ALL/ANY/SOME
+    // operator family over nation/region, VERBATIM (inequality forms lower
+    // to the aggregate-bound CASE expansion in PrestoSql.quantifiedCmp;
+    // DuckDB runs the quantified grammar natively, so the oracle is the
+    // same text).
+    "r85_ref_quantified_comparison" -> batchCols(
+      Seq("nationkey", "name", "regionkey"),
+      Seq("c1 AS nationkey", "c2 AS name", "c3 AS regionkey"), Seq(
+      "q01" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey = ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q02" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey <> ANY (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q03" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey <> ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q04" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey = ALL (SELECT regionkey FROM region WHERE name IN ('ASIA'))",
+      "q05" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey <> ALL (SELECT regionkey FROM region WHERE name IN ('ASIA'))",
+      "q06" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey = ANY (SELECT regionkey FROM region WHERE name IN ('EUROPE'))",
+      "q07" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey <> ANY (SELECT regionkey FROM region WHERE name IN ('EUROPE'))",
+      "q08" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey < SOME (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q09" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey <= ANY (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q10" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey > ANY (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q11" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey >= SOME (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q12" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey < ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q13" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey <= ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q14" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey > ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))",
+      "q15" -> "SELECT nationkey, name, regionkey FROM nation WHERE regionkey >= ALL (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))")),
+
     // AbstractTestAggregations.java:1190 testOrderedAggregations, VERBATIM:
     // array_agg(x ORDER BY y) + FILTER + GROUPING SETS in one statement
     // (ordered aggregates lower to array_sort-after-collect in PrestoSql).

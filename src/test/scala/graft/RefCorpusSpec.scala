@@ -483,6 +483,24 @@ class RefCorpusSpec extends AnyFunSuite {
     "SELECT approx_percentile(v, w, ARRAY[0.5, 1.0]) FROM (VALUES (1, 1), (2, 1), (3, 4)) t(v, w)",
     "SELECT ARRAY[3.0E0, 3.0E0]")
 
+  // --- testQuantifiedComparison scalar forms (fixture-independent) ---
+  // Inequality ALL/ANY/SOME lower to the aggregate-bound CASE expansion;
+  // decimal probes exercise cross-scale comparison coercion.
+  ref("quantified lt", "SELECT 1.0 < ALL(SELECT 1), 1 < ALL(SELECT 1)", "VALUES (false, false)")
+  ref("quantified lt any", "SELECT 1.0 < ANY(SELECT 1), 1 < ANY(SELECT 1)", "VALUES (false, false)")
+  ref("quantified le all where", "SELECT 1.0 <= ALL(SELECT 1) WHERE 1 <= ALL(SELECT 1)", "VALUES true")
+  ref("quantified le any where", "SELECT 1.0 <= ANY(SELECT 1) WHERE 1 <= ANY(SELECT 1)", "VALUES true")
+  ref("quantified le all pair", "SELECT 1.0 <= ALL(SELECT 1), 1 <= ALL(SELECT 1) WHERE 1 <= ALL(SELECT 1)", "VALUES (true, true)")
+  ref("quantified eq all pair", "SELECT 1.0 = ALL(SELECT 1), 2 = ALL(SELECT 1) WHERE 1 = ALL(SELECT 1)", "VALUES (true, false)")
+  ref("quantified decimal lt all", "SELECT CAST(1 AS decimal(3,2)) < ALL(SELECT CAST(1 AS decimal(3,1)))", "VALUES false")
+  ref("quantified decimal le all", "SELECT CAST(1 AS decimal(3,2)) <= ALL(SELECT CAST(1 AS decimal(3,1)))", "VALUES true")
+  ref("quantified decimal eq all", "SELECT CAST(1 AS decimal(3,2)) = ALL(SELECT CAST(1 AS decimal(3,1)))", "VALUES true")
+  ref("quantified decimal ne any", "SELECT CAST(1 AS decimal(3,2)) <> ANY(SELECT CAST(1 AS decimal(3,1)))", "VALUES false")
+  // three-valued edges: empty subquery, NULL element, NULL probe
+  ref("quantified empty subquery", "SELECT 5 < ALL(SELECT v FROM (VALUES 1) t(v) WHERE false), 5 < ANY(SELECT v FROM (VALUES 1) t(v) WHERE false)", "VALUES (true, false)")
+  ref("quantified null element weakens", "SELECT 0 < ALL(VALUES 1, CAST(NULL AS INTEGER)), 2 < ALL(VALUES 1, CAST(NULL AS INTEGER))", "SELECT CAST(NULL AS BOOLEAN), false")
+  ref("quantified null probe", "SELECT CAST(NULL AS INTEGER) < ALL(VALUES 1, 2), CAST(NULL AS INTEGER) < ANY(VALUES 1, 2)", "SELECT CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)")
+
   // --- window suite, fixture-independent pairs (AbstractTestQueries) ---
   // testDuplicateColumnsInWindowOrderByClause (:4332)
   ref("duplicate columns in window order by",
