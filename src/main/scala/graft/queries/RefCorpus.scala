@@ -767,6 +767,92 @@ object RefCorpus {
       ("s6", "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY GROUPING SETS ((), (linenumber), (linenumber, suppkey))",
              "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION ALL SELECT linenumber, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber UNION ALL SELECT NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem"))),
 
+    // AbstractTestQueries join sections (:2497-:2872) — inner/left/right
+    // joins with constant equalities, filtered build sides, double-filter
+    // combinations, IS NOT NULL post-filters. All COUNT(*) shapes, VERBATIM.
+    "r86_ref_join_counts" -> batch(Seq(
+      "j01" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON orders.custkey = 1 AND lineitem.orderkey = 1",
+      "j02" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 16 = 0 AND partkey % 2 = 0) lineitem JOIN (SELECT * FROM orders WHERE orderkey % 16 = 0 AND custkey % 2 = 0) orders ON lineitem.orderkey % 8 = orders.orderkey % 8 AND lineitem.linenumber % 2 = 0 WHERE orders.custkey % 8 < 7 AND orders.custkey % 8 = lineitem.orderkey % 8 AND lineitem.suppkey % 7 > orders.custkey % 7",
+      "j03" -> "SELECT COUNT(*) FROM lineitem LEFT JOIN orders ON lineitem.orderkey = orders.orderkey",
+      "j04" -> "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey",
+      "j05" -> "SELECT COUNT(*) FROM lineitem LEFT JOIN orders ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey IS NOT NULL",
+      "j06" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 1024 = 0) lineitem LEFT JOIN orders ON lineitem.orderkey = 1024",
+      "j07" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 1024 = 0) lineitem LEFT JOIN orders ON orders.orderkey = 1024",
+      "j08" -> "SELECT COUNT(*) FROM lineitem LEFT JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = 2",
+      "j09" -> "SELECT COUNT(*) FROM lineitem LEFT JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = 2",
+      "j10" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 1024 = 0) lineitem LEFT JOIN (SELECT * FROM orders WHERE orderkey % 1024 = 0) orders ON orders.orderkey = 1024",
+      "j11" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 1024 = 0) lineitem LEFT JOIN (SELECT * FROM orders WHERE orderkey % 1024 = 0) orders ON lineitem.orderkey = 1024",
+      "j12" -> "SELECT COUNT(*) FROM lineitem LEFT JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = orders.custkey",
+      "j13" -> "SELECT COUNT(*) FROM lineitem LEFT JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = lineitem.partkey",
+      "j14" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 16 = 0 AND partkey % 2 = 0) lineitem LEFT JOIN (SELECT * FROM orders WHERE orderkey % 16 = 0 AND custkey % 2 = 0) orders ON lineitem.orderkey % 8 = orders.orderkey % 8 WHERE (orders.custkey % 8 < 7 OR orders.custkey % 8 IS NULL) AND orders.custkey % 8 = lineitem.orderkey % 8",
+      "j15" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 4 = 0 AND suppkey % 2 = partkey % 2 AND linenumber % 3 = orderkey % 3) lineitem LEFT JOIN (SELECT * FROM orders WHERE orderkey % 4 = 0) orders ON lineitem.linenumber % 3 = orders.orderkey % 4 AND lineitem.orderkey % 3 = orders.custkey % 3 WHERE lineitem.suppkey % 2 = lineitem.linenumber % 3",
+      "j16" -> "SELECT COUNT(*) FROM lineitem RIGHT JOIN orders ON lineitem.orderkey = orders.orderkey",
+      "j17" -> "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey",
+      "j18" -> "SELECT COUNT(*) FROM lineitem RIGHT JOIN orders ON lineitem.orderkey = orders.custkey",
+      "j19" -> "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.custkey",
+      "j20" -> "SELECT COUNT(*) FROM lineitem RIGHT JOIN orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey IS NOT NULL",
+      "j21" -> "SELECT COUNT(*) FROM lineitem RIGHT JOIN orders ON lineitem.orderkey = orders.custkey WHERE lineitem.orderkey IS NOT NULL",
+      "j22" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 1024 = 0) lineitem RIGHT JOIN orders ON lineitem.orderkey = 1024",
+      "j23" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 1024 = 0) lineitem RIGHT JOIN orders ON orders.orderkey = 1024",
+      "j24" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 1024 = 0) lineitem RIGHT JOIN (SELECT * FROM orders WHERE orderkey % 1024 = 0) orders ON orders.orderkey = 1024",
+      "j25" -> "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 1024 = 0) lineitem RIGHT JOIN (SELECT * FROM orders WHERE orderkey % 1024 = 0) orders ON lineitem.orderkey = 1024",
+      "j26" -> "SELECT COUNT(*) FROM lineitem RIGHT JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = 2",
+      "j27" -> "SELECT COUNT(*) FROM lineitem RIGHT JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = 2",
+      "j28" -> "SELECT COUNT(*) FROM lineitem RIGHT JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = orders.custkey",
+      "j29" -> "SELECT COUNT(*) FROM lineitem RIGHT JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = lineitem.partkey",
+      "j30" -> "SELECT COUNT(*) FROM (SELECT * FROM orders WHERE orderkey % 16 = 0 AND custkey % 2 = 0) orders RIGHT JOIN (SELECT * FROM lineitem WHERE orderkey % 16 = 0 AND partkey % 2 = 0) lineitem ON lineitem.orderkey % 8 = orders.orderkey % 8 WHERE (orders.custkey % 8 < 7 OR orders.custkey % 8 IS NULL) AND orders.custkey % 8 = lineitem.orderkey % 8",
+      "j31" -> "SELECT COUNT(*) FROM (SELECT * FROM orders WHERE orderkey % 4 = 0) orders RIGHT JOIN (SELECT * FROM lineitem WHERE orderkey % 4 = 0 AND suppkey % 2 = partkey % 2 AND linenumber % 3 = orderkey % 3) lineitem ON lineitem.linenumber % 3 = orders.orderkey % 4 AND lineitem.orderkey % 3 = orders.custkey % 3 WHERE lineitem.suppkey % 2 = lineitem.linenumber % 3")),
+
+    // AbstractTestQueries semi-join sections (:5602-:5714) — IN-subquery
+    // PROJECTED as a value (three-valued logic: NULL probe / NULL-bearing
+    // build side, the projectedIn rewrite), also in GROUP BY keys and
+    // HAVING. VERBATIM; DuckDB cannot hold a subquery in GROUP BY, so the
+    // oracles drop the constant (uncorrelated) IN term from the grouping —
+    // a per-query constant cannot split groups.
+    // (nullable booleans dump as None-vs-nan across pandas paths — both
+    // sides go through INT, which lands on float64/nan uniformly)
+    "r87_ref_semijoin_projected" -> batchCols(
+      Seq("v"), Seq("CAST(c1 AS INT) AS v"), sparkCast = Map("v" -> "int"), cases = Seq(
+      "s01" -> "SELECT orderkey   IN (     SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END     FROM lineitem) FROM orders",
+      "s02" -> "SELECT orderkey   IN (     SELECT orderkey     FROM lineitem) FROM (   SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey   FROM orders)",
+      "s03" -> "SELECT orderkey   IN (     SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END     FROM lineitem) FROM (   SELECT CASE WHEN orderkey % 4 = 0 THEN NULL ELSE orderkey END AS orderkey   FROM orders)",
+      "s04" -> "SELECT orderkey   IN (     SELECT CASE WHEN orderkey % 500 = 0 THEN NULL ELSE orderkey END     FROM orders     WHERE orderkey % 200 = 0     UNION ALL     SELECT CASE WHEN orderkey % 600 = 0 THEN NULL ELSE orderkey END     FROM orders     WHERE orderkey % 300 = 0   ) FROM (   SELECT orderkey   FROM lineitem   WHERE orderkey % 100 = 0)")),
+    "r88_ref_semijoin_grouped" -> batchCols(
+      Seq("linenumber", "mn", "b"),
+      Seq("c1 AS linenumber", "CAST(c2 AS BIGINT) AS mn", "c3 AS b"), Seq(
+      ("g01", "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber"),
+      ("g02", "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)",
+              "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber"),
+      ("g03", "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)",
+              "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)"),
+      ("g04", "SELECT linenumber, min(orderkey), 6 IN (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, 6 IN (SELECT sum(orderkey) FROM orders WHERE orderkey < 5)",
+              "SELECT linenumber, min(orderkey), 6 IN (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber"),
+      ("g05", "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, 6 IN (SELECT orderkey FROM orders WHERE orderkey < 5)HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey > 3)",
+              "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey > 3)"))),
+    "r89_ref_semijoin_having" -> batchCols(
+      Seq("linenumber", "mn"),
+      Seq("c1 AS linenumber", "CAST(c2 AS BIGINT) AS mn"), Seq(
+      ("h01", "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber, 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)",
+              "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber"),
+      ("h02", "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)"),
+      ("h03", "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber, 6 IN (SELECT orderkey FROM orders WHERE orderkey < 7)HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey > 3)",
+              "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING 6 IN (SELECT orderkey FROM orders WHERE orderkey > 3)"))),
+
+    // join row-level shapes (:2484-:2882): subquery-filtered probe/build
+    // sides, outer joins over CASE-nulled keys (null keys never match).
+    "r90_ref_join_rows" -> batchCols(
+      Seq("custkey", "linestatus", "tax", "totalprice", "orderstatus"),
+      Seq("c1 AS custkey", "c2 AS linestatus", "CAST(c3 AS DOUBLE) AS tax",
+        "CAST(c4 AS DOUBLE) AS totalprice", "c5 AS orderstatus"), Seq(
+      "r01" -> "SELECT custkey, linestatus, tax, totalprice, orderstatus FROM (SELECT * FROM lineitem WHERE orderkey % 2 = 0) a JOIN orders ON a.orderkey = orders.orderkey",
+      "r02" -> "SELECT custkey, linestatus, tax, totalprice, orderstatus FROM lineitem JOIN (SELECT *  FROM orders WHERE orderkey % 2 = 0) a ON lineitem.orderkey = a.orderkey")),
+    "r91_ref_join_nullkeys" -> batchCols(
+      Seq("a", "b"), Seq("c1 AS a", "c2 AS b"), Seq(
+      "n01" -> "SELECT * FROM (   SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey   FROM lineitem   WHERE partkey % 512 = 0 ) AS lineitem  LEFT JOIN (   SELECT CASE WHEN orderkey % 2 = 0 THEN NULL ELSE orderkey END AS orderkey   FROM orders   WHERE custkey % 512 = 0 ) AS orders ON lineitem.orderkey = orders.orderkey",
+      "n02" -> "SELECT lineitem.orderkey, orders.orderkey FROM (   SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey   FROM lineitem   WHERE partkey % 512 = 0 ) AS lineitem  RIGHT JOIN (   SELECT CASE WHEN orderkey % 2 = 0 THEN NULL ELSE orderkey END AS orderkey   FROM orders   WHERE custkey % 512 = 0 ) AS orders ON lineitem.orderkey = orders.orderkey")),
+    "r92_ref_join_distinct_case" -> batch(Seq(
+      "d01" -> "SELECT DISTINCT a.orderkey FROM (SELECT CASE WHEN orderkey > 10 THEN orderkey END orderkey FROM orders WHERE orderkey < 100) a RIGHT OUTER JOIN (SELECT * FROM orders WHERE orderkey < 100) b ON a.orderkey = b.orderkey")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
