@@ -853,6 +853,85 @@ object RefCorpus {
     "r92_ref_join_distinct_case" -> batch(Seq(
       "d01" -> "SELECT DISTINCT a.orderkey FROM (SELECT CASE WHEN orderkey > 10 THEN orderkey END orderkey FROM orders WHERE orderkey < 100) a RIGHT OUTER JOIN (SELECT * FROM orders WHERE orderkey < 100) b ON a.orderkey = b.orderkey")),
 
+    // AbstractTestQueries variance/stddev sections (:1112-:1169) — the
+    // SAMP/POP family over full data and the n=2 / n=1 / n=0 edge rows
+    // (n=1 sample variance and n=0 are NULL). Small-n cases are exact;
+    // values go through DECIMAL(38,3) on both sides (summation-order float
+    // noise is far below 1e-3 here).
+    "r93_ref_variance_edges" -> batchCols(
+      Seq("v"), Seq("CAST(CAST(c1 AS DECIMAL(38,3)) AS DOUBLE) AS v"),
+      sparkCast = Map("v" -> "decimal(38,3)"), cases = Seq(
+      "v01" -> "SELECT VAR_SAMP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 2) T",
+      "v02" -> "SELECT VAR_SAMP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 1) T",
+      "v03" -> "SELECT VAR_SAMP(custkey) FROM (SELECT custkey FROM orders LIMIT 0) T",
+      "v04" -> "SELECT VAR_SAMP(totalprice) FROM (SELECT totalprice FROM orders ORDER BY totalprice LIMIT 2) T",
+      "v05" -> "SELECT VAR_SAMP(totalprice) FROM (SELECT totalprice FROM orders ORDER BY totalprice LIMIT 1) T",
+      "v06" -> "SELECT VAR_SAMP(totalprice) FROM (SELECT totalprice FROM orders LIMIT 0) T",
+      "v07" -> "SELECT VAR_POP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 2) T",
+      "v08" -> "SELECT VAR_POP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 1) T",
+      "v09" -> "SELECT VAR_POP(custkey) FROM (SELECT custkey FROM orders LIMIT 0) T",
+      "v10" -> "SELECT VAR_POP(totalprice) FROM (SELECT totalprice FROM orders ORDER BY totalprice LIMIT 2) T",
+      "v11" -> "SELECT VAR_POP(totalprice) FROM (SELECT totalprice FROM orders ORDER BY totalprice LIMIT 1) T",
+      "v12" -> "SELECT VAR_POP(totalprice) FROM (SELECT totalprice FROM orders LIMIT 0) T",
+      "v13" -> "SELECT STDDEV_SAMP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 2) T",
+      "v14" -> "SELECT STDDEV_SAMP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 1) T",
+      "v15" -> "SELECT STDDEV_SAMP(custkey) FROM (SELECT custkey FROM orders LIMIT 0) T",
+      "v16" -> "SELECT STDDEV_SAMP(totalprice) FROM (SELECT totalprice FROM orders ORDER BY totalprice LIMIT 2) T",
+      "v17" -> "SELECT STDDEV_POP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 2) T",
+      "v18" -> "SELECT STDDEV_POP(totalprice) FROM (SELECT totalprice FROM orders ORDER BY totalprice LIMIT 2) T")),
+
+    // Full-table integer variance (custkey is small-integer-valued, so the
+    // whole computation stays far inside double exactness — gate at the
+    // integer level).
+    "r94_ref_variance_full" -> batchCols(
+      Seq("v"), Seq("CAST(CAST(c1 AS DECIMAL(38,0)) AS DOUBLE) AS v"),
+      sparkCast = Map("v" -> "decimal(38,0)"), cases = Seq(
+      "f1" -> "SELECT VAR_SAMP(custkey) FROM orders",
+      "f2" -> "SELECT VAR_POP(custkey) FROM orders",
+      "f3" -> "SELECT STDDEV_SAMP(custkey) FROM orders",
+      "f4" -> "SELECT STDDEV_POP(custkey) FROM orders")),
+
+    // Misc single-column statements across the corpus: unary negation,
+    // DISTINCT, scoped references, case-insensitive aliases, empty-result
+    // filters over aggregate subqueries (WHERE 0=1 / WHERE null).
+    "r95_ref_misc_scalars" -> batch(Seq(
+      "m1" -> "SELECT -custkey FROM orders",
+      "m2" -> "SELECT DISTINCT custkey FROM orders",
+      "m3" -> "SELECT COUNT(DISTINCT custkey) FROM (   SELECT x.custkey   FROM orders x   WHERE custkey < 100 ) t",
+      "m4" -> "SELECT COUNT(*) FROM (SELECT DISTINCT orderstatus, custkey FROM orders LIMIT 10)",
+      "m5" -> "SELECT x FROM (SELECT orderkey X FROM orders)",
+      "m6" -> "SELECT * FROM (SELECT count(*) FROM orders) WHERE 0=1",
+      "m7" -> "SELECT * FROM (SELECT count(*) FROM orders) WHERE null",
+      "m8" -> "SELECT T.* FROM (SELECT orderkey + custkey FROM orders) T",
+      "m9" -> "SELECT COUNT(*) FROM orders t JOIN (SELECT * FROM orders LIMIT 1) t2 ON sin(t2.custkey) = 0")),
+
+    // Two-bigint-column shapes: parenthesized relation, nested aggregation
+    // arithmetic, mixed int/decimal comparison pushdown.
+    "r96_ref_misc_pairs" -> batchCols(
+      Seq("a", "b"), Seq("c1 AS a", "CAST(c2 AS BIGINT) AS b"), Seq(
+      "p1" -> "(SELECT orderkey, custkey FROM orders)",
+      "p2" -> "SELECT custkey, orders2 FROM (   SELECT x.custkey, SUM(x.orders) + 1 orders2    FROM (       SELECT x.custkey, COUNT(x.orderkey) orders       FROM orders x       WHERE x.custkey < 100       GROUP BY x.custkey    ) x    GROUP BY x.custkey) ORDER BY custkey",
+      "p3" -> "SELECT orders.custkey, orders.orderkey FROM orders WHERE orders.custkey > orders.orderkey AND orders.custkey < 200.3")),
+
+    // Deeper projected-IN shapes (:5734-:5772): grouped build side, UNION
+    // build side, nested-CASE null keys — three-valued results via INT.
+    "r97_ref_semijoin_deep" -> batchCols(
+      Seq("v"), Seq("CAST(c1 AS INT) AS v"), sparkCast = Map("v" -> "int"),
+      cases = Seq(
+      "d1" -> "SELECT orderkey   IN (     SELECT CASE WHEN orderkey % 10 = 0 THEN NULL ELSE orderkey END     FROM lineitem     WHERE orderkey % 2 = 0     GROUP BY orderkey   ) FROM orders",
+      "d2" -> "SELECT orderkey   IN (     SELECT CASE WHEN orderkey % 500 = 0 THEN NULL ELSE orderkey END     FROM lineitem     WHERE orderkey % 250 = 0     UNION ALL     SELECT CASE WHEN orderkey % 300 = 0 THEN NULL ELSE orderkey END     FROM lineitem     WHERE orderkey % 200 = 0   ) FROM orders",
+      "d3" -> "SELECT orderkey   IN (     SELECT orderkey     FROM (       SELECT CASE WHEN orderkey % 500 = 0 THEN NULL ELSE orderkey END AS orderkey       FROM orders       WHERE orderkey % 100 = 0     )   ) FROM orders")),
+
+    // testDistinctLimit / star expansion / union-compare rows (:844-:7521).
+    "r98_ref_distinct_limit" -> batchCols(
+      Seq("orderstatus", "custkey"),
+      Seq("c1 AS orderstatus", "c2 AS custkey"), Seq(
+      "l1" -> "SELECT DISTINCT orderstatus, custkey FROM (SELECT orderstatus, custkey FROM orders ORDER BY orderkey LIMIT 10) LIMIT 10")),
+    "r99_ref_union_compare" -> batchCols(
+      Seq("v"), Seq("CAST(c1 AS INT) AS v"), sparkCast = Map("v" -> "int"),
+      cases = Seq(
+      "u1" -> "SELECT c = 'x'FROM (    SELECT 'x' AS c    UNION ALL    SELECT 'yy' AS c)")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

@@ -174,6 +174,30 @@ class ColumnApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](e.execute("top_orders", 1))
   }
 
+  // AbstractTestQueries testExecute / testExecuteUsing family (:7530-:7560)
+  // — the reference's own prepared statements, VERBATIM.
+  test("EXECUTE corpus: literal, parameters in agg/join/filter/having, subquery parameter") {
+    val e = Engine(spark).loadCatalog(sf)
+    def run(q: String, params: Any*): Seq[Seq[Any]] = {
+      e.prepare("my_query", q)
+      try e.execute("my_query", params: _*).collect().toSeq.map(_.toSeq)
+      finally e.deallocate("my_query")
+    }
+    // testExecute
+    assert(run("SELECT 123, 'abc'") == Seq(Seq(123, "abc")))
+    // testExecuteUsing — ? in count(), join bound, filter, having
+    assert(run(
+      "SELECT a + 1, count(?) FROM (VALUES 1, 2, 3, 2) t1(a) JOIN (VALUES 1, 2, 3, 4) t2(b) ON b < ? WHERE a < ? GROUP BY a + 1 HAVING count(1) > ?",
+      1, 5, 4, 0).map(_.map(String.valueOf)).sortBy(_.head) ==
+      Seq(Seq("2", "4"), Seq("3", "8"), Seq("4", "4")))
+    // testExecuteUsingComplexJoinCriteria
+    assert(run("SELECT * FROM (VALUES 1) t(a) JOIN (VALUES 2) u(a) ON t.a + u.a < ?", 5)
+      == Seq(Seq(1, 2)))
+    // testExecuteUsingWithSubquery — parameter probed through IN
+    val sub = run("SELECT ? in (SELECT o_orderkey FROM orders)", 10)
+    assert(sub == Seq(Seq(true)))
+  }
+
   test("Engine INSERT INTO appends and re-registers") {
     val e = Engine(spark).loadCatalog(sf)
     val path = java.nio.file.Files.createTempDirectory("graft-ins").toString

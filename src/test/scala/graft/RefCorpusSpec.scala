@@ -501,6 +501,26 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("quantified null element weakens", "SELECT 0 < ALL(VALUES 1, CAST(NULL AS INTEGER)), 2 < ALL(VALUES 1, CAST(NULL AS INTEGER))", "SELECT CAST(NULL AS BOOLEAN), false")
   ref("quantified null probe", "SELECT CAST(NULL AS INTEGER) < ALL(VALUES 1, 2), CAST(NULL AS INTEGER) < ANY(VALUES 1, 2)", "SELECT CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)")
 
+  // --- testCoercions (:7434-:7473) — bounded-varchar concat and wide
+  // DECIMAL(38,x) arithmetic/comparison against bigint/double/int/tinyint/
+  // smallint. Fixture-independent, VERBATIM.
+  ref("coerce length null", "SELECT length(NULL)", "SELECT CAST(NULL AS INTEGER)")
+  ref("coerce varchar concat", "SELECT CAST('abc' AS VARCHAR(255)) || CAST('abc' AS VARCHAR(252))", "SELECT 'abcabc'")
+  ref("coerce varchar concat literal", "SELECT CAST('abc' AS VARCHAR(255)) || 'abc'", "SELECT 'abcabc'")
+  ref("coerce decimal plus null", "SELECT CAST(1.1 AS DECIMAL(38,1)) + NULL", "SELECT CAST(NULL AS DECIMAL(38,1))")
+  ref("coerce decimal38 plus decimal5", "SELECT CAST(292 AS DECIMAL(38,1)) + CAST(292.1 AS DECIMAL(5,1))", "SELECT 584.1")
+  ref("coerce decimal plus bigint", "SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(292 AS BIGINT)", "SELECT 293.1")
+  ref("coerce decimal eq bigint", "SELECT CAST(292 AS DECIMAL(38,1)) = CAST(292 AS BIGINT)", "SELECT true")
+  ref("coerce decimal plus double", "SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(1.1 AS DOUBLE)", "SELECT 2.2E0")
+  ref("coerce decimal eq double", "SELECT CAST(1.1 AS DECIMAL(38,1)) = CAST(1.1 AS DOUBLE)", "SELECT true")
+  ref("coerce sin of decimal", "SELECT SIN(CAST(1.1 AS DECIMAL(38,1)))", "SELECT SIN(1.1E0)")
+  ref("coerce decimal plus integer", "SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(292 AS INTEGER)", "SELECT 293.1")
+  ref("coerce decimal eq integer", "SELECT CAST(292 AS DECIMAL(38,1)) = CAST(292 AS INTEGER)", "SELECT true")
+  ref("coerce decimal plus tinyint", "SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(CAST(121 AS DECIMAL(30,1)) AS TINYINT)", "SELECT 122.1")
+  ref("coerce decimal eq tinyint", "SELECT CAST(292 AS DECIMAL(38,1)) = CAST(CAST(121 AS DECIMAL(30,1)) AS TINYINT)", "SELECT false")
+  ref("coerce decimal plus smallint", "SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(CAST(121 AS DECIMAL(30,1)) AS SMALLINT)", "SELECT 122.1")
+  ref("coerce decimal eq smallint", "SELECT CAST(292 AS DECIMAL(38,1)) = CAST(CAST(121 AS DECIMAL(30,1)) AS SMALLINT)", "SELECT false")
+
   // --- window suite, fixture-independent pairs (AbstractTestQueries) ---
   // testDuplicateColumnsInWindowOrderByClause (:4332)
   ref("duplicate columns in window order by",
