@@ -468,6 +468,36 @@ class Engine(parent: SparkSession) {
             !child.isInstanceOf[Round] =>
         changed = true
         c.copy(child = Round(child, Literal(0)))
+      // Presto's common supertype of REAL and DECIMAL is REAL
+      // (TypeRegistry.java:509 — decimal coerces to real, real only widens
+      // to double), so `real_expr = decimal_expr` compares at FLOAT
+      // precision: CAST(1.2 AS REAL) = DECIMAL '1.2' is TRUE. Spark widens
+      // both to double, where the float's excess mantissa garbage breaks
+      // equality. Retype the comparison to float when one side is a real
+      // under a coercion cast and the other a decimal.
+      case cmp: org.apache.spark.sql.catalyst.expressions.BinaryComparison
+          if {
+            def floatUnderCoercion(e: Expression) = e match {
+              case c @ Cast(f, DoubleType, _, _) =>
+                f.dataType == FloatType &&
+                  c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty
+              case _ => false
+            }
+            def decimalUnderCoercion(e: Expression) = e match {
+              case c @ Cast(d, DoubleType, _, _) =>
+                d.dataType.isInstanceOf[DecimalType] &&
+                  c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty
+              case _ => false
+            }
+            (floatUnderCoercion(cmp.left) && decimalUnderCoercion(cmp.right)) ||
+              (decimalUnderCoercion(cmp.left) && floatUnderCoercion(cmp.right))
+          } =>
+        changed = true
+        val Seq(l, r) = Seq(cmp.left, cmp.right).map {
+          case Cast(f, DoubleType, _, _) if f.dataType == FloatType => f
+          case Cast(d, DoubleType, _, _) => Cast(d, FloatType)
+        }
+        cmp.withNewChildren(Seq(l, r))
       case Divide(IntegralOperand(le), IntegralOperand(re), ctx) =>
         changed = true; retyped = true
         val wide = Seq(le.dataType, re.dataType)

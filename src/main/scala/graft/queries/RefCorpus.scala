@@ -125,10 +125,13 @@ object RefCorpus {
     * untouched in the rewritten body. */
   def oracleize(sql: String): String = {
     val mask = graft.PrestoSql.maskLiterals(sql)
-    val pat = s"\\b($tableNames)\\b".r
+    // case-insensitive: Presto identifiers fold (SELECT ORDERKEY FROM
+    // ORDERS is the lowercase table); DuckDB folds too, so ref_ORDERS
+    // resolves to the ref_orders CTE
+    val pat = s"(?i)\\b($tableNames)\\b".r
     val matches = pat.findAllMatchIn(mask).toSeq
     if (matches.isEmpty) return sql
-    val referenced = matches.map(_.group(1)).distinct
+    val referenced = matches.map(_.group(1).toLowerCase(java.util.Locale.ROOT)).distinct
     val prelude = referenced.map(t =>
       s"ref_$t AS (SELECT ${viewCols(t).mkString(", ")} FROM $t)").mkString(", ")
     val body = {
@@ -931,6 +934,107 @@ object RefCorpus {
       Seq("v"), Seq("CAST(c1 AS INT) AS v"), sparkCast = Map("v" -> "int"),
       cases = Seq(
       "u1" -> "SELECT c = 'x'FROM (    SELECT 'x' AS c    UNION ALL    SELECT 'yy' AS c)")),
+
+    // Sweep of the remaining single-bigint-column verbatim statements across
+    // AbstractTestQueries (COUNT variants incl. NULLIF/typed-NULL args,
+    // residual-heavy join conditions, CASE join keys, negated equi-joins,
+    // varchar-cast join keys, correlated zero-FROM scalar counts, EXISTS
+    // with disjunctive correlation, UNION count shapes, case-insensitive
+    // identifier resolution, deterministic counts over rand()-ordered
+    // subqueries).
+    "r100_ref_bigint_sweep" -> batch(Seq(
+      "b01" -> "SELECT COUNT(orderkey) FROM orders",
+      "b02" -> "SELECT COUNT(orderstatus) FROM orders",
+      "b03" -> "SELECT COUNT(orderdate) FROM orders",
+      "b04" -> "SELECT COUNT(1) FROM orders",
+      "b05" -> "SELECT COUNT(NULLIF(orderstatus, 'F')) FROM orders",
+      "b06" -> "SELECT COUNT(CAST(NULL AS BIGINT)) FROM orders",
+      "b07" -> "SELECT orderkey FROM lineitem WHERE tax < discount",
+      "b08" -> "SELECT count(*) FROM lineitem l JOIN nation n ON l.suppkey % 5 = n.nationkey % 5 AND l.partkey % 3 < n.regionkey AND l.partkey % 3 + 1 < n.regionkey AND l.partkey % 3 + 2 < n.regionkey",
+      "b09" -> "SELECT count(*) FROM lineitem l JOIN nation n ON l.suppkey % 5 = n.nationkey % 5 AND l.partkey % 3 + 2 < n.regionkey AND l.partkey % 3 + 1 < n.regionkey AND l.partkey % 3 < n.regionkey",
+      "b10" -> "SELECT count(*) FROM lineitem l JOIN nation n ON l.suppkey % 5 = n.nationkey % 5 AND l.partkey % 3 > n.regionkey AND l.partkey % 3 + 1 > n.regionkey AND l.partkey % 3 + 2 > n.regionkey",
+      "b11" -> "SELECT count(*) FROM lineitem l JOIN nation n ON l.suppkey % 5 = n.nationkey % 5 AND l.partkey % 3 + 2 > n.regionkey AND l.partkey % 3 + 1 > n.regionkey AND l.partkey % 3 > n.regionkey",
+      "b12" -> "SELECT COUNT(*) FROM (SELECT orderkey FROM lineitem WHERE orderkey < 1000) a JOIN (SELECT orderkey FROM orders WHERE orderkey < 2000) b ON NOT (a.orderkey <= b.orderkey)",
+      "b13" -> "SELECT COUNT(*) FROM orders JOIN lineitem ON CAST(orders.orderkey AS VARCHAR) = CAST(lineitem.orderkey AS VARCHAR) WHERE orders.orderkey = 1 AND lineitem.orderkey = 2 ",
+      "b14" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON orders.orderkey = lineitem.orderkey",
+      "b15" -> "SELECT SUM(custkey) FROM lineitem JOIN orders ON lineitem.orderkey = CASE WHEN orders.custkey = 1 and orders.orderstatus = 'F' THEN orders.orderkey ELSE NULL END",
+      "b16" -> "SELECT COUNT(*) FROM nation a JOIN nation b on not (a.nationkey = b.nationkey)",
+      "b17" -> "SELECT COUNT(*) FROM nation a JOIN nation b on not (not CAST(a.nationkey AS boolean))",
+      "b18" -> "SELECT COUNT(*) FROM nation a JOIN nation b on not not not (a.nationkey = b.nationkey)",
+      "b19" -> "SELECT x + y FROM (   SELECT orderdate, COUNT(*) x FROM orders GROUP BY orderdate) a JOIN (   SELECT orderdate, COUNT(*) y FROM orders GROUP BY orderdate) b ON a.orderdate = b.orderdate",
+      "b20" -> "SELECT COUNT(*) FROM       (SELECT * FROM lineitem ORDER BY orderkey,linenumber LIMIT 5) l          LEFT OUTER JOIN       (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o          ON       o.custkey != 1000 WHERE o.orderkey IS NULL",
+      "b21" -> "SELECT COUNT(*) FROM       (SELECT * FROM lineitem ORDER BY orderkey,linenumber LIMIT 5) l          RIGHT OUTER JOIN       (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o          ON       l.quantity != 5 WHERE l.orderkey IS NULL",
+      "b22" -> "SELECT sum(orderkey) FROM orders HAVING sum(orderkey) > 400000",
+      "b23" -> "SELECT orderkey FROM (SELECT orderkey FROM orders)",
+      "b24" -> "SELECT a FROM (SELECT orderkey a FROM orders)",
+      "b25" -> "SELECT orderkey FROM orders WHERE orderkey IN (1, 2E0, 3)",
+      "b26" -> "SELECT * FROM (SELECT orderkey X FROM orders)",
+      "b27" -> "SELECT ORDERKEY FROM ORDERS",
+      "b28" -> "SELECT OrDeRkEy FROM OrDeRs",
+      "b29" -> "SELECT count(clerk) FROM (SELECT clerk FROM orders WHERE orderkey=0  UNION ALL SELECT clerk FROM orders WHERE orderkey<>0) GROUP BY clerk",
+      ("b30", "SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY rand() LIMIT 5) a CROSS JOIN (SELECT * FROM lineitem ORDER BY rand() LIMIT 5) b",
+              "SELECT COUNT(*) FROM (SELECT * FROM orders ORDER BY random() LIMIT 5) a CROSS JOIN (SELECT * FROM lineitem ORDER BY random() LIMIT 5) b"),
+      "b31" -> "SELECT o.custkey FROM orders o INNER JOIN lineitem l ON o.custkey = l.linenumber WHERE o.custkey IN (5) AND l.orderkey IN (7522)",
+      "b32" -> "SELECT COUNT(*) FROM orders o INNER JOIN lineitem l ON o.custkey = l.linenumber WHERE o.custkey IN (5) AND l.orderkey IN (7522)",
+      "b33" -> "SELECT COUNT(*) FROM (   SELECT orderkey   IN (     SELECT orderkey     FROM lineitem     WHERE orderkey % 2 = 0)   FROM orders   LIMIT 10)",
+      "b34" -> "SELECT (SELECT count(*) WHERE o.orderkey = 1) FROM orders o",
+      "b35" -> "SELECT count(*) FROM orders o WHERE 1 = (SELECT count(*) WHERE o.orderkey = 0)",
+      "b36" -> "SELECT count(*) FROM nation n WHERE (SELECT count(*) FROM region r WHERE n.regionkey = r.regionkey) > 1",
+      "b37" -> "SELECT count(*) FROM lineitem l WHERE EXISTS(SELECT 1 WHERE l.orderkey > 0 OR l.orderkey != 3)",
+      "b38" -> "SELECT * FROM (   SELECT orderkey+1 AS a FROM orders WHERE orderstatus = 'F' UNION ALL    SELECT orderkey FROM orders WHERE orderkey % 2 = 0 UNION ALL    (SELECT orderkey+custkey FROM orders ORDER BY orderkey LIMIT 10) )  WHERE a < 20 OR a > 100  ORDER BY a",
+      "b39" -> "SELECT COUNT(*) FROM lineitem  JOIN (   SELECT * FROM orders ) orders  ON lineitem.orderkey = orders.orderkey  WHERE orders.orderkey % 4 = 0   AND lineitem.suppkey > orders.orderkey",
+      "b40" -> "SELECT COUNT(*) FROM lineitem  LEFT JOIN (   SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders  ON lineitem.orderkey = orders.orderkey  WHERE orders.orderkey % 4 = 0   AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.custkey IS NULL)",
+      "b41" -> "SELECT COUNT(*) FROM lineitem  LEFT JOIN (   SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders  ON lineitem.orderkey = orders.orderkey  WHERE lineitem.orderkey % 4 = 0   AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.orderkey IS NULL)",
+      "b42" -> "SELECT COUNT(*) FROM lineitem  LEFT JOIN (   SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders  ON lineitem.orderkey = orders.orderkey  WHERE orders.orderkey = orders.orderkey   AND lineitem.orderkey % 4 = 0   AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.orderkey IS NULL)",
+      "b43" -> "SELECT count(*) FROM orders a LEFT OUTER JOIN orders b   ON a.clerk = b.clerk WHERE a.orderpriority='5-LOW'   AND b.orderpriority='1-URGENT'   AND b.clerk is null   AND a.orderkey % 4 = 0 ",
+      "b44" -> "SELECT COUNT(*) FROM (   SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders RIGHT JOIN lineitem ON lineitem.orderkey = orders.orderkey  WHERE orders.orderkey % 4 = 0   AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.custkey IS NULL)",
+      "b45" -> "SELECT COUNT(*) FROM (   SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders  RIGHT JOIN lineitem ON lineitem.orderkey = orders.orderkey  WHERE lineitem.orderkey % 4 = 0   AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.orderkey IS NULL)",
+      "b46" -> "SELECT COUNT(*) FROM (   SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders  RIGHT JOIN lineitem ON lineitem.orderkey = orders.orderkey  WHERE orders.orderkey = orders.orderkey   AND lineitem.orderkey % 4 = 0   AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.orderkey IS NULL)",
+      ("b47", "SELECT COUNT(*) WHERE rand() >= 0",
+              "SELECT COUNT(*) WHERE random() >= 0"),
+      "b48" -> "SELECT COUNT(*) FROM (SELECT * FROM orders WHERE custkey % 2 = 0 AND orderkey % 3 = 0) WHERE orderkey   IN (     SELECT CASE WHEN orderkey % 7 = 0 THEN NULL ELSE orderkey END     FROM lineitem     WHERE partkey % 2 = 0)   AND     orderkey % 2 = 0",
+      "b49" -> "SELECT COUNT(*) FROM (   SELECT orderkey AS x, orderkey AS y   FROM orders   WHERE orderkey % 3 = 0   UNION ALL   SELECT orderkey AS x, orderkey AS y   FROM orders   WHERE orderkey % 2 = 0 ) a JOIN (   SELECT orderkey AS x, orderkey AS y   FROM orders ) b ON a.x = b.x",
+      "b50" -> "SELECT COUNT(*) FROM (SELECT SUM(orderkey) FROM orders)")),
+
+    // Two-bigint-column sweep: duplicate projections, INTERSECT/EXCEPT
+    // aggregates, inline-view renames, cross joins with empty sides,
+    // correlated BETWEEN bounds in join conditions, scalar-subquery
+    // projections.
+    "r101_ref_bigint_pairs" -> batchCols(
+      Seq("a", "b"),
+      Seq("CAST(c1 AS BIGINT) AS a", "CAST(c2 AS BIGINT) AS b"), Seq(
+      "p01" -> "SELECT SUM(orderkey), SUM(orderkey) FROM orders",
+      "p02" -> "SELECT orderkey a, orderkey b FROM orders WHERE orderstatus = 'F'",
+      "p03" -> "SELECT SUM(nationkey), COUNT(name) FROM (SELECT nationkey,name FROM nation INTERSECT SELECT regionkey, name FROM nation) n",
+      "p04" -> "SELECT SUM(nationkey), COUNT(name) FROM (SELECT nationkey, name FROM nation WHERE nationkey < 6 EXCEPT SELECT regionkey, name FROM nation) n",
+      "p05" -> "SELECT orderkey, custkey FROM (SELECT orderkey, custkey FROM orders) U",
+      "p06" -> "SELECT x, y FROM (SELECT orderkey x, custkey y FROM orders) U",
+      "p07" -> "SELECT x + 1, y FROM (SELECT orderkey * 10 x, custkey y FROM orders) u",
+      "p08" -> "SELECT * FROM    (SELECT orderkey + 1 orderkey FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 100)) o  JOIN    (SELECT orderkey + 1 orderkey FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 100)) o1  ON (o.orderkey = o1.orderkey)",
+      "p09" -> "SELECT count(orderkey), sum(sc) FROM (    SELECT sum(custkey) sc, orderkey FROM (        SELECT custkey,orderkey, orderkey+1 FROM orders WHERE orderkey=0        UNION ALL         SELECT custkey,orderkey,orderkey+1 FROM orders WHERE orderkey<>0)     GROUP BY orderkey)",
+      "p10" -> "SELECT a.custkey, b.orderkey FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) a CROSS JOIN (SELECT * FROM lineitem ORDER BY orderkey LIMIT 5) b",
+      "p11" -> "SELECT a.custkey, b.orderkey FROM (SELECT * FROM orders WHERE orderkey < 0) a CROSS JOIN (SELECT * FROM lineitem WHERE orderkey < 100) b",
+      "p12" -> "SELECT a.custkey, b.orderkey FROM (SELECT * FROM orders WHERE orderkey < 100) a CROSS JOIN (SELECT * FROM lineitem WHERE orderkey < 0) b",
+      "p13" -> "SELECT o1.orderkey, COUNT(*) FROM orders o1 INNER JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o2 ON o1.orderkey BETWEEN (SELECT avg(orderkey) FROM orders) - 10 AND (SELECT avg(orderkey) FROM orders) + 10 GROUP BY o1.orderkey",
+      "p16" -> "SELECT custkey, (SELECT DISTINCT custkey FROM orders ORDER BY custkey LIMIT 1) FROM orders")),
+
+    // Boolean-column sweep: coercion-in-join-condition, projected EXISTS
+    // (correlated and constant), nested IN chains, boolean casts.
+    "r102_ref_boolean_sweep" -> batchCols(
+      Seq("v"), Seq("c1 AS v"), Seq(
+      ("x01", "VALUES true, 1.0 in (1, 2, 3)",
+              "VALUES (true), (1.0 in (1, 2, 3))"),
+      "x02" -> "SELECT count(*) > 0 FROM nation JOIN region ON (cast(1.2 AS real) = CAST(1.2 AS decimal(2,1)))",
+      "x03" -> "SELECT count(*) > 0 FROM nation JOIN region ON CAST((CASE WHEN (TRUE IS NOT NULL) THEN '1.2' ELSE '1.2' END) AS real) = CAST(1.2 AS decimal(2,1))",
+      "x04" -> "SELECT CAST(orderkey AS BOOLEAN) FROM orders",
+      "x05" -> "SELECT 10 in (SELECT orderkey FROM orders)",
+      "x06" -> "SELECT ((SELECT 1) IN (SELECT 1)) IN (SELECT TRUE)",
+      "x07" -> "SELECT EXISTS(SELECT o.orderkey) FROM orders o",
+      "x08" -> "SELECT EXISTS(SELECT 1 WHERE o.orderkey = 1) FROM orders o",
+      "x09" -> "SELECT EXISTS(SELECT null WHERE o.orderkey = 1) FROM orders o",
+      "x10" -> "SELECT EXISTS(SELECT 1 WHERE l.orderkey > 0 OR l.orderkey != 3) FROM lineitem l LIMIT 1",
+      "x11" -> "SELECT 1.0 = ANY(SELECT 1) WHERE 1 = ANY(SELECT 1)",
+      "x12" -> "SELECT CAST(1 AS decimal(3,2)) <> ALL(SELECT CAST(1 AS decimal(3,1)))")),
 
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(

@@ -520,6 +520,10 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("coerce decimal eq tinyint", "SELECT CAST(292 AS DECIMAL(38,1)) = CAST(CAST(121 AS DECIMAL(30,1)) AS TINYINT)", "SELECT false")
   ref("coerce decimal plus smallint", "SELECT CAST(1.1 AS DECIMAL(38,1)) + CAST(CAST(121 AS DECIMAL(30,1)) AS SMALLINT)", "SELECT 122.1")
   ref("coerce decimal eq smallint", "SELECT CAST(292 AS DECIMAL(38,1)) = CAST(CAST(121 AS DECIMAL(30,1)) AS SMALLINT)", "SELECT false")
+  // REAL vs DECIMAL compares at FLOAT precision (TypeRegistry.java:509 —
+  // decimal coerces to real): 1.2f equals DECIMAL '1.2' even though the
+  // double-widened float is 1.2000000476837158.
+  ref("coerce real eq decimal", "SELECT CAST(1.2 AS REAL) = CAST(1.2 AS DECIMAL(2,1)), CAST(1.2 AS DECIMAL(2,1)) = CAST(1.2 AS REAL), CAST(1.3 AS REAL) > CAST(1.2 AS DECIMAL(2,1))", "VALUES (true, true, true)")
 
   // --- window suite, fixture-independent pairs (AbstractTestQueries) ---
   // testDuplicateColumnsInWindowOrderByClause (:4332)
