@@ -1036,6 +1036,85 @@ object RefCorpus {
       "x11" -> "SELECT 1.0 = ANY(SELECT 1) WHERE 1 = ANY(SELECT 1)",
       "x12" -> "SELECT CAST(1 AS decimal(3,2)) <> ALL(SELECT CAST(1 AS decimal(3,1)))")),
 
+    // Full-table moments over DECIMAL totalprice + LIMIT-0 NULLs and a
+    // correlated scalar-aggregate HAVING probe; values gated through
+    // DECIMAL well above both engines' summation noise.
+    "r103_ref_double_aggs" -> batchCols(
+      Seq("v"), Seq("CAST(CAST(c1 AS DECIMAL(38,0)) AS DOUBLE) AS v"),
+      sparkCast = Map("v" -> "decimal(38,0)"), cases = Seq(
+      "a1" -> "SELECT AVG(totalprice) FROM orders",
+      "a2" -> "SELECT VAR_SAMP(totalprice) FROM orders",
+      "a3" -> "SELECT VAR_POP(totalprice) FROM orders",
+      "a4" -> "SELECT STDDEV_SAMP(totalprice) FROM orders",
+      "a5" -> "SELECT STDDEV_POP(totalprice) FROM orders",
+      "a6" -> "SELECT STDDEV_SAMP(totalprice) FROM (SELECT totalprice FROM orders LIMIT 0) T",
+      "a7" -> "SELECT STDDEV_POP(custkey) FROM (SELECT custkey FROM orders LIMIT 0) T",
+      "a8" -> "SELECT STDDEV_POP(totalprice) FROM (SELECT totalprice FROM orders LIMIT 0) T")),
+
+    // Correlated EXISTS / zero-FROM scalar subqueries in HAVING and GROUP
+    // BY (:6208-:6500). DuckDB cannot hold a subquery in GROUP BY — the
+    // EXISTS term there is a function of the other group key, so the
+    // oracle drops it without changing groups.
+    "r104_ref_having_exists" -> batchCols(
+      Seq("mx", "orderkey"),
+      Seq("CAST(c1 AS DOUBLE) AS mx", "c2 AS orderkey"), Seq(
+      ("e1", "SELECT max(o.totalprice), o.orderkey FROM orders o GROUP BY o.orderkey HAVING 1 = (SELECT count(*) WHERE o.orderkey = 0)"),
+      ("e2", "SELECT max(o.totalprice), o.orderkey FROM orders o GROUP BY o.orderkey HAVING EXISTS (SELECT o.orderkey)"),
+      ("e3", "SELECT max(o.totalprice), o.orderkey FROM orders o GROUP BY o.orderkey, EXISTS (SELECT o.orderkey)",
+             "SELECT max(o.totalprice), o.orderkey FROM orders o GROUP BY o.orderkey"),
+      ("e4", "SELECT max(o.totalprice), o.orderkey FROM orders o GROUP BY o.orderkey HAVING EXISTS (SELECT 1 WHERE o.orderkey = 0)"),
+      ("e5", "SELECT max(o.totalprice), o.orderkey FROM orders o GROUP BY o.orderkey, EXISTS (SELECT 1 WHERE o.orderkey = 0)",
+             "SELECT max(o.totalprice), o.orderkey FROM orders o GROUP BY o.orderkey"),
+      ("e6", "SELECT max(l.quantity), l.orderkey FROM lineitem l GROUP BY l.orderkey HAVING EXISTS (SELECT 1 WHERE l.orderkey > 0 OR l.orderkey != 3)"),
+      ("e7", "SELECT max(l.quantity), l.orderkey FROM lineitem l GROUP BY l.orderkey, EXISTS (SELECT 1 WHERE l.orderkey > 0 OR l.orderkey != 3)",
+             "SELECT max(l.quantity), l.orderkey FROM lineitem l GROUP BY l.orderkey"))),
+
+    // Join residuals comparing strings/lengths across sides (:1501-:1547)
+    // and COALESCE-of-outer-join arithmetic / values-cross-join shapes.
+    "r105_ref_int_pairs" -> batchCols(
+      Seq("a", "b"), Seq("CAST(c1 AS INT) AS a", "CAST(c2 AS INT) AS b"), Seq(
+      "i1" -> "SELECT n.nationkey, r.regionkey FROM region r JOIN nation n ON n.regionkey = r.regionkey AND n.name < r.name",
+      "i2" -> "SELECT n.nationkey, r.regionkey FROM nation n JOIN region r ON n.regionkey = r.regionkey AND length(n.name) < length(substr(r.name, 5))",
+      "i3" -> "SELECT n.nationkey, r.regionkey FROM region r JOIN nation n ON n.regionkey = r.regionkey AND n.name > r.name AND r.regionkey = 0",
+      "i4" -> "SELECT n.nationkey, r.regionkey FROM nation n JOIN region r ON n.regionkey = r.regionkey AND length(n.name) > length(substr(r.name, 5))",
+      "i5" -> "SELECT a, b FROM (VALUES (1, 1)) CROSS JOIN (SELECT 0 AS a, 0 AS b UNION ALL SELECT 1, 1) t")),
+
+    // Set-operation chains and cross-join aliasing returning single ints.
+    "r106_ref_int_singles" -> batchCols(
+      Seq("v"), Seq("CAST(c1 AS INT) AS v"), sparkCast = Map("v" -> "int"),
+      cases = Seq(
+      ("s1", "(SELECT * FROM (VALUES 1) EXCEPT SELECT * FROM (VALUES 0))EXCEPT (SELECT * FROM (VALUES 1) EXCEPT SELECT * FROM (VALUES 1))",
+             "(SELECT * FROM (VALUES (1)) EXCEPT SELECT * FROM (VALUES (0)))EXCEPT (SELECT * FROM (VALUES (1)) EXCEPT SELECT * FROM (VALUES (1)))"),
+      "s2" -> "SELECT row_number() OVER () FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey = 10000 LIMIT 20",
+      "s3" -> "SELECT t.c FROM (SELECT 1) CROSS JOIN (SELECT 0 AS c UNION ALL SELECT 1) t")),
+
+    // VALUES / set-op numeric coercion to decimal (:695-:5283); DuckDB
+    // needs parens per VALUES row.
+    "r107_ref_values_coercion" -> batchCols(
+      Seq("v"), Seq("CAST(CAST(c1 AS DECIMAL(11,1)) AS DOUBLE) AS v"),
+      sparkCast = Map("v" -> "double"), cases = Seq(
+      ("c1", "VALUES 1, 2.2, 3, 4.4", "VALUES (1), (2.2), (3), (4.4)"),
+      ("c2", "SELECT * FROM (VALUES 1, 2) EXCEPT SELECT * FROM (VALUES 3.0, 2)",
+             "SELECT * FROM (VALUES (1), (2)) EXCEPT SELECT * FROM (VALUES (3.0), (2))"),
+      ("c3", "SELECT * FROM (VALUES 1) UNION ALL SELECT * FROM (VALUES 1.0, 2)",
+             "SELECT * FROM (VALUES (1)) UNION ALL SELECT * FROM (VALUES (1.0), (2))"))),
+
+    // DISTINCT pairs and CASE-without-ELSE projections (:794-:4214).
+    "r108_ref_distinct_pairs" -> batchCols(
+      Seq("k", "s"), Seq("c1 AS k", "c2 AS s"), Seq(
+      "d1" -> "SELECT DISTINCT custkey, orderstatus FROM orders",
+      "d2" -> "SELECT orderkey, CASE orderstatus WHEN 'O' THEN 'a' END FROM orders")),
+
+    // NULL-typed (unknown) columns through set operations (:1388-:5055) —
+    // Presto's UnknownType columns; dumped via INT (parquet cannot store
+    // a void column).
+    "r109_ref_unknown_type" -> batchCols(
+      Seq("a", "b"), Seq("CAST(c1 AS INT) AS a", "CAST(c2 AS INT) AS b"),
+      sparkCast = Map("a" -> "int", "b" -> "int"), cases = Seq(
+      "u1" -> "SELECT NULL, NULL INTERSECT SELECT NULL, NULL FROM nation",
+      "u2" -> "SELECT NULL, NULL EXCEPT SELECT NULL, NULL FROM nation",
+      "u3" -> "SELECT NULL, NULL UNION ALL SELECT NULL, NULL FROM nation")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
