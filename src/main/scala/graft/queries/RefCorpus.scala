@@ -1115,6 +1115,61 @@ object RefCorpus {
       "u2" -> "SELECT NULL, NULL EXCEPT SELECT NULL, NULL FROM nation",
       "u3" -> "SELECT NULL, NULL UNION ALL SELECT NULL, NULL FROM nation")),
 
+    // Star-expansion forms (:1087-:1099): aliased-relation star and
+    // qualified star (totalprice goes through DOUBLE on both sides).
+    "r110_ref_star_forms" -> batchCols(
+      Seq("orderkey", "custkey", "orderstatus", "totalprice", "orderdate", "orderpriority", "clerk", "shippriority", "comment"),
+      Seq("c1 AS orderkey",
+        "c2 AS custkey",
+        "c3 AS orderstatus",
+        "CAST(c4 AS DOUBLE) AS totalprice",
+        "c5 AS orderdate",
+        "c6 AS orderpriority",
+        "c7 AS clerk",
+        "c8 AS shippriority",
+        "c9 AS comment"),
+      sparkCast = Map("totalprice" -> "double"), cases = Seq(
+      "t1" -> "SELECT T.* FROM orders T",
+      "t2" -> "SELECT orders.* FROM orders")),
+
+    // Outer joins against an (almost-surely) empty rand()-filtered side and
+    // a provably-empty IS NULL side (:1982-:3263): the reference's
+    // empty-build/empty-probe page tests.
+    "r111_ref_star_joins" -> batchCols(
+      Seq("a_orderkey", "a_custkey", "a_orderstatus", "a_totalprice", "a_orderdate", "a_orderpriority", "a_clerk", "a_shippriority", "a_comment", "b_orderkey", "b_custkey", "b_orderstatus", "b_totalprice", "b_orderdate", "b_orderpriority", "b_clerk", "b_shippriority", "b_comment"),
+      Seq("c1 AS a_orderkey",
+        "c2 AS a_custkey",
+        "c3 AS a_orderstatus",
+        "CAST(c4 AS DOUBLE) AS a_totalprice",
+        "CAST(c5 AS VARCHAR) AS a_orderdate",
+        "c6 AS a_orderpriority",
+        "c7 AS a_clerk",
+        "c8 AS a_shippriority",
+        "c9 AS a_comment",
+        "c10 AS b_orderkey",
+        "c11 AS b_custkey",
+        "c12 AS b_orderstatus",
+        "CAST(c13 AS DOUBLE) AS b_totalprice",
+        "CAST(c14 AS VARCHAR) AS b_orderdate",
+        "c15 AS b_orderpriority",
+        "c16 AS b_clerk",
+        "c17 AS b_shippriority",
+        "c18 AS b_comment"),
+      sparkCast = Map("a_totalprice" -> "double", "b_totalprice" -> "double",
+        "a_orderdate" -> "string", "b_orderdate" -> "string"),
+      cases = Seq(
+      ("e1", "SELECT * FROM orders b RIGHT JOIN (SELECT * FROM orders WHERE orderkey = rand()) a ON a.orderkey = b.orderkey",
+             "SELECT * FROM orders b RIGHT JOIN (SELECT * FROM orders WHERE orderkey = random()) a ON a.orderkey = b.orderkey"),
+      ("e2", "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) a ON a.orderkey > b.orderkey",
+             "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) a ON a.orderkey > b.orderkey"),
+      ("e3", "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) a ON 1 = 1",
+             "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) a ON 1 = 1"),
+      ("e4", "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) a ON b.orderkey > 1",
+             "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) a ON b.orderkey > 1"),
+      ("e5", "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) a ON b.orderkey > b.totalprice",
+             "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) a ON b.orderkey > b.totalprice"),
+      ("e6", "SELECT * FROM orders a    JOIN (SELECT * FROM orders WHERE orderkey IS NULL) b    ON a.orderkey = b.orderkey"))),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
