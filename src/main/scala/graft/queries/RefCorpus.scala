@@ -1170,6 +1170,155 @@ object RefCorpus {
              "SELECT * FROM orders b LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) a ON b.orderkey > b.totalprice"),
       ("e6", "SELECT * FROM orders a    JOIN (SELECT * FROM orders WHERE orderkey IS NULL) b    ON a.orderkey = b.orderkey"))),
 
+    // UNION/UNION ALL mixing order and ship dates (:5121-:5261), grouped counts.
+    "r112_ref_union_dates" -> batchCols(
+      Seq("ds", "n"),
+      Seq("c1 AS ds",
+        "CAST(c2 AS BIGINT) AS n"),
+      Seq(
+      "u1" -> "SELECT ds, count(*) FROM (   SELECT orderdate ds, orderkey FROM orders    UNION ALL    SELECT shipdate ds, orderkey FROM lineitem) a GROUP BY ds",
+      "u2" -> "SELECT ds, count(*) FROM (   SELECT orderdate ds, orderkey FROM orders    UNION    SELECT shipdate ds, orderkey FROM lineitem) a GROUP BY ds",
+      "u3" -> "SELECT ds, count(DISTINCT orderkey) FROM (   SELECT orderdate ds, orderkey FROM orders    UNION    SELECT shipdate ds, orderkey FROM lineitem) a GROUP BY ds")),
+
+    // Row-level UNION ALL of dates (:5259-:5261).
+    "r113_ref_union_date_rows" -> batchCols(
+      Seq("k", "d"),
+      Seq("c1 AS k",
+        "c2 AS d"),
+      Seq(
+      "u1" -> "SELECT orderkey, orderdate FROM orders WHERE custkey < 1000 UNION ALL SELECT orderkey, shipdate FROM lineitem WHERE linenumber < 2000",
+      "u2" -> "SELECT orderkey, orderdate FROM orders UNION ALL SELECT orderkey, shipdate FROM lineitem WHERE linenumber < 2000",
+      "u3" -> "SELECT orderkey, orderdate FROM orders WHERE custkey < 1000 UNION ALL SELECT orderkey, shipdate FROM lineitem")),
+
+    // testHaving/testHaving3 (:3218-:3232): HAVING on a group key, aggregate arithmetic.
+    "r114_ref_having_family" -> batchCols(
+      Seq("k", "v"),
+      Seq("CAST(c1 AS VARCHAR) AS k",
+        "CAST(c2 AS DOUBLE) AS v"),
+      sparkCast = Map("k" -> "string", "v" -> "double"), cases = Seq(
+      "h1" -> "SELECT orderstatus, sum(totalprice) FROM orders GROUP BY orderstatus HAVING orderstatus = 'O'",
+      "h2" -> "SELECT custkey, sum(totalprice) * 2 FROM orders GROUP BY custkey",
+      "h3" -> "SELECT custkey, avg(totalprice + 5) FROM orders GROUP BY custkey",
+      "h4" -> "SELECT custkey, sum(totalprice) * 2 FROM orders GROUP BY custkey HAVING avg(totalprice + 5) > 10")),
+
+    // NULLIF aggregates per group (:713).
+    "r115_ref_nullif_aggs" -> batchCols(
+      Seq("custkey", "mx", "mn"),
+      Seq("c1 AS custkey", "c2 AS mx", "c3 AS mn"), Seq(
+      "m1" -> "SELECT custkey, MAX(NULLIF(orderstatus, 'O')), MIN(NULLIF(orderstatus, 'O')) FROM orders GROUP BY custkey")),
+    // Filtered-ON outer-join aggregate (:1181).
+    "r115b_ref_outer_agg" -> batchCols(
+      Seq("clerk", "avgp", "cnt"),
+      Seq("c1 AS clerk", "CAST(c2 AS DOUBLE) AS avgp", "CAST(c3 AS BIGINT) AS cnt"),
+      sparkCast = Map("avgp" -> "double"), cases = Seq(
+      "m2" -> "SELECT o.clerk, avg(o.shippriority), COUNT(l.linenumber) FROM orders o LEFT OUTER JOIN lineitem l ON o.orderkey=l.orderkey AND o.shippriority=1 GROUP BY o.clerk")),
+    // DISTINCT self-join on two string keys (:1702) + string UNION (:5056).
+    "r115c_ref_string_pairs" -> batchCols(
+      Seq("a", "b"), Seq("c1 AS a", "c2 AS b"), Seq(
+      "m3" -> "SELECT   a.orderstatus   , a.clerk FROM (   SELECT DISTINCT orderstatus, clerk FROM orders ) a INNER JOIN (   SELECT DISTINCT orderstatus, clerk FROM orders ) b ON   a.orderstatus = b.orderstatus   and a.clerk = b.clerk where a.orderstatus = 'F' ",
+      "m4" -> "SELECT 'x', 'y' UNION ALL SELECT name, name FROM nation")),
+    // Constant-subquery ORDER BY (:5876) — no real ordering implied.
+    "r115d_ref_orderby_const_subquery" -> batchCols(
+      Seq("orderkey", "totalprice"),
+      Seq("c1 AS orderkey", "CAST(c2 AS DOUBLE) AS totalprice"),
+      sparkCast = Map("totalprice" -> "double"), cases = Seq(
+      "m5" -> "SELECT orderkey, totalprice FROM orders ORDER BY (SELECT 2)")),
+
+    // Scalar-subquery comparisons and projected IN pairs (:5523-:7713).
+    "r116_ref_scalar_subquery_cmp" -> batchCols(
+      Seq("a", "b"),
+      Seq("CAST(c1 AS INT) AS a",
+        "CAST(c2 AS INT) AS b"),
+      sparkCast = Map("a" -> "int", "b" -> "int"), cases = Seq(
+      "c1" -> "SELECT 1 IN (SELECT 1), 2 IN (SELECT 1) WHERE 1 IN (SELECT 1)",
+      "c2" -> "SELECT 1.0 = (SELECT 1) AND 1 = (SELECT 1), 2.0 = (SELECT 1) WHERE 1.0 = (SELECT 1) AND 1 = (SELECT 1)",
+      "c4" -> "SELECT 1.0 = ANY(SELECT 1), 2 = ANY(SELECT 1) WHERE 1 = ANY(SELECT 1)")),
+
+    // Correlated EXISTS projected next to aggregates (:6370-:6493).
+    "r117_ref_exists_projected" -> batchCols(
+      Seq("mx", "k", "e"),
+      Seq("CAST(c1 AS DOUBLE) AS mx",
+        "c2 AS k",
+        "CAST(c3 AS INT) AS e"),
+      sparkCast = Map("mx" -> "double", "e" -> "int"), cases = Seq(
+      "e1" -> "SELECT max(o.totalprice), o.orderkey, EXISTS(SELECT o.orderkey) FROM orders o GROUP BY o.orderkey",
+      "e2" -> "SELECT max(o.totalprice), o.orderkey, EXISTS(SELECT 1 WHERE o.orderkey = 0) FROM orders o GROUP BY o.orderkey",
+      "e3" -> "SELECT max(l.quantity), l.orderkey, EXISTS(SELECT 1 WHERE l.orderkey > 0 OR l.orderkey != 3) FROM lineitem l GROUP BY l.orderkey")),
+
+    // Constant scalar-subquery / EXISTS GROUP BY keys (:5985-:6037; DuckDB oracle drops the constant key).
+    "r118_ref_groupby_subquery_keys" -> batchCols(
+      Seq("linenumber", "mn"),
+      Seq("c1 AS linenumber",
+        "CAST(c2 AS BIGINT) AS mn"),
+      Seq(
+      ("k1", "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber, (SELECT max(orderkey) FROM orders WHERE orderkey < 7)",
+              "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber"),
+      ("k2", "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber, EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)",
+              "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber"))),
+
+    // VALUES rows with expressions and row coercion (:683-:696; DuckDB needs parens per row).
+    "r119_ref_values_rows" -> batchCols(
+      Seq("a", "b"),
+      Seq("CAST(c1 AS DOUBLE) AS a",
+        "CAST(c2 AS DOUBLE) AS b"),
+      sparkCast = Map("a" -> "double", "b" -> "double"), cases = Seq(
+      ("v1", "SELECT * FROM (VALUES (1.1, 2), (sin(3.3), 2+2))",
+              "SELECT * FROM (VALUES (1.1, 2), (sin(3.3), 2+2))"),
+      ("v2", "VALUES (1, 2), (3.3, 4.4)",
+              "VALUES (1, 2), (3.3, 4.4)"))),
+
+    // Small UNION coercion rows (:5267-:5287) and single-string scalars
+    // (:4060, :5294).
+    "r120_ref_union_coercion_rows" -> batchCols(
+      Seq("a", "b"),
+      Seq("CAST(c1 AS VARCHAR) AS a", "CAST(c2 AS VARCHAR) AS b"),
+      sparkCast = Map("a" -> "string", "b" -> "string"), cases = Seq(
+      "n1" -> "SELECT 123, 'foo' UNION ALL SELECT 999, 'bar'",
+      "n2" -> "SELECT 0, 0 UNION ALL SELECT 1.0, 0",
+      ("n3", "SELECT * FROM (VALUES (2, 2)) UNION SELECT * FROM (VALUES (1, 1.0))",
+             "SELECT * FROM (VALUES (2, 2)) UNION SELECT * FROM (VALUES (1, 1.0))"),
+      ("n4", "SELECT * FROM (VALUES (NULL, NULL)) UNION SELECT * FROM (VALUES (1, 1.0))",
+             "SELECT * FROM (VALUES (NULL, NULL)) UNION SELECT * FROM (VALUES (1, 1.0))"))),
+    "r120b_ref_string_scalars" -> batchCols(
+      Seq("v"), Seq("c1 AS v"), Seq(
+      "s1" -> "SELECT '12' || '34'",
+      "s2" -> "SELECT a FROM (  (SELECT orderstatus AS a FROM orders LIMIT 1) UNION ALL   SELECT 'aaaa' AS a) WHERE  a = 'aaa'")),
+
+    // Aggregates over INTERSECT/EXCEPT with constant SUM (:1401-:1464).
+    "r121_ref_set_op_agg_trios" -> batchCols(
+      Seq("n", "s", "k"),
+      Seq("CAST(c1 AS BIGINT) AS n",
+        "CAST(c2 AS BIGINT) AS s",
+        "c3 AS k"),
+      Seq(
+      "t1" -> "SELECT COUNT(*), SUM(2), regionkey FROM (SELECT nationkey, regionkey FROM nation INTERSECT SELECT regionkey, regionkey FROM nation) n GROUP BY regionkey",
+      "t2" -> "SELECT COUNT(*), SUM(2), regionkey FROM (SELECT nationkey, regionkey FROM nation EXCEPT SELECT regionkey, regionkey FROM nation) n GROUP BY regionkey HAVING regionkey < 3")),
+
+    // Mixed-width equi+residual joins projecting both sides (:1502-:1534,
+    // :5039) and an IN-filtered join pair (:5442).
+    "r122_ref_join_quads" -> batchCols(
+      Seq("a", "b", "c", "d"),
+      Seq("CAST(c1 AS BIGINT) AS a", "CAST(c2 AS BIGINT) AS b",
+        "CAST(c3 AS BIGINT) AS c", "CAST(c4 AS BIGINT) AS d"), Seq(
+      "q1" -> "SELECT l.suppkey, n.nationkey, l.partkey, n.regionkey FROM nation n JOIN lineitem l ON l.suppkey = n.nationkey AND l.partkey < n.regionkey",
+      "q2" -> "SELECT l.suppkey, n.nationkey, l.partkey, n.regionkey FROM nation n JOIN lineitem l ON l.suppkey = n.nationkey AND l.partkey > n.regionkey",
+      "q3" -> "SELECT * FROM   (SELECT orderkey, abs(orderkey) a FROM orders) t JOIN   (SELECT orderkey, abs(orderkey) a FROM orders) u ON   t.orderkey = u.orderkey")),
+    "r122b_ref_join_in_pair" -> batchCols(
+      Seq("orderkey", "linenumber"),
+      Seq("c1 AS orderkey", "CAST(c2 AS INT) AS linenumber"), Seq(
+      "q4" -> "SELECT l.orderkey, l.linenumber FROM orders o INNER JOIN lineitem l ON o.custkey = l.linenumber WHERE o.custkey IN (5) AND l.orderkey IN (7522)")),
+
+    // Reserved-ish words as aliases (:6935) — TIME/TIMESTAMP/DATE/INTERVAL resolve as column names (DuckDB needs quoting).
+    "r123_ref_reserved_aliases" -> batchCols(
+      Seq("t1", "t2", "t3", "t4"),
+      Seq("CAST(c1 AS INT) AS t1",
+        "CAST(c2 AS INT) AS t2",
+        "CAST(c3 AS INT) AS t3",
+        "CAST(c4 AS INT) AS t4"),
+      Seq(
+      ("r1", "SELECT TIME, TIMESTAMP, DATE, INTERVAL FROM (SELECT 1 TIME, 2 TIMESTAMP, 3 DATE, 4 INTERVAL)",
+              "SELECT \"TIME\", \"TIMESTAMP\", \"DATE\", \"INTERVAL\" FROM (SELECT 1 \"TIME\", 2 \"TIMESTAMP\", 3 \"DATE\", 4 \"INTERVAL\")"))),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
