@@ -1319,6 +1319,150 @@ object RefCorpus {
       ("r1", "SELECT TIME, TIMESTAMP, DATE, INTERVAL FROM (SELECT 1 TIME, 2 TIMESTAMP, 3 DATE, 4 INTERVAL)",
               "SELECT \"TIME\", \"TIMESTAMP\", \"DATE\", \"INTERVAL\" FROM (SELECT 1 \"TIME\", 2 \"TIMESTAMP\", 3 \"DATE\", 4 \"INTERVAL\")"))),
 
+    // Lineitem star filtered by scalar subqueries (:5814-:5825): max(orderkey) probe, empty-result scalar, IS [NOT] NULL over an empty scalar.
+    "r124_ref_lineitem_star_filters" -> batchCols(
+      Seq("orderkey", "partkey", "suppkey", "linenumber", "quantity", "extendedprice", "discount", "tax", "returnflag", "linestatus", "shipdate", "commitdate", "receiptdate", "shipmode", "shipinstruct", "comment"),
+      Seq("c1 AS orderkey",
+        "c2 AS partkey",
+        "c3 AS suppkey",
+        "c4 AS linenumber",
+        "CAST(c5 AS DOUBLE) AS quantity",
+        "CAST(c6 AS DOUBLE) AS extendedprice",
+        "CAST(c7 AS DOUBLE) AS discount",
+        "CAST(c8 AS DOUBLE) AS tax",
+        "c9 AS returnflag",
+        "c10 AS linestatus",
+        "c11 AS shipdate",
+        "c12 AS commitdate",
+        "c13 AS receiptdate",
+        "c14 AS shipmode",
+        "c15 AS shipinstruct",
+        "c16 AS comment"),
+      sparkCast = Map("quantity" -> "double", "extendedprice" -> "double", "discount" -> "double", "tax" -> "double"), cases = Seq(
+      "f1" -> "SELECT * FROM lineitem WHERE orderkey =  (SELECT max(orderkey) FROM orders)",
+      "f2" -> "SELECT * FROM lineitem WHERE orderkey =  (SELECT orderkey FROM orders WHERE 0=1)",
+      "f3" -> "SELECT * FROM lineitem WHERE  (SELECT orderkey FROM orders WHERE 0=1) is null",
+      "f4" -> "SELECT * FROM lineitem WHERE  (SELECT orderkey FROM orders WHERE 0=1) is not null")),
+
+    // Lineitem-orders star joins against an (almost-surely) empty rand()-filtered orders side (:1971-:1975) and the parenthesized-join form (:1676).
+    "r125_ref_lineitem_orders_star" -> batchCols(
+      Seq("a_orderkey", "a_partkey", "a_suppkey", "a_linenumber", "a_quantity", "a_extendedprice", "a_discount", "a_tax", "a_returnflag", "a_linestatus", "a_shipdate", "a_commitdate", "a_receiptdate", "a_shipmode", "a_shipinstruct", "a_comment", "b_orderkey", "b_custkey", "b_orderstatus", "b_totalprice", "b_orderdate", "b_orderpriority", "b_clerk", "b_shippriority", "b_comment"),
+      Seq("c1 AS a_orderkey",
+        "c2 AS a_partkey",
+        "c3 AS a_suppkey",
+        "c4 AS a_linenumber",
+        "CAST(c5 AS DOUBLE) AS a_quantity",
+        "CAST(c6 AS DOUBLE) AS a_extendedprice",
+        "CAST(c7 AS DOUBLE) AS a_discount",
+        "CAST(c8 AS DOUBLE) AS a_tax",
+        "c9 AS a_returnflag",
+        "c10 AS a_linestatus",
+        "c11 AS a_shipdate",
+        "c12 AS a_commitdate",
+        "c13 AS a_receiptdate",
+        "c14 AS a_shipmode",
+        "c15 AS a_shipinstruct",
+        "c16 AS a_comment",
+        "c17 AS b_orderkey",
+        "c18 AS b_custkey",
+        "c19 AS b_orderstatus",
+        "CAST(c20 AS DOUBLE) AS b_totalprice",
+        "CAST(c21 AS VARCHAR) AS b_orderdate",
+        "c22 AS b_orderpriority",
+        "c23 AS b_clerk",
+        "c24 AS b_shippriority",
+        "c25 AS b_comment"),
+      sparkCast = Map("a_quantity" -> "double", "a_extendedprice" -> "double", "a_discount" -> "double", "a_tax" -> "double", "b_totalprice" -> "double", "b_orderdate" -> "string"), cases = Seq(
+      ("e1", "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) b ON a.orderkey = b.orderkey",
+              "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) b ON a.orderkey = b.orderkey"),
+      ("e2", "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) b ON a.orderkey > b.orderkey",
+              "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) b ON a.orderkey > b.orderkey"),
+      ("e3", "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) b ON 1 = 1",
+              "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) b ON 1 = 1"),
+      ("e4", "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) b ON b.orderkey > 1",
+              "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) b ON b.orderkey > 1"),
+      ("e5", "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = rand()) b ON b.orderkey > b.totalprice",
+              "SELECT * FROM lineitem a LEFT JOIN (SELECT * FROM orders WHERE orderkey = random()) b ON b.orderkey > b.totalprice"),
+      "e6" -> "SELECT * FROM (lineitem JOIN orders ON lineitem.orderkey = orders.orderkey) x")),
+
+    // Orders-pair cross joins over deterministic LIMIT subqueries and the LIMIT-5 self equi-join (:5430-:5491).
+    "r126_ref_orders_star_pairs" -> batchCols(
+      Seq("a_orderkey", "a_custkey", "a_orderstatus", "a_totalprice", "a_orderdate", "a_orderpriority", "a_clerk", "a_shippriority", "a_comment", "b_orderkey", "b_custkey", "b_orderstatus", "b_totalprice", "b_orderdate", "b_orderpriority", "b_clerk", "b_shippriority", "b_comment"),
+      Seq("c1 AS a_orderkey",
+        "c2 AS a_custkey",
+        "c3 AS a_orderstatus",
+        "CAST(c4 AS DOUBLE) AS a_totalprice",
+        "c5 AS a_orderdate",
+        "c6 AS a_orderpriority",
+        "c7 AS a_clerk",
+        "c8 AS a_shippriority",
+        "c9 AS a_comment",
+        "c10 AS b_orderkey",
+        "c11 AS b_custkey",
+        "c12 AS b_orderstatus",
+        "CAST(c13 AS DOUBLE) AS b_totalprice",
+        "c14 AS b_orderdate",
+        "c15 AS b_orderpriority",
+        "c16 AS b_clerk",
+        "c17 AS b_shippriority",
+        "c18 AS b_comment"),
+      sparkCast = Map("a_totalprice" -> "double", "b_totalprice" -> "double"), cases = Seq(
+      "c1" -> "SELECT * FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 3) a, (SELECT * FROM orders ORDER BY orderkey LIMIT 4) b",
+      "c2" -> "SELECT * FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) a, (SELECT * FROM orders ORDER BY orderkey LIMIT 2) b",
+      "c4" -> "SELECT * FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) a    JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) b    ON 123 = 123")),
+
+    // COALESCE-doubling over an ORDER BY subquery (:3006), correlated
+    // scalar aggregates with HAVING vs an outer value (:6146) and paired
+    // per-row correlated averages (:6303).
+    "r127_ref_correlated_scalars" -> batchCols(
+      Seq("a", "b"),
+      Seq("CAST(c1 AS DOUBLE) AS a", "CAST(c2 AS DOUBLE) AS b"),
+      sparkCast = Map("a" -> "double", "b" -> "double"), cases = Seq(
+      "c1" -> "SELECT nationkey, arbitrary_column + arbitrary_column FROM (    SELECT nationkey, COALESCE(arbitrary_column, 0) arbitrary_column    FROM (       SELECT nationkey, 1 arbitrary_column       FROM nation       ORDER BY 1 ASC))",
+      "c3" -> "SELECT(SELECT avg(regionkey) FROM nation n2  WHERE n2.nationkey = n1.nationkey),(SELECT avg(regionkey)+1  FROM nation n3  WHERE n3.nationkey = n1.nationkey)FROM nation n1")),
+
+    // Correlated scalar aggregate with HAVING vs an outer value (:6146).
+    "r127b_ref_correlated_having" -> batchCols(
+      Seq("v"), Seq("CAST(c1 AS DOUBLE) AS v"),
+      sparkCast = Map("v" -> "double"), cases = Seq(
+      ("h1", "SELECT (SELECT avg(totalprice) FROM orders GROUP BY custkey, orderdate HAVING avg(totalprice) < a) FROM (VALUES 900) t(a)",
+             "SELECT (SELECT avg(totalprice) FROM orders GROUP BY custkey, orderdate HAVING avg(totalprice) < a) FROM (VALUES (900)) t(a)"))),
+
+    // min/max over an all-NULL (unknown-typed) column per group (:188) —
+    // the void columns dump via INT.
+    "r128_ref_null_minmax" -> batchCols(
+      Seq("clerk", "mn", "mx", "mnn", "mxn"),
+      Seq("c1 AS clerk", "CAST(c2 AS DOUBLE) AS mn", "CAST(c3 AS DOUBLE) AS mx",
+        "CAST(c4 AS INT) AS mnn", "CAST(c5 AS INT) AS mxn"),
+      sparkCast = Map("mn" -> "double", "mx" -> "double",
+        "mnn" -> "int", "mxn" -> "int"), cases = Seq(
+      "g1" -> "SELECT clerk, min(totalprice), max(totalprice), min(nullvalue), max(nullvalue) FROM (SELECT clerk, totalprice, null AS nullvalue FROM orders) GROUP BY clerk")),
+
+    // Transitive-equality join propagation over modulo splits (:6683) and
+    // the grouped join-aggregate shape (:6704).
+    "r129_ref_transitive_join" -> batchCols(
+      Seq("k1", "k1a", "k1b", "k1c", "k2", "k2a", "k2b"),
+      Seq("c1 AS k1", "c2 AS k1a", "c3 AS k1b", "c4 AS k1c",
+        "c5 AS k2", "c6 AS k2a", "c7 AS k2b"), Seq(
+      "t1" -> "SELECT * FROM (   SELECT custkey custkey1, custkey%4 custkey1a, custkey%8 custkey1b, custkey%16 custkey1c   FROM orders ) orders1  JOIN (   SELECT custkey custkey2, custkey%4 custkey2a, custkey%8 custkey2b   FROM orders ) orders2 ON orders1.custkey1 = orders2.custkey2 WHERE custkey2a = custkey2b   AND custkey1 = custkey1a   AND custkey2 = custkey2a   AND custkey1a = custkey1c   AND custkey1b = custkey1c   AND custkey1b % 2 = 0")),
+    "r130_ref_grouped_join_agg" -> batchCols(
+      Seq("custkey1", "orderstatus1", "totalprice", "maxcustkey"),
+      Seq("c1 AS custkey1", "c2 AS orderstatus1",
+        "CAST(c3 AS BIGINT) AS totalprice", "c4 AS maxcustkey"), Seq(
+      ("t2", "SELECT * FROM (   SELECT custkey1, orderstatus1, SUM(totalprice1) totalprice, MAX(custkey2) maxcustkey   FROM (     SELECT *     FROM (       SELECT custkey custkey1, orderstatus orderstatus1, CAST(totalprice AS BIGINT) totalprice1, orderkey orderkey1       FROM orders     ) orders1      JOIN (       SELECT custkey custkey2, orderstatus orderstatus2, CAST(totalprice AS BIGINT) totalprice2, orderkey orderkey2       FROM orders     ) orders2 ON orders1.orderkey1 = orders2.orderkey2   )    GROUP BY custkey1, orderstatus1 ) WHERE custkey1 = maxcustkey AND maxcustkey % 2 = 0  AND orderstatus1 = 'F' AND totalprice > 10000 ORDER BY custkey1, orderstatus1, totalprice, maxcustkey",
+             "SELECT * FROM (   SELECT custkey1, orderstatus1, SUM(totalprice1) totalprice, MAX(custkey2) maxcustkey   FROM (     SELECT *     FROM (       SELECT custkey custkey1, orderstatus orderstatus1, CAST(floor(totalprice + 0.5) AS BIGINT) totalprice1, orderkey orderkey1       FROM orders     ) orders1      JOIN (       SELECT custkey custkey2, orderstatus orderstatus2, CAST(floor(totalprice + 0.5) AS BIGINT) totalprice2, orderkey orderkey2       FROM orders     ) orders2 ON orders1.orderkey1 = orders2.orderkey2   )    GROUP BY custkey1, orderstatus1 ) WHERE custkey1 = maxcustkey AND maxcustkey % 2 = 0  AND orderstatus1 = 'F' AND totalprice > 10000 ORDER BY custkey1, orderstatus1, totalprice, maxcustkey"))),
+
+    // Projected IN reused as GROUP BY key + HAVING on a conditional sum
+    // over another IN (:5554) — oracle drops the IN GROUP BY term DuckDB
+    // cannot hold (it is NOT constant, so the oracle groups by the
+    // expression via a subquery instead).
+    "r131_ref_semijoin_group_reuse" -> batchCols(
+      Seq("b", "s"),
+      Seq("CAST(c1 AS INT) AS b", "CAST(c2 AS BIGINT) AS s"),
+      sparkCast = Map("b" -> "int"), cases = Seq(
+      ("g1", "SELECT orderkey   IN (     SELECT orderkey     FROM lineitem     WHERE partkey % 4 = 0),   SUM(     CASE       WHEN orderkey         IN (           SELECT orderkey           FROM lineitem           WHERE suppkey % 4 = 0)       THEN 1       ELSE 0       END) FROM orders GROUP BY orderkey   IN (     SELECT orderkey     FROM lineitem     WHERE partkey % 4 = 0) HAVING SUM(   CASE     WHEN orderkey       IN (         SELECT orderkey         FROM lineitem         WHERE suppkey % 4 = 0)       THEN 1       ELSE 0       END) > 1",
+             "SELECT ink, SUM(CASE WHEN orderkey IN (SELECT orderkey FROM lineitem WHERE suppkey % 4 = 0) THEN 1 ELSE 0 END) FROM (SELECT orderkey, orderkey IN (SELECT orderkey FROM lineitem WHERE partkey % 4 = 0) AS ink FROM orders) GROUP BY ink HAVING SUM(CASE WHEN orderkey IN (SELECT orderkey FROM lineitem WHERE suppkey % 4 = 0) THEN 1 ELSE 0 END) > 1"))),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
