@@ -1463,6 +1463,144 @@ object RefCorpus {
       ("g1", "SELECT orderkey   IN (     SELECT orderkey     FROM lineitem     WHERE partkey % 4 = 0),   SUM(     CASE       WHEN orderkey         IN (           SELECT orderkey           FROM lineitem           WHERE suppkey % 4 = 0)       THEN 1       ELSE 0       END) FROM orders GROUP BY orderkey   IN (     SELECT orderkey     FROM lineitem     WHERE partkey % 4 = 0) HAVING SUM(   CASE     WHEN orderkey       IN (         SELECT orderkey         FROM lineitem         WHERE suppkey % 4 = 0)       THEN 1       ELSE 0       END) > 1",
              "SELECT ink, SUM(CASE WHEN orderkey IN (SELECT orderkey FROM lineitem WHERE suppkey % 4 = 0) THEN 1 ELSE 0 END) FROM (SELECT orderkey, orderkey IN (SELECT orderkey FROM lineitem WHERE partkey % 4 = 0) AS ink FROM orders) GROUP BY ink HAVING SUM(CASE WHEN orderkey IN (SELECT orderkey FROM lineitem WHERE suppkey % 4 = 0) THEN 1 ELSE 0 END) > 1"))),
 
+    // AbstractTestAggregations single-value statements: filtered COUNT, SUM-DISTINCT over an aggregate subquery, constant-NULL grouping keys, GROUP BY over a projected subquery.
+    "r132_ref_agg_singles" -> batchCols(
+      Seq("n"),
+      Seq("CAST(c1 AS BIGINT) AS n"),
+      Seq(
+      "a1" -> "SELECT COUNT(*) FROM orders WHERE orderstatus = 'F'",
+      "a2" -> "SELECT SUM(DISTINCT x) FROM (SELECT custkey, COUNT(DISTINCT orderstatus) x FROM orders GROUP BY custkey) t",
+      "a3" -> "SELECT count(*) FROM (   SELECT CAST(null AS VARCHAR) constant, orderdate   FROM orders ) a group by constant, orderdate ",
+      "a4" -> "SELECT * FROM (SELECT orderkey FROM orders) t GROUP BY orderkey")),
+
+    // Re-aggregation over aggregates, CASE grouping keys with NULL/0 collisions, DISTINCT counts over empty inputs, mixed DISTINCT+non-DISTINCT, duplicated maxes.
+    "r133_ref_agg_pairs" -> batchCols(
+      Seq("a", "b"),
+      Seq("CAST(c1 AS BIGINT) AS a",
+        "CAST(c2 AS BIGINT) AS b"),
+      Seq(
+      "p1" -> "SELECT custkey, sum(t) FROM (SELECT custkey, count(*) t FROM orders GROUP BY custkey) GROUP BY custkey",
+      "p2" -> "SELECT key, COUNT(*) FROM (SELECT CASE   WHEN orderkey % 3 = 0 THEN NULL   WHEN orderkey % 5 = 0 THEN 0   ELSE orderkey   END AS key FROM lineitem) GROUP BY key",
+      "p3" -> "SELECT lines, COUNT(*) FROM (SELECT orderkey, COUNT(*) lines FROM lineitem GROUP BY orderkey) U GROUP BY lines",
+      "p4" -> "SELECT COUNT(DISTINCT linenumber), COUNT(*) from lineitem where linenumber < 0",
+      "p5" -> "SELECT custkey, COUNT(DISTINCT orderstatus) FROM (   SELECT orders.custkey AS custkey, orders.orderstatus AS orderstatus    FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = lineitem.partkey    GROUP BY orders.custkey, orders.orderstatus) GROUP BY custkey",
+      "p6" -> "SELECT COUNT(tan(shippriority)), sum(DISTINCT orderkey) FROM orders",
+      "p7" -> "SELECT COUNT(DISTINCT orderstatus), SUM(DISTINCT custkey) FROM orders",
+      "p8" -> "SELECT max(a), max(b) FROM (SELECT custkey a, custkey b FROM orders) x",
+      "p9" -> "SELECT suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY suppkey")),
+
+    // Multiple DISTINCT aggregates per group (MarkDistinct shapes).
+    "r134_ref_agg_trios" -> batchCols(
+      Seq("a", "b", "c"),
+      Seq("CAST(c1 AS BIGINT) AS a",
+        "CAST(c2 AS BIGINT) AS b",
+        "CAST(c3 AS BIGINT) AS c"),
+      Seq(
+      "t1" -> "SELECT custkey, COUNT(DISTINCT orderkey), COUNT(DISTINCT orderstatus) FROM orders GROUP BY custkey",
+      "t2" -> "SELECT partkey, COUNT(DISTINCT shipdate), SUM(linenumber) FROM lineitem GROUP BY partkey")),
+
+    // Aggregations mixing group keys, DISTINCT sums and string maxes.
+    "r135_ref_agg_mixed" -> batchCols(
+      Seq("a", "b", "c"),
+      Seq("CAST(c1 AS VARCHAR) AS a",
+        "CAST(c2 AS VARCHAR) AS b",
+        "CAST(c3 AS VARCHAR) AS c"),
+      sparkCast = Map("a" -> "string", "b" -> "string", "c" -> "string"), cases = Seq(
+      "m1" -> "SELECT custkey, orderstatus, COUNT(DISTINCT orderkey) FROM orders GROUP BY custkey, orderstatus",
+      "m2" -> "SELECT max(orderstatus), COUNT(DISTINCT orderkey), sum(DISTINCT orderkey) FROM orders",
+      "m3" -> "SELECT max(orderstatus), COUNT(DISTINCT shippriority), sum(DISTINCT orderkey) FROM orders",
+      "m4" -> "SELECT shippriority, MAX(orderstatus), SUM(DISTINCT shippriority) FROM orders GROUP BY shippriority",
+      "m5" -> "SELECT shippriority, COUNT(shippriority), SUM(DISTINCT orderkey) FROM orders GROUP BY shippriority",
+      "m6" -> "SELECT shippriority, COUNT(shippriority), SUM(DISTINCT shippriority) FROM orders GROUP BY shippriority",
+      "m7" -> "SELECT custkey, orderstatus, MAX(orderkey) FROM orders WHERE orderkey = 1 GROUP BY custkey, orderstatus",
+      "m8" -> "SELECT custkey, orderstatus, COUNT(*) FROM orders GROUP BY custkey, orderstatus")),
+
+    // Four-column aggregation shapes (negated counts, per-clerk DISTINCT sums).
+    "r136_ref_agg_quads" -> batchCols(
+      Seq("a", "b", "c", "d"),
+      Seq("CAST(c1 AS VARCHAR) AS a",
+        "CAST(c2 AS VARCHAR) AS b",
+        "CAST(c3 AS VARCHAR) AS c",
+        "CAST(c4 AS VARCHAR) AS d"),
+      sparkCast = Map("a" -> "string", "b" -> "string", "c" -> "string", "d" -> "string"), cases = Seq(
+      "q1" -> "SELECT custkey, orderstatus, avg(shippriority), SUM(DISTINCT orderkey) FROM orders GROUP BY custkey, orderstatus",
+      "q2" -> "SELECT clerk, shippriority, MAX(orderstatus), SUM(DISTINCT shippriority) FROM orders GROUP BY clerk, shippriority",
+      "q3" -> "SELECT clerk, shippriority, COUNT(shippriority), SUM(DISTINCT orderkey) FROM orders GROUP BY clerk, shippriority",
+      "q4" -> "SELECT clerk, shippriority, COUNT(shippriority), SUM(DISTINCT shippriority) FROM orders GROUP BY clerk, shippriority",
+      "q5" -> "SELECT orderstatus, a, custkey, b FROM (SELECT custkey, orderstatus, -COUNT(*) a, MAX(orderkey) b FROM orders WHERE orderkey = 1 GROUP BY custkey, orderstatus) T")),
+
+    // Re-grouping by (orderdate, count) trio.
+    "r137_ref_agg_dates" -> batchCols(
+      Seq("orderdate", "c", "n"),
+      Seq("c1 AS orderdate",
+        "CAST(c2 AS BIGINT) AS c",
+        "CAST(c3 AS BIGINT) AS n"),
+      Seq(
+      "d1" -> "SELECT orderdate, c, count(*) FROM (SELECT orderdate, count(*) c FROM orders GROUP BY orderdate) GROUP BY orderdate, c")),
+
+    // Ordered DISTINCT count per orderdate (:196).
+    "r137b_ref_agg_ordered_distinct" -> batchCols(
+      Seq("count", "orderdate"),
+      Seq("CAST(c1 AS BIGINT) AS count",
+        "c2 AS orderdate"),
+      Seq(
+      "d2" -> "SELECT COUNT(DISTINCT clerk) AS count, orderdate FROM orders GROUP BY orderdate ORDER BY count, orderdate")),
+
+    // Double-sum arithmetic identities (:310-:311).
+    "r138_ref_agg_double_arith" -> batchCols(
+      Seq("v"),
+      Seq("CAST(CAST(c1 AS DECIMAL(38,0)) AS DOUBLE) AS v"),
+      sparkCast = Map("v" -> "decimal(38,0)"), cases = Seq(
+      "x1" -> "SELECT sum(totalprice * 2) - sum(totalprice) FROM orders",
+      "x2" -> "SELECT sum(totalprice * 2) + sum(totalprice * 2) FROM orders")),
+
+    // BETWEEN as a grouping key (:443).
+    "r138b_ref_groupby_between" -> batchCols(
+      Seq("v"),
+      Seq("c1 AS v"),
+      Seq(
+      "x1" -> "SELECT orderkey BETWEEN 1 AND 100 FROM orders GROUP BY orderkey BETWEEN 1 AND 100 ")),
+
+    // DISTINCT over INTERSECT joined to nation (:376).
+    "r138c_ref_setop_join_distinct" -> batchCols(
+      Seq("v"),
+      Seq("CAST(c1 AS INT) AS v"),
+      Seq(
+      "x1" -> "SELECT DISTINCT r1.regionkey FROM (SELECT regionkey FROM region INTERSECT SELECT regionkey FROM region WHERE regionkey < 4) AS r1 LEFT JOIN nation ON r1.regionkey = nation.regionkey")),
+
+    // SUM of a typed NULL per group (:122).
+    "r138d_ref_null_sum_group" -> batchCols(
+      Seq("k", "s"),
+      Seq("c1 AS k",
+        "CAST(c2 AS BIGINT) AS s"),
+      sparkCast = Map("s" -> "bigint"), cases = Seq(
+      "x1" -> "SELECT orderstatus, sum(CAST(NULL AS BIGINT)) FROM orders GROUP BY orderstatus")),
+
+    // Aggregate over a subquery mixing avg and SUM DISTINCT (:223).
+    "r138e_ref_agg_over_distinct_avg" -> batchCols(
+      Seq("s", "mx", "sa"),
+      Seq("CAST(c1 AS BIGINT) AS s",
+        "CAST(c2 AS BIGINT) AS mx",
+        "CAST(CAST(c3 AS DECIMAL(38,6)) AS DOUBLE) AS sa"),
+      sparkCast = Map("sa" -> "decimal(38,6)"), cases = Seq(
+      "x1" -> "SELECT s, MAX(custkey), SUM(a) FROM (    SELECT custkey, avg(shippriority) AS a, SUM(DISTINCT orderkey) AS s FROM orders GROUP BY custkey, orderstatus) GROUP BY s")),
+
+    // Decimal literal divided by COUNT(*) (:323-:324) — decimal division result gated at 10 fractional digits (result scales differ per engine).
+    "r138f_ref_decimal_over_count" -> batchCols(
+      Seq("v"),
+      Seq("CAST(CAST(c1 AS DECIMAL(30,10)) AS DOUBLE) AS v"),
+      sparkCast = Map("v" -> "decimal(30,10)"), cases = Seq(
+      "x1" -> "SELECT 1.0 / COUNT(*) FROM orders")),
+
+    // now()-derived constant grouping keys (:623-:630; both engines evaluate at run time — same year).
+    "r138g_ref_now_grouping" -> batchCols(
+      Seq("y", "n"),
+      Seq("CAST(c1 AS INT) AS y",
+        "CAST(c2 AS BIGINT) AS n"),
+      sparkCast = Map("y" -> "int"), cases = Seq(
+      "x1" -> "SELECT EXTRACT(YEAR FROM now()), count(*) FROM orders GROUP BY EXTRACT(YEAR FROM now())",
+      "x2" -> "SELECT EXTRACT(YEAR FROM now()), count(*) FROM orders GROUP BY now()")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
