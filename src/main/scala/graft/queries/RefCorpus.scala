@@ -1357,9 +1357,9 @@ object RefCorpus {
         "CAST(c8 AS DOUBLE) AS a_tax",
         "c9 AS a_returnflag",
         "c10 AS a_linestatus",
-        "c11 AS a_shipdate",
-        "c12 AS a_commitdate",
-        "c13 AS a_receiptdate",
+        "CAST(c11 AS VARCHAR) AS a_shipdate",
+        "CAST(c12 AS VARCHAR) AS a_commitdate",
+        "CAST(c13 AS VARCHAR) AS a_receiptdate",
         "c14 AS a_shipmode",
         "c15 AS a_shipinstruct",
         "c16 AS a_comment",
@@ -1600,6 +1600,152 @@ object RefCorpus {
       sparkCast = Map("y" -> "int"), cases = Seq(
       "x1" -> "SELECT EXTRACT(YEAR FROM now()), count(*) FROM orders GROUP BY EXTRACT(YEAR FROM now())",
       "x2" -> "SELECT EXTRACT(YEAR FROM now()), count(*) FROM orders GROUP BY now()")),
+
+    // AbstractTestIndexedQueries + smoke-test single-value statements — the index-join probe shapes run through broadcast/hash joins.
+    "r139_ref_index_counts" -> batchCols(
+      Seq("n"),
+      Seq("CAST(c1 AS DOUBLE) AS n"),
+      sparkCast = Map("n" -> "double"), cases = Seq(
+      "c01" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey = 1",
+      "c02" -> "SELECT COUNT(*) FROM orders o RIGHT JOIN (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l   ON o.orderkey = l.orderkey",
+      "c03" -> "SELECT COUNT(*) FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l RIGHT JOIN orders o   ON l.orderkey = o.orderkey",
+      "c04" -> "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 WHERE orders.orderkey IS NULL",
+      "c05" -> "SELECT COUNT(*) FROM orders RIGHT OUTER JOIN lineitem ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 WHERE orders.orderkey IS NULL",
+      "c06" -> "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity + length(orders.comment) > 7",
+      "c07" -> "SELECT SUM(orderkey) FROM ORDERS",
+      "c08" -> "SELECT COUNT(*) FROM ORDERS")),
+
+    // Index-join probe stars: filtered lineitem joined to full orders, both sides projected.
+    "r140_ref_index_star25" -> batchCols(
+      Seq("a_orderkey", "a_partkey", "a_suppkey", "a_linenumber", "a_quantity", "a_extendedprice", "a_discount", "a_tax", "a_returnflag", "a_linestatus", "a_shipdate", "a_commitdate", "a_receiptdate", "a_shipmode", "a_shipinstruct", "a_comment", "b_orderkey", "b_custkey", "b_orderstatus", "b_totalprice", "b_orderdate", "b_orderpriority", "b_clerk", "b_shippriority", "b_comment"),
+      Seq("c1 AS a_orderkey",
+        "c2 AS a_partkey",
+        "c3 AS a_suppkey",
+        "c4 AS a_linenumber",
+        "CAST(c5 AS DOUBLE) AS a_quantity",
+        "CAST(c6 AS DOUBLE) AS a_extendedprice",
+        "CAST(c7 AS DOUBLE) AS a_discount",
+        "CAST(c8 AS DOUBLE) AS a_tax",
+        "c9 AS a_returnflag",
+        "c10 AS a_linestatus",
+        "CAST(c11 AS VARCHAR) AS a_shipdate",
+        "CAST(c12 AS VARCHAR) AS a_commitdate",
+        "CAST(c13 AS VARCHAR) AS a_receiptdate",
+        "c14 AS a_shipmode",
+        "c15 AS a_shipinstruct",
+        "c16 AS a_comment",
+        "c17 AS b_orderkey",
+        "c18 AS b_custkey",
+        "c19 AS b_orderstatus",
+        "CAST(c20 AS DOUBLE) AS b_totalprice",
+        "CAST(c21 AS VARCHAR) AS b_orderdate",
+        "c22 AS b_orderpriority",
+        "c23 AS b_clerk",
+        "c24 AS b_shippriority",
+        "c25 AS b_comment"),
+      sparkCast = Map("a_shipdate" -> "string", "a_commitdate" -> "string",
+        "a_receiptdate" -> "string", "b_orderdate" -> "string", "a_quantity" -> "double", "a_extendedprice" -> "double", "a_discount" -> "double", "a_tax" -> "double", "b_totalprice" -> "double"), cases = Seq(
+      "c01" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderkey = o.orderkey",
+      "c02" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l LEFT JOIN orders o   ON l.orderkey = o.orderkey",
+      "c03" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderkey % 1024 = o.orderkey AND l.partkey % 1024 = o.orderkey",
+      "c04" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l LEFT JOIN orders o   ON l.orderkey % 1024 = o.orderkey AND l.partkey % 1024 = o.orderkey",
+      "c05" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderkey = o.orderkey AND l.orderkey = o.custkey",
+      "c06" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l LEFT JOIN orders o   ON l.orderkey = o.orderkey AND l.orderkey = o.custkey",
+      "c07" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderkey = o.orderkey AND l.orderkey = o.orderkey")),
+
+    // Smoke-test orders star probes (point/IN/null-mix predicates).
+    "r141_ref_index_star9" -> batchCols(
+      Seq("orderkey", "custkey", "orderstatus", "totalprice", "orderdate", "orderpriority", "clerk", "shippriority", "comment"),
+      Seq("c1 AS orderkey",
+        "c2 AS custkey",
+        "c3 AS orderstatus",
+        "CAST(c4 AS DOUBLE) AS totalprice",
+        "c5 AS orderdate",
+        "c6 AS orderpriority",
+        "c7 AS clerk",
+        "c8 AS shippriority",
+        "c9 AS comment"),
+      sparkCast = Map("totalprice" -> "double"), cases = Seq(
+      "c01" -> "SELECT * FROM ORDERS WHERE orderkey = 10",
+      "c02" -> "SELECT * FROM ORDERS WHERE orderkey IN (10, 11, 20, 21)",
+      "c03" -> "SELECT * FROM ORDERS WHERE orderkey = 10 OR orderkey IS NULL",
+      "c04" -> "SELECT * FROM ORDERS WHERE orderkey BETWEEN 10 AND 50 or orderkey BETWEEN 100 AND 150",
+      "c05" -> "SELECT * FROM ORDERS WHERE orderkey BETWEEN 10 AND 50",
+      "c06" -> "SELECT * FROM ORDERS")),
+
+    // Probe-key + orders star (CASE-nulled and projected keys).
+    "r142_ref_index_key_star" -> batchCols(
+      Seq("k1", "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority", "o_comment"),
+      Seq("c1 AS k1",
+        "c2 AS o_orderkey",
+        "c3 AS o_custkey",
+        "c4 AS o_orderstatus",
+        "CAST(c5 AS DOUBLE) AS o_totalprice",
+        "c6 AS o_orderdate",
+        "c7 AS o_orderpriority",
+        "c8 AS o_clerk",
+        "c9 AS o_shippriority",
+        "c10 AS o_comment"),
+      sparkCast = Map("o_totalprice" -> "double"), cases = Seq(
+      "c01" -> "SELECT * FROM (   SELECT CASE WHEN suppkey % 2 = 0 THEN orderkey ELSE NULL END AS orderkey   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderkey = o.orderkey",
+      "c02" -> "SELECT * FROM (   SELECT orderkey   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderkey = o.orderkey WHERE o.orderstatus = 'F'",
+      "c03" -> "SELECT * FROM (   SELECT orderkey   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderkey = o.orderkey WHERE o.orderstatus = 'F'   AND o.custkey % 2 = 0")),
+
+    // Two probe columns + orders star (CASE orderstatus keys).
+    "r143_ref_index_twokey_star" -> batchCols(
+      Seq("k1", "k2", "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority", "o_comment"),
+      Seq("c1 AS k1",
+        "c2 AS k2",
+        "c3 AS o_orderkey",
+        "c4 AS o_custkey",
+        "c5 AS o_orderstatus",
+        "CAST(c6 AS DOUBLE) AS o_totalprice",
+        "c7 AS o_orderdate",
+        "c8 AS o_orderpriority",
+        "c9 AS o_clerk",
+        "c10 AS o_shippriority",
+        "c11 AS o_comment"),
+      sparkCast = Map("o_totalprice" -> "double"), cases = Seq(
+      "c01" -> "SELECT * FROM (   SELECT orderkey, CASE WHEN suppkey % 2 = 0 THEN 'F' ELSE 'O' END AS orderstatus   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderkey = o.orderkey AND l.orderstatus = o.orderstatus",
+      "c02" -> "SELECT * FROM (   SELECT orderkey, CASE WHEN suppkey % 2 = 0 THEN 'F' ELSE 'O' END AS orderstatus   FROM lineitem   WHERE partkey % 8 = 0) l JOIN orders o   ON l.orderstatus = o.orderstatus AND l.orderkey = o.orderkey")),
+
+    // Lineitem star joined to two-column probe sides.
+    "r144_ref_index_lineitem_pairs" -> batchCols(
+      Seq("a_orderkey", "a_partkey", "a_suppkey", "a_linenumber", "a_quantity", "a_extendedprice", "a_discount", "a_tax", "a_returnflag", "a_linestatus", "a_shipdate", "a_commitdate", "a_receiptdate", "a_shipmode", "a_shipinstruct", "a_comment", "b_k1", "b_k2"),
+      Seq("c1 AS a_orderkey",
+        "c2 AS a_partkey",
+        "c3 AS a_suppkey",
+        "c4 AS a_linenumber",
+        "CAST(c5 AS DOUBLE) AS a_quantity",
+        "CAST(c6 AS DOUBLE) AS a_extendedprice",
+        "CAST(c7 AS DOUBLE) AS a_discount",
+        "CAST(c8 AS DOUBLE) AS a_tax",
+        "c9 AS a_returnflag",
+        "c10 AS a_linestatus",
+        "CAST(c11 AS VARCHAR) AS a_shipdate",
+        "CAST(c12 AS VARCHAR) AS a_commitdate",
+        "CAST(c13 AS VARCHAR) AS a_receiptdate",
+        "c14 AS a_shipmode",
+        "c15 AS a_shipinstruct",
+        "c16 AS a_comment",
+        "c17 AS b_k1",
+        "c18 AS b_k2"),
+      sparkCast = Map("a_quantity" -> "double", "a_extendedprice" -> "double", "a_discount" -> "double", "a_tax" -> "double"), cases = Seq(
+      "c01" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) l JOIN (   SELECT orderkey, COUNT(*)   FROM orders   WHERE custkey % 8 = 0   GROUP BY orderkey   ORDER BY orderkey) o   ON l.orderkey = o.orderkey",
+      "c02" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) x JOIN (   SELECT o1.orderkey as orderkey, o2.custkey as custkey   FROM orders o1   JOIN orders o2     ON o1.orderkey = o2.orderkey) y   ON x.orderkey = y.orderkey ",
+      "c03" -> "SELECT * FROM (   SELECT *   FROM lineitem   WHERE partkey % 8 = 0) x JOIN (   SELECT l.orderkey as orderkey, o.custkey as custkey   FROM lineitem l   JOIN orders o     ON l.orderkey = o.orderkey) y   ON x.orderkey = y.orderkey ")),
+
+    // Four-bigint index-join projections.
+    "r145_ref_index_quads" -> batchCols(
+      Seq("a", "b", "c", "d"),
+      Seq("CAST(c1 AS DOUBLE) AS a",
+        "CAST(c2 AS DOUBLE) AS b",
+        "CAST(c3 AS DOUBLE) AS c",
+        "CAST(c4 AS DOUBLE) AS d"),
+      sparkCast = Map("a" -> "double", "b" -> "double", "c" -> "double",
+        "d" -> "double"), cases = Seq(
+      "c01" -> "SELECT * FROM (   SELECT orderkey % 64 AS a, suppkey % 2 AS b   FROM lineitem   WHERE partkey % 8 = 0) l JOIN (   SELECT orderkey AS a, SUM(LENGTH(comment)) % 2 AS b   FROM orders   GROUP BY orderkey) o   ON l.a = o.a AND l.b = o.b",
+      "c02" -> "SELECT * FROM (   SELECT orderkey % 64 AS a, (suppkey % 2) + 1 AS b   FROM lineitem   WHERE partkey % 8 = 0) l JOIN (   SELECT orderkey AS a, SUM(LENGTH(comment)) % 2 AS b   FROM orders   GROUP BY orderkey) o   ON l.a = o.a AND l.b = o.b")),
 
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
