@@ -306,7 +306,23 @@ object PrestoFunctions {
     "json_extract_scalar" -> (e => fn("get_json_object", e)),
     "json_extract" -> (e => fn("get_json_object", e)),
     "json_format" -> (e => e.head),
-    "json_parse" -> (e => e.head),
+    // json_parse VALIDATES (JsonFunctions.java json_parse throws
+    // INVALID_FUNCTION_ARGUMENT on malformed input — try(json_parse(x))
+    // must recover to NULL). The value itself stays the original text (the
+    // engine's JSON is a string type); validity is probed with
+    // get_json_object at '$', which yields NULL only for malformed
+    // documents — except the literal 'null', which is valid JSON.
+    "json_parse" -> { e =>
+      val x = e.head
+      val probe = fn("get_json_object", Seq(x, lit("$")))
+      CaseWhen(Seq(
+        (IsNull(x), Cast(Literal(null), StringType)),
+        (Or(IsNotNull(probe),
+          EqualTo(StringTrim(x, None), lit("null"))), Cast(x, StringType))),
+        Some(Cast(fn("raise_error", Seq(
+          Concat(Seq(lit("Cannot convert value to JSON: '"),
+            Cast(x, StringType), lit("'"))))), StringType)))
+    },
     // size of the array OR object at the path; scalars → 0
     // (JsonFunctions.java jsonSize).
     "json_size" -> { e =>
@@ -557,7 +573,10 @@ object PrestoFunctions {
       Average(Log(e.head)).toAggregateExpression())),
     "map_agg" -> (e => MapFromEntries(
       CollectList(CreateStruct(Seq(e(0), e(1)))).toAggregateExpression())),
-    "checksum" -> (e => BitXorAgg(XxHash64(Seq(e.head), 42L)).toAggregateExpression()),
+    // Presto-EXACT checksum bytes (ChecksumAggregationFunction.java:
+    // wrapping sum of typeHash·PRIME64) — to_hex(checksum(0)) is all
+    // zeros like the reference.
+    "checksum" -> (e => PrestoChecksum(e.head).toAggregateExpression()),
     // N-variants (minmaxby/MaxNAggregationFunction.java — bounded heap);
     // 2-arg forms construct the builtin classes (name is shadowed).
     "max_by" -> (e =>

@@ -352,11 +352,24 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("checksum is order-independent") {
+    // checksum is VARBINARY (8 Presto-exact state bytes) — compare contents
     val a = engine.sql(
-      "SELECT checksum(l_orderkey) FROM (SELECT * FROM lineitem ORDER BY l_orderkey)").head.get(0)
+      "SELECT checksum(l_orderkey) FROM (SELECT * FROM lineitem ORDER BY l_orderkey)")
+      .head.getAs[Array[Byte]](0)
     val b = engine.sql(
-      "SELECT checksum(l_orderkey) FROM (SELECT * FROM lineitem ORDER BY l_extendedprice)").head.get(0)
-    assert(a == b && a != null)
+      "SELECT checksum(l_orderkey) FROM (SELECT * FROM lineitem ORDER BY l_extendedprice)")
+      .head.getAs[Array[Byte]](0)
+    assert(a != null && a.toSeq == b.toSeq)
+  }
+
+  test("checksum matches the reference's bytes (testChecksum)") {
+    // AbstractTestQueries.java:3028 — AbstractLongType.hash(0) is 0, so
+    // the single-row checksum of the constant 0 is all zero bytes.
+    assert(engine.sql("SELECT to_hex(checksum(0))").head.getString(0)
+      == "0000000000000000")
+    // NULL rows contribute PRIME64 alone; empty input is NULL
+    assert(engine.sql("SELECT checksum(x) FROM (VALUES 1) t(x) WHERE false")
+      .head.isNullAt(0))
   }
 
   test("hll approx_set/merge/cardinality within error bounds") {

@@ -525,6 +525,24 @@ class RefCorpusSpec extends AnyFunSuite {
   // double-widened float is 1.2000000476837158.
   ref("coerce real eq decimal", "SELECT CAST(1.2 AS REAL) = CAST(1.2 AS DECIMAL(2,1)), CAST(1.2 AS DECIMAL(2,1)) = CAST(1.2 AS REAL), CAST(1.3 AS REAL) > CAST(1.2 AS DECIMAL(2,1))", "VALUES (true, true, true)")
 
+  // --- json_parse VALIDATES (JsonFunctions.java): malformed input throws,
+  // so try(json_parse(x)) recovers to NULL (testTryWithLambda :4957).
+  ref("try json_parse invalid", "SELECT JSON_FORMAT(TRY (JSON_PARSE('INVALID')))", "SELECT NULL")
+  ref("try json_parse valid", "SELECT JSON_FORMAT(TRY (JSON_PARSE('[1, 2, 3]')))", "SELECT '[1, 2, 3]'")
+  ref("json_parse null literal ok", "SELECT JSON_PARSE('null')", "SELECT 'null'")
+
+  // --- checksum is the reference's exact bytes (:3028) ---
+  ref("checksum of zero is zero bytes", "SELECT to_hex(checksum(0))", "SELECT '0000000000000000'")
+
+  // --- H2-dialect pairs restated with Presto-typed expecteds ---
+  // (:5796 / :6200 — the reference's H2 oracle coerces booleans/counts)
+  ref("projected in with filtered in",
+    "SELECT x IN (SELECT * FROM (VALUES 1)) FROM (VALUES 1) t(x) WHERE x IN (SELECT * FROM (VALUES 1))",
+    "SELECT true")
+  ref("correlated zero-from count values",
+    "SELECT (SELECT count(*) WHERE a = 1) FROM (VALUES 1, 1, 2, 3) t(a)",
+    "VALUES (1), (1), (0), (0)")
+
   // --- window suite, fixture-independent pairs (AbstractTestQueries) ---
   // testDuplicateColumnsInWindowOrderByClause (:4332)
   ref("duplicate columns in window order by",
