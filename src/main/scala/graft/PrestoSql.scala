@@ -331,6 +331,52 @@ object PrestoSql {
     sql
   }
 
+  /** Presto typed literals beyond Spark's set (SqlBase.g4 #typeConstructor:
+    * `SMALLINT '1'`, `VARCHAR 'a'`, `JSON '[1]'`, ...) — Spark only accepts
+    * DATE/TIMESTAMP/TIME/INTERVAL/X typed literals, so the rest lower to
+    * CAST (JSON to a validating json_parse; REAL spelled FLOAT; CHAR and
+    * VARCHAR unbounded → STRING). */
+  private def typedLiterals(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern.compile(
+      "(?i)\\b(SMALLINT|TINYINT|BIGINT|INTEGER|INT|REAL|DOUBLE|BOOLEAN|VARCHAR|CHAR|JSON)\\s*'")
+      .matcher(mask)
+    if (!m.find()) return sql
+    var i = m.end() // first char after the opening quote (blanked on mask)
+    while (i < mask.length && mask(i) != '\'') i += 1
+    val lit = sql.substring(m.end() - 1, math.min(i + 1, sql.length))
+    val t = m.group(1).toUpperCase(java.util.Locale.ROOT)
+    val repl = t match {
+      case "JSON" => s"json_parse($lit)"
+      case "VARCHAR" | "CHAR" => s"CAST($lit AS STRING)"
+      case "REAL" => s"CAST($lit AS FLOAT)"
+      case other => s"CAST($lit AS $other)"
+    }
+    sql.substring(0, m.start()) + repl + typedLiterals(sql.substring(i + 1))
+  }
+
+  /** Presto allows a bare VALUES table as an IN-list subquery
+    * (`x IN (VALUES (1), (2))`); Spark's grammar wants a query there —
+    * wrap it: `IN (SELECT * FROM (VALUES ...))`. */
+  private def inValues(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bIN\\s*\\(\\s*VALUES\\b").matcher(mask)
+    if (!m.find()) return sql
+    val open = mask.indexOf('(', m.start())
+    var depth = 1
+    var i = open + 1
+    while (i < mask.length && depth > 0) {
+      if (mask(i) == '(') depth += 1 else if (mask(i) == ')') depth -= 1
+      i += 1
+    }
+    val body = sql.substring(open + 1, i - 1)
+    // the derived table needs an alias: Spark parses an unaliased
+    // `FROM (VALUES ...)` inside a subquery as a call to a routine FROM
+    sql.substring(0, m.start()) + s"IN (SELECT * FROM ($body) __graft_v)" +
+      inValues(sql.substring(i))
+  }
+
   /** Presto allows zero-argument `count()` (≡ count(*), SqlBase.g4
     * functionCall with empty args; AbstractTestQueries
     * testWindowFunctionWithoutParameters); Spark's parser rejects the empty
@@ -549,7 +595,8 @@ object PrestoSql {
 
   def rewrite(sql0: String): String = {
     val sql = defaultNullOrdering(orderedAggs(quantifiedCmp(countStar(
-      unnest(rowTypes(sql0), new java.util.concurrent.atomic.AtomicLong(0))))))
+      inValues(typedLiterals(unnest(rowTypes(sql0),
+        new java.util.concurrent.atomic.AtomicLong(0))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -577,6 +577,17 @@ object PrestoFunctions {
     // wrapping sum of typeHash·PRIME64) — to_hex(checksum(0)) is all
     // zeros like the reference.
     "checksum" -> (e => PrestoChecksum(e.head).toAggregateExpression()),
+    // Presto IF has a 2-argument form (ConditionalFunctions: false/NULL
+    // condition yields NULL); Spark's builtin insists on 3.
+    "if" -> (e =>
+      if (e.length == 2) If(e(0), e(1), Literal.create(null, NullType))
+      else If(e(0), e(1), e(2))),
+    // Presto grouping(a, b, ...) is the multi-argument BIT-VECTOR form
+    // (GroupingOperationRewriter — leftmost argument = most significant
+    // bit), which is exactly Spark's grouping_id; the single-argument form
+    // stays the 0/1 flag.
+    "grouping" -> (e =>
+      if (e.length == 1) Grouping(e.head) else GroupingID(e)),
     // N-variants (minmaxby/MaxNAggregationFunction.java — bounded heap);
     // 2-arg forms construct the builtin classes (name is shadowed).
     "max_by" -> (e =>
