@@ -1747,6 +1747,23 @@ object RefCorpus {
       "c01" -> "SELECT * FROM (   SELECT orderkey % 64 AS a, suppkey % 2 AS b   FROM lineitem   WHERE partkey % 8 = 0) l JOIN (   SELECT orderkey AS a, SUM(LENGTH(comment)) % 2 AS b   FROM orders   GROUP BY orderkey) o   ON l.a = o.a AND l.b = o.b",
       "c02" -> "SELECT * FROM (   SELECT orderkey % 64 AS a, (suppkey % 2) + 1 AS b   FROM lineitem   WHERE partkey % 8 = 0) l JOIN (   SELECT orderkey AS a, SUM(LENGTH(comment)) % 2 AS b   FROM orders   GROUP BY orderkey) o   ON l.a = o.a AND l.b = o.b")),
 
+    // Correlated-INEQUALITY subqueries (:6263-:6488): EXISTS and scalar
+    // averages correlated through `o.orderkey < i.orderkey` — the
+    // decorrelation shapes Spark plans as ranged joins. At the fixture's
+    // orderkey range the %10000 build sides are empty, so oracles use the
+    // %1000/%100 spellings verbatim where given and the same text
+    // elsewhere (DuckDB runs inequality correlation natively). The EXISTS
+    // GROUP BY key again drops for DuckDB (orderkey-determined).
+    "r146_ref_correlated_inequality" -> batchCols(
+      Seq("a", "b"),
+      Seq("CAST(c1 AS VARCHAR) AS a", "CAST(c2 AS VARCHAR) AS b"),
+      sparkCast = Map("a" -> "string", "b" -> "string"), cases = Seq(
+      ("i1", "SELECT count(*), 0 FROM orders o WHERE EXISTS(SELECT 1 FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 = 0)"),
+      ("i2", "SELECT max(o.orderdate), o.orderkey FROM orders o GROUP BY o.orderkey HAVING 40000 < (SELECT avg(i.orderkey) FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 10000 = 0)ORDER BY o.orderkey LIMIT 1"),
+      ("i3", "SELECT max(o.orderdate), o.orderkey FROM orders o GROUP BY o.orderkey HAVING EXISTS(SELECT 1 FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 = 0)ORDER BY o.orderkey LIMIT 1"),
+      ("i4", "SELECT max(o.orderdate), o.orderkey FROM orders o GROUP BY o.orderkey, EXISTS(SELECT 1 FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 = 0)ORDER BY o.orderkey LIMIT 1",
+             "SELECT max(o.orderdate), o.orderkey FROM orders o GROUP BY o.orderkey ORDER BY o.orderkey LIMIT 1"))),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
