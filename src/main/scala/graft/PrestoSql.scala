@@ -355,6 +355,44 @@ object PrestoSql {
     sql.substring(0, m.start()) + repl + typedLiterals(sql.substring(i + 1))
   }
 
+  /** Presto `CAST(x AS JSON)` / `TRY_CAST(x AS JSON)` (JsonOperators.java)
+    * — Spark has no JSON type, so the cast lowers to the
+    * `presto_to_json` rendering expression (rows → JSON arrays, maps →
+    * objects, NULL map keys fail so TRY recovers). */
+  private def castJson(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bAS\\s+JSON\\s*\\)").matcher(mask)
+    if (!m.find()) return sql
+    // walk LEFT to the unmatched open paren of this cast
+    var depth = 0
+    var p = m.start() - 1
+    var open = -1
+    while (p >= 0 && open < 0) {
+      mask(p) match {
+        case ')' => depth += 1
+        case '(' => if (depth == 0) open = p else depth -= 1
+        case _ =>
+      }
+      p -= 1
+    }
+    if (open < 0) return sql
+    var w = open
+    while (w > 0 && mask(w - 1).isWhitespace) w -= 1
+    val ws = {
+      var k = w
+      while (k > 0 && (mask(k - 1).isLetterOrDigit || mask(k - 1) == '_')) k -= 1
+      k
+    }
+    val kw = mask.substring(ws, w).toUpperCase(java.util.Locale.ROOT)
+    if (kw != "CAST" && kw != "TRY_CAST") return sql
+    val body = sql.substring(open + 1, m.start())
+    val close = sql.indexOf(')', m.start()) // the matched `)` of AS JSON)
+    val inner = s"presto_to_json($body)"
+    val repl = if (kw == "TRY_CAST") s"try($inner)" else inner
+    castJson(sql.substring(0, ws) + repl + sql.substring(close + 1))
+  }
+
   /** Presto allows a bare VALUES table as an IN-list subquery
     * (`x IN (VALUES (1), (2))`); Spark's grammar wants a query there —
     * wrap it: `IN (SELECT * FROM (VALUES ...))`. */
@@ -595,8 +633,8 @@ object PrestoSql {
 
   def rewrite(sql0: String): String = {
     val sql = defaultNullOrdering(orderedAggs(quantifiedCmp(countStar(
-      inValues(typedLiterals(unnest(rowTypes(sql0),
-        new java.util.concurrent.atomic.AtomicLong(0))))))))
+      inValues(castJson(typedLiterals(unnest(rowTypes(sql0),
+        new java.util.concurrent.atomic.AtomicLong(0)))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

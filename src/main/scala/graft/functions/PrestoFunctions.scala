@@ -577,6 +577,9 @@ object PrestoFunctions {
     // wrapping sum of typeHash·PRIME64) — to_hex(checksum(0)) is all
     // zeros like the reference.
     "checksum" -> (e => PrestoChecksum(e.head).toAggregateExpression()),
+    // Presto CAST(x AS JSON) lowered by the front-end (JsonOperators.java
+    // rendering: rows are anonymous -> JSON arrays).
+    "presto_to_json" -> (e => PrestoToJson(e.head)),
     // Presto IF has a 2-argument form (ConditionalFunctions: false/NULL
     // condition yields NULL); Spark's builtin insists on 3.
     "if" -> (e =>

@@ -75,9 +75,36 @@ class RefCorpusPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
   ref("pair L649",
     "SELECT clerk, cardinality(array_agg(orderkey)) FROM orders GROUP BY clerk",
     "SELECT clerk, count(*) FROM orders GROUP BY clerk")
+  ref("pair L656",
+    "SELECT JSON_FORMAT(CAST(ROW(1 + 2, CONCAT('a', 'b')) AS JSON))",
+    "SELECT '[3,\"ab\"]'")
+  ref("pair L657",
+    "SELECT JSON_FORMAT(CAST(ROW(a + b) AS JSON)) FROM (VALUES (1, 2)) AS t(a, b)",
+    "SELECT '[3]'")
+  ref("pair L658",
+    "SELECT JSON_FORMAT(CAST(ROW(1, ROW(9, a, ARRAY[], NULL), ROW(1, 2)) AS JSON)) FROM (VALUES ('a')) t(a)",
+    "SELECT '[1,[9,\"a\",[],null],[1,2]]'")
+  ref("pair L659",
+    "SELECT JSON_FORMAT(CAST(ROW(ROW(ROW(ROW(ROW(a, b), c), d), e), f) AS JSON)) FROM (VALUES (ROW(0, 1), 2, '3', NULL, ARRAY[5], ARRAY[])) t(a, b, c, d, e, f)",
+    "SELECT '[[[[[[0,1],2],\"3\"],null],[5]],[]]'")
+  ref("pair L661",
+    "SELECT JSON_FORMAT(CAST(ARRAY_AGG(ROW(a, b)) AS JSON)) FROM (VALUES (1, 2), (3, 4), (5, 6)) t(a, b)",
+    "SELECT '[[1,2],[3,4],[5,6]]'")
+  ref("pair L663",
+    "SELECT JSON_FORMAT(CAST(ARRAY_AGG(ROW(c, d)) AS JSON)) FROM (VALUES (ARRAY[1, 3, 5], ARRAY[2, 4, 6])) AS t(a, b) CROSS JOIN UNNEST(a, b) AS u(c, d)",
+    "SELECT '[[1,2],[3,4],[5,6]]'")
+  ref("pair L665",
+    "SELECT JSON_FORMAT(CAST(ROW(x, y, z) AS JSON)) FROM (VALUES ROW(1, NULL, '3')) t(x,y,z)",
+    "SELECT '[1,null,\"3\"]'")
+  ref("pair L666",
+    "SELECT JSON_FORMAT(CAST(ROW(x, y, z) AS JSON)) FROM (VALUES ROW(1, CAST(NULL AS INTEGER), '3')) t(x,y,z)",
+    "SELECT '[1,null,\"3\"]'")
   ref("pair L672",
     "SELECT m[max_key] FROM (SELECT map_agg(orderkey, orderkey) m, max(orderkey) max_key FROM orders)",
     "SELECT max(orderkey) FROM orders")
+  ref("pair L675",
+    "SELECT JSON_FORMAT(CAST(TRY(MAP(ARRAY[NULL], ARRAY[x])) AS JSON)) FROM (VALUES 1, 2) t(x)",
+    "SELECT * FROM (VALUES NULL, NULL)")
   ref("pair L684",
     "VALUES (1.1, 2), (sin(3.3), 2+2) ORDER BY 1",
     "VALUES (sin(3.3), 2+2), (1.1, 2)")
