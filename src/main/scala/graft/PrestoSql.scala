@@ -393,6 +393,20 @@ object PrestoSql {
     castJson(sql.substring(0, ws) + repl + sql.substring(close + 1))
   }
 
+  /** Presto `date_add('unit', n, ts)` / `date_diff('unit', a, b)` spell
+    * the unit as a QUOTED string (DateTimeFunctions.java); Spark's parser
+    * owns those names and rejects quoted units before any registry lookup,
+    * so the quoted-unit calls reroute to the registry's *_unit aliases. */
+  private def dateAddUnit(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bDATE_(ADD|DIFF)\\s*\\(\\s*'").matcher(mask)
+    if (!m.find()) return sql
+    val fnEnd = sql.indexOf('(', m.start())
+    val repl = "date_" + m.group(1).toLowerCase(java.util.Locale.ROOT) + "_unit"
+    sql.substring(0, m.start()) + repl + dateAddUnit(sql.substring(fnEnd))
+  }
+
   /** Presto allows a bare VALUES table as an IN-list subquery
     * (`x IN (VALUES (1), (2))`); Spark's grammar wants a query there —
     * wrap it: `IN (SELECT * FROM (VALUES ...))`. */
@@ -633,8 +647,8 @@ object PrestoSql {
 
   def rewrite(sql0: String): String = {
     val sql = defaultNullOrdering(orderedAggs(quantifiedCmp(countStar(
-      inValues(castJson(typedLiterals(unnest(rowTypes(sql0),
-        new java.util.concurrent.atomic.AtomicLong(0)))))))))
+      inValues(castJson(typedLiterals(dateAddUnit(unnest(rowTypes(sql0),
+        new java.util.concurrent.atomic.AtomicLong(0))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -112,6 +112,22 @@ object RefCorpus {
         e.spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT " +
           cols.mkString(", ") + s" FROM ${name}_base")
       }
+      // The reference wires test PLUGIN functions into its runner
+      // (CustomAdd.java scalar, CustomSum.java aggregate — the §2.11 UDF
+      // surface); same here through Spark's udf registry. custom_rank (a
+      // plugin WINDOW function) has no public Spark plug point —
+      // documented divergence.
+      e.spark.udf.register("custom_add", (a: Long, b: Long) => a + b)
+      e.spark.udf.register("custom_sum",
+        org.apache.spark.sql.functions.udaf(
+          new org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+            def zero: Long = 0L
+            def reduce(b: Long, a: Long): Long = b + a
+            def merge(b1: Long, b2: Long): Long = b1 + b2
+            def finish(r: Long): Long = r
+            def bufferEncoder = org.apache.spark.sql.Encoders.scalaLong
+            def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+          }))
       e
     })
 
@@ -1763,6 +1779,29 @@ object RefCorpus {
       ("i3", "SELECT max(o.orderdate), o.orderkey FROM orders o GROUP BY o.orderkey HAVING EXISTS(SELECT 1 FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 = 0)ORDER BY o.orderkey LIMIT 1"),
       ("i4", "SELECT max(o.orderdate), o.orderkey FROM orders o GROUP BY o.orderkey, EXISTS(SELECT 1 FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 = 0)ORDER BY o.orderkey LIMIT 1",
              "SELECT max(o.orderdate), o.orderkey FROM orders o GROUP BY o.orderkey ORDER BY o.orderkey LIMIT 1"))),
+
+    // Date-arithmetic join residuals (:1591-:1597 — INTERVAL addition and
+    // quoted-unit DATE_ADD in ON clauses) and the reference's test PLUGIN
+    // functions (CustomAdd/CustomSum wired through the UDF surface;
+    // oracles use the reference's own arithmetic equivalents).
+    "r147_ref_date_residual_joins" -> batchCols(
+      Seq("orderkey", "orderdate", "shipdate"),
+      Seq("c1 AS orderkey", "c2 AS orderdate", "c3 AS shipdate"), Seq(
+      "d1" -> "SELECT o.orderkey, o.orderdate, l.shipdate FROM orders o JOIN lineitem l ON l.orderkey = o.orderkey AND l.shipdate < o.orderdate + INTERVAL '10' DAY",
+      ("d2", "SELECT o.orderkey, o.orderdate, l.shipdate FROM lineitem l JOIN orders o ON l.orderkey = o.orderkey AND l.shipdate < DATE_ADD('DAY', 10, o.orderdate)",
+             "SELECT o.orderkey, o.orderdate, l.shipdate FROM lineitem l JOIN orders o ON l.orderkey = o.orderkey AND l.shipdate < o.orderdate + INTERVAL '10' DAY"),
+      "d3" -> "SELECT o.orderkey, o.orderdate, l.shipdate FROM orders o JOIN lineitem l ON o.orderkey=l.orderkey AND o.orderdate + INTERVAL '2' DAY <= l.shipdate AND l.shipdate < o.orderdate + INTERVAL '7' DAY")),
+    "r148_ref_full_join_const" -> batch(Seq(
+      "f1" -> "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = 2",
+      "f2" -> "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.orderkey = 2")),
+    "r149_ref_custom_sum" -> batchCols(
+      Seq("orderstatus", "s"),
+      Seq("c1 AS orderstatus", "CAST(c2 AS BIGINT) AS s"), Seq(
+      ("c1", "SELECT orderstatus, custom_sum(orderkey) FROM orders GROUP BY orderstatus",
+             "SELECT orderstatus, sum(orderkey) FROM orders GROUP BY orderstatus"))),
+    "r149b_ref_custom_add" -> batch(Seq(
+      ("c1", "SELECT custom_add(orderkey, custkey) FROM orders",
+             "SELECT orderkey + custkey FROM orders"))),
 
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
