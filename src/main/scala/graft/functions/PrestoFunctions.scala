@@ -297,9 +297,9 @@ object PrestoFunctions {
       Cast(DateFormatClass(e(0), lit("SSS")), IntegerType)),
     // Presto date_add('unit', n, ts) / date_diff('unit', from, to): Spark's
     // PARSER owns these names and accepts the same arg order with an
-    // UNQUOTED unit (date_add(MONTH, 2, d)) — quoted-unit Presto SQL uses
-    // the *_unit aliases below (documented divergence; the parser rejects
-    // the quoted form before any registry lookup).
+    // UNQUOTED unit (date_add(MONTH, 2, d)); QUOTED-unit calls are
+    // rerouted to these *_unit aliases by the PrestoSql front-end (the
+    // parser rejects the quoted form before any registry lookup).
     "date_add_unit" -> (e => DateTimeShift.add(e(0), e(1), e(2))),
     "date_diff_unit" -> (e => DateTimeShift.diff(e(0), e(1), e(2))),
     // --- json (JsonFunctions.java) ---
