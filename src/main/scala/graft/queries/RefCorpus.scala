@@ -1803,6 +1803,26 @@ object RefCorpus {
       ("c1", "SELECT custom_add(orderkey, custkey) FROM orders",
              "SELECT orderkey + custkey FROM orders"))),
 
+    // Chained correlated LATERAL derived tables (:7959-:7970) — each
+    // LATERAL references columns introduced by the previous one.
+    "r150_ref_lateral_chain" -> batchCols(
+      Seq("a", "b", "c", "d"),
+      Seq("CAST(c1 AS VARCHAR) AS a", "CAST(c2 AS VARCHAR) AS b",
+        "CAST(c3 AS VARCHAR) AS c", "CAST(c4 AS VARCHAR) AS d"),
+      sparkCast = Map("a" -> "string", "b" -> "string", "c" -> "string",
+        "d" -> "string"), cases = Seq(
+      "l1" -> "SELECT nationkey, a, b, name FROM nation, LATERAL (SELECT nationkey + 2 AS a), LATERAL (SELECT a * -1 AS b) ORDER BY b LIMIT 1")),
+    "r150b_ref_lateral_chain_prices" -> batchCols(
+      Seq("quantity", "extendedprice", "avg_price", "low", "high"),
+      Seq("CAST(c1 AS DOUBLE) AS quantity", "CAST(c2 AS DOUBLE) AS extendedprice",
+        "CAST(CAST(c3 AS DECIMAL(38,6)) AS DOUBLE) AS avg_price",
+        "CAST(CAST(c4 AS DECIMAL(38,6)) AS DOUBLE) AS low",
+        "CAST(CAST(c5 AS DECIMAL(38,6)) AS DOUBLE) AS high"),
+      sparkCast = Map("quantity" -> "double", "extendedprice" -> "double",
+        "avg_price" -> "decimal(38,6)", "low" -> "decimal(38,6)",
+        "high" -> "decimal(38,6)"), cases = Seq(
+      "l2" -> "SELECT quantity, extendedprice, avg_price, low, high FROM lineitem, LATERAL (SELECT extendedprice / quantity AS avg_price) average_price, LATERAL (SELECT avg_price * 0.9 AS low) lower_bound, LATERAL (SELECT avg_price * 1.1 AS high) upper_bound ORDER BY extendedprice, quantity LIMIT 1")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

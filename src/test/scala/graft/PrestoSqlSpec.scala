@@ -81,6 +81,31 @@ class PrestoSqlSpec extends AnyFunSuite {
       == "SELECT 'CAST(a AS ROW(x INT))' FROM t")
   }
 
+  test("rewrite is idempotent over representative dialect forms") {
+    // A second rewrite pass must be a no-op: a query text that has already
+    // been lowered contains no remaining Presto-only forms, and every pass
+    // must leave lowered output alone (the FULL-JOIN/VALUES alias bug class
+    // — double application through nested Engine.sql calls is legal).
+    val forms = Seq(
+      "SELECT ARRAY[1, ARRAY[2]][1][1] FROM t",
+      "SELECT * FROM UNNEST(a) WITH ORDINALITY u(v, o)",
+      "SELECT CAST(x AS ROW(a INTEGER, b ARRAY(VARCHAR))) FROM t",
+      "SELECT count() over(partition by k) FROM t",
+      "SELECT array_agg(x ORDER BY y DESC NULLS FIRST) FILTER (WHERE x > 1) FROM t",
+      "SELECT a FROM t ORDER BY a, b DESC, c NULLS FIRST LIMIT 3",
+      "SELECT 1 WHERE x < ALL (SELECT y FROM u) AND z >= ANY (SELECT w FROM v)",
+      "SELECT x IN (VALUES (1), (2)) FROM t",
+      "SELECT SMALLINT '1', VARCHAR 'a', JSON '[1]', DECIMAL '2.5'",
+      "SELECT JSON_FORMAT(CAST(ROW(1, 'a') AS JSON))",
+      "SELECT date_add('day', 10, d), date_diff('hour', a, b) FROM t",
+      "SELECT x = ANY(SELECT 1), y <> ALL(SELECT 2)",
+      "VALUES ROW(1, 2), (ROW(3, 4))")
+    for (f <- forms) {
+      val once = PrestoSql.rewrite(f)
+      assert(PrestoSql.rewrite(once) == once, s"\nnot idempotent for: $f\nonce: $once")
+    }
+  }
+
   test("oracleize skips table names inside literals") {
     val o = graft.queries.RefCorpus.oracleize(
       "SELECT comment FROM orders WHERE comment LIKE '%orders%'")
