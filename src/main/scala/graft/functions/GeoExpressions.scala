@@ -391,50 +391,20 @@ object Geo {
     }
   }
 
-  private val Num = """[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"""
-  private val PointRe = s"""(?i)\\s*POINT\\s*\\(\\s*($Num)\\s+($Num)\\s*\\)\\s*""".r
-  private val LineRe = """(?i)\s*LINESTRING\s*\((.*)\)\s*""".r
-  private val PolyRe = """(?i)\s*POLYGON\s*\(\s*\((.*)\)\s*\)\s*""".r
+  /** Full WKT grammar (all seven types, EMPTY, holes, collections) lives
+    * in [[GeoM]]; these keep the original entry points. */
+  def parseWkt(wkt: String): (String, Array[Double], Array[Double]) =
+    GeoM.parse(wkt)
 
-  def parseWkt(wkt: String): (String, Array[Double], Array[Double]) = wkt match {
-    case PointRe(x, y) => ("POINT", Array(x.toDouble), Array(y.toDouble))
-    case LineRe(body) =>
-      val (xs, ys) = parseCoords(body); ("LINESTRING", xs, ys)
-    case PolyRe(body) =>
-      var (xs, ys) = parseCoords(body)
-      // WKT rings repeat the first vertex last; store the open ring
-      if (xs.length > 1 && xs.head == xs.last && ys.head == ys.last) {
-        xs = xs.dropRight(1); ys = ys.dropRight(1)
-      }
-      ("POLYGON", xs, ys)
-    case other => throw new IllegalArgumentException(s"Cannot parse WKT: $other")
-  }
+  def toWkt(gtype: String, xs: Array[Double], ys: Array[Double]): String =
+    GeoM.render(gtype, xs, ys)
 
-  private def parseCoords(body: String): (Array[Double], Array[Double]) = {
-    val pts = body.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
-      val parts = p.split("\\s+")
-      (parts(0).toDouble, parts(1).toDouble)
-    }
-    (pts.map(_._1), pts.map(_._2))
-  }
-
-  def toWkt(gtype: String, xs: Array[Double], ys: Array[Double]): String = {
-    def fmt(d: Double): String =
-      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
-      else d.toString
-    gtype match {
-      case "POINT" => s"POINT (${fmt(xs(0))} ${fmt(ys(0))})"
-      case "MULTIPOINT" =>
-        if (xs.isEmpty) "MULTIPOINT EMPTY"
-        else s"MULTIPOINT (${xs.indices.map(i => s"${fmt(xs(i))} ${fmt(ys(i))}").mkString(", ")})"
-      case "GEOMETRYCOLLECTION" if xs.isEmpty => "GEOMETRYCOLLECTION EMPTY"
-      case "LINESTRING" =>
-        s"LINESTRING (${xs.indices.map(i => s"${fmt(xs(i))} ${fmt(ys(i))}").mkString(", ")})"
-      case "POLYGON" =>
-        val ring = xs.indices.map(i => s"${fmt(xs(i))} ${fmt(ys(i))}") :+
-          s"${fmt(xs(0))} ${fmt(ys(0))}"
-        s"POLYGON ((${ring.mkString(", ")}))"
-    }
+  /** True when the value uses the multi-part encoding (separators in the
+    * coordinate arrays or a MULTI/collection gtype). */
+  def isMulti(t: String, xs: Array[Double]): Boolean = {
+    val base = t.split(":")(0)
+    base == "MULTILINESTRING" || base == "MULTIPOLYGON" ||
+      base == "GEOMETRYCOLLECTION" || xs.exists(d => d.isNaN || d.isInfinite)
   }
 }
 
@@ -478,6 +448,7 @@ case class GeoMeasure(child: Expression, measure: String)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any = {
     val (t, xs, ys) = Geo.unpack(v)
+    if (Geo.isMulti(t, xs)) return multiEval(t, xs, ys)
     measure match {
       case "x" =>
         require(t == "POINT", s"ST_X requires POINT, got $t"); xs(0)
@@ -506,6 +477,32 @@ case class GeoMeasure(child: Expression, measure: String)
           math.hypot(bx - ax, by - ay) }.sum
     }
   }
+
+  /** Part-decomposed evaluation for multi-part encodings: extrema skip the
+    * separator entries; area sums outer rings minus holes; length sums
+    * paths and rings. */
+  private def multiEval(t: String, xs: Array[Double], ys: Array[Double]): Any = {
+    val gs = GeoM.decode(t, xs, ys)
+    measure match {
+      case "x" | "y" =>
+        throw new IllegalArgumentException(s"ST_${measure.toUpperCase} requires POINT, got $t")
+      case "xmin" => xs.filterNot(d => d.isNaN || d.isInfinite).min
+      case "xmax" => xs.filterNot(d => d.isNaN || d.isInfinite).max
+      case "ymin" => ys.filterNot(d => d.isNaN || d.isInfinite).min
+      case "ymax" => ys.filterNot(d => d.isNaN || d.isInfinite).max
+      case "area" =>
+        gs.polys.map(p => (math.abs(GeoM.signedArea2(p.outer)) -
+          p.holes.map(h => math.abs(GeoM.signedArea2(h))).sum) / 2).sum
+      case "length" =>
+        def pathLen(path: Seq[(Double, Double)], closed: Boolean): Double = {
+          val loop = if (closed) path :+ path.head else path
+          loop.sliding(2).map { case Seq(a, b) =>
+            math.hypot(b._1 - a._1, b._2 - a._2) }.sum
+        }
+        gs.lines.map(pathLen(_, closed = false)).sum +
+          gs.rings.map(pathLen(_, closed = true)).sum
+    }
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = s"st_$measure"
 }
@@ -517,6 +514,32 @@ case class StCentroid(child: Expression)
   override def dataType: DataType = Geo.geometryType
   override protected def nullSafeEval(v: Any): Any = {
     val (t, xs, ys) = Geo.unpack(v)
+    if (Geo.isMulti(t, xs)) {
+      val gs = GeoM.decode(t, xs, ys)
+      val (cx, cy) =
+        if (gs.polys.nonEmpty) {
+          // signed-ring shoelace centroid: outers CCW (+), holes CW (−)
+          var a = 0.0; var sx = 0.0; var sy = 0.0
+          gs.rings.foreach { r =>
+            val n = r.length
+            var i = 0
+            while (i < n) {
+              val j = (i + 1) % n
+              val cr = r(i)._1 * r(j)._2 - r(j)._1 * r(i)._2
+              a += cr; sx += (r(i)._1 + r(j)._1) * cr; sy += (r(i)._2 + r(j)._2) * cr
+              i += 1
+            }
+          }
+          if (a == 0) {
+            val pts = gs.rings.flatten
+            (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+          } else (sx / (3 * a), sy / (3 * a))
+        } else {
+          val pts = gs.points ++ gs.lines.flatten
+          (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+        }
+      return Geo.row("POINT", Array(cx), Array(cy))
+    }
     val (cx, cy) =
       if (t == "POLYGON" && xs.length >= 3) {
         var a = 0.0; var sx = 0.0; var sy = 0.0
@@ -541,7 +564,9 @@ case class StEnvelope(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = Geo.geometryType
   override protected def nullSafeEval(v: Any): Any = {
-    val (_, xs, ys) = Geo.unpack(v)
+    val (_, xs0, ys0) = Geo.unpack(v)
+    val keep = xs0.indices.filterNot(i => xs0(i).isNaN || xs0(i).isInfinite)
+    val xs = keep.map(xs0).toArray; val ys = keep.map(ys0).toArray
     val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
     Geo.row("POLYGON", Array(x0, x1, x1, x0), Array(y0, y0, y1, y1))
   }
@@ -554,6 +579,8 @@ case class GeoPredicate(left: Expression, right: Expression, op: String)
   override def dataType: DataType = BooleanType
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = Geo.unpack(l); val b = Geo.unpack(r)
+    if (Geo.isMulti(a._1, a._2) || Geo.isMulti(b._1, b._2))
+      return multiEval(a, b)
     op match {
       case "contains" => Geo.contains(a, b)
       case "within" => Geo.contains(b, a)
@@ -565,6 +592,38 @@ case class GeoPredicate(left: Expression, right: Expression, op: String)
       case "overlaps" => Geo.overlaps(a, b)
     }
   }
+
+  /** Multi-part evaluation: the set-theoretic predicates go through the
+    * clipping engine (exact under even-odd semantics); the interior-based
+    * relations fall back to pairwise simple-part checks (holes
+    * approximated by their outer rings). */
+  private def multiEval(a: (String, Array[Double], Array[Double]),
+      b: (String, Array[Double], Array[Double])): Boolean = {
+    val ga = GeoM.decode(a._1, a._2, a._3)
+    val gb = GeoM.decode(b._1, b._2, b._3)
+    def inter = GeoClip.setOp(ga, gb, "intersection")
+    def parts(gs: GeoM.GSet): Seq[(String, Array[Double], Array[Double])] =
+      gs.points.map(p => ("POINT", Array(p._1), Array(p._2))) ++
+        gs.lines.map(l => ("LINESTRING", l.map(_._1).toArray, l.map(_._2).toArray)) ++
+        gs.polys.map(p => ("POLYGON", p.outer.map(_._1).toArray, p.outer.map(_._2).toArray))
+    op match {
+      case "contains" =>
+        GeoClip.setOp(gb, ga, "difference").isEmpty && !inter.isEmpty
+      case "within" =>
+        GeoClip.setOp(ga, gb, "difference").isEmpty && !inter.isEmpty
+      case "intersects" => !inter.isEmpty
+      case "disjoint" => inter.isEmpty
+      case "touches" =>
+        val i = inter
+        !i.isEmpty && i.polys.isEmpty &&
+          !parts(ga).exists(pa => parts(gb).exists(pb =>
+            Geo.interiorsIntersect(pa, pb)))
+      case "crosses" =>
+        parts(ga).exists(pa => parts(gb).exists(pb => Geo.crosses(pa, pb)))
+      case "overlaps" =>
+        parts(ga).exists(pa => parts(gb).exists(pb => Geo.overlaps(pa, pb)))
+    }
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = s"st_$op"
@@ -574,8 +633,18 @@ case class GeoPredicate(left: Expression, right: Expression, op: String)
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    Geo.distance(Geo.unpack(l), Geo.unpack(r))
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = Geo.unpack(l); val b = Geo.unpack(r)
+    if (Geo.isMulti(a._1, a._2) || Geo.isMulti(b._1, b._2)) {
+      def parts(t: (String, Array[Double], Array[Double])) = {
+        val gs = GeoM.decode(t._1, t._2, t._3)
+        gs.points.map(p => ("POINT", Array(p._1), Array(p._2))) ++
+          gs.lines.map(x => ("LINESTRING", x.map(_._1).toArray, x.map(_._2).toArray)) ++
+          gs.polys.map(p => ("POLYGON", p.outer.map(_._1).toArray, p.outer.map(_._2).toArray))
+      }
+      parts(a).flatMap(pa => parts(b).map(pb => Geo.distance(pa, pb))).min
+    } else Geo.distance(a, b)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -595,31 +664,60 @@ case class GeoInfo(child: Expression, info: String)
   // numinteriorring is null off-type even for non-null input
   override def nullable: Boolean = info == "numinteriorring" || super.nullable
   override protected def nullSafeEval(v: Any): Any = {
-    val (t, xs, _) = Geo.unpack(v)
+    val (t, xs, ys) = Geo.unpack(v)
+    val base = t.split(":")(0)
+    val multi = Geo.isMulti(t, xs)
     info match {
-      case "numpoints" => if (t == "POLYGON") xs.length + 1 else xs.length
-      case "geometrytype" => UTF8String.fromString(t)
-      case "isclosed" => t == "POLYGON"
-      case "dimension" => t match {
-        case "POINT" => 0; case "LINESTRING" => 1; case "POLYGON" => 2
-      }
+      case "numpoints" =>
+        if (!multi) { if (t == "POLYGON") xs.length + 1 else xs.length }
+        else {
+          val gs = GeoM.decode(t, xs, ys)
+          gs.points.length + gs.lines.map(_.length).sum +
+            gs.rings.map(_.length + 1).sum
+        }
+      case "geometrytype" => UTF8String.fromString(base)
+      case "isclosed" =>
+        base == "POLYGON" || base == "MULTIPOLYGON" || {
+          base.endsWith("LINESTRING") && {
+            val gs = GeoM.decode(t, xs, ys)
+            gs.lines.nonEmpty && gs.lines.forall(l => l.head == l.last)
+          }
+        }
+      case "dimension" =>
+        if (!multi) base match {
+          case "POINT" | "MULTIPOINT" => 0
+          case "LINESTRING" => 1
+          case "POLYGON" => 2
+        } else {
+          val gs = GeoM.decode(t, xs, ys)
+          if (gs.polys.nonEmpty) 2 else if (gs.lines.nonEmpty) 1 else 0
+        }
       case "isempty" => xs.isEmpty
       case "coorddim" => 2
-      // single-ring model: polygons have no holes; null for non-polygons
-      // (the reference returns null off-type too)
-      case "numinteriorring" => if (t == "POLYGON") 0 else null
-      case "numgeometries" => if (xs.isEmpty) 0 else 1
+      // null for non-polygons (the reference returns null off-type too)
+      case "numinteriorring" =>
+        if (base == "POLYGON")
+          GeoM.decode(t, xs, ys).polys.headOption.map(_.holes.length).getOrElse(0)
+        else null
+      case "numgeometries" =>
+        if (xs.isEmpty) 0 else GeoM.declaredParts(t, xs, ys).length
       case "issimple" =>
-        val (_, xs2, ys2) = Geo.unpack(v); Geo.isSimple(t, xs2, ys2)
+        if (!multi) Geo.isSimple(t, xs, ys)
+        else GeoM.declaredParts(t, xs, ys).forall { case (pt, pxs, pys) =>
+          Geo.isSimple(pt, pxs, pys) }
       case "isring" =>
-        val (_, xs2, ys2) = Geo.unpack(v)
-        t == "LINESTRING" && xs2.length > 1 &&
-          xs2.head == xs2.last && ys2.head == ys2.last &&
-          Geo.isSimple(t, xs2, ys2)
+        t == "LINESTRING" && xs.length > 1 &&
+          xs.head == xs.last && ys.head == ys.last &&
+          Geo.isSimple(t, xs, ys)
       case "isvalid" =>
-        val (_, xs2, ys2) = Geo.unpack(v)
-        if (t != "POLYGON") true
-        else xs2.zip(ys2).distinct.length >= 3 && Geo.isSimple(t, xs2, ys2)
+        if (!multi && t == "POLYGON")
+          xs.zip(ys).distinct.length >= 3 && Geo.isSimple(t, xs, ys)
+        else if (base == "MULTIPOINT")
+          GeoM.decode(t, xs, ys).points.distinct.length == xs.length
+        else if (!multi) true
+        else GeoM.decode(t, xs, ys).rings.forall(r =>
+          r.distinct.length >= 3 &&
+            Geo.isSimple("POLYGON", r.map(_._1).toArray, r.map(_._2).toArray))
     }
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -681,8 +779,9 @@ case class StConvexHull(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = Geo.geometryType
   override protected def nullSafeEval(v: Any): Any = {
-    val (_, xs, ys) = Geo.unpack(v)
-    val (t, hx, hy) = Geo.convexHull(xs, ys)
+    val (_, xs0, ys0) = Geo.unpack(v)
+    val keep = xs0.indices.filterNot(i => xs0(i).isNaN || xs0(i).isInfinite)
+    val (t, hx, hy) = Geo.convexHull(keep.map(xs0).toArray, keep.map(ys0).toArray)
     Geo.row(t, hx, hy)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -696,14 +795,33 @@ case class StBoundary(child: Expression)
   override def dataType: DataType = Geo.geometryType
   override protected def nullSafeEval(v: Any): Any = {
     val (t, xs, ys) = Geo.unpack(v)
-    t match {
+    t.split(":")(0) match {
+      // points have an empty boundary, rendered MULTIPOINT EMPTY
+      // (TestGeoFunctions.java:482-483)
       case "POINT" | "MULTIPOINT" =>
-        Geo.row("GEOMETRYCOLLECTION", Array.empty[Double], Array.empty[Double])
-      case "LINESTRING" =>
-        if (xs.length > 1 && xs.head == xs.last && ys.head == ys.last)
-          Geo.row("MULTIPOINT", Array.empty[Double], Array.empty[Double])
-        else Geo.row("MULTIPOINT", Array(xs.head, xs.last), Array(ys.head, ys.last))
-      case "POLYGON" => Geo.row("LINESTRING", xs :+ xs(0), ys :+ ys(0))
+        Geo.row("MULTIPOINT", Array.empty[Double], Array.empty[Double])
+      case "LINESTRING" | "MULTILINESTRING" =>
+        // endpoints of each open path, in path order
+        // (TestGeoFunctions.java:485-487)
+        val gs = GeoM.decode(t, xs, ys)
+        val ends = gs.lines.filterNot(l => l.head == l.last)
+          .flatMap(l => Seq(l.head, l.last))
+        Geo.row("MULTIPOINT", ends.map(_._1).toArray, ends.map(_._2).toArray)
+      case "POLYGON" | "MULTIPOLYGON" =>
+        // rings as a MULTILINESTRING, exterior rings CCW-normalized
+        // keeping their start vertex (TestGeoFunctions.java:488-489)
+        val gs = GeoM.decode(t, xs, ys)
+        val paths = gs.rings.map { r =>
+          val ring = if (GeoM.signedArea2(r) < 0) r.head +: r.tail.reverse else r
+          ring :+ ring.head
+        }
+        val bx = scala.collection.mutable.ArrayBuilder.make[Double]
+        val by = scala.collection.mutable.ArrayBuilder.make[Double]
+        paths.zipWithIndex.foreach { case (p, i) =>
+          if (i > 0) { bx += Double.NaN; by += Double.NaN }
+          p.foreach { q => bx += q._1; by += q._2 }
+        }
+        Geo.row("MULTILINESTRING", bx.result(), by.result())
     }
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -715,7 +833,9 @@ case class StEnvelopeAsPts(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(Geo.geometryType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
-    val (_, xs, ys) = Geo.unpack(v)
+    val (_, xs0, ys0) = Geo.unpack(v)
+    val keep = xs0.indices.filterNot(i => xs0(i).isNaN || xs0(i).isInfinite)
+    val xs = keep.map(xs0).toArray; val ys = keep.map(ys0).toArray
     new GenericArrayData(Array[Any](
       Geo.row("POINT", Array(xs.min), Array(ys.min)),
       Geo.row("POINT", Array(xs.max), Array(ys.max))))
@@ -733,7 +853,8 @@ case class StGeometries(child: Expression)
   override protected def nullSafeEval(v: Any): Any = {
     val (t, xs, ys) = Geo.unpack(v)
     if (xs.isEmpty) null
-    else new GenericArrayData(Array[Any](Geo.row(t, xs, ys)))
+    else new GenericArrayData(GeoM.declaredParts(t, xs, ys).map {
+      case (pt, pxs, pys) => Geo.row(pt, pxs, pys): Any }.toArray)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
@@ -749,7 +870,12 @@ case class StGeometryN(geom: Expression, n: Expression)
   override def nullable: Boolean = true
   override protected def nullSafeEval(gv: Any, nv: Any): Any = {
     val (t, xs, ys) = Geo.unpack(gv)
-    if (nv.asInstanceOf[Int] == 1 && xs.nonEmpty) Geo.row(t, xs, ys) else null
+    val parts = GeoM.declaredParts(t, xs, ys)
+    val k = nv.asInstanceOf[Int]
+    if (k >= 1 && k <= parts.length) {
+      val (pt, pxs, pys) = parts(k - 1)
+      Geo.row(pt, pxs, pys)
+    } else null
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(geom = l, n = r)
@@ -770,9 +896,23 @@ case class StInteriorRings(child: Expression, indexed: Boolean,
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val (t, _, _) = Geo.unpack(v)
-    require(t == "POLYGON", s"interior-ring accessor requires POLYGON, got $t")
-    if (indexed) null else new GenericArrayData(Array.empty[Any])
+    val (t, xs, ys) = Geo.unpack(v)
+    require(t.split(":")(0) == "POLYGON",
+      s"interior-ring accessor requires POLYGON, got $t")
+    val holes = GeoM.decode(t, xs, ys).polys.headOption
+      .map(_.holes).getOrElse(Vector.empty)
+    def ringRow(h: Vector[(Double, Double)]): Any = {
+      val closed = h :+ h.head
+      Geo.row("LINESTRING", closed.map(_._1).toArray, closed.map(_._2).toArray)
+    }
+    if (indexed) {
+      val k = n.map(_.eval(input)).orNull
+      if (k == null) null
+      else {
+        val i = k.asInstanceOf[Int]
+        if (i >= 1 && i <= holes.length) ringRow(holes(i - 1)) else null
+      }
+    } else new GenericArrayData(holes.map(ringRow).toArray)
   }
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression =

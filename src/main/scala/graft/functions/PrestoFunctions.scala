@@ -530,6 +530,17 @@ object PrestoFunctions {
     "st_issimple" -> (e => GeoInfo(e(0), "issimple")),
     "st_isring" -> (e => GeoInfo(e(0), "isring")),
     "st_isvalid" -> (e => GeoInfo(e(0), "isvalid")),
+    // clipping constructors + utilities (GeoFunctions.java stUnion /
+    // stIntersection / stDifference / stSymDifference / stBuffer /
+    // lineLocatePoint / simplifyGeometry / invalidReason)
+    "st_union" -> (e => StClipOp(e(0), e(1), "union")),
+    "st_intersection" -> (e => StClipOp(e(0), e(1), "intersection")),
+    "st_difference" -> (e => StClipOp(e(0), e(1), "difference")),
+    "st_symdifference" -> (e => StClipOp(e(0), e(1), "symdifference")),
+    "st_buffer" -> (e => StBuffer(e(0), Cast(e(1), DoubleType))),
+    "line_locate_point" -> (e => LineLocatePoint(e(0), e(1))),
+    "simplify_geometry" -> (e => SimplifyGeometry(e(0), Cast(e(1), DoubleType))),
+    "geometry_invalid_reason" -> (e => GeometryInvalidReason(e(0))),
     // --- conditional ---
     // Presto greatest/least RETURN_NULL_ON_NULL (AbstractGreatestLeast
     // .java:118); Spark's builtins skip nulls.

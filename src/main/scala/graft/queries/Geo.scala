@@ -106,6 +106,92 @@ object Geo {
         FROM g ORDER BY c_custkey"""),
     ),
 
+    // Clipping constructors over per-row rectangles (ST_Intersection /
+    // ST_Union / ST_Difference / ST_SymDifference — GeoFunctions.java's
+    // ESRI-backed operators, reimplemented as a slab-decomposition boolean
+    // in functions/GeoClip.scala). Rectangles make every clip area exact
+    // interval arithmetic, so the oracle recomputes them in pure SQL; the
+    // part count crosses through the MULTIPOLYGON encoding (2 parts when
+    // the rectangles are disjoint or touch only at a corner, 1 when they
+    // overlap or share an edge segment).
+    "g04_geo_clip" -> Q(
+      presto("""
+        WITH r AS (
+          SELECT c_custkey,
+            c_custkey % 8 AS ax, c_nationkey % 5 AS ay,
+            c_custkey % 11 AS bx, c_custkey % 7 AS by
+          FROM customer WHERE c_custkey <= 400),
+        g AS (
+          SELECT c_custkey, ax, ay, bx, by,
+            st_geometry_from_text(concat('POLYGON ((',
+              ax, ' ', ay, ', ', ax + 5, ' ', ay, ', ',
+              ax + 5, ' ', ay + 4, ', ', ax, ' ', ay + 4, '))')) AS ra,
+            st_geometry_from_text(concat('POLYGON ((',
+              bx, ' ', by, ', ', bx + 3, ' ', by, ', ',
+              bx + 3, ' ', by + 6, ', ', bx, ' ', by + 6, '))')) AS rb
+          FROM r)
+        SELECT c_custkey,
+          round(st_area(st_intersection(ra, rb)), 6) AS inter_area,
+          round(st_area(st_union(ra, rb)), 6) AS union_area,
+          round(st_area(st_difference(ra, rb)), 6) AS diff_area,
+          round(st_area(st_symdifference(ra, rb)), 6) AS sym_area,
+          st_numgeometries(st_union(ra, rb)) AS union_parts
+        FROM g ORDER BY c_custkey"""),
+      Some("""
+        WITH r AS (
+          SELECT c_custkey,
+            CAST(c_custkey % 8 AS DOUBLE) AS ax,
+            CAST(c_nationkey % 5 AS DOUBLE) AS ay,
+            CAST(c_custkey % 11 AS DOUBLE) AS bx,
+            CAST(c_custkey % 7 AS DOUBLE) AS by
+          FROM customer WHERE c_custkey <= 400),
+        m AS (
+          SELECT c_custkey,
+            least(ax + 5, bx + 3) - greatest(ax, bx) AS w,
+            least(ay + 4, by + 6) - greatest(ay, by) AS h
+          FROM r),
+        a AS (
+          SELECT c_custkey,
+            CASE WHEN w > 0 AND h > 0 THEN w * h ELSE 0 END AS ia,
+            w, h
+          FROM m)
+        SELECT c_custkey,
+          round(ia, 6) AS inter_area,
+          round(20 + 18 - ia, 6) AS union_area,
+          round(20 - ia, 6) AS diff_area,
+          round(20 + 18 - 2 * ia, 6) AS sym_area,
+          CASE WHEN w >= 0 AND h >= 0 AND NOT (w = 0 AND h = 0)
+               THEN 1 ELSE 2 END AS union_parts
+        FROM a ORDER BY c_custkey""")),
+
+    // ST_Buffer (96-gon round joins) + line-vs-box ST_Intersection length:
+    // both closed-form, so the oracle is exact arithmetic. The buffer of a
+    // point is a regular 96-gon of area 48·sin(π/48)·r².
+    "g05_geo_buffer" -> Q(
+      presto("""
+        WITH r AS (
+          SELECT c_custkey,
+            CAST(c_custkey % 5 + 1 AS DOUBLE) AS rad,
+            CAST(c_custkey % 10 AS DOUBLE) AS lx
+          FROM customer WHERE c_custkey <= 300)
+        SELECT c_custkey,
+          round(st_area(st_buffer(st_point(2.0, 3.0), rad)), 6) AS disk_area,
+          round(st_length(st_intersection(
+            st_geometry_from_text('POLYGON ((0 2, 6 2, 6 8, 0 8, 0 2))'),
+            st_geometry_from_text(concat('LINESTRING (', CAST(lx AS BIGINT),
+              ' 0, ', CAST(lx AS BIGINT), ' 10)')))), 6) AS clip_len
+        FROM r ORDER BY c_custkey"""),
+      Some("""
+        WITH r AS (
+          SELECT c_custkey,
+            CAST(c_custkey % 5 + 1 AS DOUBLE) AS rad,
+            CAST(c_custkey % 10 AS DOUBLE) AS lx
+          FROM customer WHERE c_custkey <= 300)
+        SELECT c_custkey,
+          round(48 * sin(pi() / 48) * rad * rad, 6) AS disk_area,
+          round(CASE WHEN lx <= 6 THEN 6.0 ELSE 0.0 END, 6) AS clip_len
+        FROM r ORDER BY c_custkey""")),
+
     "g02_spatial_join" -> Q(
       presto("""
         WITH zones AS (

@@ -138,14 +138,17 @@ class GeoSpec extends AnyFunSuite {
   }
 
   test("boundary: polygon ring, line endpoints, closed line, point") {
+    // reference renderings (TestGeoFunctions.java:482-489): polygon
+    // boundary is a MULTILINESTRING, line endpoints print with inner
+    // parens, a point's boundary is MULTIPOINT EMPTY
     assert(one(s"st_astext(st_boundary(${g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")}))")
-      == "LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)")
+      == "MULTILINESTRING ((0 0, 2 0, 2 2, 0 2, 0 0))")
     assert(one(s"st_astext(st_boundary(${g("LINESTRING (0 0, 5 5)")}))")
-      == "MULTIPOINT (0 0, 5 5)")
+      == "MULTIPOINT ((0 0), (5 5))")
     assert(one(s"st_astext(st_boundary(${g("LINESTRING (0 0, 1 0, 1 1, 0 0)")}))")
       == "MULTIPOINT EMPTY")
     assert(one("st_astext(st_boundary(st_point(3.0, 4.0)))")
-      == "GEOMETRYCOLLECTION EMPTY")
+      == "MULTIPOINT EMPTY")
   }
 
   test("envelope-as-points, geometries, geometryN, interior rings") {
