@@ -1252,3 +1252,157 @@ case class GeometryInvalidReason(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "geometry_invalid_reason"
 }
+
+/** ST_Relate (GeoFunctions.java stRelate): DE-9IM pattern match. The
+  * reference delegates to ESRI's relate operator; here the 3×3 matrix is
+  * computed from the same primitives as the clipping engine — region
+  * booleans give the 2-dimensional cells, noded boundary/line pieces give
+  * the 1-dimensional cells, arrangement nodes give the 0-dimensional
+  * cells. Pattern characters: T (non-empty), F (empty), 0/1/2 (exact
+  * dimension), * (anything). */
+case class StRelate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(l: Any, r: Any, p: Any): Any = {
+    val (ta, axs, ays) = Geo.unpack(l)
+    val (tb, bxs, bys) = Geo.unpack(r)
+    val a = GeoM.decode(ta, axs, ays)
+    val b = GeoM.decode(tb, bxs, bys)
+    val m = StRelate.de9im(a, b)
+    val pattern = p.toString
+    require(pattern.length == 9, s"Invalid DE-9IM pattern: $pattern")
+    m.zip(pattern).forall {
+      case (_, '*') => true
+      case (d, 'T') => d >= 0
+      case (d, 'F') => d < 0
+      case (d, c) => d == c - '0'
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_relate"
+}
+
+object StRelate {
+  import GeoM._
+
+  /** Classify a point against a geometry: 0=interior, 1=boundary,
+    * 2=exterior. Line boundaries are odd-degree endpoints; polygon
+    * boundaries are the rings; points have no boundary. */
+  private def classify(p: Pt, g: GSet, lineEnds: Set[Pt]): Int = {
+    if (g.polys.nonEmpty) {
+      val onRing = g.rings.exists { r =>
+        r.indices.exists(i => GeoM.onSegment(p, r(i), r((i + 1) % r.length))) }
+      if (onRing) return 1
+      if (inRegion(p, g.rings, inclusive = false)) return 0
+    }
+    if (g.lines.nonEmpty && onLines(p, g.lines)) {
+      return if (lineEnds.exists(q => math.hypot(q._1 - p._1, q._2 - p._2) < 1e-9)) 1 else 0
+    }
+    if (g.points.exists(q => math.hypot(q._1 - p._1, q._2 - p._2) < 1e-9)) return 0
+    2
+  }
+
+  /** Odd-degree endpoints of a line set (the topological boundary). */
+  private def endpoints(lines: Seq[Seq[Pt]]): Set[Pt] = {
+    val cnt = mutable.HashMap.empty[Pt, Int].withDefaultValue(0)
+    lines.foreach { l =>
+      cnt(l.head) += 1
+      cnt(l.last) += 1
+    }
+    cnt.filter(_._2 % 2 == 1).keySet.toSet
+  }
+
+  /** Row-major DE-9IM dimensions [II, IB, IE, BI, BB, BE, EI, EB, EE];
+    * -1 = empty. */
+  def de9im(a: GSet, b: GSet): Array[Int] = {
+    val m = Array.fill(9)(-1)
+    def raise(row: Int, col: Int, d: Int): Unit = {
+      val i = row * 3 + col
+      if (d > m(i)) m(i) = d
+    }
+    // 2-D cells from region booleans
+    if (a.polys.nonEmpty && b.polys.nonEmpty &&
+        GeoClip.regionOp(a.rings, b.rings, _ && _).nonEmpty) raise(0, 0, 2)
+    if (a.polys.nonEmpty &&
+        (b.polys.isEmpty || GeoClip.regionOp(a.rings, b.rings, (x, y) => x && !y).nonEmpty))
+      raise(0, 2, 2)
+    if (b.polys.nonEmpty &&
+        (a.polys.isEmpty || GeoClip.regionOp(a.rings, b.rings, (x, y) => !x && y).nonEmpty))
+      raise(2, 0, 2)
+    raise(2, 2, 2) // exteriors of bounded geometries always meet
+
+    val aEnds = endpoints(a.lines)
+    val bEnds = endpoints(b.lines)
+    def segs(g: GSet): Vector[((Pt, Pt), Int)] = {
+      // carrier segments tagged with their own class: ring segs are
+      // boundary (1) for polygons; line segs interior (0)
+      g.rings.flatMap(r => r.indices.map(i =>
+        ((r(i), r((i + 1) % r.length)), 1))) ++
+        g.lines.flatMap(l => l.indices.dropRight(1).map(i => ((l(i), l(i + 1)), 0)))
+    }
+    val segsA = segs(a)
+    val segsB = segs(b)
+    // node each side's segments at the other side's touch points
+    def pieces(own: Vector[((Pt, Pt), Int)], other: Vector[((Pt, Pt), Int)])
+        : Vector[((Pt, Pt), Int)] = {
+      own.flatMap { case ((s1, s2), cls) =>
+        val cuts = mutable.TreeSet(0.0, 1.0)
+        val dx = s2._1 - s1._1; val dy = s2._2 - s1._2
+        val len2 = dx * dx + dy * dy
+        def tOf(p: Pt): Double = ((p._1 - s1._1) * dx + (p._2 - s1._2) * dy) / len2
+        other.foreach { case ((c1, c2), _) =>
+          Seq(c1, c2).foreach(p => if (GeoM.onSegment(p, s1, s2)) cuts += tOf(p))
+          val d2x = c2._1 - c1._1; val d2y = c2._2 - c1._2
+          val den = dx * d2y - dy * d2x
+          if (den != 0) {
+            val t = ((c1._1 - s1._1) * d2y - (c1._2 - s1._2) * d2x) / den
+            val s = ((c1._1 - s1._1) * dy - (c1._2 - s1._2) * dx) / den
+            if (t > 0 && t < 1 && s >= 0 && s <= 1) cuts += t
+          }
+        }
+        val ts = cuts.toVector
+        ts.indices.dropRight(1).map { i =>
+          val p = (s1._1 + ts(i) * dx, s1._2 + ts(i) * dy)
+          val q = (s1._1 + ts(i + 1) * dx, s1._2 + ts(i + 1) * dy)
+          ((p, q), cls)
+        }.filter { case ((p, q), _) => p != q }
+      }
+    }
+    pieces(segsA, segsB).foreach { case ((p, q), cls) =>
+      val mid = ((p._1 + q._1) / 2, (p._2 + q._2) / 2)
+      raise(cls, classify(mid, b, bEnds), 1)
+    }
+    pieces(segsB, segsA).foreach { case ((p, q), cls) =>
+      val mid = ((p._1 + q._1) / 2, (p._2 + q._2) / 2)
+      raise(classify(mid, a, aEnds), cls, 1)
+    }
+    // 0-D: geometry points, line endpoints, vertices and crossing nodes
+    val nodes = mutable.ArrayBuffer.empty[Pt]
+    nodes ++= a.points ++= b.points ++= aEnds ++= bEnds
+    segsA.foreach { case ((p1, p2), _) => nodes += p1 += p2 }
+    segsB.foreach { case ((p1, p2), _) => nodes += p1 += p2 }
+    segsA.foreach { case ((p1, p2), _) =>
+      segsB.foreach { case ((q1, q2), _) =>
+        val d1x = p2._1 - p1._1; val d1y = p2._2 - p1._2
+        val d2x = q2._1 - q1._1; val d2y = q2._2 - q1._2
+        val den = d1x * d2y - d1y * d2x
+        if (den != 0) {
+          val t = ((q1._1 - p1._1) * d2y - (q1._2 - p1._2) * d2x) / den
+          val s = ((q1._1 - p1._1) * d1y - (q1._2 - p1._2) * d1x) / den
+          if (t >= 0 && t <= 1 && s >= 0 && s <= 1)
+            nodes += ((p1._1 + t * d1x, p1._2 + t * d1y))
+        }
+      }
+    }
+    def classA(p: Pt): Int =
+      if (a.points.exists(q => math.hypot(q._1 - p._1, q._2 - p._2) < 1e-9)) 0
+      else classify(p, a, aEnds)
+    def classB(p: Pt): Int =
+      if (b.points.exists(q => math.hypot(q._1 - p._1, q._2 - p._2) < 1e-9)) 0
+      else classify(p, b, bEnds)
+    nodes.foreach { p => raise(classA(p), classB(p), 0) }
+    m
+  }
+}

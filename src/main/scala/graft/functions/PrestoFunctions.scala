@@ -533,6 +533,7 @@ object PrestoFunctions {
     // clipping constructors + utilities (GeoFunctions.java stUnion /
     // stIntersection / stDifference / stSymDifference / stBuffer /
     // lineLocatePoint / simplifyGeometry / invalidReason)
+    "st_relate" -> (e => StRelate(e(0), e(1), e(2))),
     "st_union" -> (e => StClipOp(e(0), e(1), "union")),
     "st_intersection" -> (e => StClipOp(e(0), e(1), "intersection")),
     "st_difference" -> (e => StClipOp(e(0), e(1), "difference")),

@@ -241,6 +241,21 @@ class GeoClipSpec extends AnyFunSuite {
       == "MULTILINESTRING ((1 1, 3 1, 3 3, 1 3, 1 1), (0 0, 2 0, 2 2, 0 2, 0 0))")
   }
 
+  test("ST_Relate: DE-9IM pattern match (reference testSTRelate)") {
+    assert(one(s"st_relate(${g("LINESTRING (0 0, 3 3)")}, ${g("LINESTRING (1 1, 4 1)")}, '****T****')") == false)
+    assert(one(s"st_relate(${g("POLYGON ((2 0, 2 1, 3 1))")}, ${g("POLYGON ((1 1, 1 4, 4 4, 4 1))")}, '****T****')") == true)
+    assert(one(s"st_relate(${g("POLYGON ((2 0, 2 1, 3 1))")}, ${g("POLYGON ((1 1, 1 4, 4 4, 4 1))")}, 'T********')") == false)
+    // standard named relations expressed as DE-9IM patterns
+    val sq1 = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val sq2 = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    val sq3 = "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"
+    assert(one(s"st_relate(${g(sq1)}, ${g(sq2)}, 'T*T***T**')") == true) // overlaps
+    assert(one(s"st_relate(${g(sq1)}, ${g(sq3)}, 'FF*FF****')") == true) // disjoint
+    assert(one(s"st_relate(${g(sq1)}, ${g("POINT (1 1)")}, 'T*****FF*')") == true) // contains
+    // equality pattern on the same ring written two ways
+    assert(one(s"st_relate(${g(sq1)}, ${g("POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))")}, 'T*F**FFF*')") == true)
+  }
+
   test("line_locate_point, simplify_geometry, geometry_invalid_reason") {
     assert(one(s"line_locate_point(${g("LINESTRING (0 0, 10 0)")}, st_point(3.0, 5.0))") == 0.3)
     assert(one(s"line_locate_point(${g("LINESTRING EMPTY")}, st_point(3.0, 5.0))") == null)
