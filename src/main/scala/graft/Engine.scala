@@ -330,8 +330,50 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("INVALID_INLINE_TABLE") =>
           inlineTableAsUnion(text)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("MISSING_GROUP_BY") =>
+          windowScalarAggHoist(text, e)
       }
     oneBasedSubscripts(df, text)
+  }
+
+  /** Presto runs map_agg / multimap_agg / geometric_mean as window
+    * functions (MAIN/operator/WindowOperator + the aggregate-function
+    * window adapters); the compat builders wrap a Spark aggregate in a
+    * scalar expression (MapFromEntries / Exp), which cannot sit inside a
+    * WindowExpression — the analyzer reinterprets the inner aggregate as a
+    * grouping aggregate and raises MISSING_GROUP_BY. Retry path: hoist the
+    * scalar wrapper ABOVE the window at parse level, leaving a plain
+    * collect_list / avg window aggregate inside. */
+  private def windowScalarAggHoist(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{CreateStruct, WindowExpression}
+    def fn(name: String, args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      UnresolvedFunction(Seq(name), args, isDistinct = false)
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    var changed = false
+    val fixed = parsed.transformAllExpressions {
+      case we @ WindowExpression(f: UnresolvedFunction, spec) =>
+        f.nameParts.last.toLowerCase(java.util.Locale.ROOT) match {
+          case "map_agg" =>
+            changed = true
+            fn("map_from_entries",
+              Seq(WindowExpression(fn("collect_list",
+                Seq(CreateStruct(f.arguments))), spec)))
+          case "multimap_agg" =>
+            changed = true
+            fn("multimap_from_entries",
+              Seq(WindowExpression(fn("collect_list",
+                Seq(CreateStruct(f.arguments))), spec)))
+          case "geometric_mean" =>
+            changed = true
+            fn("exp", Seq(WindowExpression(
+              fn("avg", Seq(fn("ln", f.arguments))), spec)))
+          case _ => we
+        }
+    }
+    if (!changed) throw orig
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }
 
   /** Presto's WindowOperator/RowNumberOperator run ranking functions over

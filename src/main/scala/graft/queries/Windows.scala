@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{Engine, Q, Tables}
 
 /** Window-function surface.
   *
@@ -22,6 +22,36 @@ object Windows {
   val queries: Map[String, Q] = Map(
 
     // Ranking family over one sorted partition pass.
+    // Aggregate-typed window functions whose compat builders wrap a Spark
+    // aggregate in a scalar (map_agg → MapFromEntries(collect_list),
+    // geometric_mean → Exp(Avg(Ln))): Presto's WindowOperator runs any
+    // aggregate over a window, so Engine.windowScalarAggHoist lifts the
+    // scalar wrapper above the WindowExpression at parse level. Keys are
+    // o_orderkey within a custkey partition — globally unique, so the map
+    // build is deterministic (the synthetic lineitem fixture repeats
+    // (orderkey, linenumber) pairs). Oracle: own-key lookup is the row's
+    // own total price, cardinality is the partition count, geometric mean
+    // is exp∘avg∘ln.
+    "q36_win_map_agg" -> Q(
+      (s, d) => Engine.cached(s, d).sql("""
+        WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice
+                   FROM orders WHERE o_orderkey < 500)
+        SELECT o_orderkey, o_custkey,
+          element_at(map_agg(o_orderkey, o_totalprice)
+            OVER (PARTITION BY o_custkey), o_orderkey) AS own_tp,
+          cardinality(map_agg(o_orderkey, o_totalprice)
+            OVER (PARTITION BY o_custkey)) AS nkeys,
+          round(geometric_mean(o_totalprice)
+            OVER (PARTITION BY o_custkey), 4) AS gm
+        FROM w ORDER BY o_custkey, o_orderkey"""),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+          o_totalprice AS own_tp,
+          CAST(count(*) OVER (PARTITION BY o_custkey) AS INT) AS nkeys,
+          round(exp(avg(ln(o_totalprice)) OVER (PARTITION BY o_custkey)), 4) AS gm
+        FROM orders WHERE o_orderkey < 500
+        ORDER BY o_custkey, o_orderkey""")),
+
     "q30_win_rank" -> Q(
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey"))
