@@ -333,8 +333,40 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("MISSING_GROUP_BY") =>
           windowScalarAggHoist(text, e)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("STAR_GROUP_BY_POS") =>
+          starGroupByOrdinal(text, e)
       }
     oneBasedSubscripts(df, text)
+  }
+
+  /** Presto expands `SELECT *, rank() OVER (...) ... GROUP BY 1` by
+    * resolving the star BEFORE checking the ordinals
+    * (AbstractTestQueries.java:3813 testWindowFunctionWithGroupBy); Spark
+    * rejects the combination outright (STAR_GROUP_BY_POS). The statement
+    * is Presto-legal only when the grouping ordinals cover the ENTIRE star
+    * expansion (any bare non-window column raises Presto's
+    * MUST_BE_AGGREGATE_OR_GROUP_BY), in which case the aggregate is
+    * exactly DISTINCT over the child's output. Retry path: rewrite the
+    * ordinal-grouped star aggregate to a projection (windows included)
+    * over Distinct(child). */
+  private def starGroupByOrdinal(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedOrdinal, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Project}
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    var changed = false
+    val fixed = parsed.transform {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.isInstanceOf[UnresolvedStar]) &&
+            a.groupingExpressions.nonEmpty &&
+            a.groupingExpressions.forall(_.isInstanceOf[UnresolvedOrdinal]) =>
+        changed = true
+        Project(a.aggregateExpressions, Distinct(a.child))
+    }
+    if (!changed) throw orig
+    // the projected windows may themselves need the unordered-ranking fix
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark,
+      arbitraryWindowOrderPlan(fixed))
   }
 
   /** Presto runs map_agg / multimap_agg / geometric_mean as window
@@ -383,20 +415,24 @@ class Engine(parent: SparkSession) {
     * (SortOrder(1) — every row equal, i.e. arbitrary order, no extra
     * exchange). Aggregate windows are left alone — adding an order would
     * silently shrink their default frame to RANGE ... CURRENT ROW. */
-  private def arbitraryWindowOrder(text: String): DataFrame = {
+  private def arbitraryWindowOrder(text: String): DataFrame =
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark,
+      arbitraryWindowOrderPlan(spark.sessionState.sqlParser.parsePlan(text)))
+
+  private def arbitraryWindowOrderPlan(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Literal, SortOrder, WindowExpression, WindowSpecDefinition}
     val needsOrder = Set("row_number", "rank", "dense_rank", "percent_rank",
       "cume_dist", "ntile", "lag", "lead")
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
-    val fixed = parsed.transformAllExpressions {
+    parsed.transformAllExpressions {
       case WindowExpression(f: UnresolvedFunction, spec: WindowSpecDefinition)
           if spec.orderSpec.isEmpty &&
             needsOrder(f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
         WindowExpression(f,
           spec.copy(orderSpec = Seq(SortOrder(Literal(1), Ascending))))
     }
-    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }
 
   /** Presto evaluates an untyped NULL predicate as UNKNOWN (no rows) —

@@ -579,6 +579,194 @@ object PrestoSql {
     sql0
   }
 
+  /** Presto evaluates window frame bounds PER ROW (WindowOperator /
+    * FrameInfo take a bound CHANNEL — AbstractTestQueries testWindowFrames
+    * runs `ROWS BETWEEN mod(custkey, 2) PRECEDING AND custkey / 500
+    * FOLLOWING`); Spark's parser requires foldable bounds. Non-literal ROWS
+    * bounds on sum/avg/count/min/max are lowered here to a per-row slice of
+    * the collected partition: one UNBOUNDED..UNBOUNDED collect_list (the
+    * only semantics-preserving shape — the frame of every row can reach any
+    * position), one row_number, then `slice` + higher-order aggregation.
+    * All pieces bind once via a single-element transform() so the window
+    * expressions are not duplicated per use. The generated text contains no
+    * `[n]` subscripts (the 1-based post-analysis shift never fires on it)
+    * and its ORDER BY items pick up the Presto NULLS LAST default from the
+    * defaultNullOrdering pass that runs after this one. */
+  private def dynamicFrames(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    sealed trait Bound
+    case object UnbPrec extends Bound
+    case object UnbFoll extends Bound
+    case object CurRow extends Bound
+    case class Prec(e: String) extends Bound
+    case class Foll(e: String) extends Bound
+    def classify(t: String): Option[Bound] = {
+      val s = t.trim
+      if (s.matches("(?is)^UNBOUNDED\\s+PRECEDING$")) Some(UnbPrec)
+      else if (s.matches("(?is)^UNBOUNDED\\s+FOLLOWING$")) Some(UnbFoll)
+      else if (s.matches("(?is)^CURRENT\\s+ROW$")) Some(CurRow)
+      else {
+        val m = java.util.regex.Pattern
+          .compile("(?is)^(.*\\S)\\s+(PRECEDING|FOLLOWING)$").matcher(s)
+        if (!m.matches()) None
+        else if (m.group(2).equalsIgnoreCase("preceding")) Some(Prec(m.group(1)))
+        else Some(Foll(m.group(1)))
+      }
+    }
+    def literal(b: Bound): Boolean = b match {
+      case Prec(e) => e.trim.matches("\\d+")
+      case Foll(e) => e.trim.matches("\\d+")
+      case _ => true
+    }
+    val m = java.util.regex.Pattern.compile("(?i)\\bOVER\\s*\\(").matcher(mask)
+    while (m.find()) {
+      val open = m.end() - 1
+      var depth = 1
+      var i = open + 1
+      while (i < mask.length && depth > 0) {
+        if (mask(i) == '(') depth += 1 else if (mask(i) == ')') depth -= 1
+        i += 1
+      }
+      val close = i - 1
+      val body = mask.substring(open + 1, close)
+      // ROWS [BETWEEN] frame at paren depth 0 of the window spec
+      val rb = java.util.regex.Pattern.compile("(?i)\\bROWS\\b").matcher(body)
+      var found = false
+      while (!found && rb.find()) {
+        val d = body.substring(0, rb.start()).count(_ == '(') -
+          body.substring(0, rb.start()).count(_ == ')')
+        if (d == 0) found = true
+      }
+      if (found) {
+        val afterRows = body.substring(rb.end())
+        val between = java.util.regex.Pattern
+          .compile("(?is)^\\s*BETWEEN\\b").matcher(afterRows)
+        val (b1, b2) =
+          if (between.find()) {
+            // top-level AND splits the two bounds
+            val region = afterRows.substring(between.end())
+            var d2 = 0
+            var p = 0
+            var andAt = -1
+            while (andAt < 0 && p < region.length) {
+              region(p) match {
+                case '(' => d2 += 1; p += 1
+                case ')' => d2 -= 1; p += 1
+                case c if c.isLetter || c == '_' =>
+                  val ws = p
+                  while (p < region.length &&
+                    (region(p).isLetterOrDigit || region(p) == '_')) p += 1
+                  if (d2 == 0 && region.substring(ws, p).equalsIgnoreCase("and"))
+                    andAt = ws
+                case _ => p += 1
+              }
+            }
+            if (andAt < 0) (None, None)
+            else {
+              val base = open + 1 + rb.end() + between.end()
+              (classify(sql0.substring(base, base + andAt)),
+                classify(sql0.substring(base + andAt + 3, open + 1 + close - (open + 1))))
+            }
+          } else {
+            // shorthand `ROWS e PRECEDING` = BETWEEN e PRECEDING AND CURRENT ROW
+            val base = open + 1 + rb.end()
+            (classify(sql0.substring(base, close)), Some(CurRow))
+          }
+        (b1, b2) match {
+          case (Some(lo0), Some(hi0)) if !(literal(lo0) && literal(hi0)) &&
+              lo0 != UnbFoll && hi0 != UnbPrec =>
+            // window spec pieces (positions on the mask, text from sql0)
+            val pm = java.util.regex.Pattern
+              .compile("(?i)\\bORDER\\s+BY\\b").matcher(body)
+            var obAt = -1
+            while (obAt < 0 && pm.find()) {
+              val d = body.substring(0, pm.start()).count(_ == '(') -
+                body.substring(0, pm.start()).count(_ == ')')
+              if (d == 0) obAt = pm.start()
+            }
+            // preceding aggregate call: `fname ( args )` directly before OVER
+            var j = m.start() - 1
+            while (j >= 0 && sql0(j).isWhitespace) j -= 1
+            if (obAt >= 0 && obAt < rb.start() && j >= 0 && mask(j) == ')') {
+              var dc = 1
+              var k = j - 1
+              while (k >= 0 && dc > 0) {
+                if (mask(k) == ')') dc += 1 else if (mask(k) == '(') dc -= 1
+                k -= 1
+              }
+              val openCall = k + 1
+              var ne = openCall - 1
+              while (ne >= 0 && sql0(ne).isWhitespace) ne -= 1
+              var ns = ne
+              while (ns >= 0 && (sql0(ns).isLetterOrDigit || sql0(ns) == '_')) ns -= 1
+              val fname = sql0.substring(ns + 1, ne + 1).toLowerCase
+              val arg = sql0.substring(openCall + 1, j).trim
+              val supported =
+                Set("sum", "avg", "count", "min", "max", "first_value", "last_value")
+              if (supported(fname) && !arg.matches("(?is)^DISTINCT\\b.*")) {
+                val partText = sql0.substring(open + 1, open + 1 + obAt).trim
+                val orderText = sql0.substring(open + 1 + obAt, open + 1 + rb.start()).trim
+                val suf = Iterator.from(0).find(n => !sql0.contains(s"__fr$n")).get
+                val (w, x, acc) = (s"__fr${suf}w", s"__fr${suf}x", s"__fr${suf}a")
+                val fullWin = s"OVER ($partText $orderText ROWS BETWEEN " +
+                  "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+                val rnWin = s"OVER ($partText $orderText)"
+                val collectVal = if (arg == "*") "1" else s"($arg)"
+                val fields = scala.collection.mutable.ArrayBuffer(
+                  s"collect_list(struct($collectVal AS __v)) $fullWin AS a",
+                  s"row_number() $rnWin AS r")
+                def off(b: Bound, slot: String): String = b match {
+                  case UnbPrec => "1"
+                  case UnbFoll => s"size($w.a)"
+                  case CurRow => s"$w.r"
+                  case Prec(e) =>
+                    fields += s"CAST(($e) AS BIGINT) AS $slot"; s"$w.r - $w.$slot"
+                  case Foll(e) =>
+                    fields += s"CAST(($e) AS BIGINT) AS $slot"; s"$w.r + $w.$slot"
+                }
+                val lo = off(lo0, "p1")
+                val hi = off(hi0, "p2")
+                val s0 = s"greatest(1, $lo)"
+                val e0 = s"least(size($w.a), $hi)"
+                val frame = s"slice($w.a, CAST($s0 AS INT), CAST($e0 - $s0 + 1 AS INT))"
+                val vals = s"transform($frame, $x -> $x.__v)"
+                val nn = s"filter($vals, $x -> $x IS NOT NULL)"
+                def fold(init: String) =
+                  s"aggregate(slice($nn, 2, CAST(size($nn) - 1 AS INT)), $init, " +
+                    s"($acc, $x) -> $acc + $x)"
+                val bodyExpr = fname match {
+                  case "count" =>
+                    val cnt = if (arg == "*") s"size($frame)" else s"size($nn)"
+                    s"CASE WHEN $e0 >= $s0 THEN CAST($cnt AS BIGINT) " +
+                      "ELSE CAST(0 AS BIGINT) END"
+                  case "sum" =>
+                    s"CASE WHEN $e0 >= $s0 AND size($nn) > 0 " +
+                      s"THEN ${fold(s"element_at($nn, 1)")} END"
+                  case "avg" =>
+                    s"CASE WHEN $e0 >= $s0 AND size($nn) > 0 " +
+                      s"THEN ${fold(s"CAST(element_at($nn, 1) AS DOUBLE)")} / size($nn) END"
+                  case "min" =>
+                    s"CASE WHEN $e0 >= $s0 THEN array_min($vals) END"
+                  case "max" =>
+                    s"CASE WHEN $e0 >= $s0 THEN array_max($vals) END"
+                  case "first_value" =>
+                    s"CASE WHEN $e0 >= $s0 THEN element_at($vals, 1) END"
+                  case "last_value" =>
+                    s"CASE WHEN $e0 >= $s0 THEN element_at($vals, CAST(size($vals) AS INT)) END"
+                }
+                val repl = s"element_at(transform(array(struct(" +
+                  fields.mkString(", ") + s")), $w -> $bodyExpr), 1)"
+                return dynamicFrames(
+                  sql0.substring(0, ns + 1) + repl + sql0.substring(close + 1))
+              }
+            }
+          case _ =>
+        }
+      }
+    }
+    sql0
+  }
+
   /** Presto's DEFAULT null placement is NULLS LAST for BOTH sort directions
     * (MAIN/sql/planner/QueryPlanner toSortOrder — UNDEFINED falls to the
     * LAST branch); Spark's ascending default is NULLS FIRST. The parser
@@ -646,9 +834,9 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = defaultNullOrdering(orderedAggs(quantifiedCmp(countStar(
+    val sql = defaultNullOrdering(dynamicFrames(orderedAggs(quantifiedCmp(countStar(
       inValues(castJson(typedLiterals(dateAddUnit(unnest(rowTypes(sql0),
-        new java.util.concurrent.atomic.AtomicLong(0))))))))))
+        new java.util.concurrent.atomic.AtomicLong(0)))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -1823,6 +1823,22 @@ object RefCorpus {
         "high" -> "decimal(38,6)"), cases = Seq(
       "l2" -> "SELECT quantity, extendedprice, avg_price, low, high FROM lineitem, LATERAL (SELECT extendedprice / quantity AS avg_price) average_price, LATERAL (SELECT avg_price * 0.9 AS low) lower_bound, LATERAL (SELECT avg_price * 1.1 AS high) upper_bound ORDER BY extendedprice, quantity LIMIT 1")),
 
+    // AbstractTestQueries.java:3961 testWindowFrames — per-row ROWS frame
+    // bounds (Presto's FrameInfo takes a bound CHANNEL). Verbatim text;
+    // PrestoSql.dynamicFrames lowers it to a slice of the collected
+    // partition. DuckDB can't express per-row bounds either, so the oracle
+    // replays the frame as a correlated row_number-range subquery (`//`
+    // for Presto truncating integer division).
+    "r151_ref_dynamic_frames" -> one(
+      "SELECT * FROM (  SELECT orderkey, orderstatus, sum(orderkey + 1000) OVER (PARTITION BY orderstatus ORDER BY orderkey ROWS BETWEEN mod(custkey, 2) PRECEDING AND custkey / 500 FOLLOWING) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x ) x ORDER BY orderkey LIMIT 5",
+      Seq("orderkey", "orderstatus", "s"),
+      Seq("CAST(c1 AS BIGINT) AS orderkey", "c2 AS orderstatus",
+        "CAST(c3 AS BIGINT) AS s"),
+      oracleSql = "WITH x AS (SELECT * FROM orders ORDER BY orderkey LIMIT 10), " +
+        "num AS (SELECT orderkey, orderstatus, custkey, row_number() OVER (PARTITION BY orderstatus ORDER BY orderkey) AS r FROM x) " +
+        "SELECT a.orderkey, a.orderstatus, (SELECT sum(b.orderkey + 1000) FROM num b WHERE b.orderstatus = a.orderstatus AND b.r BETWEEN a.r - (a.custkey % 2) AND a.r + a.custkey // 500) " +
+        "FROM num a ORDER BY a.orderkey LIMIT 5"),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

@@ -570,4 +570,62 @@ class RefCorpusSpec extends AnyFunSuite {
       "ROW(CAST(ROW(2.2, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double)))), " +
       "ROW(CAST(ROW(3.1, ARRAY[row(41, 13.1E0), row(32, 4.2E0)], row(6, 6.0E0))  AS ROW(col0 double, col1 array(ROW(col0 integer, col1 double)), col2 row(col0 integer, col1 double))))) t(a) ",
     "SELECT * FROM VALUES (1.0, 14.5, 4.0), (2.2, 39.3, 18.0), (2.2, 39.3, 18.0), (2.2, 17.1, 16.0), (3.1, 39.3, 18.0)")
+
+  // --- testWindowFrames (:3961) — Presto evaluates ROWS frame bounds PER
+  // ROW (FrameInfo takes a bound channel); Spark's parser wants literals.
+  // PrestoSql.dynamicFrames lowers these to a slice of the collected
+  // partition. Expected values verified against a DuckDB replay of the
+  // per-row frame as a correlated row_number-range subquery.
+  ref("dynamic frame sum partitioned",
+    "SELECT k, v, sum(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN mod(k, 2) PRECEDING AND k / 2 FOLLOWING) FROM (VALUES (1, 10, 'a'), (2, 20, 'a'), (3, 30, 'a'), (4, 40, 'b'), (5, 50, 'b')) t(k, v, g) ORDER BY k",
+    "VALUES (1, 10, 10), (2, 20, 50), (3, 30, 50), (4, 40, 90), (5, 50, 90)",
+    ordered = true)
+  ref("dynamic frame avg to current row",
+    "SELECT k, avg(v) OVER (ORDER BY k ROWS BETWEEN k PRECEDING AND CURRENT ROW) FROM (VALUES (1, 10.0), (2, 20.0), (3, 60.0)) t(k, v) ORDER BY k",
+    "VALUES (1, 10.0), (2, 15.0), (3, 30.0)", ordered = true)
+  ref("dynamic frame count shorthand preceding",
+    "SELECT k, count(*) OVER (ORDER BY k ROWS mod(k, 3) PRECEDING) FROM (VALUES (1), (2), (3), (4)) t(k) ORDER BY k",
+    "VALUES (1, 1), (2, 2), (3, 1), (4, 2)", ordered = true)
+  ref("dynamic frame min max symmetric",
+    "SELECT k, min(v) OVER (ORDER BY k ROWS BETWEEN k PRECEDING AND k FOLLOWING), max(v) OVER (ORDER BY k ROWS BETWEEN k PRECEDING AND k FOLLOWING) FROM (VALUES (1, 5), (2, 3), (3, 9)) t(k, v) ORDER BY k",
+    "VALUES (1, 3, 5), (2, 3, 9), (3, 3, 9)", ordered = true)
+  ref("dynamic frame empty frame is null",
+    "SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN k FOLLOWING AND (k + 1) FOLLOWING) FROM (VALUES (1, 10), (2, 20), (3, 30)) t(k, v) ORDER BY k",
+    "VALUES (1, 50), (2, CAST(NULL AS BIGINT)), (3, CAST(NULL AS BIGINT))",
+    ordered = true)
+  ref("dynamic frame first last value",
+    "SELECT k, first_value(v) OVER (ORDER BY k ROWS BETWEEN mod(k,2) PRECEDING AND 1 FOLLOWING), last_value(v) OVER (ORDER BY k ROWS BETWEEN mod(k,2) PRECEDING AND k FOLLOWING) FROM (VALUES (1, 5), (2, 3), (3, 9)) t(k, v) ORDER BY k",
+    "VALUES (1, 5, 3), (2, 3, 9), (3, 3, 9)", ordered = true)
+  // The reference's exact testWindowFrames statement (expected values are
+  // fixture-dependent; r151 oracles it against DuckDB — here we pin that
+  // the verbatim text parses, runs, and keeps its 5-row shape).
+  ref("window frames verbatim shape",
+    "SELECT count(*) FROM (SELECT * FROM (  SELECT orderkey, orderstatus, sum(orderkey + 1000) OVER (PARTITION BY orderstatus ORDER BY orderkey ROWS BETWEEN mod(custkey, 2) PRECEDING AND custkey / 500 FOLLOWING) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) x ) x ORDER BY orderkey LIMIT 5)",
+    "VALUES 5")
+
+  // --- testWindowFunctionWithGroupBy (:3813) — star select + ordinal
+  // GROUP BY + window fn. Spark raises STAR_GROUP_BY_POS;
+  // Engine.starGroupByOrdinal retries as a window projection over
+  // Distinct (legal in Presto only when the ordinals cover the whole star
+  // expansion, i.e. the aggregate IS distinct-over-child).
+  ref("window function with star group by ordinal",
+    "SELECT *, rank() OVER (PARTITION BY x)\nFROM (SELECT 'foo' x)\nGROUP BY 1",
+    "SELECT 'foo', 1")
+  ref("star group by ordinal dedups",
+    "SELECT *, count(*) OVER (PARTITION BY x) FROM (VALUES ('a'), ('a'), ('b')) t(x) GROUP BY 1",
+    "VALUES ('a', 1), ('b', 1)")
+
+  // --- TestDateTimeFunctionsBase.java:706/714 — MySQL %v (ISO
+  // week-of-weekyear) and %x (ISO weekyear) in date_format; Spark bans
+  // week-based pattern letters, so the compat builder lowers them to
+  // weekofyear()/yearofweek concat segments. ---
+  ref("date_format iso week %v",
+    "SELECT date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%v')",
+    "SELECT '02'")
+  ref("date_format iso weekyear %x %v",
+    "SELECT date_format(TIMESTAMP '2001-01-09 13:04:05.321', '%x %v')",
+    "SELECT '2001 02'")
+  ref("date_format %v mixed with other tokens",
+    "SELECT date_format(TIMESTAMP '1998-12-28 00:00:00', '%Y-%m-%d w%v y%x')",
+    "SELECT '1998-12-28 w53 y1998'")
 }
