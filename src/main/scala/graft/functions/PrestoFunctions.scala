@@ -96,8 +96,10 @@ object PrestoFunctions {
           case 'j' => sb.append("DDD")
           case 'T' => sb.append("HH:mm:ss")
           // %v is ISO week-of-year; week-based format patterns are banned on
-          // Spark >= 3.0, so pass it through verbatim (documented divergence —
-          // use weekofyear() for the numeric value).
+          // Spark >= 3.0. date_format lowers %v/%x via mysqlFormatWithWeek
+          // BEFORE this translation runs; only date_parse still reaches
+          // here, where the token passes through verbatim (documented
+          // divergence — week-numbers are not round-trippable in Spark).
           case 'v' => literal.append("%v")
           case '%' => literal.append('%')
           case other => literal.append(other)
@@ -107,6 +109,40 @@ object PrestoFunctions {
     }
     flush()
     sb.toString
+  }
+
+  /** Presto's MySQL `%v` maps to Joda appendWeekOfWeekyear(2) and `%x` to
+    * appendWeekyear(4,4) (DateTimeFunctions.java:1201-1205); Spark bans
+    * week-based pattern LETTERS but exposes the same ISO values through
+    * weekofyear() and the yearofweek extract field. Lower a pattern that
+    * uses them to concat(format(segment), lpad(week,2,'0'), ...) so the
+    * remaining tokens still go through the normal translation. */
+  private def mysqlFormatWithWeek(ts: Expression, p: String): Expression = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val seg = new StringBuilder
+    def flushSeg(): Unit = if (seg.nonEmpty) {
+      parts += DateFormatClass(ts, lit(mysqlToJavaPattern(seg.toString)))
+      seg.clear()
+    }
+    var i = 0
+    while (i < p.length) {
+      if (p(i) == '%' && i + 1 < p.length && p(i + 1) == 'v') {
+        flushSeg()
+        parts += fn("lpad",
+          Seq(Cast(fn("weekofyear", Seq(ts)), StringType), lit(2), lit("0")))
+        i += 2
+      } else if (p(i) == '%' && i + 1 < p.length && p(i + 1) == 'x') {
+        flushSeg()
+        parts += fn("lpad", Seq(Cast(
+          fn("date_part", Seq(lit("yearofweek"), ts)), StringType),
+          lit(4), lit("0")))
+        i += 2
+      } else if (p(i) == '%' && i + 1 < p.length) {
+        seg.append(p(i)).append(p(i + 1)); i += 2
+      } else { seg.append(p(i)); i += 1 }
+    }
+    flushSeg()
+    if (parts.length == 1) parts.head else fn("concat", parts.toSeq)
   }
 
   /** Teradata date token set → java.time pattern (DateFormatParser.java:
@@ -262,11 +298,13 @@ object PrestoFunctions {
     // date_format shadows the builtin name → construct the Catalyst class
     // directly (delegating via UnresolvedFunction would recurse into us).
     "date_format" -> { e =>
-      val isMysql = e(1) match {
-        case Literal(s, StringType) => s != null && s.toString.contains("%")
-        case _ => false
+      e(1) match {
+        case Literal(s, StringType) if s != null && s.toString.contains("%") =>
+          val p = s.toString
+          if (p.contains("%v") || p.contains("%x")) mysqlFormatWithWeek(e(0), p)
+          else DateFormatClass(e(0), translatedPattern(e(1)))
+        case _ => DateFormatClass(e(0), e(1))
       }
-      DateFormatClass(e(0), if (isMysql) translatedPattern(e(1)) else e(1))
     },
     // Joda-pattern pair (format_datetime/parse_datetime): Joda and java.time
     // patterns agree on the y/M/d/H/m/s/S core; exotic tokens (e.g. Joda 'ZZ')

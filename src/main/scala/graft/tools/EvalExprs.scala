@@ -7,7 +7,7 @@ object EvalExprs {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     val e = Engine(spark)
-    Source.fromFile(args(0)).getLines().zipWithIndex.foreach { case (expr, i) =>
+    Source.fromFile(args(0), "UTF-8").getLines().zipWithIndex.foreach { case (expr, i) =>
       val v = try String.valueOf(e.sql(s"SELECT $expr AS v").head.get(0))
         catch { case t: Throwable => "ERROR:" + t.getClass.getSimpleName +
           " " + String.valueOf(t.getMessage).replace('\n', ' ').take(300) }

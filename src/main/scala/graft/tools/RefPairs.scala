@@ -33,7 +33,7 @@ object RefPairs {
     val e = graft.queries.RefCorpus.engine(spark, dir)
     def rows(sql: String): Seq[String] =
       e.sql(sql).collect().toSeq.map(r => r.toSeq.map(canon).mkString("(", ", ", ")"))
-    Source.fromFile(args(0)).getLines().zipWithIndex.foreach { case (line, i) =>
+    Source.fromFile(args(0), "UTF-8").getLines().zipWithIndex.foreach { case (line, i) =>
       val Array(a, b) = line.split("\t", 2)
       val v = try {
         val (ga, gb) = (rows(a).sorted, rows(b).sorted)

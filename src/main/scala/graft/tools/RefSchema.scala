@@ -9,7 +9,7 @@ object RefSchema {
     val spark = GraftSession.local(8)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val e = graft.queries.RefCorpus.engine(spark, dir)
-    Source.fromFile(args(0)).getLines().zipWithIndex.foreach { case (sql, i) =>
+    Source.fromFile(args(0), "UTF-8").getLines().zipWithIndex.foreach { case (sql, i) =>
       val v = try {
         val df = e.sql(sql)
         val n = df.count()
