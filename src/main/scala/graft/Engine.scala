@@ -31,6 +31,13 @@ class Engine(parent: SparkSession) {
   // extracts and arithmetic work natively in this session.
   spark.conf.set("spark.sql.timeType.enabled", "true")
 
+  // Presto string literals have NO escape processing ('\d' is a backslash
+  // and a d — the reference's own regex corpus depends on it:
+  // TestRegexpFunctions passes '(\d{3})' verbatim); Spark's default
+  // C-style escaping would eat the backslash. LIKE's default-escape
+  // difference this exposes is handled in PrestoSql.likeNoEscape.
+  spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+
   functions.PrestoFunctions.registerAll(spark)
 
   /** Register every fixture table under its Presto-visible name. */
@@ -336,8 +343,45 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("STAR_GROUP_BY_POS") =>
           starGroupByOrdinal(text, e)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("INVALID_ORDERING_TYPE") =>
+          mapEquality(text, e)
       }
     oneBasedSubscripts(df, text)
+  }
+
+  /** Presto compares MAPs with `=`/`!=` (MapOperators.java equals — key
+    * multisets match and every key's values are equal); Spark rejects maps
+    * as unorderable (INVALID_ORDERING_TYPE). Retry path: analyze without
+    * the final checks, then rewrite map equalities to
+    * size+sorted-keys+per-key-value comparison. 3VL: a NULL value
+    * comparison propagates through AND like the reference's indeterminate
+    * entries. */
+  private def mapEquality(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{And, ArrayForAll, EqualTo, Expression, GetMapValue, LambdaFunction, Literal, MapKeys, Size, SortArray, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.types.MapType
+    val analyzed =
+      try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark,
+        org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text))
+      catch { case _: Throwable => throw orig }
+    var changed = false
+    def mapEq(l: Expression, r: Expression): Expression = {
+      val k = UnresolvedNamedLambdaVariable(Seq("meq_k"))
+      And(And(
+        EqualTo(Size(l), Size(r)),
+        EqualTo(SortArray(MapKeys(l), Literal(true)),
+          SortArray(MapKeys(r), Literal(true)))),
+        ArrayForAll(MapKeys(l),
+          LambdaFunction(EqualTo(GetMapValue(l, k), GetMapValue(r, k)), Seq(k))))
+    }
+    val fixed = analyzed.transformAllExpressions {
+      case EqualTo(l, r)
+          if l.resolved && r.resolved && l.dataType.isInstanceOf[MapType] =>
+        changed = true
+        mapEq(l, r)
+    }
+    if (!changed) throw orig
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }
 
   /** Presto expands `SELECT *, rank() OVER (...) ... GROUP BY 1` by
@@ -353,7 +397,7 @@ class Engine(parent: SparkSession) {
   private def starGroupByOrdinal(text: String, orig: Throwable): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedOrdinal, UnresolvedStar}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Project}
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val parsed = org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
     var changed = false
     val fixed = parsed.transform {
       case a: Aggregate
@@ -382,7 +426,7 @@ class Engine(parent: SparkSession) {
     import org.apache.spark.sql.catalyst.expressions.{CreateStruct, WindowExpression}
     def fn(name: String, args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
       UnresolvedFunction(Seq(name), args, isDistinct = false)
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val parsed = org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
     var changed = false
     val fixed = parsed.transformAllExpressions {
       case we @ WindowExpression(f: UnresolvedFunction, spec) =>
@@ -417,7 +461,7 @@ class Engine(parent: SparkSession) {
     * silently shrink their default frame to RANGE ... CURRENT ROW. */
   private def arbitraryWindowOrder(text: String): DataFrame =
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark,
-      arbitraryWindowOrderPlan(spark.sessionState.sqlParser.parsePlan(text)))
+      arbitraryWindowOrderPlan(org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)))
 
   private def arbitraryWindowOrderPlan(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -443,7 +487,7 @@ class Engine(parent: SparkSession) {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     import org.apache.spark.sql.types.{BooleanType, NullType}
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val parsed = org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
     val fixed = parsed.transformUp {
       case Filter(l @ Literal(null, NullType), child) =>
         Filter(Cast(l, BooleanType), child)
@@ -459,7 +503,7 @@ class Engine(parent: SparkSession) {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedInlineTable
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project, Union}
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val parsed = org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
     val fixed = parsed.transformUpWithSubqueries {
       case UnresolvedInlineTable(names, rows) =>
         rows.map { r =>
@@ -587,6 +631,17 @@ class Engine(parent: SparkSession) {
         if (ctx.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
           org.apache.spark.sql.catalyst.expressions.TryEval(typed)
         else typed
+      // Double division is IEEE in Presto (DoubleOperators.divide —
+      // x/0 → ±Infinity, 0/0 → NaN); Spark's Divide NULLs (legacy) or
+      // throws (ANSI) on a zero divisor. StaticInvoke keeps codegen.
+      case d @ Divide(l, r, _)
+          if d.dataType == DoubleType &&
+            l.dataType == DoubleType && r.dataType == DoubleType =>
+        changed = true
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          Class.forName("graft.functions.ScalarOps"), DoubleType,
+          "ieeeDivide", Seq(l, r), Seq(DoubleType, DoubleType),
+          propagateNull = true, returnNullable = false)
       case s: SubqueryExpression => s.withNewPlan(shift(s.plan))
     }
     // Presto's IN keeps three-valued logic when PROJECTED as a value
@@ -807,7 +862,7 @@ class Engine(parent: SparkSession) {
   def describeInput(name: String): Seq[(Int, String)] = {
     val text = prepared.getOrElse(name,
       throw new IllegalArgumentException(s"Prepared statement $name not found"))
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val parsed = org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
     val positions = scala.collection.mutable.SortedSet.empty[Int]
     def scan(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
       e.foreach {
@@ -827,7 +882,7 @@ class Engine(parent: SparkSession) {
   def describeOutput(name: String): Seq[(String, String)] = {
     val text = prepared.getOrElse(name,
       throw new IllegalArgumentException(s"Prepared statement $name not found"))
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val parsed = org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
     val analyzed = spark.sessionState.analyzer.executeAndCheck(
       parsed, new org.apache.spark.sql.catalyst.QueryPlanningTracker)
     analyzed.output.map(a => a.name -> a.dataType.sql)
@@ -895,7 +950,7 @@ class Engine(parent: SparkSession) {
   def validate(query: String): Boolean = {
     // Parse + analyze WITHOUT spark.sql(): eager command execution would
     // actually run a DDL/DML statement being validated.
-    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    val parsed = org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, query)
     spark.sessionState.analyzer.executeAndCheck(
       parsed, new org.apache.spark.sql.catalyst.QueryPlanningTracker)
     true

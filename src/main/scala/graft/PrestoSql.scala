@@ -393,6 +393,128 @@ object PrestoSql {
     castJson(sql.substring(0, ws) + repl + sql.substring(close + 1))
   }
 
+  /** `SUBSTRING(x FROM y [FOR z])` parses straight to Spark's Substring
+    * class, bypassing the registry's Presto-semantics `substr` shim (zero
+    * and beyond-head starts yield ''). Rewrite the ANSI form to the comma
+    * form so the shim applies. */
+  private def substringFrom(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bSUBSTRING\\s*\\(").matcher(mask)
+    while (m.find()) {
+      val open = m.end() - 1
+      var depth = 1
+      var i = open + 1
+      var fromAt = -1
+      var forAt = -1
+      while (i < mask.length && depth > 0) {
+        mask(i) match {
+          case '(' => depth += 1; i += 1
+          case ')' => depth -= 1; i += 1
+          case c if depth == 1 && (c == 'F' || c == 'f') =>
+            if (mask.regionMatches(true, i, "FROM", 0, 4) &&
+              (i == 0 || !mask(i - 1).isLetterOrDigit) &&
+              (i + 4 >= mask.length || !mask(i + 4).isLetterOrDigit) &&
+              fromAt < 0) { fromAt = i; i += 4 }
+            else if (mask.regionMatches(true, i, "FOR", 0, 3) &&
+              (i == 0 || !mask(i - 1).isLetterOrDigit) &&
+              (i + 3 >= mask.length || !mask(i + 3).isLetterOrDigit) &&
+              forAt < 0 && fromAt >= 0) { forAt = i; i += 3 }
+            else i += 1
+          case _ => i += 1
+        }
+      }
+      if (depth == 0 && fromAt > 0) {
+        val close = i - 1
+        val x = sql0.substring(open + 1, fromAt)
+        val y =
+          if (forAt > 0) sql0.substring(fromAt + 4, forAt)
+          else sql0.substring(fromAt + 4, close)
+        val z = if (forAt > 0) Some(sql0.substring(forAt + 3, close)) else None
+        val repl = z match {
+          case Some(len) => s"substr($x, $y, $len)"
+          case None => s"substr($x, $y)"
+        }
+        return substringFrom(
+          sql0.substring(0, m.start()) + repl + sql0.substring(close + 1))
+      }
+    }
+    sql0
+  }
+
+  /** Presto's grammar treats the normalization form in
+    * `normalize(s, NFD)` as a bare KEYWORD (SqlBase.g4 #normalize);
+    * Spark parses it as a column reference that never resolves. Quote it
+    * so the registry builder receives a string literal. */
+  private def normalizeForms(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bNORMALIZE\\s*\\(").matcher(mask)
+    while (m.find()) {
+      val open = m.end() - 1
+      var depth = 1
+      var i = open + 1
+      var lastComma = -1
+      while (i < mask.length && depth > 0) {
+        mask(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 1 => lastComma = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth == 0 && lastComma > 0) {
+        val close = i - 1
+        val arg = sql0.substring(lastComma + 1, close).trim
+        if (arg.matches("(?i)NFC|NFD|NFKC|NFKD"))
+          return normalizeForms(sql0.substring(0, lastComma + 1) +
+            s" '${arg.toUpperCase(java.util.Locale.ROOT)}'" +
+            sql0.substring(close))
+      }
+    }
+    sql0
+  }
+
+  /** Presto CHAR(n) is FIXED LENGTH: `CAST(x AS CHAR(n))` pads with
+    * spaces to exactly n (CharType / CharacterStringCasts — LENGTH of the
+    * result is always n, concat keeps the padding); Spark's char cast
+    * neither pads nor counts the padding. Lower to rpad. Char COMPARISON
+    * pad-insensitivity is NOT modeled (documented divergence). */
+  private def castChar(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bAS\\s+CHAR\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\)").matcher(mask)
+    if (!m.find()) return sql
+    val n = m.group(1).toInt
+    // walk LEFT to the unmatched open paren of this cast
+    var depth = 0
+    var p = m.start() - 1
+    var open = -1
+    while (p >= 0 && open < 0) {
+      mask(p) match {
+        case ')' => depth += 1
+        case '(' => if (depth == 0) open = p else depth -= 1
+        case _ =>
+      }
+      p -= 1
+    }
+    if (open < 0) return sql
+    var w = open
+    while (w > 0 && mask(w - 1).isWhitespace) w -= 1
+    val ws = {
+      var k = w
+      while (k > 0 && (mask(k - 1).isLetterOrDigit || mask(k - 1) == '_')) k -= 1
+      k
+    }
+    val kw = mask.substring(ws, w).toUpperCase(java.util.Locale.ROOT)
+    if (kw != "CAST" && kw != "TRY_CAST") return sql
+    val body = sql.substring(open + 1, m.start())
+    val inner = s"rpad(CAST(($body) AS STRING), $n, ' ')"
+    val repl = if (kw == "TRY_CAST") s"try($inner)" else inner
+    castChar(sql.substring(0, ws) + repl + sql.substring(m.end()))
+  }
+
   /** Presto `date_add('unit', n, ts)` / `date_diff('unit', a, b)` spell
     * the unit as a QUOTED string (DateTimeFunctions.java); Spark's parser
     * owns those names and rejects quoted units before any registry lookup,
@@ -777,6 +899,37 @@ object PrestoSql {
     * `NULLS LAST` appended. Literal-aware via the position mask; applies to
     * query-level ORDER BY and window-spec ORDER BY alike, and coexists with
     * explicit NULLS FIRST/LAST on other items in the same query. */
+  /** Presto's LIKE has NO default escape character (an ESCAPE clause must
+    * be explicit — Presto LikeFunctions.likePattern): a backslash in the
+    * pattern is a literal backslash. Spark defaults the escape to '\'.
+    * With escapedStringLiterals on (Engine sessions), double every
+    * backslash inside a LIKE pattern literal that is not followed by an
+    * explicit ESCAPE clause, so each literal backslash matches itself. */
+  private def likeNoEscape(sql0: String): String = {
+    if (!sql0.contains('\\')) return sql0
+    val mask = maskLiterals(sql0)
+    val out = new StringBuilder
+    var last = 0
+    val m = java.util.regex.Pattern.compile("(?i)\\bLIKE\\s*'").matcher(mask)
+    while (m.find()) {
+      val litStart = m.end() // first char inside the quote
+      var i = litStart
+      // literal end on the MASKED text (interior chars incl. '' doubling
+      // are blanked there; the closing quote survives)
+      while (i < mask.length && mask(i) != '\'') i += 1
+      var j = i + 1
+      while (j < mask.length && mask(j).isWhitespace) j += 1
+      val hasEscape = mask.regionMatches(true, j, "ESCAPE", 0, 6)
+      if (!hasEscape && sql0.substring(litStart, i).contains('\\')) {
+        out.append(sql0.substring(last, litStart))
+        out.append(sql0.substring(litStart, i).replace("\\", "\\\\"))
+        last = i
+      }
+    }
+    out.append(sql0.substring(last))
+    out.toString
+  }
+
   private def defaultNullOrdering(sql: String): String = {
     val mask = maskLiterals(sql).toUpperCase(java.util.Locale.ROOT)
     val m = java.util.regex.Pattern.compile("\\bORDER\\s+BY\\b").matcher(mask)
@@ -834,9 +987,10 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = defaultNullOrdering(dynamicFrames(orderedAggs(quantifiedCmp(countStar(
-      inValues(castJson(typedLiterals(dateAddUnit(unnest(rowTypes(sql0),
-        new java.util.concurrent.atomic.AtomicLong(0)))))))))))
+    val sql = likeNoEscape(defaultNullOrdering(dynamicFrames(orderedAggs(
+      quantifiedCmp(countStar(inValues(castChar(castJson(typedLiterals(
+        dateAddUnit(normalizeForms(substringFrom(unnest(rowTypes(sql0),
+          new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -125,40 +125,146 @@ case class NormalizeString(child: Expression, form: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Simplified Porter stemmer (Presto word_stem, WordStemFunction.java —
-  * reference uses Lucene's PorterStemmer; this is the classic algorithm's
-  * step-1 suffix handling, deterministic and dependency-free). */
+/** The PORTER2 ("English") Snowball stemmer — the algorithm behind the
+  * reference's word_stem (WordStemFunction.java binds
+  * org.tartarus.snowball.ext.EnglishStemmer for 'en'; the published
+  * snowball spec is implemented here directly). Non-English stemmers are
+  * a documented divergence (inputs pass through unchanged). */
 case class WordStem(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
 
-  private def isVowel(w: String, i: Int): Boolean = w(i) match {
-    case 'a' | 'e' | 'i' | 'o' | 'u' => true
-    case 'y' => i > 0 && !isVowel(w, i - 1)
-    case _ => false
+  private val vowels = "aeiouy"
+  private def isV(w: String, i: Int): Boolean = vowels.indexOf(w(i)) >= 0
+  private val doubles =
+    Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+  private val liEnding = "cdeghkmnrt"
+
+  /** region start: position after the first non-vowel following a vowel. */
+  private def regionAfter(w: String, from: Int): Int = {
+    var i = from
+    while (i < w.length && !isV(w, i)) i += 1
+    while (i < w.length && isV(w, i)) i += 1
+    math.min(i + 1, w.length)
   }
-  private def hasVowel(w: String): Boolean = w.indices.exists(isVowel(w, _))
+
+  /** Short syllable at position of the word's LAST vowel run end — per
+    * spec: (vowel, non-vowel other than w/x/Y, preceded by non-vowel), or
+    * (vowel at word start, followed by non-vowel). */
+  private def endsShortSyllable(w: String): Boolean = {
+    val n = w.length
+    if (n == 2) isV(w, 0) && !isV(w, 1)
+    else if (n >= 3)
+      !isV(w, n - 3) && isV(w, n - 2) && !isV(w, n - 1) &&
+        !"wxY".contains(w(n - 1))
+    else false
+  }
 
   def stem(word: String): String = {
     var w = word.toLowerCase
     if (w.length <= 2) return w
-    // step 1a: plurals
+    val exceptional = Map(
+      "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+      "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl",
+      "ugly" -> "ugli", "early" -> "earli", "only" -> "onli",
+      "singly" -> "singl")
+    if (exceptional.contains(w)) return exceptional(w)
+    if (Set("sky", "news", "howe", "atlas", "cosmos", "bias",
+      "andes").contains(w)) return w
+    // mark consonant-y as Y
+    if (w(0) == 'y') w = "Y" + w.substring(1)
+    w = w.zipWithIndex.map { case (c, i) =>
+      if (c == 'y' && i > 0 && isV(w, i - 1)) 'Y' else c
+    }.mkString
+    // R1 / R2 (positions stay valid: all edits below are at the tail).
+    // Special prefixes gener/commun/arsen set R1 right after them.
+    val r1 = Seq("gener", "commun", "arsen").find(w.startsWith)
+      .map(_.length).getOrElse(regionAfter(w, 0))
+    val r2 = regionAfter(w, r1)
+    def inR1(suffixLen: Int) = w.length - suffixLen >= r1
+    def inR2(suffixLen: Int) = w.length - suffixLen >= r2
+    // step 0: apostrophe forms (straight quotes only in this corpus)
+    for (s <- Seq("'s'", "'s", "'")) if (w.endsWith(s)) w = w.dropRight(s.length)
+    // step 1a
     if (w.endsWith("sses")) w = w.dropRight(2)
-    else if (w.endsWith("ies")) w = w.dropRight(2)
-    else if (w.endsWith("ss")) ()
-    else if (w.endsWith("s") && w.length > 3) w = w.dropRight(1)
-    // step 1b: -ed / -ing, then undouble trailing consonant (runn → run)
-    var stripped = false
-    if (w.endsWith("ing") && hasVowel(w.dropRight(3)) && w.length > 5) {
-      w = w.dropRight(3); stripped = true
-    } else if (w.endsWith("ed") && hasVowel(w.dropRight(2)) && w.length > 4) {
-      w = w.dropRight(2); stripped = true
+    else if (w.endsWith("ied") || w.endsWith("ies"))
+      w = w.dropRight(if (w.length > 4) 2 else 1)
+    else if (w.endsWith("us") || w.endsWith("ss")) ()
+    else if (w.endsWith("s") &&
+      (0 until w.length - 2).exists(isV(w, _))) w = w.dropRight(1)
+    if (Set("inning", "outing", "canning", "herring", "earring", "proceed",
+      "exceed", "succeed").contains(w)) return w.toLowerCase
+    // step 1b
+    val eedSuffix = Seq("eedly", "eed").find(w.endsWith)
+    eedSuffix match {
+      case Some(s) =>
+        if (inR1(s.length)) w = w.dropRight(s.length) + "ee"
+      case None =>
+        Seq("ingly", "edly", "ing", "ed").find(w.endsWith).foreach { s =>
+          val stem0 = w.dropRight(s.length)
+          if (stem0.exists(c => vowels.indexOf(c) >= 0)) {
+            w = stem0
+            if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz"))
+              w += "e"
+            else if (w.length >= 2 && doubles(w.takeRight(2)))
+              w = w.dropRight(1)
+            else if (w.length >= r1 && endsShortSyllable(w) &&
+              regionAfter(w, 0) >= w.length) w += "e"
+          }
+        }
     }
-    if (stripped && w.length > 2 && w(w.length - 1) == w(w.length - 2) &&
-      !isVowel(w, w.length - 1) && !"lsz".contains(w.last)) w = w.dropRight(1)
-    // step 1c: -y → -i
-    if (w.endsWith("y") && w.length > 2 && hasVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
-    w
+    // step 1c
+    if (w.length > 2 && (w.last == 'y' || w.last == 'Y') &&
+      !isV(w, w.length - 2)) w = w.dropRight(1) + "i"
+    // step 2 (longest suffix, condition in R1)
+    val step2 = Seq(
+      "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+      "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+      "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+      "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
+      "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence",
+      "anci" -> "ance", "abli" -> "able", "izer" -> "ize", "ator" -> "ate",
+      "alli" -> "al", "bli" -> "ble", "ogi" -> "og", "li" -> "")
+    step2.find { case (s, _) => w.endsWith(s) }.foreach { case (s, rep) =>
+      if (inR1(s.length)) {
+        if (s == "ogi") {
+          if (w.length > 3 && w(w.length - 4) == 'l')
+            w = w.dropRight(s.length) + rep
+        } else if (s == "li") {
+          if (w.length > 2 && liEnding.indexOf(w(w.length - 3)) >= 0)
+            w = w.dropRight(2)
+        } else w = w.dropRight(s.length) + rep
+      }
+    }
+    // step 3
+    val step3 = Seq("ational" -> "ate", "tional" -> "tion",
+      "alize" -> "al", "icate" -> "ic", "iciti" -> "ic", "ical" -> "ic",
+      "ative" -> "", "ful" -> "", "ness" -> "")
+    step3.find { case (s, _) => w.endsWith(s) }.foreach { case (s, rep) =>
+      if (inR1(s.length)) {
+        if (s == "ative") { if (inR2(s.length)) w = w.dropRight(s.length) }
+        else w = w.dropRight(s.length) + rep
+      }
+    }
+    // step 4 (in R2)
+    val step4 = Seq("ement", "ance", "ence", "able", "ible", "ment", "ant",
+      "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er",
+      "ic")
+    step4.find(w.endsWith).foreach { s =>
+      if (inR2(s.length)) {
+        if (s == "ion") {
+          if (w.length > 3 && "st".contains(w(w.length - 4)))
+            w = w.dropRight(3)
+        } else w = w.dropRight(s.length)
+      }
+    }
+    // step 5
+    if (w.endsWith("e") &&
+      (inR2(1) || (inR1(1) && !endsShortSyllable(w.dropRight(1)))))
+      w = w.dropRight(1)
+    else if (w.endsWith("l") && inR2(1) && w.length > 1 &&
+      w(w.length - 2) == 'l') w = w.dropRight(1)
+    w.toLowerCase
   }
 
   override protected def nullSafeEval(v: Any): Any =
@@ -189,4 +295,91 @@ case class Hmac(data: Expression, key: Expression, algo: String)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(data = l, key = r)
+}
+
+/** Presto chr(n): the UTF-8 character for a full unicode CODE POINT
+  * (StringFunctions.java:112 codepointChar — Character.toChars); Spark's
+  * builtin char() is ASCII-modulo-256. */
+case class CodePointChar(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val n = v match { case l: Long => l.toInt; case i: Int => i }
+    UTF8String.fromString(new String(Character.toChars(n)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Presto codepoint(s): the code point of the string's single character
+  * (StringFunctions.java:120) — supplementary-plane aware, unlike Spark's
+  * ascii(). */
+case class FirstCodePoint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    v.toString.codePointAt(0)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Presto from_utf8(bin[, replacement]): decode with invalid sequences
+  * REPLACED (default U+FFFD) or DELETED (empty replacement) — Spark's
+  * decode() throws on malformed input (StringFunctions.java:1046). */
+case class FromUtf8Lenient(child: Expression, replacement: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    if (replacement.isEmpty) {
+      dec.onMalformedInput(java.nio.charset.CodingErrorAction.IGNORE)
+      dec.onUnmappableCharacter(java.nio.charset.CodingErrorAction.IGNORE)
+    } else {
+      dec.onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      dec.onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      dec.replaceWith(replacement)
+    }
+    UTF8String.fromString(dec.decode(
+      java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])).toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Presto typeof(x): the Presto spelling of the argument's type
+  * (TypeOfFunction.java) — fully static, so the value is a literal-like
+  * per-row constant; a literal string keeps its varchar(n) length. */
+case class PrestoTypeOf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  private def name(dt: DataType): String = dt match {
+    case NullType => "unknown"
+    case BooleanType => "boolean"
+    case ByteType => "tinyint"
+    case ShortType => "smallint"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double"
+    case StringType => "varchar"
+    case BinaryType => "varbinary"
+    case DateType => "date"
+    case _: TimestampType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case a: ArrayType => s"array(${name(a.elementType)})"
+    case m: MapType => s"map(${name(m.keyType)}, ${name(m.valueType)})"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name} ${name(f.dataType)}")
+        .mkString("row(", ", ", ")")
+    case other => other.simpleString
+  }
+
+  private lazy val rendered: UTF8String = UTF8String.fromString(child match {
+    case Literal(s: UTF8String, StringType) if s != null =>
+      s"varchar(${s.numChars})"
+    case _ => name(child.dataType)
+  })
+  override def eval(input: InternalRow): Any = rendered
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -46,15 +46,27 @@ object PrestoFunctions {
       Seq(k))))
   }
 
-  /** Presto substr: zero start yields '' (StringFunctions.java:215,262);
-    * everything else (negative-from-end, past-end, len<=0) already agrees
+  /** Presto substr: zero start yields '', and a negative start pointing
+    * before the string head yields '' too (StringFunctions.java:215,262 —
+    * `if (start + length < 0) return EMPTY`); Spark clamps both to the
+    * head. Everything else (negative-from-end, past-end, len<=0) agrees
     * with Spark's Substring. */
   private def prestoSubstr(e: Seq[Expression]): Expression = {
     val base =
       if (e.length >= 3)
         Substring(e(0), Cast(e(1), IntegerType), Cast(e(2), IntegerType))
       else Substring(e(0), Cast(e(1), IntegerType), Literal(Int.MaxValue))
-    If(EqualTo(Cast(e(1), LongType), Literal(0L)), Literal(""), base)
+    val start = Cast(e(1), LongType)
+    If(Or(EqualTo(start, Literal(0L)),
+      And(LessThan(start, Literal(0L)),
+        GreaterThan(UnaryMinus(start), Cast(Length(e(0)), LongType)))),
+      Literal(""), base)
+  }
+
+  /** exists(arr, x -> x IS NULL) — lambda constructed directly. */
+  private def arrayHasNull(arr: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("ahn_x"))
+    ArrayExists(arr, LambdaFunction(IsNull(x), Seq(x)))
   }
 
   private def litInt(e: Expression): Int = e match {
@@ -206,46 +218,76 @@ object PrestoFunctions {
     // returns '' which is indistinguishable from a real empty field.
     // Delimiter is literal, like split above.
     "split_part" -> { e =>
-      val delim = e(1) match {
-        case Literal(s, StringType) if s != null =>
-          lit(java.util.regex.Pattern.quote(s.toString))
-        case other => other
+      e(1) match {
+        // empty delimiter: every CODE POINT is a part, index past the end
+        // is NULL (StringFunctions.java:368)
+        case Literal(s, StringType) if s != null && s.toString.isEmpty =>
+          If(GreaterThan(Cast(e(2), LongType), Cast(Length(e(0)), LongType)),
+            Literal(null, StringType),
+            Substring(e(0), Cast(e(2), IntegerType), lit(1)))
+        case d =>
+          val delim = d match {
+            case Literal(s, StringType) if s != null =>
+              lit(java.util.regex.Pattern.quote(s.toString))
+            case other => other
+          }
+          val parts = StringSplit(e(0), delim, lit(-1))
+          If(GreaterThan(e(2), Size(parts)),
+            Literal(null, StringType), ElementAt(parts, e(2)))
       }
-      val parts = StringSplit(e(0), delim, lit(-1))
-      If(GreaterThan(e(2), Size(parts)),
-        Literal(null, StringType), ElementAt(parts, e(2)))
     },
-    "chr" -> (e => fn("char", e)),
+    // full-codepoint chr/codepoint (Spark's char/ascii are ASCII-bounded)
+    "chr" -> (e => CodePointChar(e(0))),
     // Presto log(number, base) — Spark's builtin is log(base, number).
     "log" -> (e => if (e.length == 2) Logarithm(e(1), e(0)) else fn("ln", e)),
     // 2-arg trims: Spark SQL's form is (trimStr, srcStr) — flipped vs
     // Presto's (srcStr, charsToTrim). Catalyst classes constructed directly
-    // (these entries shadow the builtin names).
-    "trim" -> (e => if (e.length == 1) StringTrim(e(0))
+    // (these entries shadow the builtin names). The 1-arg forms trim the
+    // full Java/airlift WHITESPACE set (SliceUtf8.leftTrim —   et al.,
+    // pinned by TestStringFunctions:564), not just ASCII space.
+    "trim" -> (e => if (e.length == 1) StringTrim(e(0), Some(whitespaceLit))
       else StringTrim(e(0), Some(e(1)))),
-    "ltrim" -> (e => if (e.length == 1) StringTrimLeft(e(0))
+    "ltrim" -> (e => if (e.length == 1) StringTrimLeft(e(0), Some(whitespaceLit))
       else StringTrimLeft(e(0), Some(e(1)))),
-    "rtrim" -> (e => if (e.length == 1) StringTrimRight(e(0))
+    "rtrim" -> (e => if (e.length == 1) StringTrimRight(e(0), Some(whitespaceLit))
       else StringTrimRight(e(0), Some(e(1)))),
     // substr(s, 0[, len]) → '' (StringFunctions.java:215); Spark treats a
     // zero start as the string head.
     "substr" -> (e => prestoSubstr(e)),
     "substring" -> (e => prestoSubstr(e)),
-    "codepoint" -> (e => fn("ascii", e)),
+    "codepoint" -> (e => FirstCodePoint(e(0))),
     "levenshtein_distance" -> (e => fn("levenshtein", e)),
     "split_to_map" -> (e => fn("str_to_map", Seq(e(0), e(1), e(2)))),
     "to_utf8" -> (e => fn("encode", Seq(e(0), lit("UTF-8")))),
-    "from_utf8" -> (e => fn("decode", Seq(e(0), lit("UTF-8")))),
+    // invalid sequences REPLACED (default U+FFFD) / custom / deleted —
+    // Spark's decode throws on malformed bytes
+    "from_utf8" -> { e =>
+      val rep = e.lift(1) match {
+        case None => "�"
+        case Some(Literal(s, StringType)) if s != null => s.toString
+        case Some(Literal(n, IntegerType)) =>
+          new String(Character.toChars(n.asInstanceOf[Int]))
+        case Some(Literal(n, LongType)) =>
+          new String(Character.toChars(n.asInstanceOf[Long].toInt))
+        case Some(other) => throw new IllegalArgumentException(
+          s"from_utf8 replacement must be a literal, got $other")
+      }
+      FromUtf8Lenient(e(0), rep)
+    },
     "normalize" -> (e => NormalizeString(e(0),
       e.lift(1).collect {
         case Literal(s, StringType) if s != null => s.toString
       }.getOrElse("NFC"))),
     "word_stem" -> (e => WordStem(e.head)),
     // --- math (MathFunctions.java) ---
-    // Presto emits lowercase digits; Spark conv emits uppercase.
-    "to_base" -> (e => fn("lower",
-      Seq(fn("conv", Seq(Cast(e(0), StringType), lit(10), e(1)))))),
-    "from_base" -> (e => Cast(fn("conv", Seq(e(0), e(1), lit(10))), LongType)),
+    // SIGNED base conversion (Long.toString/parseLong, lowercase) —
+    // Spark's conv() is unsigned 64-bit, so negatives round-trip wrong.
+    "to_base" -> (e => StaticInvoke(scalarOpsCls, StringType, "toBase",
+      Seq(Cast(e(0), LongType), Cast(e(1), LongType)),
+      Seq(LongType, LongType), propagateNull = true, returnNullable = false)),
+    "from_base" -> (e => StaticInvoke(scalarOpsCls, LongType, "fromBase",
+      Seq(Cast(e(0), StringType), Cast(e(1), LongType)),
+      Seq(StringType, LongType), propagateNull = true, returnNullable = false)),
     // truncate(x) → round toward zero; truncate(x, n) → at scale n
     // (MathFunctions truncate + the decimal variants).
     "truncate" -> { e =>
@@ -268,7 +310,10 @@ object PrestoFunctions {
       else Cast(fn("floor", Seq(Multiply(fn("rand", Nil),
         Cast(e(0), DoubleType)))),
         e(0) match { case r if r.resolved => r.dataType; case _ => LongType })),
-    "is_nan" -> (e => fn("isnan", e)),
+    // RETURNS NULL ON NULL (MathFunctions.java isNaN/isFinite/isInfinite
+    // annotations); Spark's isnan(NULL) is false.
+    "is_nan" -> (e => If(IsNull(e(0)),
+      Literal(null, BooleanType), fn("isnan", e))),
     "is_finite" -> (e => And(Not(fn("isnan", e)),
       LessThan(fn("abs", e), lit(Double.PositiveInfinity)))),
     "is_infinite" -> (e => EqualTo(fn("abs", e), lit(Double.PositiveInfinity))),
@@ -353,10 +398,15 @@ object PrestoFunctions {
     "json_parse" -> { e =>
       val x = e.head
       val probe = fn("get_json_object", Seq(x, lit("$")))
+      // valid → CANONICAL text (compact, object keys sorted — the
+      // reference's SORTED_MAPPER recipe, JsonFunctions.java:148)
+      val canon = StaticInvoke(scalarOpsCls, StringType, "jsonNormalize",
+        Seq(Cast(x, StringType)), Seq(StringType), propagateNull = true,
+        returnNullable = false)
       CaseWhen(Seq(
         (IsNull(x), Cast(Literal(null), StringType)),
         (Or(IsNotNull(probe),
-          EqualTo(StringTrim(x, None), lit("null"))), Cast(x, StringType))),
+          EqualTo(StringTrim(x, None), lit("null"))), canon)),
         Some(Cast(fn("raise_error", Seq(
           Concat(Seq(lit("Cannot convert value to JSON: '"),
             Cast(x, StringType), lit("'"))))), StringType)))
@@ -373,12 +423,34 @@ object PrestoFunctions {
             Size(fn("json_object_keys", Seq(ext))))),
           Some(lit(0))))
     },
-    "is_json_scalar" -> (e => And(IsNotNull(e(0)),
+    // NULL input → NULL (@SqlNullable), not false
+    "is_json_scalar" -> (e => If(IsNull(e(0)), Literal(null, BooleanType),
       Not(RLike(fn("trim", Seq(e(0))), lit("^[\\[{]"))))),
-    "json_array_contains" -> (e => fn("array_contains",
-      Seq(fn("from_json", Seq(e(0), lit("array<string>"))), Cast(e(1), StringType)))),
-    "json_array_get" -> (e => fn("get_json_object",
-      Seq(e(0), Concat(Seq(lit("$["), Cast(e(1), StringType), lit("]")))))),
+    // STRICTLY typed element match: the string "8" never equals the
+    // number 8 (JsonFunctions.java jsonArrayContains overloads)
+    "json_array_contains" -> { e =>
+      // an unresolved second argument (rare: bare column) defaults to the
+      // string overload — the builder must dispatch on a type NOW
+      val vt = scala.util.Try(e(1).dataType).getOrElse(StringType)
+      val (method, arg, argT) = vt match {
+        case BooleanType => ("jsonArrayContainsBool", e(1), BooleanType)
+        case ByteType | ShortType | IntegerType | LongType =>
+          ("jsonArrayContainsLong", Cast(e(1), LongType), LongType)
+        case FloatType | DoubleType | _: DecimalType =>
+          ("jsonArrayContainsDouble", Cast(e(1), DoubleType), DoubleType)
+        case _ => ("jsonArrayContainsString", Cast(e(1), StringType), StringType)
+      }
+      StaticInvoke(scalarOpsCls, BooleanType, method,
+        Seq(Cast(e(0), StringType), arg), Seq(StringType, argT),
+        propagateNull = true, returnNullable = true)
+    },
+    // index-th element (negative = from the end) as JSON text; a JSON null
+    // element or non-array input → SQL NULL (JsonFunctions.java:376)
+    "json_array_get" -> (e =>
+      StaticInvoke(scalarOpsCls, StringType, "jsonArrayGet",
+        Seq(Cast(e(0), StringType), Cast(e(1), LongType)),
+        Seq(StringType, LongType), propagateNull = true,
+        returnNullable = true)),
     // --- regex (JoniRegexpFunctions.java) ---
     "regexp_like" -> (e => RLike(e(0), e(1))),
     // regex semantics — must NOT route through the literal-split shim
@@ -395,6 +467,14 @@ object PrestoFunctions {
         case _: LambdaFunction => RegexpReplaceLambda(e(0), e(1), e(2))
         case repl => RegExpReplace(e(0), e(1), repl)
       }),
+    // Presto's 2-arg form returns the WHOLE match (group 0) and NULL when
+    // nothing matches (JoniRegexpFunctions regexpExtract); Spark defaults
+    // to group 1 and returns '' on no match.
+    "regexp_extract" -> (e => If(RLike(e(0), e(1)),
+      RegExpExtract(e(0), e(1), if (e.length > 2) e(2) else lit(0)),
+      Literal(null, StringType))),
+    "regexp_extract_all" -> (e =>
+      RegExpExtractAll(e(0), e(1), if (e.length > 2) e(2) else lit(0))),
     "zip" -> (e => fn("arrays_zip", e)),
     // --- binary/hash (VarbinaryFunctions.java) ---
     "to_hex" -> (e => fn("hex", e)),
@@ -456,6 +536,19 @@ object PrestoFunctions {
     // --- array (Array*.java) ---
     "cardinality" -> (e => Cardinality(e.head)),
     "contains" -> (e => fn("array_contains", e)),
+    // a NULL element makes min/max NULL (ArrayMinFunction/ArrayMaxFunction
+    // return null on any null entry); Spark's builtins skip nulls
+    "array_min" -> (e => If(arrayHasNull(e(0)), Literal(null), ArrayMin(e(0)))),
+    "array_max" -> (e => If(arrayHasNull(e(0)), Literal(null), ArrayMax(e(0)))),
+    // flatten SKIPS null sub-arrays (TestArrayOperators:1707); Spark
+    // returns NULL for the whole result
+    "flatten" -> { e =>
+      val x = UnresolvedNamedLambdaVariable(Seq("fl_x"))
+      Flatten(ArrayFilter(e(0), LambdaFunction(IsNotNull(x), Seq(x))))
+    },
+    // the 0.206 implementation merges SORTED copies, so the output is
+    // ascending (TestArrayOperators:1101 pins ['bar','foo'])
+    "array_intersect" -> (e => SortArray(ArrayIntersect(e(0), e(1)), lit(true))),
     "repeat_value" -> (e => fn("array_repeat", e)),
     // Presto repeat(value, n) → ARRAY (RepeatFunction.java:32); the string
     // form does not exist in 0.206 (Spark's builtin of the same name is
@@ -584,17 +677,33 @@ object PrestoFunctions {
     // Presto greatest/least RETURN_NULL_ON_NULL (AbstractGreatestLeast
     // .java:118); Spark's builtins skip nulls.
     "greatest" -> (e =>
-      If(e.map(x => IsNull(x): Expression).reduce(Or(_, _)),
+      if (e.length == 1) e.head
+      else If(e.map(x => IsNull(x): Expression).reduce(Or(_, _)),
         Literal(null), Greatest(e))),
     "least" -> (e =>
-      If(e.map(x => IsNull(x): Expression).reduce(Or(_, _)),
+      if (e.length == 1) e.head
+      else If(e.map(x => IsNull(x): Expression).reduce(Or(_, _)),
         Literal(null), Least(e))),
     // fail(message) (FailureFunction.java): raise a runtime error — pairs
     // with try() for Presto's error-recovery idiom.
     "fail" -> (e => fn("raise_error", Seq(Cast(e.last, StringType)))),
     "try" -> (e => TryEval(e.head)),
-    // typeof is Spark-native under the same name — a self-delegating shim
-    // here would shadow the builtin into unresolvability.
+    // Presto type spellings (integer/varchar/row(...)), literal varchar
+    // keeps its length (TypeOfFunction.java)
+    "typeof" -> (e => PrestoTypeOf(e(0))),
+    // Presto replace with an EMPTY search string interleaves the
+    // replacement (java.lang.String.replace semantics); Spark returns the
+    // input unchanged. Keep the codegen'd builtin for the common path.
+    "replace" -> { e =>
+      val rep = if (e.length >= 3) e(2) else lit("")
+      If(EqualTo(Length(e(1)), lit(0)),
+        StaticInvoke(scalarOpsCls, StringType, "replaceAll",
+          Seq(Cast(e(0), StringType), Cast(e(1), StringType),
+            Cast(rep, StringType)),
+          Seq(StringType, StringType, StringType), propagateNull = true,
+          returnNullable = false),
+        StringReplace(e(0), e(1), rep))
+    },
     // --- aggregates (operator/aggregation/) ---
     // optional maxStandardError arg maps to HLL++ relativeSD
     "approx_distinct" -> (e =>
@@ -687,8 +796,12 @@ object PrestoFunctions {
     "url_extract_path" -> (e => fn("parse_url", Seq(e(0), lit("PATH")))),
     "url_extract_query" -> (e => fn("parse_url", Seq(e(0), lit("QUERY")))),
     "url_extract_fragment" -> (e => fn("parse_url", Seq(e(0), lit("REF")))),
+    // first-occurrence, ''-for-valueless semantics (UrlFunctions.java:124)
     "url_extract_parameter" -> (e =>
-      fn("parse_url", Seq(e(0), lit("QUERY"), e(1)))),
+      StaticInvoke(scalarOpsCls, StringType, "urlExtractParameter",
+        Seq(Cast(e(0), StringType), Cast(e(1), StringType)),
+        Seq(StringType, StringType), propagateNull = true,
+        returnNullable = true)),
     // --- Teradata compatibility (presto-teradata-functions plugin:
     // TeradataDateFunctions.java to_char/to_date/to_timestamp with the
     // YYYY/MM/DD/HH24/HH/MI/SS token set — DateFormatParser.java:28-62;
@@ -767,6 +880,13 @@ object PrestoFunctions {
   // ColorFns is a top-level object: scalac emits static forwarders on the
   // paired `graft.functions.ColorFns` class, which StaticInvoke targets.
   private val colorCls: Class[_] = Class.forName("graft.functions.ColorFns")
+  private val scalarOpsCls: Class[_] = Class.forName("graft.functions.ScalarOps")
+
+  // the Java/airlift whitespace set (Character.isWhitespace code points —
+  // U+3000 IDEOGRAPHIC SPACE is the highest) — what SliceUtf8's trims remove
+  private val whitespaceLit: Expression = lit(
+    (0 to 0x3000).filter(Character.isWhitespace)
+      .map(cp => new String(Character.toChars(cp))).mkString)
 
   private def colorCall(dt: DataType, method: String, args: Seq[Expression],
                         inputTypes: Seq[DataType]): Expression =

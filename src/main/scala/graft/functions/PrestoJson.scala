@@ -23,12 +23,24 @@ case class PrestoToJson(child: Expression)
   private def render(v: Any, t: DataType, sb: StringBuilder): Unit = (v, t) match {
     case (null, _) => sb.append("null")
     case (b: Boolean, _) => sb.append(if (b) "true" else "false")
+    case (n @ (_: Byte | _: Short | _: Int | _: Long), DateType) =>
+      // dates render as quoted ISO text (JsonOperators castDateToJson)
+      quote(java.time.LocalDate.ofEpochDay(
+        n.asInstanceOf[Number].longValue()).toString, sb)
+    case (micros: Long, tt) if tt == TimestampType || tt == TimestampNTZType =>
+      quote(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC).format(timestampFmt), sb)
     case (n @ (_: Byte | _: Short | _: Int | _: Long), _) => sb.append(n.toString)
+    // NaN / Infinity are not JSON numbers — the reference writes them as
+    // STRINGS ("NaN", "Infinity"); finite doubles/floats use the Java
+    // shortest round-trip form (Jackson = Double.toString), reals at FLOAT
+    // precision (TestArrayOperators:202).
     case (d: Double, _) =>
-      if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
-        sb.append(d.toLong.toString).append(".0")
-      else sb.append(d.toString)
-    case (f: Float, _) => render(f.toDouble, DoubleType, sb)
+      if (d.isNaN || d.isInfinite) quote(d.toString, sb) else sb.append(d.toString)
+    case (f: Float, _) =>
+      if (f.isNaN || f.isInfinite) quote(f.toString, sb) else sb.append(f.toString)
     case (d: Decimal, _) => sb.append(d.toJavaBigDecimal.toPlainString)
     case (s: UTF8String, _) => quote(s.toString, sb)
     case (a: ArrayData, ArrayType(et, _)) =>
@@ -52,21 +64,36 @@ case class PrestoToJson(child: Expression)
       }
       sb.append(']')
     case (m: MapData, MapType(kt, vt, _)) =>
-      sb.append('{')
+      // object keys render unquoted-scalar-style and SORT as strings —
+      // the reference writes maps through ORDER_MAP_ENTRIES_BY_KEYS
+      // (TestMapOperators:160 pins {"1":2,"3":4,...})
       val ks = m.keyArray()
       val vs = m.valueArray()
-      var i = 0
-      while (i < m.numElements()) {
-        if (i > 0) sb.append(',')
+      val pairs = (0 until m.numElements()).map { i =>
         if (ks.isNullAt(i))
           throw new IllegalArgumentException("Cannot cast a map with a null key to JSON")
-        quote(String.valueOf(ks.get(i, kt)), sb)
-        sb.append(':')
-        render(if (vs.isNullAt(i)) null else vs.get(i, vt), vt, sb)
-        i += 1
+        val vsb = new StringBuilder
+        render(if (vs.isNullAt(i)) null else vs.get(i, vt), vt, vsb)
+        (keyString(ks.get(i, kt), kt), vsb.toString)
+      }.sortBy(_._1)
+      sb.append('{')
+      pairs.zipWithIndex.foreach { case ((k, rendered), i) =>
+        if (i > 0) sb.append(',')
+        quote(k, sb)
+        sb.append(':').append(rendered)
       }
       sb.append('}')
     case (other, _) => quote(String.valueOf(other), sb)
+  }
+
+  private lazy val timestampFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+
+  private def keyString(k: Any, kt: DataType): String = (k, kt) match {
+    case (n @ (_: Byte | _: Short | _: Int | _: Long), DateType) =>
+      java.time.LocalDate.ofEpochDay(n.asInstanceOf[Number].longValue()).toString
+    case (d: Decimal, _) => d.toJavaBigDecimal.toPlainString
+    case (other, _) => String.valueOf(other)
   }
 
   private def quote(s: String, sb: StringBuilder): Unit = {

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers bound through `StaticInvoke` (codegen-participating)
+  * for Presto scalar semantics Spark's builtins get wrong. Top-level
+  * object: scalac emits static forwarders on the paired class. */
+object ScalarOps {
+
+  /** Presto to_base (MathFunctions.java toBase): SIGNED, lowercase —
+    * exactly Long.toString(value, radix); Spark's conv() is unsigned
+    * 64-bit. */
+  def toBase(value: Long, radix: Long): UTF8String = {
+    require(radix >= 2 && radix <= 36, s"Radix must be between 2 and 36")
+    UTF8String.fromString(java.lang.Long.toString(value, radix.toInt))
+  }
+
+  /** Presto from_base (MathFunctions.java fromBase): signed parse,
+    * Long.parseLong semantics incl. '-' and Long.MIN_VALUE. */
+  def fromBase(value: UTF8String, radix: Long): Long = {
+    require(radix >= 2 && radix <= 36, s"Radix must be between 2 and 36")
+    java.lang.Long.parseLong(value.toString, radix.toInt)
+  }
+
+  /** Presto replace (StringFunctions.java:334): an EMPTY search string
+    * interleaves the replacement before every character and at the end —
+    * java.lang.String.replace semantics; Spark's StringReplace returns the
+    * input unchanged. */
+  def replaceAll(str: UTF8String, search: UTF8String,
+      rep: UTF8String): UTF8String =
+    UTF8String.fromString(str.toString.replace(search.toString, rep.toString))
+
+  /** Presto url_extract_parameter (UrlFunctions.java:124): FIRST occurrence
+    * of the key in the DECODED query string (URI.getQuery, like the
+    * reference); a valueless parameter (`...&k3&...`) yields '' — Spark's
+    * parse_url yields NULL for those and matches by regex on the raw
+    * query. Absent key → null. */
+  def urlExtractParameter(url: UTF8String, param: UTF8String): UTF8String = {
+    val u =
+      try new java.net.URI(url.toString)
+      catch { case _: java.net.URISyntaxException => return null }
+    val query = u.getQuery
+    if (query == null) return null
+    val key = param.toString
+    query.split("&", -1).iterator.map { kv =>
+      val eq = kv.indexOf('=')
+      if (eq < 0) (kv, "") else (kv.substring(0, eq), kv.substring(eq + 1))
+    }.collectFirst { case (k, v) if k == key => UTF8String.fromString(v) }
+      .orNull
+  }
+
+  /** IEEE-754 division: doubles divide to Infinity/NaN like the reference
+    * (DoubleOperators.divide) — Spark returns NULL (legacy) or throws
+    * (ANSI) on a zero divisor. */
+  def ieeeDivide(l: Double, r: Double): Double = l / r
+  def ieeeDivideFloat(l: Float, r: Float): Float = l / r
+
+  // json_parse canonicalization — the reference's exact recipe
+  // (JsonFunctions.java:140): Jackson readValue(Object) + write with
+  // ORDER_MAP_ENTRIES_BY_KEYS, i.e. compact text with sorted object keys.
+  private lazy val sortedMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.configure(com.fasterxml.jackson.databind.SerializationFeature
+      .ORDER_MAP_ENTRIES_BY_KEYS, true)
+    m
+  }
+
+  def jsonNormalize(json: UTF8String): UTF8String =
+    UTF8String.fromString(sortedMapper.writeValueAsString(
+      sortedMapper.readValue(json.toString, classOf[Object])))
+
+  /** Presto json_array_get (JsonFunctions.java:376): the index-th element
+    * (negative = from the end) as JSON text — strings UNQUOTED
+    * (getValueAsString), containers compact, a JSON null element or any
+    * non-array input → SQL NULL. */
+  def jsonArrayGet(json: UTF8String, index: Long): UTF8String = {
+    val root =
+      try sortedMapper.readTree(json.toString)
+      catch { case _: Exception => return null }
+    if (root == null || !root.isArray) return null
+    val n = root.size()
+    val i = if (index < 0) n + index else index
+    if (i < 0 || i >= n) return null
+    val el = root.get(i.toInt)
+    if (el.isNull) null
+    else if (el.isTextual) UTF8String.fromString(el.textValue())
+    else UTF8String.fromString(el.toString)
+  }
+
+  /** Presto json_array_contains (JsonFunctions.java): STRICTLY typed
+    * element match — the string "8" never equals the number 8; non-array
+    * input → SQL NULL (represented by null). */
+  private def jsonArray(json: UTF8String): com.fasterxml.jackson.databind.JsonNode = {
+    val root =
+      try sortedMapper.readTree(json.toString)
+      catch { case _: Exception => return null }
+    if (root == null || !root.isArray) null else root
+  }
+  def jsonArrayContainsBool(json: UTF8String, v: Boolean): java.lang.Boolean = {
+    val a = jsonArray(json)
+    if (a == null) return null
+    java.lang.Boolean.valueOf(
+      (0 until a.size()).exists { i =>
+        val e = a.get(i); e.isBoolean && e.booleanValue() == v
+      })
+  }
+  def jsonArrayContainsLong(json: UTF8String, v: Long): java.lang.Boolean = {
+    val a = jsonArray(json)
+    if (a == null) return null
+    java.lang.Boolean.valueOf(
+      (0 until a.size()).exists { i =>
+        val e = a.get(i)
+        e.isIntegralNumber && e.canConvertToLong && e.longValue() == v
+      })
+  }
+  def jsonArrayContainsDouble(json: UTF8String, v: Double): java.lang.Boolean = {
+    val a = jsonArray(json)
+    if (a == null) return null
+    java.lang.Boolean.valueOf(
+      (0 until a.size()).exists { i =>
+        val e = a.get(i)
+        e.isNumber && !e.isIntegralNumber && e.doubleValue() == v
+      })
+  }
+  def jsonArrayContainsString(json: UTF8String, v: UTF8String): java.lang.Boolean = {
+    val a = jsonArray(json)
+    if (a == null) return null
+    val s = v.toString
+    java.lang.Boolean.valueOf(
+      (0 until a.size()).exists { i =>
+        val e = a.get(i); e.isTextual && e.textValue() == s
+      })
+  }
+}

@@ -197,7 +197,7 @@ object PrestoCompat {
       presto("""
         WITH toks AS (
           SELECT source,
-            explode(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) AS tok
+            explode(split(trim(regexp_replace(lower(text), '\s+', ' ')), ' ')) AS tok
           FROM documents),
         hh AS (
           SELECT source, approx_most_frequent(5, tok, 64) AS m

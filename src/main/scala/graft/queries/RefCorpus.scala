@@ -1839,6 +1839,49 @@ object RefCorpus {
         "SELECT a.orderkey, a.orderstatus, (SELECT sum(b.orderkey + 1000) FROM num b WHERE b.orderstatus = a.orderstatus AND b.r BETWEEN a.r - (a.custkey % 2) AND a.r + a.custkey // 500) " +
         "FROM num a ORDER BY a.orderkey LIMIT 5"),
 
+    // presto-main scalar-semantics sweep (round 5): unicode chr/codepoint,
+    // interleaving replace, beyond-head substr, codepoint split_part,
+    // signed to_base/from_base, null-propagating is_nan, unary greatest,
+    // Presto typeof spellings, first-occurrence url parameter, json null
+    // element, canonical json_parse, CHAR(n) padding, null-poisoned
+    // array_min, IEEE 0/0, LIKE without a default escape, map equality.
+    // Expected values are the reference's own assertFunction literals
+    // (TestStringFunctions/TestMathFunctions/TestJsonFunctions/...);
+    // the DuckDB oracle replays them as literals.
+    "r152_ref_scalar_semantics" -> one(
+      "SELECT chr(9731) AS c_chr, codepoint(chr(128077)) AS c_cp, " +
+        "replace('abc', '', 'xx') AS c_rep, " +
+        "substr('Quadratically', -50) AS c_sub, " +
+        "split_part('abc', '', 4) AS c_sp, " +
+        "to_base(-2147483647, 16) AS c_tb, " +
+        "from_base('-7fffffff', 16) AS c_fb, " +
+        "CAST(is_nan(CAST(NULL AS DOUBLE)) AS INTEGER) AS c_nan, " +
+        "greatest(-1) AS c_gr, typeof(123) AS c_ty, " +
+        "url_extract_parameter('http://example.com/p.php?k1=v1&k3&k4', 'k3') AS c_url, " +
+        "json_array_get('[\"jhfa\", null]', 1) AS c_jag, " +
+        "json_parse(' { \"b\" : 2 , \"a\" : 1 } ') AS c_jp, " +
+        "length(CAST('hello' AS CHAR(20))) AS c_chlen, " +
+        "date_format(TIMESTAMP '2001-01-09 13:04:05', '%x %v') AS c_wk, " +
+        "array_min(ARRAY[NULL, 2, 3]) AS c_amin, " +
+        "CAST(is_nan(0.0E0 / 0.0E0) AS INTEGER) AS c_ieee, " +
+        "CAST(('_monkey_' LIKE '\\_monkey\\_') AS INTEGER) AS c_like, " +
+        "CAST((MAP(ARRAY[1, 3], ARRAY[2, 4]) = MAP(ARRAY[3, 1], ARRAY[4, 2])) AS INTEGER) AS c_meq",
+      Seq("c_chr", "c_cp", "c_rep", "c_sub", "c_sp", "c_tb", "c_fb",
+        "c_nan", "c_gr", "c_ty", "c_url", "c_jag", "c_jp", "c_chlen",
+        "c_wk", "c_amin", "c_ieee", "c_like", "c_meq"),
+      Seq("c1 AS c_chr", "CAST(c2 AS INTEGER) AS c_cp", "c3 AS c_rep",
+        "c4 AS c_sub", "c5 AS c_sp", "c6 AS c_tb",
+        "CAST(c7 AS BIGINT) AS c_fb", "CAST(c8 AS INTEGER) AS c_nan",
+        "CAST(c9 AS INTEGER) AS c_gr", "c10 AS c_ty", "c11 AS c_url",
+        "c12 AS c_jag", "c13 AS c_jp", "CAST(c14 AS INTEGER) AS c_chlen",
+        "c15 AS c_wk", "CAST(c16 AS INTEGER) AS c_amin",
+        "CAST(c17 AS INTEGER) AS c_ieee", "CAST(c18 AS INTEGER) AS c_like",
+        "CAST(c19 AS INTEGER) AS c_meq"),
+      oracleSql = "SELECT chr(9731), 128077, 'xxaxxbxxcxx', '', " +
+        "CAST(NULL AS VARCHAR), '-7fffffff', -2147483647, " +
+        "CAST(NULL AS INTEGER), -1, 'integer', '', CAST(NULL AS VARCHAR), " +
+        "'{\"a\":1,\"b\":2}', 20, '2001 02', CAST(NULL AS INTEGER), 1, 0, 1"),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",

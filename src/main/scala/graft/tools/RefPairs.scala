@@ -11,7 +11,7 @@ object RefPairs {
     case null => "null"
     case d: Double if d.isNaN => "NaN"
     case d: Double if d.isInfinite => if (d > 0) "Infinity" else "-Infinity"
-    case f: Float => canon(f.toDouble)
+    case f: Float => canon(java.lang.Float.toString(f).toDouble) // float repr, not widened bits
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Double) =>
       new java.math.BigDecimal(n.toString).stripTrailingZeros.toPlainString
     case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString

@@ -26,6 +26,8 @@ case class RegexpReplaceLambda(
   extends HigherOrderFunction with CodegenFallback {
 
   override def dataType: DataType = StringType
+  // a NULL lambda result for any match makes the WHOLE result NULL
+  override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(argument, pattern, function)
 
   override def arguments: Seq[Expression] = Seq(argument, pattern)
@@ -59,7 +61,11 @@ case class RegexpReplaceLambda(
       }.toArray
       groupsVar.value.set(new GenericArrayData(groups))
       val replaced = lambdaBody.eval(input)
-      if (replaced != null) sb.append(replaced.toString)
+      // a NULL lambda result for ANY match poisons the WHOLE result
+      // (JoniRegexpFunctions.java regexpReplace: "lambda function must
+      // not return NULL" → the reference returns SQL NULL)
+      if (replaced == null) return null
+      sb.append(replaced.toString)
       last = m.end()
       // zero-width match safety
       if (m.end() == m.start()) {

@@ -418,7 +418,7 @@ class ColumnApiSpec extends AnyFunSuite {
       val v = s2.sql("SELECT strpos('hello world', 'world')").head.getInt(0)
       assert(v == 7)
       val ws = s2.sql("SELECT word_stem('tables')").head.getString(0)
-      assert(ws == "table")
+      assert(ws == "tabl") // snowball porter2
     } finally {
       active.foreach(SparkSession.setActiveSession)
       default.foreach(SparkSession.setDefaultSession)

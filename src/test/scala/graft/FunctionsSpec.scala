@@ -53,7 +53,7 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("codepoint('A')", 65)
     assertFn("levenshtein_distance('kitten', 'sitting')", 3)
     assertFn("word_stem('running')", "run")
-    assertFn("word_stem('tables')", "table")
+    assertFn("word_stem('tables')", "tabl") // snowball porter2, like the reference
     assertFn("normalize('café')", "café")
     assertFn("split_to_map('a=1,b=2', ',', '=')['b']", "2")
   }
@@ -198,7 +198,8 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("regexp_replace lambda form and zip") {
     // Presto doc example: capitalize each word via its capture groups
-    assertFn("regexp_replace('new york', '(\\\\w)(\\\\w*)', " +
+    // Presto string literals are raw (escapedStringLiterals): '\w' IS \w
+    assertFn("regexp_replace('new york', '(\\w)(\\w*)', " +
       "x -> upper(element_at(x, 1)) || lower(element_at(x, 2)))", "New York")
     assertFn("regexp_replace('abc 123 def', '[0-9]+', x -> 'N')", "abc N def")
     // 2-arg form strips matches
@@ -323,7 +324,7 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("regexp_like('abc123', '[0-9]+')", true)
     assert(one("regexp_split('a1b2c', '[0-9]')") == Seq("a", "b", "c"))
     assert(one("repeat_value('z', 2)") == Seq("z", "z"))
-    assertFn("typeof(1)", "int")
+    assertFn("typeof(1)", "integer")
     assertFn("to_hex(sha1(to_utf8('abc')))",
       "A9993E364706816ABA3E25717850C26C9CD0D89D")
     assert(one("length(sha512(to_utf8('abc')))") == 64)

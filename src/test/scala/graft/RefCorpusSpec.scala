@@ -23,7 +23,7 @@ class RefCorpusSpec extends AnyFunSuite {
     case null => "null"
     case d: Double if d.isNaN => "NaN"
     case d: Double if d.isInfinite => if (d > 0) "Infinity" else "-Infinity"
-    case f: Float => canon(f.toDouble)
+    case f: Float => canon(java.lang.Float.toString(f).toDouble) // float repr, not widened bits
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Double) =>
       new java.math.BigDecimal(n.toString).stripTrailingZeros.toPlainString
     case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
@@ -528,7 +528,7 @@ class RefCorpusSpec extends AnyFunSuite {
   // --- json_parse VALIDATES (JsonFunctions.java): malformed input throws,
   // so try(json_parse(x)) recovers to NULL (testTryWithLambda :4957).
   ref("try json_parse invalid", "SELECT JSON_FORMAT(TRY (JSON_PARSE('INVALID')))", "SELECT NULL")
-  ref("try json_parse valid", "SELECT JSON_FORMAT(TRY (JSON_PARSE('[1, 2, 3]')))", "SELECT '[1, 2, 3]'")
+  ref("try json_parse valid", "SELECT JSON_FORMAT(TRY (JSON_PARSE('[1, 2, 3]')))", "SELECT '[1,2,3]'")
   ref("json_parse null literal ok", "SELECT JSON_PARSE('null')", "SELECT 'null'")
 
   // --- checksum is the reference's exact bytes (:3028) ---
