@@ -740,6 +740,22 @@ object PrestoSql {
       case Foll(e) => e.trim.matches("\\d+")
       case _ => true
     }
+    // A CONSTANT frame whose start is after its end (`ROWS BETWEEN 2
+    // PRECEDING AND 3 PRECEDING`) is legal in Presto and always empty
+    // (aggregate over no rows → NULL / count 0); Spark rejects it at
+    // analysis. Route those through the same slice machinery — its
+    // `CASE WHEN e0 >= s0` guard produces the empty-frame result.
+    def constOff(b: Bound): Option[Long] = b match {
+      case Prec(e) if e.trim.matches("\\d+") => Some(-e.trim.toLong)
+      case Foll(e) if e.trim.matches("\\d+") => Some(e.trim.toLong)
+      case CurRow => Some(0L)
+      case _ => None
+    }
+    def emptyConst(lo: Bound, hi: Bound): Boolean =
+      (constOff(lo), constOff(hi)) match {
+        case (Some(a), Some(b)) => a > b
+        case _ => false
+      }
     val m = java.util.regex.Pattern.compile("(?i)\\bOVER\\s*\\(").matcher(mask)
     while (m.find()) {
       val open = m.end() - 1
@@ -795,7 +811,8 @@ object PrestoSql {
             (classify(sql0.substring(base, close)), Some(CurRow))
           }
         (b1, b2) match {
-          case (Some(lo0), Some(hi0)) if !(literal(lo0) && literal(hi0)) &&
+          case (Some(lo0), Some(hi0))
+            if (!(literal(lo0) && literal(hi0)) || emptyConst(lo0, hi0)) &&
               lo0 != UnbFoll && hi0 != UnbPrec =>
             // window spec pieces (positions on the mask, text from sql0)
             val pm = java.util.regex.Pattern
@@ -883,6 +900,154 @@ object PrestoSql {
               }
             }
           case _ =>
+        }
+      }
+    }
+    sql0
+  }
+
+  /** Presto evaluates lag/lead offsets, nth_value positions, and ntile
+    * bucket counts PER ROW (reference LagFunction.java:46-63,
+    * LeadFunction.java, NthValueFunction.java, NTileFunction.java:45-76
+    * read the argument channel at each position; a NULL argument yields
+    * NULL, not the default). Spark requires foldable int literals for all
+    * four. Rewrites, triggered ONLY when the argument is not a plain
+    * integer literal (static calls keep Spark's native window fast path):
+    *  - literal NULL argument → typed NULL (CASE WHEN 1=0).
+    *  - lag/lead(v, k[, d]) → index the full-partition collect_list at
+    *    row_number()∓k, Presto bounds + default semantics; k<0 errors.
+    *  - nth_value(v, k) with an explicit full frame → element k of the
+    *    partition array, NULL past the end, error below 1.
+    *  - ntile(b) → Presto's exact bucket formula (NTileFunction.bucket)
+    *    over row_number() and the partition row count.
+    * The collected array is ONE value per partition (Spark computes an
+    * unbounded-frame aggregate once per partition), so memory is
+    * O(partition) — the same as the reference's WindowIndex, which also
+    * materializes the full partition for these functions. */
+  private def dynamicWindowArgs(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    def matchClose(open: Int): Int = {
+      var depth = 1
+      var i = open + 1
+      while (i < mask.length && depth > 0) {
+        if (mask(i) == '(') depth += 1 else if (mask(i) == ')') depth -= 1
+        i += 1
+      }
+      i - 1
+    }
+    def splitArgs(open: Int, close: Int): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var depth = 0
+      var i = open + 1
+      while (i < close) {
+        mask(i) match {
+          case '(' | '[' => depth += 1
+          case ')' | ']' => depth -= 1
+          case ',' if depth == 0 => out += i
+          case _ =>
+        }
+        i += 1
+      }
+      val cuts = (open +: out.toSeq :+ close)
+      cuts.sliding(2).map { case Seq(a, b) => sql0.substring(a + 1, b) }.toSeq
+    }
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\b(lag|lead|nth_value|ntile)\\s*\\(").matcher(mask)
+    while (m.find()) {
+      val fname = m.group(1).toLowerCase
+      val fnStart = m.start()
+      val open = m.end() - 1
+      val close = matchClose(open)
+      val args = splitArgs(open, close)
+      val overM = java.util.regex.Pattern.compile("(?is)^\\s*OVER\\s*\\(")
+        .matcher(mask.substring(close + 1))
+      val argIdx = if (fname == "ntile") 0 else 1
+      val dynamic = args.length > argIdx &&
+        !args(argIdx).trim.matches("\\d+") && overM.find()
+      if (dynamic) {
+        val overOpen = close + 1 + overM.end() - 1
+        val overClose = matchClose(overOpen)
+        val body = mask.substring(overOpen + 1, overClose)
+        def depth0(p: java.util.regex.Pattern): Int = {
+          val mm = p.matcher(body)
+          var at = -1
+          while (at < 0 && mm.find()) {
+            val pre = body.substring(0, mm.start())
+            if (pre.count(_ == '(') == pre.count(_ == ')')) at = mm.start()
+          }
+          at
+        }
+        val obAt = depth0(java.util.regex.Pattern.compile("(?i)\\bORDER\\s+BY\\b"))
+        val frAt = depth0(java.util.regex.Pattern.compile("(?i)\\b(ROWS|RANGE)\\b"))
+        val bodyText = sql0.substring(overOpen + 1, overClose)
+        val partText =
+          bodyText.substring(0, if (obAt >= 0) obAt else if (frAt >= 0) frAt else bodyText.length).trim
+        val orderText =
+          if (obAt < 0) ""
+          else bodyText.substring(obAt, if (frAt >= 0) frAt else bodyText.length).trim
+        val frameText = if (frAt < 0) "" else bodyText.substring(frAt).trim
+        val fullFrame = frameText.matches(
+          "(?is)(ROWS|RANGE)\\s+BETWEEN\\s+UNBOUNDED\\s+PRECEDING\\s+AND\\s+UNBOUNDED\\s+FOLLOWING")
+        val kArg = args(argIdx).trim
+        val vArg = if (fname == "ntile") "CAST(1 AS BIGINT)" else args(0).trim
+        def replaceWith(repl: String): String =
+          sql0.substring(0, fnStart) + repl + sql0.substring(overClose + 1)
+        if (kArg.equalsIgnoreCase("null")) {
+          val nullT =
+            if (fname == "ntile") "CAST(NULL AS BIGINT)"
+            else s"(CASE WHEN 1=0 THEN ($vArg) END)"
+          return dynamicWindowArgs(replaceWith(nullT))
+        }
+        // nth_value semantics depend on the frame; only the full-frame
+        // form (the one the reference's own suite exercises dynamically)
+        // is rewritten — other frames stay on the native path.
+        if (fname != "nth_value" || fullFrame) {
+          val suf = Iterator.from(0).find(n => !sql0.contains(s"__dw$n")).get
+          val w = s"__dw${suf}w"
+          val fullWin = s"OVER ($partText $orderText ROWS BETWEEN " +
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+          val rnWin = s"OVER ($partText $orderText)"
+          val fields = scala.collection.mutable.ArrayBuffer(
+            s"row_number() $rnWin AS r",
+            s"CAST(($kArg) AS BIGINT) AS k")
+          if (fname == "ntile")
+            fields += s"count(*) OVER ($partText ROWS BETWEEN UNBOUNDED " +
+              "PRECEDING AND UNBOUNDED FOLLOWING) AS n"
+          else
+            fields += s"collect_list(struct(($vArg) AS __v)) $fullWin AS a"
+          // deliberate error paths (negative offset / position < 1 /
+          // buckets <= 0 raise in Presto): element_at(..., 0) throws.
+          val bodyExpr = fname match {
+            case "lag" =>
+              val dflt = if (args.length > 2) s"(${args(2).trim})" else "NULL"
+              s"CASE WHEN $w.k IS NULL THEN NULL " +
+                s"WHEN $w.k < 0 THEN element_at($w.a, 0).__v " +
+                s"WHEN $w.r - $w.k >= 1 THEN " +
+                s"element_at($w.a, CAST($w.r - $w.k AS INT)).__v " +
+                s"ELSE $dflt END"
+            case "lead" =>
+              val dflt = if (args.length > 2) s"(${args(2).trim})" else "NULL"
+              s"CASE WHEN $w.k IS NULL THEN NULL " +
+                s"WHEN $w.k < 0 THEN element_at($w.a, 0).__v " +
+                s"WHEN $w.r + $w.k <= size($w.a) THEN " +
+                s"element_at($w.a, CAST($w.r + $w.k AS INT)).__v " +
+                s"ELSE $dflt END"
+            case "nth_value" =>
+              s"CASE WHEN $w.k IS NULL THEN NULL " +
+                s"WHEN $w.k >= 1 AND $w.k <= size($w.a) THEN " +
+                s"element_at($w.a, CAST($w.k AS INT)).__v " +
+                s"WHEN $w.k >= 1 THEN NULL " +
+                s"ELSE element_at($w.a, 0).__v END"
+            case "ntile" =>
+              s"CASE WHEN $w.k <= 0 THEN element_at(array(CAST(1 AS BIGINT)), 0) " +
+                s"WHEN $w.n < $w.k THEN CAST($w.r AS BIGINT) " +
+                s"WHEN ($w.r - 1) < (($w.n div $w.k + 1) * ($w.n % $w.k)) " +
+                s"THEN ($w.r - 1) div ($w.n div $w.k + 1) + 1 " +
+                s"ELSE ($w.r - 1 - $w.n % $w.k) div ($w.n div $w.k) + 1 END"
+          }
+          val repl = "element_at(transform(array(struct(" +
+            fields.mkString(", ") + s")), $w -> $bodyExpr), 1)"
+          return dynamicWindowArgs(replaceWith(repl))
         }
       }
     }
@@ -987,10 +1152,10 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = likeNoEscape(defaultNullOrdering(dynamicFrames(orderedAggs(
+    val sql = likeNoEscape(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(orderedAggs(
       quantifiedCmp(countStar(inValues(castChar(castJson(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unnest(rowTypes(sql0),
-          new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]
