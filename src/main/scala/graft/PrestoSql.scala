@@ -906,6 +906,66 @@ object PrestoSql {
     sql0
   }
 
+  /** Presto `x LIKE p ESCAPE NULL` evaluates to NULL (null escape — the
+    * reference's LikeFunctions reads the escape at runtime); Spark's
+    * grammar requires a literal escape character and rejects NULL at
+    * parse. A NULL pattern likewise yields NULL, so substituting the
+    * pattern-plus-escape with a typed NULL preserves the semantics. */
+  private def escapeNull(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bLIKE\\s*'[^']*'\\s+ESCAPE\\s+NULL\\b").matcher(mask)
+    if (!m.find()) return sql0
+    val likeEnd = sql0.indexOf('\'', m.start())
+    escapeNull(sql0.substring(0, likeEnd) + "CAST(NULL AS STRING)" +
+      sql0.substring(m.end()))
+  }
+
+  /** Presto EXTRACT fields vs Spark (reference DateTimeFunctions.java +
+    * ExtractField grammar): Presto DOW/DAY_OF_WEEK is ISO (Mon=1..Sun=7;
+    * Spark's DOW is Sunday-based — DOW_ISO matches); YOW/YEAR_OF_WEEK,
+    * DAY_OF_MONTH, DAY_OF_YEAR need Spark's spellings; SECOND is the
+    * integer second-of-minute (Spark returns a fractional DECIMAL);
+    * TIMEZONE_HOUR/TIMEZONE_MINUTE are 0 in this engine's fixed-UTC
+    * session model (zone-preserving timestamps are a documented
+    * divergence). */
+  private def extractFields(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bEXTRACT\\s*\\(\\s*(\\w+)\\s+FROM\\b").matcher(mask)
+    while (m.find()) {
+      val field = m.group(1).toUpperCase
+      val fs = m.start(1)
+      val fe = m.end(1)
+      val simple = Map(
+        "DOW" -> "DOW_ISO", "DAY_OF_WEEK" -> "DOW_ISO",
+        "YOW" -> "YEAROFWEEK", "YEAR_OF_WEEK" -> "YEAROFWEEK",
+        "DAY_OF_MONTH" -> "DAY", "DAY_OF_YEAR" -> "DOY")
+      if (simple.contains(field))
+        return extractFields(
+          sql0.substring(0, fs) + simple(field) + sql0.substring(fe))
+      if (field == "SECOND" || field == "TIMEZONE_HOUR" ||
+          field == "TIMEZONE_MINUTE") {
+        val open = sql0.indexOf('(', m.start())
+        var depth = 1
+        var i = open + 1
+        while (i < mask.length && depth > 0) {
+          if (mask(i) == '(') depth += 1 else if (mask(i) == ')') depth -= 1
+          i += 1
+        }
+        val close = i - 1
+        val repl =
+          if (field == "SECOND")
+            "CAST(FLOOR(EXTRACT(SECS " +
+              sql0.substring(fe, close) + ")) AS BIGINT)"
+          else "CAST(0 AS BIGINT)"
+        return extractFields(
+          sql0.substring(0, m.start()) + repl + sql0.substring(close + 1))
+      }
+    }
+    sql0
+  }
+
   /** Presto evaluates lag/lead offsets, nth_value positions, and ntile
     * bucket counts PER ROW (reference LagFunction.java:46-63,
     * LeadFunction.java, NthValueFunction.java, NTileFunction.java:45-76
@@ -1152,10 +1212,10 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = likeNoEscape(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(orderedAggs(
+    val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(extractFields(orderedAggs(
       quantifiedCmp(countStar(inValues(castChar(castJson(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unnest(rowTypes(sql0),
-          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

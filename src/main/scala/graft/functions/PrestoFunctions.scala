@@ -534,6 +534,9 @@ object PrestoFunctions {
         Seq(fn("parse_url", Seq(e(0), lit("AUTHORITY"))), lit(":([0-9]+)$"), lit(1))),
       lit(""))), LongType)),
     // --- array (Array*.java) ---
+    // the planner-internal name for the ARRAY[...] constructor
+    // (reference ArrayConstructor.java / TestExpressionInterpreter:1260)
+    "array_constructor" -> (e => fn("array", e)),
     "cardinality" -> (e => Cardinality(e.head)),
     "contains" -> (e => fn("array_contains", e)),
     // a NULL element makes min/max NULL (ArrayMinFunction/ArrayMaxFunction
