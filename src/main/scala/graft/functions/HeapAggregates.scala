@@ -137,7 +137,7 @@ case class HistogramAgg(
   extends TypedImperativeAggregate[mutable.HashMap[Any, Long]] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = MapType(child.dataType, LongType)
 
   override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
@@ -160,6 +160,9 @@ case class HistogramAgg(
   }
 
   override def eval(buf: mutable.HashMap[Any, Long]): Any = {
+    // no non-null input → NULL, not {} (the reference's framework never
+    // creates the state: Histogram.java input is a non-nullable channel)
+    if (buf.isEmpty) return null
     val entries = buf.toSeq
     new ArrayBasedMapData(
       new GenericArrayData(entries.map(_._1).toArray),
@@ -201,73 +204,140 @@ case class HistogramAgg(
   override def prettyName: String = "histogram"
 }
 
+/** Shared buffer for the map-building aggregates: insertion-ordered
+  * first-wins map plus a flag recording whether ANY input reached the
+  * state — the reference returns NULL when the accumulator was never
+  * created (no qualifying row), which is distinct from a non-null empty
+  * result (e.g. map_union over empty maps). */
+final class MapBuf {
+  var seen: Boolean = false
+  val map: mutable.LinkedHashMap[Any, Any] = mutable.LinkedHashMap.empty
+}
+
 /** map_union(map_col) — Presto MapUnionAggregation.java: union of all input
-  * maps; first-seen value wins on duplicate keys. String/primitive keys and
-  * values (fixture surface). */
+  * maps; first-seen value wins on duplicate keys (KeyValuePairs.add only
+  * inserts unseen keys). String/primitive keys and values (fixture
+  * surface). */
 case class MapUnionAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.LinkedHashMap[Any, Any]] {
+  extends TypedImperativeAggregate[MapBuf] with MapBufCodec {
 
   private val mapType = child.dataType.asInstanceOf[MapType]
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = mapType
 
-  override def createAggregationBuffer(): mutable.LinkedHashMap[Any, Any] =
-    mutable.LinkedHashMap.empty[Any, Any]
+  override def createAggregationBuffer(): MapBuf = new MapBuf
 
-  override def update(buf: mutable.LinkedHashMap[Any, Any],
-      input: InternalRow): mutable.LinkedHashMap[Any, Any] = {
+  override def update(buf: MapBuf, input: InternalRow): MapBuf = {
     val v = child.eval(input)
     if (v != null) {
+      buf.seen = true
       val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
       val keys = m.keyArray()
       val vals = m.valueArray()
       var i = 0
       while (i < m.numElements()) {
         val k = cp(keys.get(i, mapType.keyType))
-        if (!buf.contains(k)) buf.update(k, cp(vals.get(i, mapType.valueType)))
+        if (!buf.map.contains(k))
+          buf.map.update(k, cp(vals.get(i, mapType.valueType)))
         i += 1
       }
     }
     buf
   }
 
-  private def cp(v: Any): Any = v match {
-    case s: UTF8String => s.clone(); case o => o
-  }
+  override def prettyName: String = "map_union"
+  override def withNewMutableAggBufferOffset(offset: Int): MapUnionAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MapUnionAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
 
-  override def merge(buf: mutable.LinkedHashMap[Any, Any],
-      other: mutable.LinkedHashMap[Any, Any]): mutable.LinkedHashMap[Any, Any] = {
-    other.foreach { case (k, v) => if (!buf.contains(k)) buf.update(k, v) }
+/** map_agg(key, value) — Presto MapAggregationFunction.java: NULL keys are
+  * skipped (the key is a non-nullable input channel), the first value seen
+  * for a key wins (KeyValuePairs.add), values may be NULL, and a group
+  * with no non-null key yields NULL (the state is never created). */
+case class MapAggAgg(
+    key: Expression,
+    value: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MapBuf] with MapBufCodec {
+
+  override def children: Seq[Expression] = Seq(key, value)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    MapType(key.dataType, value.dataType, valueContainsNull = true)
+
+  override def createAggregationBuffer(): MapBuf = new MapBuf
+
+  override def update(buf: MapBuf, input: InternalRow): MapBuf = {
+    val k0 = key.eval(input)
+    if (k0 != null) {
+      buf.seen = true
+      val k = cp(k0)
+      if (!buf.map.contains(k)) buf.map.update(k, cp(value.eval(input)))
+    }
     buf
   }
 
-  override def eval(buf: mutable.LinkedHashMap[Any, Any]): Any = {
-    val entries = buf.toSeq
+  override def prettyName: String = "map_agg"
+  override def withNewMutableAggBufferOffset(offset: Int): MapAggAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MapAggAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(key = c(0), value = c(1))
+}
+
+/** merge/eval/serde shared by the MapBuf aggregates. */
+trait MapBufCodec { self: TypedImperativeAggregate[MapBuf] =>
+
+  protected def cp(v: Any): Any = v match {
+    case s: UTF8String => s.clone(); case o => o
+  }
+
+  override def merge(buf: MapBuf, other: MapBuf): MapBuf = {
+    if (other.seen) buf.seen = true
+    other.map.foreach { case (k, v) =>
+      if (!buf.map.contains(k)) buf.map.update(k, v)
+    }
+    buf
+  }
+
+  override def eval(buf: MapBuf): Any = {
+    if (!buf.seen) return null
+    val entries = buf.map.toSeq
     new ArrayBasedMapData(
       new GenericArrayData(entries.map(_._1).toArray),
       new GenericArrayData(entries.map(_._2).toArray))
   }
 
-  override def serialize(buf: mutable.LinkedHashMap[Any, Any]): Array[Byte] = {
+  override def serialize(buf: MapBuf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.ObjectOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (k, v) => out.writeObject(toJava(k)); out.writeObject(toJava(v)) }
+    out.writeBoolean(buf.seen)
+    out.writeInt(buf.map.size)
+    buf.map.foreach { case (k, v) =>
+      out.writeObject(toJava(k)); out.writeObject(toJava(v))
+    }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Any] = {
+  override def deserialize(bytes: Array[Byte]): MapBuf = {
     val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new MapBuf
+    buf.seen = in.readBoolean()
     val size = in.readInt()
-    val buf = createAggregationBuffer()
     (0 until size).foreach { _ =>
       val k = fromJava(in.readObject()); val v = fromJava(in.readObject())
-      if (!buf.contains(k)) buf.update(k, v)
+      if (!buf.map.contains(k)) buf.map.update(k, v)
     }
     buf
   }
@@ -278,14 +348,6 @@ case class MapUnionAgg(
   private def fromJava(v: AnyRef): Any = v match {
     case s: String => UTF8String.fromString(s); case o => o
   }
-
-  override def withNewMutableAggBufferOffset(offset: Int): MapUnionAgg =
-    copy(mutableAggBufferOffset = offset)
-  override def withNewInputAggBufferOffset(offset: Int): MapUnionAgg =
-    copy(inputAggBufferOffset = offset)
-  override protected def withNewChildrenInternal(
-      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
-  override def prettyName: String = "map_union"
 }
 
 /** numeric_histogram(buckets, value[, weight]) → map<double,double>

@@ -733,8 +733,11 @@ object PrestoFunctions {
     },
     "geometric_mean" -> (e => Exp(
       Average(Log(e.head)).toAggregateExpression())),
-    "map_agg" -> (e => MapFromEntries(
-      CollectList(CreateStruct(Seq(e(0), e(1)))).toAggregateExpression())),
+    // custom aggregate: NULL keys skipped, first value per key wins,
+    // no qualifying row -> NULL (MapAggregationFunction.java semantics —
+    // a map_from_entries(collect_list(...)) composition throws on NULL
+    // or duplicate keys instead)
+    "map_agg" -> (e => MapAggAgg(e(0), e(1)).toAggregateExpression()),
     // Presto-EXACT checksum bytes (ChecksumAggregationFunction.java:
     // wrapping sum of typeHash·PRIME64) — to_hex(checksum(0)) is all
     // zeros like the reference.
@@ -785,9 +788,18 @@ object PrestoFunctions {
     "bitwise_and_agg" -> (e => fn("bit_and", e)),
     "bitwise_or_agg" -> (e => fn("bit_or", e)),
     // multimap_agg(k, v) → map<k, array<v>> (MultimapAggregationFunction
-    // .java:47): collect entries, then group per key.
-    "multimap_agg" -> (e => multimapFromEntries(
-      CollectList(CreateStruct(Seq(e(0), e(1)))).toAggregateExpression())),
+    // .java:47): collect entries, then group per key. NULL keys are
+    // skipped and a group with no non-null key yields NULL (the key is a
+    // non-nullable input channel in the reference).
+    "multimap_agg" -> { e =>
+      val entries =
+        CollectList(CreateStruct(Seq(e(0), e(1)))).toAggregateExpression()
+      val x = UnresolvedNamedLambdaVariable(Seq("mma_x"))
+      val nonNullKeys = ArrayFilter(entries,
+        LambdaFunction(IsNotNull(GetStructField(x, 0)), Seq(x)))
+      If(EqualTo(Size(nonNullKeys), Literal(0)),
+        Literal.create(null, NullType), multimapFromEntries(nonNullKeys))
+    },
     // --- HLL sketch family (HyperLogLogFunctions.java / ApproximateSet
     //     Aggregation.java) — custom TypedImperativeAggregate ---
     "approx_set" -> (e => ApproxSetAgg(e.head).toAggregateExpression()),
