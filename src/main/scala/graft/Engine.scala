@@ -346,8 +346,33 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("INVALID_ORDERING_TYPE") =>
           mapEquality(text, e)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("CAST_WITHOUT_SUGGESTION") =>
+          castTimestampToTime(text, e)
       }
     oneBasedSubscripts(df, text)
+  }
+
+  /** Presto CAST(timestamp AS TIME) keeps the time-of-day
+    * (DateTimeOperators.castToTime); Spark 4.1's TIME type has no
+    * timestamp→time cast. Retry path: analyze without final checks, then
+    * route the cast through the formatted time-of-day string. */
+  private def castTimestampToTime(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Literal}
+    import org.apache.spark.sql.types.{TimeType, TimestampType}
+    val analyzed =
+      try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark,
+        org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text))
+      catch { case _: Throwable => throw orig }
+    var changed = false
+    val fixed = analyzed.transformAllExpressions {
+      case Cast(ch, t: TimeType, tz, ev)
+          if ch.resolved && ch.dataType == TimestampType =>
+        changed = true
+        Cast(DateFormatClass(ch, Literal("HH:mm:ss.SSSSSS")), t, tz, ev)
+    }
+    if (!changed) throw orig
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }
 
   /** Presto compares MAPs with `=`/`!=` (MapOperators.java equals — key

@@ -906,6 +906,258 @@ object PrestoSql {
     sql0
   }
 
+  /** Presto GROUP BY forms Spark's grammar lacks (SqlBase.g4 groupingElement
+    * + QueryPlanner grouping-set expansion): a bare `()` item (global set),
+    * `GROUP BY DISTINCT ...` (deduplicates the EXPANDED sets —
+    * AggregationNode), and mixing plain columns with ROLLUP/CUBE/GROUPING
+    * SETS items (the expansion is the CROSS PRODUCT of each item's sets).
+    * All three lower to one explicit `GROUPING SETS (...)` clause, which
+    * both engines agree on. Plain single-form GROUP BY (columns only, or a
+    * single ROLLUP/CUBE/GROUPING SETS) is left untouched — ordinals and
+    * Spark's native paths stay intact. */
+  private def groupByForms(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bGROUP\\s+BY\\b").matcher(mask)
+    while (m.find()) {
+      // clause extent: to a depth-0 terminator keyword, a closing paren
+      // below start depth, or end of text
+      var i = m.end()
+      var depth = 0
+      var end = mask.length
+      val term = java.util.regex.Pattern.compile(
+        "(?i)^(HAVING|ORDER|WINDOW|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT)\\b")
+      var scan = true
+      while (scan && i < mask.length) {
+        mask(i) match {
+          case '(' => depth += 1; i += 1
+          case ')' =>
+            if (depth == 0) { end = i; scan = false } else { depth -= 1; i += 1 }
+          case c if c.isLetter =>
+            val ws = i
+            while (i < mask.length && (mask(i).isLetterOrDigit || mask(i) == '_')) i += 1
+            if (depth == 0 && term.matcher(mask.substring(ws, i)).find()) {
+              end = ws; scan = false
+            }
+          case _ => i += 1
+        }
+      }
+      val clause = sql0.substring(m.end(), end)
+      val clauseMask = mask.substring(m.end(), end)
+      // split items at depth-0 commas
+      val cuts = scala.collection.mutable.ArrayBuffer(-1)
+      var d = 0
+      for (p <- clauseMask.indices) clauseMask(p) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ',' if d == 0 => cuts += p
+        case _ =>
+      }
+      cuts += clause.length
+      var items = cuts.toSeq.sliding(2).map { case Seq(a, b) =>
+        clause.substring(a + 1, b).trim
+      }.toList
+      val distinct = items.nonEmpty &&
+        items.head.matches("(?is)^DISTINCT\\b.*")
+      if (distinct) items = items.head.replaceFirst("(?is)^DISTINCT\\s*", "") :: items.tail
+      def kind(it: String): String =
+        if (it.matches("\\(\\s*\\)")) "empty"
+        else if (it.matches("(?is)^ROLLUP\\s*\\(.*\\)$")) "rollup"
+        else if (it.matches("(?is)^CUBE\\s*\\(.*\\)$")) "cube"
+        else if (it.matches("(?is)^GROUPING\\s+SETS\\s*\\(.*\\)$")) "sets"
+        else "plain"
+      val kinds = items.map(kind)
+      val needs = distinct || kinds.contains("empty") ||
+        (items.length > 1 && kinds.exists(_ != "plain"))
+      if ((needs || kinds == List("sets")) && items.nonEmpty) {
+        // each item → its list of element-sets (elements are text chunks)
+        def splitTop(s: String): List[String] = {
+          val out = scala.collection.mutable.ArrayBuffer(-1)
+          var dd = 0
+          for (p <- s.indices) s(p) match {
+            case '(' => dd += 1
+            case ')' => dd -= 1
+            case ',' if dd == 0 => out += p
+            case _ =>
+          }
+          out += s.length
+          out.toSeq.sliding(2).map { case Seq(a, b) => s.substring(a + 1, b).trim }
+            .filter(_.nonEmpty).toList
+        }
+        def inner(it: String): String = {
+          val o = it.indexOf('(')
+          it.substring(o + 1, it.lastIndexOf(')'))
+        }
+        def elems(e: String): List[String] =
+          if (e.startsWith("(") && e.endsWith(")")) splitTop(e.drop(1).dropRight(1))
+          else List(e)
+        val perItem: List[List[List[String]]] = items.zip(kinds).map {
+          case (_, "empty") => List(Nil)
+          case (it, "plain") => List(List(it))
+          case (it, "rollup") =>
+            val args = splitTop(inner(it)).map(elems)
+            (args.length to 0 by -1).map(n => args.take(n).flatten).toList
+          case (it, "cube") =>
+            val args = splitTop(inner(it)).map(elems)
+            args.foldRight(List(List.empty[String])) { (a, acc) =>
+              acc.map(a ++ _) ++ acc
+            }
+          case (it, _) =>
+            splitTop(inner(it)).map(s =>
+              if (s.matches("\\(\\s*\\)")) Nil
+              else if (s.startsWith("(")) splitTop(s.drop(1).dropRight(1))
+              else List(s))
+        }
+        var sets: List[List[String]] =
+          perItem.foldLeft(List(List.empty[String])) { (acc, itemSets) =>
+            acc.flatMap(prefix => itemSets.map(prefix ++ _))
+          }
+        if (distinct) {
+          val seen = scala.collection.mutable.LinkedHashMap.empty[Set[String], List[String]]
+          sets.foreach { s =>
+            val k = s.map(_.toLowerCase.replaceAll("\\s+", " ")).toSet
+            if (!seen.contains(k)) seen.update(k, s)
+          }
+          sets = seen.values.toList
+        }
+        // EMPTY grouping sets: Presto emits one row per empty set even on
+        // EMPTY input (each is a global aggregation — QueryPlanner); Spark's
+        // Expand-based plan emits nothing. Queries that spell `()` out are
+        // lowered to `GROUPING SETS (non-empty) UNION ALL <global agg>` —
+        // identical on non-empty input, correct on empty input. The extra
+        // branch is a global partial-aggregate scan, paid ONLY by queries
+        // that wrote an explicit empty set; a single bare ROLLUP/CUBE keeps
+        // Spark's one-scan native plan (its `()` set misses the
+        // empty-input row — documented divergence; doubling every rollup's
+        // scans for that corner is the wrong trade at scale).
+        val hasEmpty = sets.exists(_.isEmpty)
+        def normEl(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+        lazy val unionRewrite: Option[String] = {
+          if (!hasEmpty) None
+          else {
+            val depthPrefix = {
+              val arr = new Array[Int](mask.length + 1)
+              var dd = 0
+              for (p <- mask.indices) {
+                arr(p) = dd
+                if (mask(p) == '(') dd += 1 else if (mask(p) == ')') dd -= 1
+              }
+              arr(mask.length) = dd
+              arr
+            }
+            val gbDepth = depthPrefix(m.start())
+            var qStart = -1
+            val sm = java.util.regex.Pattern.compile("(?i)\\bSELECT\\b").matcher(mask)
+            while (sm.find() && sm.start() < m.start())
+              if (depthPrefix(sm.start()) == gbDepth) qStart = sm.start()
+            val groupEls = sets.flatten.map(normEl).toSet
+            if (qStart < 0 || groupEls.exists(_.matches("\\d+"))) None
+            else {
+              val selEnd = qStart + "SELECT".length
+              // select-list extent: to the depth-equal FROM
+              var fp = selEnd
+              var fromAt = -1
+              while (fromAt < 0 && fp < m.start()) {
+                if (mask(fp).isLetter) {
+                  val ws = fp
+                  while (fp < mask.length && (mask(fp).isLetterOrDigit || mask(fp) == '_')) fp += 1
+                  if (depthPrefix(ws) == gbDepth &&
+                      mask.substring(ws, fp).equalsIgnoreCase("from")) fromAt = ws
+                } else fp += 1
+              }
+              val selText = if (fromAt < 0) "" else sql0.substring(selEnd, fromAt)
+              // HAVING region after the GROUP BY clause
+              val afterM = java.util.regex.Pattern.compile("(?is)^\\s*HAVING\\b")
+                .matcher(mask.substring(end))
+              var tailStart = end
+              var userHaving = ""
+              if (afterM.find()) {
+                var hp = end + afterM.end()
+                var hEnd = mask.length
+                val hterm = java.util.regex.Pattern.compile(
+                  "(?i)^(ORDER|WINDOW|LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT)$")
+                var hscan = true
+                while (hscan && hp < mask.length) {
+                  mask(hp) match {
+                    case '(' => hp += 1
+                    case ')' if depthPrefix(hp) == gbDepth => hEnd = hp; hscan = false
+                    case c if c.isLetter =>
+                      val ws = hp
+                      while (hp < mask.length && (mask(hp).isLetterOrDigit || mask(hp) == '_')) hp += 1
+                      if (depthPrefix(ws) == gbDepth &&
+                          hterm.matcher(mask.substring(ws, hp)).find()) {
+                        hEnd = ws; hscan = false
+                      }
+                    case _ => hp += 1
+                  }
+                }
+                userHaving = sql0.substring(end, hEnd)
+                tailStart = hEnd
+              }
+              val badGuards = fromAt < 0 ||
+                selText.matches("(?is)^\\s*DISTINCT\\b.*") ||
+                "(?i)\\bgrouping\\s*\\(".r.findFirstIn(selText + userHaving).isDefined
+              if (badGuards) None
+              else {
+                // NULL the grouping columns in the global-agg branch via a
+                // typed all-NULL aggregate (max of an empty CASE)
+                val selItems = {
+                  val sm2 = mask.substring(selEnd, fromAt)
+                  val cc = scala.collection.mutable.ArrayBuffer(-1)
+                  var dd = 0
+                  for (p <- sm2.indices) sm2(p) match {
+                    case '(' => dd += 1
+                    case ')' => dd -= 1
+                    case ',' if dd == 0 => cc += p
+                    case _ =>
+                  }
+                  cc += sm2.length
+                  cc.toSeq.sliding(2).map { case Seq(a, b) =>
+                    selText.substring(a + 1, b).trim }.toList
+                }
+                val branchList = selItems.map { it =>
+                  val am = java.util.regex.Pattern
+                    .compile("(?is)^(.*\\S)\\s+AS\\s+(\\w+)$").matcher(it)
+                  val (expr, alias) =
+                    if (am.matches()) (am.group(1), Some(am.group(2)))
+                    else (it, None)
+                  if (groupEls.contains(normEl(expr))) {
+                    val a = alias.orElse(
+                      if (expr.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(expr)
+                      else None)
+                    s"max(CASE WHEN 1=0 THEN ($expr) END)" +
+                      a.map(" AS " + _).getOrElse("")
+                  } else it
+                }.mkString(", ")
+                val nonEmpty = sets.filter(_.nonEmpty)
+                val main =
+                  if (nonEmpty.isEmpty) Nil
+                  else List(sql0.substring(qStart, m.end()) + " " +
+                    nonEmpty.map(s => "(" + s.mkString(", ") + ")")
+                      .mkString("GROUPING SETS (", ", ", ")") + userHaving)
+                val branch = "SELECT " + branchList + " " +
+                  sql0.substring(fromAt, m.start()).trim + userHaving
+                val parts = main ++ List.fill(sets.count(_.isEmpty))(branch)
+                Some(sql0.substring(0, qStart) + parts.mkString(" UNION ALL ") +
+                  sql0.substring(tailStart))
+              }
+            }
+          }
+        }
+        unionRewrite match {
+          case Some(rw) => return groupByForms(rw)
+          case None if needs =>
+            val rendered = sets.map(s => "(" + s.mkString(", ") + ")")
+              .mkString("GROUPING SETS (", ", ", ")")
+            return groupByForms(
+              sql0.substring(0, m.end()) + " " + rendered + sql0.substring(end))
+          case None =>
+        }
+      }
+    }
+    sql0
+  }
+
   /** Presto `x LIKE p ESCAPE NULL` evaluates to NULL (null escape — the
     * reference's LikeFunctions reads the escape at runtime); Spark's
     * grammar requires a literal escape character and rejects NULL at
@@ -1212,10 +1464,10 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(extractFields(orderedAggs(
+    val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(extractFields(groupByForms(orderedAggs(
       quantifiedCmp(countStar(inValues(castChar(castJson(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unnest(rowTypes(sql0),
-          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]
