@@ -1882,6 +1882,60 @@ object RefCorpus {
         "CAST(NULL AS INTEGER), -1, 'integer', '', CAST(NULL AS VARCHAR), " +
         "'{\"a\":1,\"b\":2}', 20, '2001 02', CAST(NULL AS INTEGER), 1, 0, 1"),
 
+    // AbstractTestAggregations.java :466-:566 CASE-expression GROUP BY
+    // suite — verbatim single-arg assertQuery statements (H2 self-oracle
+    // protocol; DuckDB replays the same text).
+    "r153_ref_case_group_by" -> batchCols(
+      Seq("k", "n"),
+      Seq("c1 AS k", "CAST(c2 AS BIGINT) AS n"),
+      Seq(
+        ("a466", "SELECT CASE WHEN orderstatus = 'O' THEN 'a' ELSE 'b' END, count(*) FROM orders GROUP BY CASE WHEN orderstatus = 'O' THEN 'a' ELSE 'b' END"),
+        ("a483", "SELECT CASE WHEN orderstatus = 'O' THEN 'a' END, count(*) FROM orders GROUP BY CASE WHEN orderstatus = 'O' THEN 'a' END"),
+        ("a495", "SELECT CASE WHEN true THEN orderstatus END, count(*) FROM orders GROUP BY orderstatus"),
+        ("a514", "SELECT CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END, count(*) FROM orders GROUP BY CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END"),
+        ("a527", "SELECT CASE orderstatus WHEN 'O' THEN 'a' ELSE 'b' END, count(*) FROM orders GROUP BY orderstatus"),
+        ("a532", "SELECT CASE 'O' WHEN orderstatus THEN 'a' ELSE 'b' END, count(*) FROM orders GROUP BY orderstatus"),
+        ("a537", "SELECT CASE 1 WHEN 1 THEN orderstatus ELSE 'x' END, count(*) FROM orders GROUP BY orderstatus"),
+        ("a542", "SELECT CASE 1 WHEN 1 THEN 'x' ELSE orderstatus END, count(*) FROM orders GROUP BY orderstatus"),
+        ("a551", "SELECT CASE orderstatus WHEN 'O' THEN 'a' END, count(*) FROM orders GROUP BY CASE orderstatus WHEN 'O' THEN 'a' END"),
+        ("a556", "SELECT CASE orderstatus WHEN 'O' THEN 'a' END, count(*) FROM orders GROUP BY orderstatus"),
+        ("a561", "SELECT CASE 'O' WHEN orderstatus THEN 'a' END, count(*) FROM orders GROUP BY orderstatus"),
+        ("a566", "SELECT CASE 1 WHEN 1 THEN orderstatus END, count(*) FROM orders GROUP BY orderstatus"))),
+
+    // AbstractTestAggregations.java :170/:204 — derived-key grouping with
+    // NULL/0 key collisions; DISTINCT count over a join.
+    "r154_ref_agg_group_misc" -> batchCols(
+      Seq("a", "b"),
+      Seq("CAST(c1 AS BIGINT) AS a", "CAST(c2 AS BIGINT) AS b"),
+      Seq(
+        ("a170", "SELECT key, COUNT(*) FROM (SELECT CASE WHEN orderkey % 3 = 0 THEN NULL WHEN orderkey % 5 = 0 THEN 0 ELSE orderkey END AS key FROM lineitem) GROUP BY key"),
+        ("a204", "SELECT custkey, COUNT(DISTINCT orderstatus) FROM ( SELECT orders.custkey AS custkey, orders.orderstatus AS orderstatus FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderkey = lineitem.partkey GROUP BY orders.custkey, orders.orderstatus) GROUP BY custkey"))),
+
+    // AbstractTestAggregations.java :158 GROUP BY returning only the key;
+    // :636 group-by-a-constant-column count (both sides cast to VARCHAR —
+    // one batch schema).
+    "r155_ref_agg_group_keys" -> batchCols(
+      Seq("v"),
+      Seq("CAST(c1 AS VARCHAR) AS v"),
+      Seq(
+        ("a158", "SELECT orderstatus FROM orders GROUP BY orderstatus"),
+        ("a636", "SELECT count(*) FROM ( SELECT CAST(null AS VARCHAR) constant, orderdate FROM orders ) a group by constant, orderdate")),
+      sparkCast = Map("v" -> "string")),
+
+    // AbstractTestAggregations.java :223 re-aggregation of per-group
+    // aggregates (MAX/SUM over an avg/sum-distinct subquery).
+    "r156_ref_agg_reagg" -> one(
+      "SELECT s, MAX(custkey), SUM(a) FROM ( SELECT custkey, avg(shippriority) AS a, SUM(DISTINCT orderkey) AS s FROM orders GROUP BY custkey, orderstatus) GROUP BY s",
+      Seq("s", "mx", "sa"),
+      Seq("CAST(c1 AS BIGINT) AS s", "CAST(c2 AS BIGINT) AS mx",
+        "CAST(c3 AS DOUBLE) AS sa")),
+
+    // AbstractTestAggregations.java :649 wide projection + count.
+    "r157_ref_agg_wide" -> one(
+      "SELECT orderkey + 1, orderkey + 2, orderkey + 3, orderkey + 4, orderkey + 5, orderkey + 6, orderkey + 7, orderkey + 8, orderkey + 9, orderkey + 10, count(*) FROM orders GROUP BY orderkey + 1, orderkey + 2, orderkey + 3, orderkey + 4, orderkey + 5, orderkey + 6, orderkey + 7, orderkey + 8, orderkey + 9, orderkey + 10",
+      (1 to 11).map("w" + _),
+      (1 to 11).map(i => s"CAST(c$i AS BIGINT) AS w$i")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
