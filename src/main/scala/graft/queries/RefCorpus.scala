@@ -1936,6 +1936,446 @@ object RefCorpus {
       (1 to 11).map("w" + _),
       (1 to 11).map(i => s"CAST(c$i AS BIGINT) AS w$i")),
 
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 527,1838,1880,1992,5145,5193,5626,5843,6555,6569,6583,6597)
+    "r158_ref_atq_sweep" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS BIGINT) AS k1"),
+      Seq(
+        ("L527", "SELECT COUNT(DISTINCT custkey) FROM ( SELECT x.custkey FROM orders x WHERE custkey < 100 ) t"),
+        ("L1838", "SELECT x + y FROM ( SELECT orderdate, COUNT(*) x FROM orders GROUP BY orderdate) a JOIN ( SELECT orderdate, COUNT(*) y FROM orders GROUP BY orderdate) b ON a.orderdate = b.orderdate"),
+        ("L1880", "SELECT COUNT(*) FROM (SELECT * FROM lineitem ORDER BY orderkey,linenumber LIMIT 5) l LEFT OUTER JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o ON o.custkey != 1000 WHERE o.orderkey IS NULL"),
+        ("L1992", "SELECT COUNT(*) FROM (SELECT * FROM lineitem ORDER BY orderkey,linenumber LIMIT 5) l RIGHT OUTER JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o ON l.quantity != 5 WHERE l.orderkey IS NULL"),
+        ("L5145", "SELECT count(clerk) FROM (SELECT clerk FROM orders WHERE orderkey=0 UNION ALL SELECT clerk FROM orders WHERE orderkey<>0) GROUP BY clerk"),
+        ("L5193", "SELECT count(*) FROM (SELECT 1 FROM ( SELECT 1 FROM nation UNION ALL SELECT 1 FROM nation)UNION ALL SELECT 1 FROM nation GROUP BY regionkey)"),
+        ("L5626", "SELECT COUNT(*) FROM ( SELECT orderkey IN ( SELECT orderkey FROM lineitem WHERE orderkey % 2 = 0) FROM orders LIMIT 10)"),
+        ("L5843", "SELECT DISTINCT orderkey FROM lineitem WHERE orderkey BETWEEN (SELECT avg(orderkey) FROM orders) - 10 AND (SELECT avg(orderkey) FROM orders) + 10"),
+        ("L6555", "SELECT * FROM ( SELECT orderkey+1 AS a FROM orders WHERE orderstatus = 'F' UNION ALL SELECT orderkey FROM orders WHERE orderkey % 2 = 0 UNION ALL (SELECT orderkey+custkey FROM orders ORDER BY orderkey LIMIT 10) ) WHERE a < 20 OR a > 100 ORDER BY a"),
+        ("L6569", "SELECT COUNT(*) FROM lineitem JOIN ( SELECT * FROM orders ) orders ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey % 4 = 0 AND lineitem.suppkey > orders.orderkey"),
+        ("L6583", "SELECT COUNT(*) FROM lineitem LEFT JOIN ( SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey % 4 = 0 AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.custkey IS NULL)"),
+        ("L6597", "SELECT COUNT(*) FROM lineitem LEFT JOIN ( SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey % 4 = 0 AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.orderkey IS NULL)")),
+      sparkCast = Map("k1" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 6611,6626,6640,6654,6668,6812)
+    "r159_ref_atq_sweep" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS BIGINT) AS k1"),
+      Seq(
+        ("L6611", "SELECT COUNT(*) FROM lineitem LEFT JOIN ( SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey = orders.orderkey AND lineitem.orderkey % 4 = 0 AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.orderkey IS NULL)"),
+        ("L6626", "SELECT count(*) FROM orders a LEFT OUTER JOIN orders b ON a.clerk = b.clerk WHERE a.orderpriority='5-LOW' AND b.orderpriority='1-URGENT' AND b.clerk is null AND a.orderkey % 4 = 0"),
+        ("L6640", "SELECT COUNT(*) FROM ( SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders RIGHT JOIN lineitem ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey % 4 = 0 AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.custkey IS NULL)"),
+        ("L6654", "SELECT COUNT(*) FROM ( SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders RIGHT JOIN lineitem ON lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey % 4 = 0 AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.orderkey IS NULL)"),
+        ("L6668", "SELECT COUNT(*) FROM ( SELECT * FROM orders WHERE orders.orderkey % 2 = 0 ) orders RIGHT JOIN lineitem ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey = orders.orderkey AND lineitem.orderkey % 4 = 0 AND (lineitem.suppkey % 2 = orders.orderkey % 2 OR orders.orderkey IS NULL)"),
+        ("L6812", "SELECT COUNT(*) FROM ( SELECT orderkey AS x, orderkey AS y FROM orders WHERE orderkey % 3 = 0 UNION ALL SELECT orderkey AS x, orderkey AS y FROM orders WHERE orderkey % 2 = 0 ) a JOIN ( SELECT orderkey AS x, orderkey AS y FROM orders ) b ON a.x = b.x")),
+      sparkCast = Map("k1" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5645,5651,5659,5714,5734,5751,5772,5831,7521,7710,7717,7719)
+    "r160_ref_atq_sweep" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS INT) AS k1"),
+      Seq(
+        ("L5645", "SELECT orderkey IN ( SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END FROM lineitem) FROM orders"),
+        ("L5651", "SELECT orderkey IN ( SELECT orderkey FROM lineitem) FROM ( SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders)"),
+        ("L5659", "SELECT orderkey IN ( SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END FROM lineitem) FROM ( SELECT CASE WHEN orderkey % 4 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders)"),
+        ("L5714", "SELECT orderkey IN ( SELECT CASE WHEN orderkey % 500 = 0 THEN NULL ELSE orderkey END FROM orders WHERE orderkey % 200 = 0 UNION ALL SELECT CASE WHEN orderkey % 600 = 0 THEN NULL ELSE orderkey END FROM orders WHERE orderkey % 300 = 0 ) FROM ( SELECT orderkey FROM lineitem WHERE orderkey % 100 = 0)"),
+        ("L5734", "SELECT orderkey IN ( SELECT CASE WHEN orderkey % 10 = 0 THEN NULL ELSE orderkey END FROM lineitem WHERE orderkey % 2 = 0 GROUP BY orderkey ) FROM ( SELECT orderkey FROM orders WHERE orderkey % 3 = 0)"),
+        ("L5751", "SELECT orderkey IN ( SELECT CASE WHEN orderkey % 500 = 0 THEN NULL ELSE orderkey END FROM lineitem WHERE orderkey % 250 = 0 UNION ALL SELECT CASE WHEN orderkey % 300 = 0 THEN NULL ELSE orderkey END FROM lineitem WHERE orderkey % 200 = 0 GROUP BY orderkey ) FROM ( SELECT orderkey FROM orders WHERE orderkey % 100 = 0)"),
+        ("L5772", "SELECT orderkey IN ( SELECT orderkey FROM ( SELECT CASE WHEN orderkey % 500 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE orderkey % 200 = 0 UNION ALL SELECT CASE WHEN orderkey % 600 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE orderkey % 300 = 0 ) GROUP BY orderkey ) FROM ( SELECT orderkey FROM lineitem WHERE orderkey % 100 = 0)"),
+        ("L5831", "SELECT (SELECT 1) IN ( 2, 3)"),
+        ("L7521", "SELECT c = 'x'FROM ( SELECT 'x' AS c UNION ALL SELECT 'yy' AS c)"),
+        ("L7710", "SELECT 1.0 = ALL(SELECT 1) WHERE 1 = ALL(SELECT 1)"),
+        ("L7717", "SELECT CAST(1 AS decimal(3,2)) < ANY(SELECT CAST(1 AS decimal(3,1)))"),
+        ("L7719", "SELECT CAST(1 AS decimal(3,2)) <= ANY(SELECT CAST(1 AS decimal(3,1)))")),
+      sparkCast = Map("k1" -> "int")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 509,2207,2764,2882,5022,5151,5862)
+    "r161_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("L509", "SELECT custkey, orders2 FROM ( SELECT x.custkey, SUM(x.orders) + 1 orders2 FROM ( SELECT x.custkey, COUNT(x.orderkey) orders FROM orders x WHERE x.custkey < 100 GROUP BY x.custkey ) x GROUP BY x.custkey) ORDER BY custkey"),
+        ("L2207", "SELECT * FROM ( SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % 512 = 0 ) AS lineitem JOIN ( SELECT CASE WHEN orderkey % 2 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE custkey % 512 = 0 ) AS orders ON lineitem.orderkey = orders.orderkey"),
+        ("L2764", "SELECT * FROM ( SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % 512 = 0 ) AS lineitem LEFT JOIN ( SELECT CASE WHEN orderkey % 2 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE custkey % 512 = 0 ) AS orders ON lineitem.orderkey = orders.orderkey"),
+        ("L2882", "SELECT lineitem.orderkey, orders.orderkey FROM ( SELECT CASE WHEN orderkey % 3 = 0 THEN NULL ELSE orderkey END AS orderkey FROM lineitem WHERE partkey % 512 = 0 ) AS lineitem RIGHT JOIN ( SELECT CASE WHEN orderkey % 2 = 0 THEN NULL ELSE orderkey END AS orderkey FROM orders WHERE custkey % 512 = 0 ) AS orders ON lineitem.orderkey = orders.orderkey"),
+        ("L5022", "SELECT * FROM (SELECT orderkey + 1 orderkey FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 100)) o JOIN (SELECT orderkey + 1 orderkey FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 100)) o1 ON (o.orderkey = o1.orderkey)"),
+        ("L5151", "SELECT count(orderkey), sum(sc) FROM ( SELECT sum(custkey) sc, orderkey FROM ( SELECT custkey,orderkey, orderkey+1 FROM orders WHERE orderkey=0 UNION ALL SELECT custkey,orderkey,orderkey+1 FROM orders WHERE orderkey<>0) GROUP BY orderkey)"),
+        ("L5862", "SELECT o1.orderkey, COUNT(*) FROM orders o1 RIGHT JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o2 ON o1.orderkey BETWEEN (SELECT avg(orderkey) FROM orders) - 10 AND (SELECT avg(orderkey) FROM orders) + 10 GROUP BY o1.orderkey")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5814,5818,5822,5825)
+    "r162_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10", "k11", "k12", "k13", "k14", "k15", "k16"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4",
+        "CAST(c5 AS DOUBLE) AS k5",
+        "CAST(c6 AS DOUBLE) AS k6",
+        "CAST(c7 AS DOUBLE) AS k7",
+        "CAST(c8 AS DOUBLE) AS k8",
+        "c9 AS k9",
+        "c10 AS k10",
+        "CAST(c11 AS VARCHAR) AS k11",
+        "CAST(c12 AS VARCHAR) AS k12",
+        "CAST(c13 AS VARCHAR) AS k13",
+        "c14 AS k14",
+        "c15 AS k15",
+        "c16 AS k16"),
+      Seq(
+        ("L5814", "SELECT * FROM lineitem WHERE orderkey = (SELECT max(orderkey) FROM orders)"),
+        ("L5818", "SELECT * FROM lineitem WHERE orderkey = (SELECT orderkey FROM orders WHERE 0=1)"),
+        ("L5822", "SELECT * FROM lineitem WHERE (SELECT orderkey FROM orders WHERE 0=1) is null"),
+        ("L5825", "SELECT * FROM lineitem WHERE (SELECT orderkey FROM orders WHERE 0=1) is not null")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "bigint", "k11" -> "string", "k12" -> "string", "k13" -> "string")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5121,5127,5133)
+    "r163_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("L5121", "SELECT ds, count(*) FROM ( SELECT orderdate ds, orderkey FROM orders UNION ALL SELECT shipdate ds, orderkey FROM lineitem) a GROUP BY ds"),
+        ("L5127", "SELECT ds, count(*) FROM ( SELECT orderdate ds, orderkey FROM orders UNION SELECT shipdate ds, orderkey FROM lineitem) a GROUP BY ds"),
+        ("L5133", "SELECT ds, count(DISTINCT orderkey) FROM ( SELECT orderdate ds, orderkey FROM orders UNION SELECT shipdate ds, orderkey FROM lineitem) a GROUP BY ds")),
+      sparkCast = Map("k1" -> "string", "k2" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 4366,5273)
+    "r164_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "c3 AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS VARCHAR) AS k5",
+        "c6 AS k6",
+        "c7 AS k7",
+        "CAST(c8 AS BIGINT) AS k8",
+        "c9 AS k9"),
+      Seq(
+        ("L4366", "SELECT A.* FROM orders a"),
+        ("L5273", "SELECT * FROM orders UNION ALL SELECT * FROM orders")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k5" -> "string", "k8" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 3263,5491)
+    "r165_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10", "k11", "k12", "k13", "k14", "k15", "k16", "k17", "k18"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "c3 AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS VARCHAR) AS k5",
+        "c6 AS k6",
+        "c7 AS k7",
+        "CAST(c8 AS BIGINT) AS k8",
+        "c9 AS k9",
+        "CAST(c10 AS BIGINT) AS k10",
+        "CAST(c11 AS BIGINT) AS k11",
+        "c12 AS k12",
+        "CAST(c13 AS DOUBLE) AS k13",
+        "CAST(c14 AS VARCHAR) AS k14",
+        "c15 AS k15",
+        "c16 AS k16",
+        "CAST(c17 AS BIGINT) AS k17",
+        "c18 AS k18"),
+      Seq(
+        ("L3263", "SELECT * FROM orders a JOIN (SELECT * FROM orders WHERE orderkey IS NULL) b ON a.orderkey = b.orderkey"),
+        ("L5491", "SELECT * FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) a JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) b ON 123 = 123")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k5" -> "string", "k8" -> "bigint", "k10" -> "bigint", "k11" -> "bigint", "k14" -> "string", "k17" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5102,5240)
+    "r166_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10", "k11"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4",
+        "c5 AS k5",
+        "CAST(c6 AS DOUBLE) AS k6",
+        "CAST(c7 AS VARCHAR) AS k7",
+        "c8 AS k8",
+        "c9 AS k9",
+        "CAST(c10 AS BIGINT) AS k10",
+        "c11 AS k11"),
+      Seq(
+        ("L5102", "SELECT * FROM ( SELECT orderdate ds, orderkey FROM orders UNION ALL SELECT shipdate ds, orderkey FROM lineitem) a JOIN orders o ON (a.orderkey = o.orderkey)"),
+        ("L5240", "SELECT * FROM (SELECT orderdate ds, orderkey FROM orders UNION ALL SELECT shipdate ds, orderkey FROM lineitem) a JOIN orders o ON (substr(cast(a.ds AS VARCHAR), 6, 2) = substr(cast(o.orderdate AS VARCHAR), 6, 2) AND a.orderkey = o.orderkey)")),
+      sparkCast = Map("k1" -> "string", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "bigint", "k7" -> "string", "k10" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 6295,6303)
+    "r167_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS DOUBLE) AS k1",
+        "CAST(c2 AS DOUBLE) AS k2"),
+      Seq(
+        ("L6295", "SELECT (SELECT avg(regionkey) FROM nation n2 WHERE n2.nationkey = n1.nationkey),(SELECT avg(regionkey) FROM nation n3 WHERE n3.nationkey = n1.nationkey)FROM nation n1"),
+        ("L6303", "SELECT(SELECT avg(regionkey) FROM nation n2 WHERE n2.nationkey = n1.nationkey),(SELECT avg(regionkey)+1 FROM nation n3 WHERE n3.nationkey = n1.nationkey)FROM nation n1"))),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 3247)
+    "r168_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3"),
+      Seq(
+        ("L3247", "SELECT b.orderkey, b.custkey, a.custkey FROM ( SELECT custkey FROM orders GROUP BY custkey) a JOIN orders b ON a.custkey = b.custkey")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5039)
+    "r169_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4"),
+      Seq(
+        ("L5039", "SELECT * FROM (SELECT orderkey, abs(orderkey) a FROM orders) t JOIN (SELECT orderkey, abs(orderkey) a FROM orders) u ON t.orderkey = u.orderkey")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 6683)
+    "r170_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4",
+        "CAST(c5 AS BIGINT) AS k5",
+        "CAST(c6 AS BIGINT) AS k6",
+        "CAST(c7 AS BIGINT) AS k7"),
+      Seq(
+        ("L6683", "SELECT * FROM ( SELECT custkey custkey1, custkey%4 custkey1a, custkey%8 custkey1b, custkey%16 custkey1c FROM orders ) orders1 JOIN ( SELECT custkey custkey2, custkey%4 custkey2a, custkey%8 custkey2b FROM orders ) orders2 ON orders1.custkey1 = orders2.custkey2 WHERE custkey2a = custkey2b AND custkey1 = custkey1a AND custkey2 = custkey2a AND custkey1a = custkey1c AND custkey1b = custkey1c AND custkey1b % 2 = 0")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "bigint", "k5" -> "bigint", "k6" -> "bigint", "k7" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5226)
+    "r171_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10", "k11"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4",
+        "c5 AS k5",
+        "CAST(c6 AS DOUBLE) AS k6",
+        "CAST(c7 AS VARCHAR) AS k7",
+        "c8 AS k8",
+        "c9 AS k9",
+        "CAST(c10 AS BIGINT) AS k10",
+        "c11 AS k11"),
+      Seq(
+        ("L5226", "SELECT * FROM ( SELECT orderkey, count(*) FROM ( SELECT orderdate ds, orderkey FROM orders UNION ALL SELECT shipdate ds, orderkey FROM lineitem) a GROUP BY orderkey) t JOIN orders o ON (o.orderkey = t.orderkey)")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "bigint", "k7" -> "string", "k10" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 1081)
+    "r172_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10", "k11", "k12", "k13", "k14", "k15", "k16", "k17", "k18", "k19"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "c3 AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS VARCHAR) AS k5",
+        "c6 AS k6",
+        "c7 AS k7",
+        "CAST(c8 AS BIGINT) AS k8",
+        "c9 AS k9",
+        "CAST(c10 AS BIGINT) AS k10",
+        "CAST(c11 AS BIGINT) AS k11",
+        "c12 AS k12",
+        "CAST(c13 AS DOUBLE) AS k13",
+        "CAST(c14 AS VARCHAR) AS k14",
+        "c15 AS k15",
+        "c16 AS k16",
+        "CAST(c17 AS BIGINT) AS k17",
+        "c18 AS k18",
+        "CAST(c19 AS BIGINT) AS k19"),
+      Seq(
+        ("L1081", "SELECT *, orders.*, orderkey FROM orders")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k5" -> "string", "k8" -> "bigint", "k10" -> "bigint", "k11" -> "bigint", "k14" -> "string", "k17" -> "bigint", "k19" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5602)
+    "r173_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "c3 AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS VARCHAR) AS k5",
+        "c6 AS k6",
+        "c7 AS k7",
+        "CAST(c8 AS BIGINT) AS k8",
+        "c9 AS k9",
+        "CAST(c10 AS INT) AS k10"),
+      Seq(
+        ("L5602", "SELECT *, orderkey NOT IN ( SELECT orderkey FROM lineitem WHERE orderkey % 3 = 0) FROM orders")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k5" -> "string", "k8" -> "bigint", "k10" -> "int")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 1075)
+    "r174_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10", "k11", "k12", "k13", "k14", "k15", "k16", "k17", "k18", "k19"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "c3 AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS VARCHAR) AS k5",
+        "c6 AS k6",
+        "c7 AS k7",
+        "CAST(c8 AS BIGINT) AS k8",
+        "c9 AS k9",
+        "CAST(c10 AS BIGINT) AS k10",
+        "CAST(c11 AS BIGINT) AS k11",
+        "CAST(c12 AS BIGINT) AS k12",
+        "c13 AS k13",
+        "CAST(c14 AS DOUBLE) AS k14",
+        "CAST(c15 AS VARCHAR) AS k15",
+        "c16 AS k16",
+        "c17 AS k17",
+        "CAST(c18 AS BIGINT) AS k18",
+        "c19 AS k19"),
+      Seq(
+        ("L1075", "SELECT *, 123, * FROM orders")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k5" -> "string", "k8" -> "bigint", "k10" -> "bigint", "k11" -> "bigint", "k12" -> "bigint", "k15" -> "string", "k18" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 849)
+    "r175_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "c2 AS k2"),
+      Seq(
+        ("L849", "SELECT DISTINCT custkey, orderstatus FROM orders WHERE custkey = 1268 LIMIT 2")),
+      sparkCast = Map("k1" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5554)
+    "r176_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS INT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("L5554", "SELECT orderkey IN ( SELECT orderkey FROM lineitem WHERE partkey % 4 = 0), SUM( CASE WHEN orderkey IN ( SELECT orderkey FROM lineitem WHERE suppkey % 4 = 0) THEN 1 ELSE 0 END) FROM orders GROUP BY orderkey IN ( SELECT orderkey FROM lineitem WHERE partkey % 4 = 0) HAVING SUM( CASE WHEN orderkey IN ( SELECT orderkey FROM lineitem WHERE suppkey % 4 = 0) THEN 1 ELSE 0 END) > 1")),
+      sparkCast = Map("k1" -> "int", "k2" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 7709)
+    "r177_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS INT) AS k1",
+        "CAST(c2 AS INT) AS k2"),
+      Seq(
+        ("L7709", "SELECT 1.0 <= ANY(SELECT 1), 1 <= ANY(SELECT 1) WHERE 1 <= ANY(SELECT 1)")),
+      sparkCast = Map("k1" -> "int", "k2" -> "int")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5893)
+    "r178_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS INT) AS k1",
+        "CAST(c2 AS INT) AS k2",
+        "CAST(c3 AS INT) AS k3"),
+      Seq(
+        ("L5893", "SELECT 1.0 = (SELECT 1), 2.0 = (SELECT 1), CAST(2.0 AS REAL) = (SELECT 1) WHERE 1.0 = (SELECT 1)")),
+      sparkCast = Map("k1" -> "int", "k2" -> "int", "k3" -> "int")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 1012)
+    "r179_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2",
+        "CAST(c3 AS BIGINT) AS k3"),
+      Seq(
+        ("L1012", "SELECT orderdate, orderdate, orderkey FROM orders")),
+      sparkCast = Map("k1" -> "string", "k2" -> "string", "k3" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5282)
+    "r180_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4"),
+      Seq("CAST(c1 AS DECIMAL(11,1)) AS k1",
+        "CAST(c2 AS DECIMAL(11,1)) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4"),
+      Seq(
+        ("L5282", "SELECT 0, 0, 0, 0 UNION ALL SELECT 0.0, 0.0, 0, 0")),
+      sparkCast = Map("k3" -> "bigint", "k4" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 683)
+    "r181_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS DOUBLE) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "c3 AS k3"),
+      Seq(
+        ("L683", "VALUES (1.1, 2, 'foo'), (sin(3.3), 2+2, 'bar')")),
+      sparkCast = Map("k2" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 3006)
+    "r182_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("L3006", "SELECT nationkey, arbitrary_column + arbitrary_column FROM ( SELECT nationkey, COALESCE(arbitrary_column, 0) arbitrary_column FROM ( SELECT nationkey, 1 arbitrary_column FROM nation ORDER BY 1 ASC))")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5591)
+    "r183_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3"),
+      Seq(
+        ("L5591", "SELECT x, y, COUNT(*) FROM (SELECT orderkey, 0 AS x FROM orders) a JOIN (SELECT orderkey, 1 AS y FROM orders) b ON a.orderkey = b.orderkey GROUP BY 1, 2")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5294)
+    "r184_ref_atq_sweep" -> batchCols(
+      Seq("k1"),
+      Seq("c1 AS k1"),
+      Seq(
+        ("L5294", "SELECT a FROM ( (SELECT orderstatus AS a FROM orders LIMIT 1) UNION ALL SELECT 'aaaa' AS a) WHERE a = 'aaa'"))),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5139)
+    "r185_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("c1 AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("L5139", "SELECT clerk, count(DISTINCT orderstatus) FROM (SELECT * FROM orders WHERE orderkey=0 UNION ALL SELECT * FROM orders WHERE orderkey<>0) GROUP BY clerk")),
+      sparkCast = Map("k2" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5410)
+    "r186_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9"),
+      Seq("c1 AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS DECIMAL(3,1)) AS k3",
+        "CAST(c4 AS INT) AS k4",
+        "CAST(c5 AS BIGINT) AS k5",
+        "CAST(c6 AS DECIMAL(5,1)) AS k6",
+        "CAST(c7 AS INT) AS k7",
+        "c8 AS k8",
+        "CAST(c9 AS BIGINT) AS k9"),
+      Seq(
+        ("L5410", "SELECT * FROM (SELECT 'AAA' a1, 11 b1, 33.3 c1, true AS d1, 21 e1) x CROSS JOIN (SELECT 4444.4 a2, false AS b2, 'BBB' c2, 22 d2) y")),
+      sparkCast = Map("k2" -> "bigint", "k4" -> "int", "k5" -> "bigint", "k7" -> "int", "k9" -> "bigint")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 1702)
+    "r187_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("c1 AS k1",
+        "c2 AS k2"),
+      Seq(
+        ("L1702", "SELECT a.orderstatus , a.clerk FROM ( SELECT DISTINCT orderstatus, clerk FROM orders ) a INNER JOIN ( SELECT DISTINCT orderstatus, clerk FROM orders ) b ON a.orderstatus = b.orderstatus and a.clerk = b.clerk where a.orderstatus = 'F'"))),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5054)
+    "r188_ref_atq_sweep" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS VARCHAR) AS k1"),
+      Seq(
+        ("L5054", "SELECT NULL UNION SELECT NULL")),
+      sparkCast = Map("k1" -> "string")),
+
+    // AbstractTestQueries.java single-arg assertQuery sweep (lines 5288)
+    "r189_ref_atq_sweep" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS DECIMAL(2,1)) AS k2"),
+      Seq(
+        ("L5288", "SELECT * FROM (VALUES (NULL, NULL)) UNION ALL SELECT * FROM (VALUES (NULL, 1.0))")),
+      sparkCast = Map("k1" -> "string")),
+
     // AbstractTestQueries.java:5589 testJoinConstantPropagation.
     "r28_ref_join_const_prop" -> one(
       "SELECT x, y, COUNT(*)\nFROM (SELECT orderkey, 0 AS x FROM orders) a \nJOIN (SELECT orderkey, 1 AS y FROM orders) b \nON a.orderkey = b.orderkey\nGROUP BY 1, 2",
