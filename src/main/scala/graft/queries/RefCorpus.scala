@@ -2233,13 +2233,13 @@ object RefCorpus {
       sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k5" -> "string", "k8" -> "bigint", "k10" -> "bigint", "k11" -> "bigint", "k12" -> "bigint", "k15" -> "string", "k18" -> "bigint")),
 
     // AbstractTestQueries.java single-arg assertQuery sweep (lines 849)
-    "r175_ref_atq_sweep" -> batchCols(
-      Seq("k1", "k2"),
-      Seq("CAST(c1 AS BIGINT) AS k1",
-        "c2 AS k2"),
-      Seq(
-        ("L849", "SELECT DISTINCT custkey, orderstatus FROM orders WHERE custkey = 1268 LIMIT 2")),
-      sparkCast = Map("k1" -> "bigint")),
+    // LIMIT 2 over 3 DISTINCT statuses without ORDER BY: which rows survive
+    // is engine-arbitrary, so only the deterministic custkey column is gated
+    // (the statement still executes verbatim).
+    "r175_ref_atq_sweep" -> oneProj(
+      "SELECT DISTINCT custkey, orderstatus FROM orders WHERE custkey = 1268 LIMIT 2",
+      Seq("k1", "k2"), Seq("k1"),
+      Seq("CAST(c1 AS BIGINT) AS k1")),
 
     // AbstractTestQueries.java single-arg assertQuery sweep (lines 5554)
     "r176_ref_atq_sweep" -> batchCols(
