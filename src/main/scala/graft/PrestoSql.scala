@@ -701,6 +701,50 @@ object PrestoSql {
     sql0
   }
 
+  /** Presto IGNORES a window frame declared on ranking / offset functions:
+    * WindowOperator computes rank/row_number/ntile/lag/lead positionally
+    * over the whole partition regardless of FrameInfo
+    * (MAIN/operator/window/RankingFunction hierarchy takes no frame input;
+    * the product-tests corpus writes e.g. `rank() OVER (ORDER BY d RANGE
+    * BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`). Spark REJECTS an
+    * explicit frame on these functions at analysis — delete the frame
+    * text, which carries no semantics in the reference. */
+  private def stripNeutralFrames(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    def matchClose(open: Int): Int = {
+      var depth = 1; var i = open + 1
+      while (i < mask.length && depth > 0) {
+        if (mask(i) == '(') depth += 1 else if (mask(i) == ')') depth -= 1
+        i += 1
+      }
+      i - 1
+    }
+    val m = java.util.regex.Pattern.compile(
+      "(?i)\\b(rank|dense_rank|percent_rank|cume_dist|row_number|ntile|lag|lead)\\s*\\(")
+      .matcher(mask)
+    while (m.find()) {
+      val close = matchClose(m.end() - 1)
+      val overM = java.util.regex.Pattern.compile("(?is)^\\s*OVER\\s*\\(")
+        .matcher(mask.substring(close + 1))
+      if (overM.find()) {
+        val overOpen = close + 1 + overM.end() - 1
+        val overClose = matchClose(overOpen)
+        val body = mask.substring(overOpen + 1, overClose)
+        var frAt = -1
+        val fm = java.util.regex.Pattern
+          .compile("(?i)\\b(ROWS|RANGE|GROUPS)\\b").matcher(body)
+        while (frAt < 0 && fm.find()) {
+          val pre = body.substring(0, fm.start())
+          if (pre.count(_ == '(') == pre.count(_ == ')')) frAt = fm.start()
+        }
+        if (frAt >= 0)
+          return stripNeutralFrames(
+            sql0.substring(0, overOpen + 1 + frAt) + sql0.substring(overClose))
+      }
+    }
+    sql0
+  }
+
   /** Presto evaluates window frame bounds PER ROW (WindowOperator /
     * FrameInfo take a bound CHANNEL — AbstractTestQueries testWindowFrames
     * runs `ROWS BETWEEN mod(custkey, 2) PRECEDING AND custkey / 500
@@ -1464,10 +1508,10 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(extractFields(groupByForms(orderedAggs(
+    val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(extractFields(groupByForms(orderedAggs(
       quantifiedCmp(countStar(inValues(castChar(castJson(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unnest(rowTypes(sql0),
-          new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -2583,6 +2583,329 @@ object RefCorpus {
     // AbstractTestAggregations.java:1190 testOrderedAggregations, VERBATIM:
     // array_agg(x ORDER BY y) + FILTER + GROUPING SETS in one statement
     // (ordered aggregates lower to array_sort-after-collect in PrestoSql).
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r190_pt_corpus" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS BIGINT) AS k1"),
+      Seq(
+        ("order_by/orderByAscNullsDefault", "select * from (select cast(null as bigint) union all select 1) T order by 1 asc"),
+        ("order_by/orderByAscNullsFirst", "select * from (select cast(null as bigint) union all select 1) T order by 1 asc nulls first"),
+        ("order_by/orderByAscNullsLast", "select * from (select cast(null as bigint) union all select 1) T order by 1 asc nulls last"),
+        ("order_by/orderByDefaultNullsDefault", "select * from (select cast(null as bigint) union all select 1) T order by 1"),
+        ("order_by/orderByDefaultNullsFirst", "select * from (select cast(null as bigint) union all select 1) T order by 1 nulls first"),
+        ("order_by/orderByDefaultNullsLast", "select * from (select cast(null as bigint) union all select 1) T order by 1 nulls last"),
+        ("order_by/orderByDescNullsFirst", "select * from (select cast(null as bigint) union all select 1) T order by 1 desc nulls first"),
+        ("order_by/orderByDescNullsLast", "select * from (select cast(null as bigint) union all select 1) T order by 1 desc nulls last"),
+        ("group-by/runHavingWithoutGroupBy", "SELECT COUNT(*) FROM nation HAVING COUNT(*) > 20"),
+        ("limit/useRestrictiveLimitFromSubq", "SELECT COUNT(*) FROM (SELECT * FROM nation LIMIT 2) AS foo LIMIT 5")),
+      sparkCast = Map("k1" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r191_pt_corpus" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS BIGINT) AS k1"),
+      Seq(
+        ("limit/withLimitZero", "SELECT COUNT(*) FROM (SELECT * FROM nation LIMIT 0) foo"),
+        ("limit/withSubq", "SELECT COUNT(*) FROM (SELECT * FROM nation LIMIT 10) t1"),
+        ("with_clause/withExprAccessingAnotherAndAlsoFromParents", "WITH w1 AS (select * from nation), w2 AS (select * from w1) select count(*) from w1, w2"),
+        ("with_clause/withSimpleExprInNestedFromClause", "WITH nested AS (SELECT * FROM nation) SELECT count(*) FROM (select * FROM nested) as a")),
+      sparkCast = Map("k1" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r192_pt_corpus" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("window_functions/rangeCurrent", "SELECT nationkey, min(nationkey) OVER (PARTITION BY regionkey ORDER BY comment RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min FROM nation"),
+        ("window_functions/rangeUnbounded", "SELECT nationkey, min(nationkey) OVER (PARTITION BY regionkey ORDER BY comment RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min FROM nation"),
+        ("window_functions/rowsBounded", "SELECT nationkey, min(nationkey) OVER (PARTITION BY regionkey ORDER BY nationkey ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS min FROM nation"),
+        ("window_functions/rowsUnbounded", "SELECT nationkey, min(nationkey) OVER (PARTITION BY regionkey ORDER BY comment ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min FROM nation"),
+        ("order_by/orderByOrdinals", "select regionkey, nationkey from nation order by 1, 2"),
+        ("select_no_from/withGroupOrderHaving", "SELECT MIN(10), 3 as col1 GROUP BY 2 HAVING 6 > 5 ORDER BY 1")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r193_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS DOUBLE) AS k3",
+        "CAST(c4 AS DOUBLE) AS k4"),
+      Seq(
+        ("window_functions/rowsFrame2F3F", "select orderkey, suppkey, quantity, round(sum(quantity) over (partition by suppkey order by orderkey rows between 2 following and 3 following), 5) total_quantity from lineitem where partkey = 272"),
+        ("window_functions/rowsFrame2FUBF", "select orderkey, suppkey, quantity, round(sum(quantity) over (partition by suppkey order by orderkey rows between 2 following and unbounded following), 5) total_quantity from lineitem where partkey = 272"),
+        ("window_functions/rowsFrame3P2P", "select orderkey, suppkey, quantity, round(sum(quantity) over (partition by suppkey order by orderkey rows between 3 preceding and 2 preceding), 5) total_quantity from lineitem where partkey = 272"),
+        ("window_functions/rowsFrameUBP2P", "select orderkey, suppkey, quantity, round(sum(quantity) over (partition by suppkey order by orderkey rows between unbounded preceding and 2 preceding), 5) total_quantity from lineitem where partkey = 272"),
+        ("window_functions/rowsUBPImplicitCR", "select orderkey, suppkey, quantity, round(sum(quantity) over (partition by suppkey order by orderkey rows unbounded preceding), 5) total_quantity from lineitem where partkey = 272")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "double", "k4" -> "double")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r194_pt_corpus" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS BIGINT) AS k1"),
+      Seq(
+        ("group-by/runConstantGroupBy", "select 2 from nation group by 1"),
+        ("select_no_from/withUnionAll", "SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 4*5 UNION ALL SELECT -5"),
+        ("select_no_from/withWhereClause", "SELECT 1 WHERE TRUE AND 2=2"),
+        ("horology_functions/extractAccessible", "SELECT extract(day from TIMESTAMP '2001-08-22 03:04:05.321')"),
+        // DuckDB map[key] yields a LIST — the oracle unwraps it
+        ("map_functions/mapRetrieveOperatorWorks", "select MAP(ARRAY ['ala', 'kot'], ARRAY[3, 4]) ['kot']",
+          "select (MAP(ARRAY ['ala', 'kot'], ARRAY[3, 4]) ['kot'])[1]")),
+      sparkCast = Map("k1" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase
+    // file). The companion testcases windowSpecificationAAcpA/ABcpA are NOT
+    // gated: their lag() runs over `ORDER BY orderkey` with TIED keys inside
+    // a partition, so which neighbor lag sees is engine-arbitrary (the
+    // LIMIT-over-ties rule).
+    "r195_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS DOUBLE) AS k5",
+        "CAST(c6 AS DOUBLE) AS k6"),
+      Seq(
+                ("window_functions/windowSpecificationABA", "select suppkey, orderkey, partkey, round(sum(quantity) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 3) sum_quantity_A, round(sum(quantity) over (partition by orderkey order by shipdate rows between UNBOUNDED preceding and CURRENT ROW), 3) sum_quantity_B, round(sum(discount) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 3) sum_discount_A from lineitem where (partkey = 272 or partkey = 273) and suppkey > 50"),
+                ("window_functions/windowSpecificationBcpAA", "select suppkey, orderkey, partkey, nth_value(quantity, 4) over (partition by partkey order by orderkey rows between UNBOUNDED preceding and CURRENT ROW) nth_value_quantity_B, round(sum(quantity) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 3) sum_quantity_A, round(sum(discount) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 3) sum_discount_A from lineitem where (partkey = 272 or partkey = 273) and suppkey > 50")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "double", "k5" -> "double", "k6" -> "double")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r196_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS DOUBLE) AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS DOUBLE) AS k5",
+        "CAST(c6 AS DOUBLE) AS k6",
+        "CAST(c7 AS DOUBLE) AS k7",
+        "CAST(c8 AS DOUBLE) AS k8"),
+      Seq(
+        ("window_functions/rowsDisjointWindows", "select orderkey, suppkey, quantity, round(sum(quantity) over (partition by suppkey order by orderkey rows between unbounded preceding and 1 preceding), 5) total_quantity, extendedprice, round(sum(extendedprice) over (partition by suppkey order by orderkey rows between current row and 1 following), 5) total_extendedprice, discount, round(avg(discount) over (partition by suppkey order by orderkey rows between 3 following and unbounded following), 5) avg_discount from lineitem where partkey = 272"),
+        ("window_functions/rowsIdenticalWindows", "select orderkey, suppkey, quantity, round(sum(quantity) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 5) total_quantity, extendedprice, round(sum(extendedprice) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 5) total_extendedprice, discount, round(avg(discount) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 5) avg_discount from lineitem where partkey = 272"),
+        ("window_functions/rowsIntersectingWindows", "select orderkey, suppkey, quantity, round(sum(quantity) over (partition by suppkey order by orderkey rows between 3 preceding and 1 following), 5) total_quantity, extendedprice, round(sum(extendedprice) over (partition by suppkey order by orderkey rows between 1 preceding and 2 following), 5) total_extendedprice, discount, round(avg(discount) over (partition by suppkey order by orderkey rows between current row and unbounded following), 5) avg_discount from lineitem where partkey = 272")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "double", "k4" -> "double", "k5" -> "double", "k6" -> "double", "k7" -> "double", "k8" -> "double")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r197_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS VARCHAR) AS k3"),
+      Seq(
+        ("order_by/orderByAggregate", "select regionkey as nationkey, nationkey as regionkey, name from nation where nationkey < 20 order by nationkey desc, regionkey asc"),
+        ("order_by/orderByAliasSameAsColumn", "select regionkey as nationkey, nationkey as regionkey, name from nation where nationkey < 20 order by nationkey desc, regionkey asc"),
+        ("order_by/runOrderByWithFromSubq", "select nationkey, regionkey, name from (select regionkey, nationkey, name from nation where nationkey < 20 order by 2 desc limit 5) t order by 2, 1 asc")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r198_pt_corpus" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS VARCHAR) AS k1"),
+      Seq(
+        ("order_by/orderByDistinctColumnDesc", "select distinct brand from part where partkey < 15 order by 1 desc"),
+        ("string_functions/likeOperatorWorks", "select name from nation where name like '%AN'"),
+        ("convertion_functions/castAccessible", "SELECT CAST(10 as VARCHAR)"))),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r199_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS DOUBLE) AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS DOUBLE) AS k5",
+        "CAST(c6 AS DOUBLE) AS k6"),
+      Seq(
+        ("window_functions/rowsDifferentOrders", "select orderkey, suppkey, extendedprice, round(sum(extendedprice) over (partition by suppkey order by orderkey desc rows between unbounded preceding and current row), 5) total_extendedprice, discount, round(avg(discount) over (partition by suppkey order by orderkey asc rows between unbounded preceding and current row), 5) avg_discount from lineitem where partkey = 272"),
+        ("window_functions/rowsRangeLeadLag", "select orderkey, suppkey, discount, lead(discount) over (partition by suppkey order by orderkey desc) next_discount, extendedprice, lag(extendedprice) over (partition by discount order by extendedprice range current row) previous_extendedprice from lineitem where partkey = 272")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "double", "k4" -> "double", "k5" -> "double", "k6" -> "double")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r200_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS VARCHAR) AS k4"),
+      Seq(
+        ("union/unionAllSameTable", "SELECT * FROM nation UNION ALL SELECT * FROM nation"),
+        ("union/unionDistinctSameTable", "SELECT * FROM nation UNION DISTINCT SELECT * FROM nation")),
+      sparkCast = Map("k1" -> "bigint", "k3" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r201_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS DOUBLE) AS k3",
+        "CAST(c4 AS BIGINT) AS k4"),
+      Seq(
+        ("window_functions/noOrderAllRowsPeers", "select orderkey, suppkey, discount, rank() over (partition by suppkey) from lineitem where partkey = 272")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "double", "k4" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r202_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS DOUBLE) AS k2",
+        "CAST(c3 AS DOUBLE) AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS DOUBLE) AS k5"),
+      Seq(
+        ("window_functions/rangeNoPartition", "select orderkey, discount, extendedprice, min(extendedprice) over (order by discount range current row) min_extendedprice, max(extendedprice) over (order by discount range current row) max_extendedprice from lineitem where partkey = 272")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "double", "k3" -> "double", "k4" -> "double", "k5" -> "double")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r203_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS DOUBLE) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4"),
+      Seq(
+        ("window_functions/rankFunctionsImplicitExplicitFrame", "select orderkey, discount, dense_rank() over (order by discount), rank() over (order by discount range between unbounded preceding and current row) from lineitem where partkey = 272")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "double", "k3" -> "bigint", "k4" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r204_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS DOUBLE) AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS DOUBLE) AS k5"),
+      Seq(
+        ("window_functions/rowsFirstLast", "select orderkey, suppkey, extendedprice, first_value(extendedprice) over (partition by suppkey order by extendedprice desc rows between unbounded preceding and unbounded following), last_value(extendedprice) over (partition by suppkey order by extendedprice desc rows between unbounded preceding and unbounded following) from lineitem where partkey = 272")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "double", "k4" -> "double", "k5" -> "double")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r205_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS DOUBLE) AS k4",
+        "CAST(c5 AS DOUBLE) AS k5",
+        "CAST(c6 AS BIGINT) AS k6"),
+      Seq(
+        ("window_functions/windowSpecificationAABcp", "select suppkey, orderkey, partkey, round(sum(quantity) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 3) sum_quantity_A, round(sum(discount) over (partition by suppkey order by orderkey rows between unbounded preceding and current row), 3) sum_discount_A, ntile(4) over (partition by partkey order by orderkey rows between UNBOUNDED preceding and CURRENT ROW) ntile_quantity_B from lineitem where (partkey = 272 or partkey = 273) and suppkey > 50")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "double", "k5" -> "double", "k6" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r206_pt_corpus" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS DOUBLE) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("order_by/orderByExpression", "select totalprice*1.0625, custkey from orders order by 1 limit 20")),
+      sparkCast = Map("k1" -> "double", "k2" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r207_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2",
+        "CAST(c3 AS BIGINT) AS k3"),
+      Seq(
+        ("order_by/orderByMixOfColumnsAscDesc", "select orderdate, orderpriority, custkey from orders order by 1 desc, 2, 3 desc limit 20")),
+      sparkCast = Map("k1" -> "string", "k3" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r208_pt_corpus" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS DOUBLE) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2"),
+      Seq(
+        ("order_by/orderByNonProjectedAggregate", "select avg(retailprice), mfgr from part group by 2 order by count(*) limit 20")),
+      sparkCast = Map("k1" -> "double")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r209_pt_corpus" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2"),
+      Seq(
+        ("order_by/orderByNonProjectedColumns", "select nationkey, name from nation order by regionkey, nationkey")),
+      sparkCast = Map("k1" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r210_pt_corpus" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2"),
+      Seq(
+        ("order_by/orderByNonProjectedExpression", "select custkey, orderstatus from orders order by totalprice*1.0625 limit 20")),
+      sparkCast = Map("k1" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r211_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS DOUBLE) AS k3"),
+      Seq(
+        ("select_no_from/projectAggFuncs", "SELECT COUNT(10), MAX(50), MIN(90.0)")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "double")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r212_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS DOUBLE) AS k2",
+        "CAST(c3 AS DOUBLE) AS k3",
+        "CAST(c4 AS VARCHAR) AS k4",
+        "CAST(c5 AS VARCHAR) AS k5",
+        "CAST(c6 AS INT) AS k6",
+        "CAST(c7 AS INT) AS k7"),
+      Seq(
+        ("select_no_from/projectConstants", "SELECT 1, 1.1, 100*5.1, 'a', 'dummy values', TRUE, FALSE")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "double", "k3" -> "double", "k6" -> "int", "k7" -> "int")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r213_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4"),
+      Seq("CAST(c1 AS DOUBLE) AS k1",
+        "CAST(c2 AS DOUBLE) AS k2",
+        "CAST(c3 AS INT) AS k3",
+        "CAST(c4 AS INT) AS k4"),
+      Seq(
+        ("select_no_from/projectFunctions", "SELECT abs(-10.0E0), log2(4), TRUE AND FALSE, TRUE OR FALSE")),
+      sparkCast = Map("k1" -> "double", "k2" -> "double", "k3" -> "int", "k4" -> "int")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r214_pt_corpus" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("select_no_from/withWhereFalse", "SELECT COUNT(*), 1 WHERE FALSE")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r215_pt_corpus" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4",
+        "CAST(c5 AS BIGINT) AS k5"),
+      Seq(
+        ("math_functions/checkMathOperatorsAccessible", "select 2+2, 5-2, 3*3, 8/2, 8%3")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "bigint", "k5" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases (verbatim; tag = testcase file)
+    "r216_pt_corpus" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("convertion_functions/tryCastAccessible", "SELECT TRY_CAST(10 as VARCHAR), TRY_CAST('ala' as BIGINT)")),
+      sparkCast = Map("k2" -> "bigint")),
+
     // DuckDB supports the ordered-aggregate grammar natively, so the oracle
     // is the same text; the array column is joined to a scalar string on
     // both sides (the driver's row-sort cannot hash array cells).
