@@ -701,6 +701,20 @@ object PrestoSql {
     sql0
   }
 
+  /** `min(DISTINCT x)` / `max(DISTINCT x)` are legal in Presto and
+    * identical to plain min/max (DISTINCT cannot change an extremum —
+    * the planner's MarkDistinct is skipped for them); the Engine's compat
+    * min/max builders reject the DISTINCT form, so drop the keyword.
+    * Mask-guided so a literal containing "min(distinct" is untouched. */
+  private def minMaxDistinct(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\b(min|max)\\s*\\(\\s*(distinct)\\b").matcher(mask)
+    if (!m.find()) sql0
+    else minMaxDistinct(
+      sql0.substring(0, m.start(2)) + sql0.substring(m.end(2)))
+  }
+
   /** Presto IGNORES a window frame declared on ranking / offset functions:
     * WindowOperator computes rank/row_number/ntile/lag/lead positionally
     * over the whole partition regardless of FrameInfo
@@ -1508,10 +1522,10 @@ object PrestoSql {
   }
 
   def rewrite(sql0: String): String = {
-    val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(extractFields(groupByForms(orderedAggs(
+    val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(minMaxDistinct(extractFields(groupByForms(orderedAggs(
       quantifiedCmp(countStar(inValues(castChar(castJson(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unnest(rowTypes(sql0),
-          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -98,6 +98,63 @@ object RefCorpus {
       "'22-' || lpad(CAST(s_suppkey % 10000 AS STRING), 4, '0') AS phone",
       "lower(s_name) AS comment"))
 
+  /** Raw hive-style catalog: the product-tests sql-tests cases declared
+    * over hive tables use the ORIGINAL TPC-H column names (n_nationkey,
+    * l_quantity, …) — presto-product-tests/.../testcases (per-category
+    * .sql files with `tables: nation, …` headers). Columns the fixture parquet lacks are
+    * synthesized with the same shared-dialect expressions as viewCols,
+    * under their raw names. */
+  val rawViewCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "CAST(o_orderdate AS DATE) AS o_orderdate", "o_orderpriority",
+      "'Clerk#' || lpad(CAST(o_custkey % 100 AS STRING), 9, '0') AS o_clerk",
+      "CAST(0 AS INT) AS o_shippriority",
+      "lower(o_orderpriority) AS o_comment"),
+    "lineitem" -> Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "CAST(l_shipdate AS DATE) AS l_shipdate",
+      "CAST(l_shipdate AS DATE) + CAST(l_orderkey % 30 - 15 AS INT) AS l_commitdate",
+      "CAST(l_shipdate AS DATE) + CAST(l_suppkey % 10 AS INT) AS l_receiptdate",
+      "CASE CAST((l_orderkey + l_linenumber) % 7 AS INT) WHEN 0 THEN 'AIR' WHEN 1 THEN 'FOB' WHEN 2 THEN 'MAIL' WHEN 3 THEN 'RAIL' WHEN 4 THEN 'SHIP' WHEN 5 THEN 'TRUCK' ELSE 'REG AIR' END AS l_shipmode",
+      "CASE CAST(l_suppkey % 4 AS INT) WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD' WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS l_shipinstruct",
+      "lower(l_returnflag) || '-' || lower(l_linestatus) AS l_comment"),
+    "customer" -> Seq(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+      "'addr-' || CAST(c_custkey AS STRING) AS c_address",
+      "'11-' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0') AS c_phone",
+      "lower(c_mktsegment) AS c_comment"),
+    "nation" -> Seq(
+      "n_nationkey", "n_name", "n_regionkey", "lower(n_name) AS n_comment"),
+    "region" -> Seq(
+      "r_regionkey", "r_name", "lower(r_name) AS r_comment"),
+    "part" -> Seq(
+      "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+      "'Manufacturer#' || CAST(p_partkey % 5 + 1 AS STRING) AS p_mfgr",
+      "CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN 'SM CASE' WHEN 1 THEN 'MED BOX' WHEN 2 THEN 'LG JAR' ELSE 'JUMBO PKG' END AS p_container",
+      "lower(p_brand) AS p_comment"),
+    "supplier" -> Seq(
+      "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+      "'addr-' || CAST(s_suppkey AS STRING) AS s_address",
+      "'22-' || lpad(CAST(s_suppkey % 10000 AS STRING), 4, '0') AS s_phone",
+      "lower(s_name) AS s_comment"))
+
+  /** Synthesized partsupp (the fixture set has no partsupp parquet): the
+    * standard TPC-H shape — 4 suppliers per part, deterministic availqty /
+    * supplycost from the keys. `tbl` resolves a base-table reference per
+    * side (Spark temp view `part_base` vs DuckDB parquet table `part`).
+    * The supplier stride 7919 (prime) lands 4 DISTINCT ps_suppkey values
+    * for every power-of-ten supplier count. Division-free on purpose:
+    * `/` on integers is double division in DuckDB. */
+  private def partsuppBody(tbl: String => String): String =
+    "SELECT p_partkey AS ps_partkey, " +
+      s"CAST((p_partkey + k.i * 7919) % (SELECT count(*) FROM ${tbl("supplier")}) AS BIGINT) AS ps_suppkey, " +
+      "CAST((p_partkey * 7 + k.i * 11) % 9999 + 1 AS INT) AS ps_availqty, " +
+      "CAST((p_partkey * 13 + k.i * 17) % 100000 AS DOUBLE) / 100 AS ps_supplycost, " +
+      "lower(p_brand) || '-' || CAST(k.i AS STRING) AS ps_comment " +
+      s"FROM ${tbl("part")} CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(i)"
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Engine]()
 
@@ -131,7 +188,26 @@ object RefCorpus {
       e
     })
 
+  private val rawCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Engine]()
+
+  /** Engine whose catalog is the raw hive-named views (+ synthesized
+    * partsupp), isolated from the Presto-named engine. */
+  def rawEngine(parent: SparkSession, dir: String): Engine =
+    rawCache.computeIfAbsent((parent, dir), { _ =>
+      val e = Engine(parent)
+      rawViewCols.foreach { case (name, cols) =>
+        Tables.t(e.spark, dir, name).createOrReplaceTempView(name + "_base")
+        e.spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT " +
+          cols.mkString(", ") + s" FROM ${name}_base")
+      }
+      e.spark.sql("CREATE OR REPLACE TEMPORARY VIEW partsupp AS " +
+        partsuppBody(_ + "_base"))
+      e
+    })
+
   private val tableNames = viewCols.keys.mkString("|")
+  private val rawTableNames = (rawViewCols.keys ++ Seq("partsupp")).mkString("|")
 
   /** DuckDB mirror of a verbatim corpus statement: prefix the view
     * definitions as CTEs under ref_* names (a CTE cannot shadow the base
@@ -139,17 +215,25 @@ object RefCorpus {
     * Matching runs on the literal MASK, so a table-name word inside a
     * string literal (`LIKE '%orders%'`) or quoted identifier is left
     * untouched in the rewritten body. */
-  def oracleize(sql: String): String = {
+  def oracleize(sql: String): String = oracleizeWith(sql, raw = false)
+
+  def oracleizeRaw(sql: String): String = oracleizeWith(sql, raw = true)
+
+  private def oracleizeWith(sql: String, raw: Boolean): String = {
     val mask = graft.PrestoSql.maskLiterals(sql)
     // case-insensitive: Presto identifiers fold (SELECT ORDERKEY FROM
     // ORDERS is the lowercase table); DuckDB folds too, so ref_ORDERS
     // resolves to the ref_orders CTE
-    val pat = s"(?i)\\b($tableNames)\\b".r
+    val pat = s"(?i)\\b(${if (raw) rawTableNames else tableNames})\\b".r
     val matches = pat.findAllMatchIn(mask).toSeq
     if (matches.isEmpty) return sql
     val referenced = matches.map(_.group(1).toLowerCase(java.util.Locale.ROOT)).distinct
-    val prelude = referenced.map(t =>
-      s"ref_$t AS (SELECT ${viewCols(t).mkString(", ")} FROM $t)").mkString(", ")
+    val prelude = referenced.map { t =>
+      val body =
+        if (t == "partsupp") partsuppBody(identity)
+        else s"SELECT ${(if (raw) rawViewCols else viewCols)(t).mkString(", ")} FROM $t"
+      s"ref_$t AS ($body)"
+    }.mkString(", ")
     val body = {
       val sb = new StringBuilder
       var last = 0
@@ -195,20 +279,22 @@ object RefCorpus {
     * carry an oracle override (third element) when the verbatim text needs
     * a DuckDB spelling (e.g. rand() → a constant with the same value). */
   private def batchCols(cols: Seq[String], oracleCols: Seq[String],
-      cases: Seq[Product], sparkCast: Map[String, String] = Map.empty): Q = {
+      cases: Seq[Product], sparkCast: Map[String, String] = Map.empty,
+      raw: Boolean = false): Q = {
     val cs = cases.map {
       case (tag: String, sql: String) => (tag, sql, sql)
       case (tag: String, sql: String, oracle: String) => (tag, sql, oracle)
     }
     Q((s, d) => cs.map { case (tag, sql, _) =>
-        val base = engine(s, d).sql(sql).toDF(cols: _*)
+        val eng = if (raw) rawEngine(s, d) else engine(s, d)
+        val base = eng.sql(sql).toDF(cols: _*)
         val cast = sparkCast.foldLeft(base) { case (df, (c, t)) =>
           df.withColumn(c, df.col(c).cast(t)) }
         cast.withColumn("tag", lit(tag))
       }.reduce(_ unionAll _),
       Some(cs.map { case (tag, _, oracle) =>
         s"SELECT ${oracleCols.mkString(", ")}, '$tag' AS tag FROM " +
-          s"(${oracleize(oracle)}) t(${(1 to cols.length).map("c" + _).mkString(", ")})"
+          s"(${oracleizeWith(oracle, raw)}) t(${(1 to cols.length).map("c" + _).mkString(", ")})"
       }.mkString(" UNION ALL ")))
   }
 
@@ -2905,6 +2991,242 @@ object RefCorpus {
       Seq(
         ("convertion_functions/tryCastAccessible", "SELECT TRY_CAST(10 as VARCHAR), TRY_CAST('ala' as BIGINT)")),
       sparkCast = Map("k2" -> "bigint")),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r217_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2"),
+      Seq(
+        ("join/cross_join", "select n_name, r_name from nation cross join region"),
+        ("join/explicit_inner_join_select_columns", "select n_name, r_name from nation join region on nation.n_regionkey = region.r_regionkey"),
+        ("join/explicit_inner_join_select_where", "select n_name, r_name from nation join region on nation.n_regionkey = region.r_regionkey where n_name > 'E'"),
+        ("join/implicit_inner_join_table_alias", "select n.n_name, r.r_name from nation n, region r where n.n_regionkey = r.r_regionkey"),
+        ("join/implicit_less_then", "SELECT n_name, r_name FROM nation, region WHERE r_regionkey > n_nationkey"),
+        ("join/implicit_not_equal", "SELECT n_name, r_name FROM nation, region WHERE r_regionkey != n_nationkey"),
+        ("join/left_join_on_multiple_predicates", "select n_name, p_name from nation left outer join part on n_regionkey = p_partkey and n_name = p_name"),
+        ("join/left_join_where_constant", "SELECT n_name, r_name FROM nation LEFT JOIN region ON n_nationkey = r_regionkey WHERE r_name > 'G'"),
+        ("join/left_outer_join", "select n_name, r_name from nation left outer join region on n_nationkey = r_regionkey"),
+        ("join/right_outer_join", "select n_name, r_name from region right outer join nation on n_nationkey = r_regionkey")),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r218_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2"),
+      Seq(
+        ("with_clause/withExprRepeated", "WITH wnation AS (SELECT n_name, n_nationkey, n_regionkey FROM nation) SELECT n1.n_name, n2.n_name FROM wnation n1 JOIN wnation n2 ON n1.n_nationkey=n2.n_regionkey")),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r219_pt_raw" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS BIGINT) AS k1"),
+      Seq(
+        ("join/explicit_inner_join_select_count", "select count(*) from nation join region on nation.n_regionkey = region.r_regionkey"),
+        ("group-by/runHavingOnEmptyResult", "SELECT COUNT(n_regionkey) FROM nation WHERE 1=2 HAVING SUM(n_regionkey) IS NULL"),
+        ("limit/withJoinInSubq", "SELECT COUNT(*) FROM (SELECT * FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey LIMIT 5) foo"),
+        ("union/unionMoreThanTwoTables", "SELECT count(*) FROM nation UNION ALL SELECT sum(n_nationkey) FROM nation GROUP BY n_regionkey UNION ALL SELECT n_regionkey FROM nation"),
+        ("union/unionOrderBy", "SELECT count(*) FROM nation UNION ALL SELECT sum(n_nationkey) FROM nation GROUP BY n_regionkey UNION ALL SELECT n_regionkey FROM nation ORDER BY 1 DESC"),
+        ("union/unionWithAggregation", "SELECT count(*) FROM nation UNION ALL SELECT sum(n_nationkey) FROM nation GROUP BY n_regionkey"),
+        ("limit/withGroupByInSubq", "SELECT COUNT(*) FROM ( SELECT ps_suppkey, COUNT(*) FROM partsupp GROUP BY ps_suppkey LIMIT 20) t1")),
+      sparkCast = Map("k1" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r220_pt_raw" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2",
+        "CAST(c3 AS VARCHAR) AS k3"),
+      Seq(
+        ("join/implicit_explicit_inner", "SELECT p_partkey, n_name, r_name FROM nation, region JOIN part ON r_regionkey = p_partkey WHERE n_nationkey = r_regionkey"),
+        ("join/implicit_explicit_left", "SELECT p_partkey, n_name, r_name FROM nation, region LEFT OUTER JOIN part ON r_regionkey = p_partkey WHERE n_nationkey = r_regionkey"),
+        ("join/inner_join_right_outer_join", "SELECT p_partkey, n_name, r_name FROM part INNER JOIN nation ON n_regionkey = p_partkey RIGHT JOIN region ON n_nationkey = r_regionkey"),
+        ("join/left_outer_join_inner_join", "SELECT p_partkey, n_name, r_name FROM nation LEFT JOIN region ON n_nationkey = r_regionkey INNER JOIN part ON n_regionkey = p_partkey"),
+        ("join/right_join_left_join", "SELECT p_partkey, n_name, r_name FROM part RIGHT OUTER JOIN nation ON n_regionkey = p_partkey LEFT OUTER JOIN region ON n_nationkey = r_regionkey"),
+        ("join/right_join_left_join_inner_join_parentheses", "SELECT p_partkey, n2.n_name, r_name FROM ( ( part RIGHT OUTER JOIN nation n1 ON n1.n_regionkey = p_partkey ) LEFT OUTER JOIN region ON n1.n_nationkey = r_regionkey ) INNER JOIN nation n2 ON n2.n_nationkey = r_regionkey"),
+        ("join/right_join_left_join_parentheses", "SELECT p_partkey, n_name, r_name FROM (part RIGHT OUTER JOIN nation ON n_regionkey = p_partkey) LEFT OUTER JOIN region ON n_nationkey = r_regionkey")),
+      sparkCast = Map("k1" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r221_pt_raw" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS VARCHAR) AS k1"),
+      Seq(
+        ("join/left_join_where_is_not_null", "SELECT n_name FROM nation LEFT JOIN region ON n_nationkey = r_regionkey WHERE r_name is not null"),
+        ("join/left_join_where_is_null", "SELECT n_name FROM nation LEFT JOIN region ON n_nationkey = r_regionkey WHERE r_name is null"),
+        ("join/sub_select_in", "select n_name from nation where n_nationkey in (select r_regionkey from region)"),
+        ("distinct/withNoDuplicates", "SELECT DISTINCT r_name FROM region"),
+        ("with_clause/withExprWithNoReferenceInParent", "WITH ct AS (SELECT * FROM region) SELECT n_name FROM nation where n_nationkey = 0")),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r222_pt_raw" -> batchCols(
+      Seq("k1"),
+      Seq("CAST(c1 AS BIGINT) AS k1"),
+      Seq(
+        ("group-by/runHavingOutsideSubq", "SELECT n_regionkey FROM (SELECT n_regionkey, COUNT(*) cnt FROM nation GROUP BY n_regionkey) t GROUP BY n_regionkey HAVING n_regionkey < 3 AND COUNT(cnt) > 0"),
+        ("limit/predicateNotProjected", "SELECT n_nationkey FROM nation WHERE n_name < 'INDIA' ORDER BY n_nationkey LIMIT 3"),
+        ("limit/withSimpleLimit", "SELECT n_nationkey from nation ORDER BY n_nationkey DESC LIMIT 5"),
+        ("distinct/withDuplicates", "SELECT DISTINCT n_regionkey FROM nation"),
+        ("distinct/withOrderBy", "SELECT DISTINCT n_regionkey FROM nation ORDER BY n_regionkey")),
+      sparkCast = Map("k1" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r223_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("group-by/runAggregatesGroupByOridnalAndHaving", "select n_regionkey, count(*) from nation group by 1 having sum(n_regionkey) > 5 and sum(n_regionkey) < 20"),
+        ("group-by/runCountNull", "SELECT n_regionkey, COUNT(null) FROM nation WHERE n_nationkey > 5 GROUP BY n_regionkey"),
+        ("distinct/withGroupBy", "SELECT DISTINCT n_regionkey, COUNT(*) FROM nation WHERE n_nationkey > 0 GROUP BY n_regionkey"),
+        ("distinct/withGroupByDistinctAgg", "SELECT n_regionkey, COUNT(DISTINCT n_name) FROM nation GROUP BY n_regionkey HAVING n_regionkey < 4")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r224_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("group-by/runAggregatesWithGroupByWithFalseWherePredicate", "select count(*), sum(n_nationkey) from nation where 1=2 group by n_regionkey"),
+        ("group-by/runAggregatesWithoutGroupByButWithPredicates", "select count(*), sum(n_nationkey) from nation where 1=2"),
+        ("distinct/repeatedDistinctAgg", "SELECT COUNT(DISTINCT n_regionkey), COUNT(DISTINCT n_regionkey) FROM nation"),
+        ("distinct/withCount", "SELECT COUNT(DISTINCT n_regionkey), COUNT(*) FROM nation")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r225_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("limit/withGroupBy", "SELECT COUNT(*), n_regionkey FROM nation GROUP BY n_regionkey ORDER BY n_regionkey DESC LIMIT 2"),
+        ("limit/withGroupByAndOrderByInSubq", "SELECT foo.c, foo.n_regionkey FROM (SELECT n_regionkey, COUNT(*) AS c FROM nation GROUP BY n_regionkey ORDER BY n_regionkey LIMIT 2) foo"),
+        ("with_clause/withExprUsingAnotherWithExpr", "WITH w1 AS (select min(n_nationkey) as x , max(n_regionkey) as y from nation), w2 AS (select x, y from w1) select count(*) count, n_regionkey from nation group by n_regionkey union all select * from w2 order by n_regionkey, count")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r226_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2"),
+      Seq(
+        ("join/explicit_inner_implicit_same_tables", "SELECT p_partkey, n_name FROM nation INNER JOIN part ON n_nationkey = p_partkey WHERE n_name < p_name"),
+        ("join/explicit_left_implicit_same_tables", "SELECT p_partkey, n_name FROM nation LEFT JOIN part ON n_nationkey = p_partkey WHERE n_name < p_name")),
+      sparkCast = Map("k1" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r227_pt_raw" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3"),
+      Seq(
+        ("group-by/runAggregatesWithGroupByOrdinal", "select n_regionkey, count(*), sum(n_nationkey) from nation group by 1"),
+        ("group-by/runAggregatesWithWherePredicatesAndGroupByOrdinal", "select n_regionkey, count(*), sum(n_regionkey) from nation where n_regionkey > 2 group by 1")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r228_pt_raw" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5", "k6", "k7"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS VARCHAR) AS k4",
+        "CAST(c5 AS BIGINT) AS k5",
+        "CAST(c6 AS VARCHAR) AS k6",
+        "CAST(c7 AS VARCHAR) AS k7"),
+      Seq(
+        ("join/explicit_inner_join_select_star", "select * from nation join region on nation.n_regionkey = region.r_regionkey")),
+      sparkCast = Map("k1" -> "bigint", "k3" -> "bigint", "k5" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r229_pt_raw" -> batchCols(
+      Seq("k1", "k2", "k3", "k4", "k5"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3",
+        "CAST(c4 AS BIGINT) AS k4",
+        "CAST(c5 AS BIGINT) AS k5"),
+      Seq(
+        ("group-by/runAggrWithoutGroupBy", "select count(*), count(n_regionkey), min(n_regionkey), max(n_regionkey), sum(n_regionkey) from nation")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint", "k4" -> "bigint", "k5" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r230_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS VARCHAR) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("group-by/runHavingWithMultipleAggs", "SELECT p_type, COUNT(*) FROM part GROUP BY p_type HAVING COUNT(*) > 20 and AVG(p_retailprice) > 1000")),
+      sparkCast = Map("k2" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r231_pt_raw" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3"),
+      Seq(
+        ("group-by/runMultipleGroupBy", "SELECT COUNT(*), n_regionkey, n_nationkey FROM nation WHERE n_regionkey < 2 GROUP BY n_nationkey, n_regionkey ORDER BY n_regionkey, n_nationkey DESC")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r232_pt_raw" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS BIGINT) AS k3"),
+      Seq(
+        ("distinct/multipleDistinctAgg", "SELECT COUNT(DISTINCT n_regionkey), COUNT(DISTINCT n_name), MIN(DISTINCT n_nationkey) FROM nation")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint", "k3" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r233_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2"),
+      Seq(
+        ("with_clause/multipleWithExprsReferencedFromParent", "WITH wnation AS (SELECT n_nationkey, n_regionkey FROM nation), wregion AS (SELECT r_regionkey, r_name FROM region) select n.n_nationkey, r.r_regionkey from wnation n join wregion r on n.n_regionkey = r.r_regionkey where r.r_name = 'AFRICA'")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r234_pt_raw" -> batchCols(
+      Seq("k1", "k2"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS VARCHAR) AS k2"),
+      Seq(
+        ("with_clause/withExprReferencedInWhereClause", "WITH wregion AS (select min(n_regionkey) from nation where n_name >= 'N') select r_regionkey, r_name from region where r_regionkey IN (SELECT * FROM wregion)")),
+      sparkCast = Map("k1" -> "bigint"),
+      raw = true),
+
+    // presto-product-tests sql-tests/testcases, hive raw-named tables (verbatim)
+    "r235_pt_raw" -> batchCols(
+      Seq("k1", "k2", "k3"),
+      Seq("CAST(c1 AS BIGINT) AS k1",
+        "CAST(c2 AS BIGINT) AS k2",
+        "CAST(c3 AS VARCHAR) AS k3"),
+      Seq(
+        ("with_clause/withExprUsingOrderbyLimit", "WITH ordered AS (select n_nationkey a, n_regionkey b, n_name c from nation order by 1,2 limit 10) select * from ordered order by 1,2 limit 5")),
+      sparkCast = Map("k1" -> "bigint", "k2" -> "bigint"),
+      raw = true),
 
     // DuckDB supports the ordered-aggregate grammar natively, so the oracle
     // is the same text; the array column is joined to a scalar string on

@@ -8,6 +8,7 @@ object Oracleize {
   def main(args: Array[String]): Unit =
     Source.fromFile(args(0), "UTF-8").getLines().zipWithIndex.foreach {
       case (sql, i) =>
-        println(s"$i\t${graft.queries.RefCorpus.oracleize(sql).replace('\n', ' ')}")
+        println(s"$i\t${(if (args.contains("raw")) graft.queries.RefCorpus.oracleizeRaw(sql)
+                  else graft.queries.RefCorpus.oracleize(sql)).replace('\n', ' ')}")
     }
 }

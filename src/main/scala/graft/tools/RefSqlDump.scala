@@ -12,7 +12,8 @@ object RefSqlDump {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val e = graft.queries.RefCorpus.engine(spark, dir)
+    val e = if (args.contains("raw")) graft.queries.RefCorpus.rawEngine(spark, dir)
+            else graft.queries.RefCorpus.engine(spark, dir)
     Source.fromFile(args(0), "UTF-8").getLines().zipWithIndex.foreach {
       case (sql, i) =>
         val v =
