@@ -44,13 +44,24 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
-      // Spark reader rejects outright; read nanos as long and floor-truncate
-      // to micros — the same value DuckDB produces for its TIMESTAMP (µs).
+      // The events fixture has stored ts both as parquet TIMESTAMP(NANOS)
+      // (which the Spark reader rejects outright — read nanos as long and
+      // floor-truncate to micros, the same value DuckDB produces for its
+      // TIMESTAMP (µs)) and as native TIMESTAMP(MICROS). Adapt to whichever
+      // this dir carries.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // session TZ is UTC, so the wall-time is the same instant; keep the
+          // historical LTZ schema every query/oracle was written against
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
