@@ -40,13 +40,21 @@ final class AccessControl {
     * FileBasedSystemAccessControl posture). */
   def setEnforcing(on: Boolean): Unit = { enforcing = on }
 
+  /** (grantee, table, privilege) → grantor recorded at GRANT time
+    * (GrantInfo.getGrantor — the identity issuing the grant). */
+  private val grantors =
+    scala.collection.mutable.Map.empty[(String, String, String), String]
+
   /** GRANT <privileges> ON <table> TO <grantee> [WITH GRANT OPTION]. */
   def grant(privileges: Seq[String], table: String, grantee: String,
             withGrantOption: Boolean = false): Unit = {
     val ps = normalize(privileges)
     val m = grants.getOrElseUpdate(Key(grantee, table.toLowerCase),
       scala.collection.mutable.Map.empty)
-    ps.foreach(p => m(p) = withGrantOption || m.getOrElse(p, false))
+    ps.foreach { p =>
+      m(p) = withGrantOption || m.getOrElse(p, false)
+      grantors((grantee, table.toLowerCase, p)) = identity.getOrElse("admin")
+    }
   }
 
   /** REVOKE <privileges> ON <table> FROM <grantee>. */
@@ -55,6 +63,7 @@ final class AccessControl {
     grants.get(Key(grantee, table.toLowerCase)).foreach { m =>
       ps.foreach(m.remove)
     }
+    ps.foreach(p => grantors.remove((grantee, table.toLowerCase, p)))
   }
 
   private def normalize(privileges: Seq[String]): Seq[String] = {
@@ -64,6 +73,15 @@ final class AccessControl {
     ps.foreach(p => require(ValidPrivileges(p), s"unknown privilege: $p"))
     ps.sorted
   }
+
+  /** Every grant on record, in the information_schema.table_privileges row
+    * order: (grantor, grantee, table, privilege_type, is_grantable). */
+  def allGrants: Seq[(String, String, String, String, Boolean)] =
+    (for {
+      (Key(g, t), m) <- grants.toSeq
+      (p, opt) <- m.toSeq
+    } yield (grantors.getOrElse((g, t, p), "admin"), g, t, p, opt))
+      .sortBy(r => (r._3, r._2, r._4))
 
   def hasPrivilege(user: String, table: String, privilege: String): Boolean =
     grants.get(Key(user, table.toLowerCase))

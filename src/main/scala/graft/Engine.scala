@@ -237,6 +237,19 @@ class Engine(parent: SparkSession) {
     this
   }
 
+  /** View name → stored SQL text (information_schema.views source). */
+  private[graft] def viewDefinitions: Map[String, String] = viewTexts.toMap
+
+  /** Install a plugin WINDOW function into this session — the
+    * WindowFunctionSignature SPI analogue (§2.11); see
+    * graft.functions.WindowPlugins. */
+  def registerWindowFunction(name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Engine = {
+    functions.WindowPlugins.register(spark, name, builder)
+    this
+  }
+
   /** DROP VIEW. */
   def dropView(name: String): Engine = {
     viewTexts.remove(name)
@@ -324,7 +337,15 @@ class Engine(parent: SparkSession) {
     // late-bind stored views: each query re-analyzes the view text, so a
     // view over a since-replaced table resolves against the NEW table
     viewTexts.keys.foreach(rebindView)
-    val text = PrestoSql.rewrite(query)
+    // information_schema connector: materialize the metadata tables from
+    // the CURRENT catalog state and repoint the qualified names (Spark
+    // temp views are database-less) — see graft.InformationSchema
+    val query1 =
+      if (InformationSchema.referenced(query)) {
+        InformationSchema.register(this)
+        InformationSchema.repoint(query)
+      } else query
+    val text = PrestoSql.rewrite(query1)
     val df =
       try spark.sql(text)
       catch {
