@@ -170,10 +170,11 @@ object RefCorpus {
           cols.mkString(", ") + s" FROM ${name}_base")
       }
       // The reference wires test PLUGIN functions into its runner
-      // (CustomAdd.java scalar, CustomSum.java aggregate — the §2.11 UDF
-      // surface); same here through Spark's udf registry. custom_rank (a
-      // plugin WINDOW function) has no public Spark plug point —
-      // documented divergence.
+      // (CustomAdd.java scalar, CustomSum.java aggregate, CustomRank.java
+      // window — the §2.11 UDF surface); scalars/aggregates go through
+      // Spark's udf registry, the window plugin through
+      // WindowPlugins.register (RankLike expression under a SQL name).
+      graft.functions.WindowPlugins.registerDefaults(e.spark)
       e.spark.udf.register("custom_add", (a: Long, b: Long) => a + b)
       e.spark.udf.register("custom_sum",
         org.apache.spark.sql.functions.udaf(
