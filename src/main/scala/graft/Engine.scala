@@ -636,6 +636,22 @@ class Engine(parent: SparkSession) {
             !child.isInstanceOf[Round] =>
         changed = true
         c.copy(child = Round(child, Literal(0)))
+      // Presto renders intervals as "%d %02d:%02d:%02d.%03d" / "%d-%d"
+      // (IntervalDayTime.formatMillis, IntervalYearMonth.formatMonths);
+      // Spark casts them to its own INTERVAL literal syntax. StaticInvoke
+      // receives the physical value (micros / months) and keeps codegen.
+      case Cast(child, st: org.apache.spark.sql.types.StringType, _, _)
+          if child.resolved &&
+            (child.dataType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
+              child.dataType.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType]) =>
+        changed = true
+        val dayTime =
+          child.dataType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType]
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          Class.forName("graft.functions.ScalarOps"), st,
+          if (dayTime) "formatIntervalDayTime" else "formatIntervalYearMonth",
+          Seq(child), Seq(child.dataType),
+          propagateNull = true, returnNullable = false)
       // Presto's common supertype of REAL and DECIMAL is REAL
       // (TypeRegistry.java:509 — decimal coerces to real, real only widens
       // to double), so `real_expr = decimal_expr` compares at FLOAT

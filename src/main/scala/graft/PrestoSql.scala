@@ -555,6 +555,21 @@ object PrestoSql {
     * functionCall with empty args; AbstractTestQueries
     * testWindowFunctionWithoutParameters); Spark's parser rejects the empty
     * argument list. */
+  /** Presto `TABLESAMPLE SYSTEM|BERNOULLI (n)` (SqlBase.g4 sampleType,
+    * SampleNode.java:40) — Spark's spelling is `TABLESAMPLE (n PERCENT)`
+    * (row-level Bernoulli). SYSTEM's split-level granularity is an
+    * execution detail the reference's own boundary test doesn't pin
+    * beyond 0 → empty and 100 → everything, which hold exactly. */
+  private def tablesample(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern.compile(
+      "(?i)\\bTABLESAMPLE\\s+(?:SYSTEM|BERNOULLI)\\s*\\(\\s*([0-9]+(?:\\.[0-9]+)?)\\s*\\)")
+      .matcher(mask)
+    if (!m.find()) return sql
+    sql.substring(0, m.start()) + "TABLESAMPLE (" + m.group(1) + " PERCENT)" +
+      tablesample(sql.substring(m.end()))
+  }
+
   private def countStar(sql: String): String = {
     val mask = maskLiterals(sql)
     val m = java.util.regex.Pattern
@@ -1523,9 +1538,9 @@ object PrestoSql {
 
   def rewrite(sql0: String): String = {
     val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(minMaxDistinct(extractFields(groupByForms(orderedAggs(
-      quantifiedCmp(countStar(inValues(castChar(castJson(typedLiterals(
+      quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unnest(rowTypes(sql0),
-          new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -55,6 +55,34 @@ object ScalarOps {
   def ieeeDivide(l: Double, r: Double): Double = l / r
   def ieeeDivideFloat(l: Float, r: Float): Float = l / r
 
+  /** Presto CAST(interval day to second AS VARCHAR)
+    * (IntervalDayTimeOperators.castToSlice → IntervalDayTime.formatMillis:
+    * "%s%d %02d:%02d:%02d.%03d"); Spark renders its INTERVAL literal
+    * syntax instead. Input is the physical day-time interval value
+    * (microseconds). */
+  def formatIntervalDayTime(micros: Long): UTF8String = {
+    var millis = micros / 1000L
+    var sign = ""
+    if (millis < 0) { sign = "-"; millis = -millis }
+    val day = millis / 86400000L; millis %= 86400000L
+    val hour = millis / 3600000L; millis %= 3600000L
+    val minute = millis / 60000L; millis %= 60000L
+    val second = millis / 1000L; millis %= 1000L
+    UTF8String.fromString(
+      f"$sign$day%d $hour%02d:$minute%02d:$second%02d.$millis%03d")
+  }
+
+  /** Presto CAST(interval year to month AS VARCHAR)
+    * (IntervalYearMonthOperators.castToSlice → IntervalYearMonth
+    * .formatMonths: "%s%d-%d"). Input is the physical year-month interval
+    * value (months). */
+  def formatIntervalYearMonth(months: Int): UTF8String = {
+    var m = months
+    var sign = ""
+    if (m < 0) { sign = "-"; m = -m }
+    UTF8String.fromString(s"$sign${m / 12}-${m % 12}")
+  }
+
   // json_parse canonicalization — the reference's exact recipe
   // (JsonFunctions.java:140): Jackson readValue(Object) + write with
   // ORDER_MAP_ENTRIES_BY_KEYS, i.e. compact text with sorted object keys.

@@ -244,4 +244,56 @@ class DistributedCorpusSpec extends AnyFunSuite {
     val q = "SELECT " + Seq.fill(500)("1 = 1").mkString(" AND ")
     assert(e.sql(q).head.getBoolean(0))
   }
+
+  // --- testViewMetadata (:611) — the information_schema legs, verbatim ---
+  test("view metadata through information_schema.tables/views") {
+    val e = freshEngine()
+    val query = "SELECT BIGINT '123' x, 'foo' y"
+    e.createView("meta_test_view", query)
+
+    val tables = rows(e,
+      "SELECT table_name, table_type FROM information_schema.tables")
+      .map(r => r.head.toString -> r(1).toString).toMap
+    for (t <- Seq("customer", "lineitem", "nation", "orders", "part",
+        "region", "supplier"))
+      assert(tables.get(t).contains("BASE TABLE"), s"$t: ${tables.get(t)}")
+    assert(tables.get("meta_test_view").contains("VIEW"))
+
+    val views = rows(e,
+      "SELECT table_name, view_definition FROM information_schema.views")
+      .map(r => r.head.toString -> r(1).toString).toMap
+    assert(views.get("meta_test_view").contains(query))
+    e.dropView("meta_test_view")
+  }
+
+  // --- testTableSampleSystemBoundaryValues (:154) — verbatim ---
+  test("TABLESAMPLE SYSTEM boundary values") {
+    val e = freshEngine()
+    val all = rows(e, "SELECT orderkey FROM orders").map(_.head).toSet
+    val full = rows(e,
+      "SELECT orderkey FROM orders TABLESAMPLE SYSTEM (100)").map(_.head)
+    val empty = rows(e,
+      "SELECT orderkey FROM orders TABLESAMPLE SYSTEM (0)")
+    assert(full.toSet == all) // 100% sample contains every row
+    assert(empty.isEmpty)
+    // mid-range BERNOULLI sample stays within the population
+    val half = rows(e,
+      "SELECT orderkey FROM orders TABLESAMPLE BERNOULLI (50)").map(_.head)
+    assert(half.forall(all.contains))
+  }
+
+  // --- testComplexCast (:139) — verbatim (CAST(interval AS VARCHAR) in
+  //     Presto's "%d %02d:%02d:%02d.%03d" rendering) ---
+  test("complex cast: interval day-to-second renders in Presto format") {
+    val e = freshEngine()
+    sameRows(e,
+      "WITH t(a, b) AS (VALUES (1, INTERVAL '1' SECOND)) " +
+        "SELECT count(DISTINCT a), CAST(max(b) AS VARCHAR) FROM t",
+      "VALUES (CAST(1 AS BIGINT), '0 00:00:01.000')")
+    // year-month leg (IntervalYearMonth.formatMonths "%d-%d")
+    assert(rows(e,
+      "SELECT CAST(INTERVAL '14' MONTH AS VARCHAR), " +
+        "CAST(INTERVAL '-1' DAY AS VARCHAR)").head ==
+      Seq("1-2", "-1 00:00:00.000"))
+  }
 }

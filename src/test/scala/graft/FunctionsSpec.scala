@@ -106,8 +106,10 @@ class FunctionsSpec extends AnyFunSuite {
     assertFn("hour(TIME '12:34:56')", 12)
     assertFn("minute(TIME '12:34:56')", 34)
     assertFn("second(TIME '12:34:56')", 56)
+    // interval→varchar renders Presto's format (IntervalDayTime
+    // .formatMillis), not Spark's INTERVAL literal syntax
     assertFn("CAST(TIME '12:00:01' - TIME '11:00:00' AS STRING)",
-      "INTERVAL '01:00:01' HOUR TO SECOND")
+      "0 01:00:01.000")
     // niladic keyword form isn't in Spark's grammar: callable as localtime()
     assert(one("localtime()").isInstanceOf[java.time.LocalTime])
     assert(one("typeof(localtime())") == "time(6)")
@@ -164,13 +166,13 @@ class FunctionsSpec extends AnyFunSuite {
   test("interval aggregates and approx_percentile array form") {
     // IntervalDayToSecondSum/AverageAggregation (FunctionRegistry.java):
     // Spark sums/averages ANSI intervals natively
+    // casts render Presto's interval format (formatMillis/formatMonths)
     assertFn("CAST((SELECT sum(v) FROM VALUES (INTERVAL 1 DAY), " +
-      "(INTERVAL 2 DAY) AS t(v)) AS STRING)", "INTERVAL '3' DAY")
+      "(INTERVAL 2 DAY) AS t(v)) AS STRING)", "3 00:00:00.000")
     assertFn("CAST((SELECT avg(v) FROM VALUES (INTERVAL 10 SECOND), " +
-      "(INTERVAL 20 SECOND) AS t(v)) AS STRING)",
-      "INTERVAL '0 00:00:15' DAY TO SECOND")
+      "(INTERVAL 20 SECOND) AS t(v)) AS STRING)", "0 00:00:15.000")
     assertFn("CAST((SELECT sum(v) FROM VALUES (INTERVAL 1 YEAR), " +
-      "(INTERVAL 2 MONTH) AS t(v)) AS STRING)", "INTERVAL '1-2' YEAR TO MONTH")
+      "(INTERVAL 2 MONTH) AS t(v)) AS STRING)", "1-2")
     // ApproximateLongPercentileArrayAggregations: array of percentiles
     val ps = one("(SELECT approx_percentile(v, array(0.0, 0.5, 1.0)) " +
       "FROM (SELECT explode(sequence(1, 100)) AS v))")
