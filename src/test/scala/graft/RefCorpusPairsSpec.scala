@@ -1581,4 +1581,366 @@ class RefCorpusPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
   ref("agg L1147",
     "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY CUBE (linenumber, suppkey)",
     "SELECT linenumber, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber, suppkey UNION ALL SELECT linenumber, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY linenumber UNION ALL SELECT NULL, suppkey, SUM(CAST(quantity AS BIGINT)) FROM lineitem GROUP BY suppkey UNION ALL SELECT NULL, NULL, SUM(CAST(quantity AS BIGINT)) FROM lineitem")
+
+  // --- round-5 re-triage: pairs unlocked by the dialect/semantics work of
+  // rounds 4-5 (ordered aggregates, integer division, interval rendering,
+  // TABLESAMPLE, custom_rank, information_schema) plus previously unmined
+  // sections; PASS-triaged by graft.tools.RefPairs ---
+  ref("pair testUnnest",
+    "SELECT a.custkey, t.e FROM (SELECT custkey, ARRAY[1, 2, 3] AS my_array FROM orders ORDER BY orderkey LIMIT 1) a CROSS JOIN UNNEST(my_array) t(e)",
+    "SELECT * FROM (SELECT custkey FROM orders ORDER BY orderkey LIMIT 1) CROSS JOIN (VALUES (1), (2), (3))")
+  ref("pair testUnnest #2",
+    "SELECT a.custkey, t.e FROM (SELECT custkey, ARRAY[1, 2, 3] AS my_array FROM orders ORDER BY orderkey LIMIT 1) a, UNNEST(my_array) t(e)",
+    "SELECT * FROM (SELECT custkey FROM orders ORDER BY orderkey LIMIT 1) CROSS JOIN (VALUES (1), (2), (3))")
+  ref("pair testUnnest #3",
+    "SELECT a.custkey, t.e, t.f FROM (SELECT custkey, ARRAY[10, 20, 30] AS my_array FROM orders ORDER BY orderkey LIMIT 1) a CROSS JOIN UNNEST(my_array) WITH ORDINALITY t(e, f)",
+    "SELECT * FROM (SELECT custkey FROM orders ORDER BY orderkey LIMIT 1) CROSS JOIN (VALUES (10, 1), (20, 2), (30, 3))")
+  ref("pair testUnnest #4",
+    "SELECT a.custkey, t.e, t.f FROM (SELECT custkey, ARRAY[10, 20, 30] AS my_array FROM orders ORDER BY orderkey LIMIT 1) a, UNNEST(my_array) WITH ORDINALITY t(e, f)",
+    "SELECT * FROM (SELECT custkey FROM orders ORDER BY orderkey LIMIT 1) CROSS JOIN (VALUES (10, 1), (20, 2), (30, 3))")
+  ref("pair testOrderByWithAggregation",
+    "SELECT x, sum(cast(x AS double)) FROM (VALUES '1.0') t(x) GROUP BY x ORDER BY sum(cast(t.x AS double))",
+    "VALUES ('1.0', 1.0)")
+  ref("pair testRollupOverUnion",
+    "SELECT regionkey, count(*) FROM (   SELECT regionkey FROM nation    UNION ALL    SELECT * FROM (VALUES 2, 100) t(regionkey)) GROUP BY ROLLUP (regionkey)",
+    "SELECT * FROM (VALUES  (0, 5), (1, 5), (2, 6), (3, 5), (4, 5), (100, 1), (NULL, 27))")
+  ref("pair L1224",
+    "SELECT a, b, sum(c), grouping(a, b) FROM (VALUES ('h', 'j', 11), ('k', 'l', 7) ) AS t (a, b, c) GROUP BY GROUPING SETS ( (a), (b)) HAVING grouping(a, b) > 1",
+    "VALUES (NULL, 'j', 11, 2), (NULL, 'l', 7, 2)")
+  ref("pair testIntersect",
+    "SELECT * FROM (VALUES 1, 2) INTERSECT SELECT * FROM (VALUES 1.0, 2)",
+    "VALUES 1.0, 2.0")
+  ref("pair testJoinWithLessThanInJoinClause",
+    "SELECT * FROM (VALUES (1,1),(2,1)) t1(a,b), (VALUES (1,1),(1,2),(2,1)) t2(x,y) WHERE a=x and b<=y",
+    "VALUES (1,1,1,1), (1,1,1,2), (2,1,2,1)")
+  ref("pair testJoinWithLessThanInJoinClause #2",
+    "SELECT * FROM (VALUES (1,1),(2,1)) t1(a,b), (VALUES (1,1),(1,2),(2,1)) t2(x,y) WHERE a=x and b<y",
+    "VALUES (1,1,1,2)")
+  ref("pair testJoinWithGreaterThanInJoinClause",
+    "SELECT * FROM (VALUES (1,1),(2,1)) t1(a,b), (VALUES (1,1),(1,2),(2,1)) t2(x,y) WHERE a=x and b>=y",
+    "VALUES (1,1,1,1), (2,1,2,1)")
+  ref("pair testJoinWithGreaterThanInJoinClause #2",
+    "SELECT * FROM (VALUES (1,1),(2,1)) t1(a,b), (VALUES (1,1),(1,2),(2,1)) t2(x,y) WHERE a=x and b>y",
+    "SELECT 1 WHERE FALSE")
+  ref("pair L1626",
+    "SELECT COUNT(*) FROM lineitem JOIN orders USING (orderkey)",
+    "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey")
+  ref("pair L1741",
+    "SELECT * FROM (VALUES (1.0, 2.0)) x (a, b) JOIN (VALUES (1, 3)) y (a, b) ON x.a = y.a",
+    "VALUES (1.0, 2.0, 1, 3)")
+  ref("pair L1744",
+    "SELECT * FROM (VALUES (1, 2)) x (a, b) JOIN (VALUES (SMALLINT '1', SMALLINT '3')) y (a, b) ON x.a = y.a",
+    "VALUES (1, 2, 1, 3)")
+  ref("pair L1784",
+    "SELECT SUM(custkey) FROM lineitem JOIN orders ON lineitem.orderkey + 1 = orders.orderkey + 1",
+    "SELECT SUM(custkey) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey")
+  ref("pair L1823",
+    "SELECT * FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b using (orderkey)",
+    "SELECT a.orderkey, a.partkey, b.custkey FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b on a.orderkey = b.orderkey")
+  ref("pair L1892",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND from_unixtime(b) > current_timestamp",
+    "VALUES (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+  ref("pair L1892 #2",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) LEFT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d)              ON a=c AND TRY(1 / (b-a) != 1000 OR from_unixtime(b) > current_timestamp)",
+    "VALUES (1, 1, NULL, NULL), (1, 2, 1, 1), (1, 2, 1, 2)")
+  ref("pair L1892 #3",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > d",
+    "VALUES (1, 2, 1, 1), (NULL, NULL, 1, 2)")
+  ref("pair L1892 #4",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b < d",
+    "VALUES (1, 1, 1, 2), (NULL, NULL, 1, 1)")
+  ref("pair L1892 #5",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 2",
+    "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2)")
+  ref("pair L1892 #6",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 2",
+    "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2)")
+  ref("pair L1892 #7",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 0",
+    "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+  ref("pair L1892 #8",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 0",
+    "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+  ref("pair L1892 #9",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND c = d",
+    "VALUES (1, 2, 1, 1), (1, 1, 1, 1), (NULL, NULL, 1, 2)")
+  ref("pair L1892 #10",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND c < d",
+    "VALUES (NULL, NULL, 1, 1), (1, 2, 1, 2), (1, 1, 1, 2)")
+  ref("pair L1892 #11",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON c = d",
+    "VALUES (1, 1, 1, 1), (1, 2, 1, 1), (NULL, NULL, 1, 2)")
+  ref("pair L1892 #12",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) RIGHT OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON c < d",
+    "VALUES (NULL, NULL, 1, 1), (1, 1, 1, 2), (1, 2, 1, 2)")
+  ref("pair L2034",
+    "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON 1 = 1",
+    "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+  ref("pair L2034 #2",
+    "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+    "VALUES (2, 11), (2, 10)")
+  ref("pair L2034 #3",
+    "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+    "VALUES (NULL, 10), (1, 11), (2, 11)")
+  ref("pair L2034 #4",
+    "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > b",
+    "VALUES (NULL, 10), (NULL, 11)")
+  ref("pair L2034 #5",
+    "SELECT * FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a < b",
+    "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+  ref("pair L2054",
+    "SELECT b FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+    "VALUES (10), (11), (11)")
+  ref("pair L2057",
+    "SELECT a FROM (VALUES 1, 2) t1(a) RIGHT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+    "VALUES (2), (2)")
+  ref("pair L2060",
+    "SELECT b FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+    "VALUES (11), (11)")
+  ref("pair L2063",
+    "SELECT a FROM (VALUES 1, 2) t1(a) LEFT OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+    "VALUES (1), (2), (2)")
+  ref("pair L2066",
+    "SELECT a FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON a > 1",
+    "VALUES (2), (2)")
+  ref("pair L2069",
+    "SELECT b FROM (VALUES 1, 2) t1(a) JOIN (VALUES 10, 11) t2(b) ON b > 10",
+    "VALUES (11), (11)")
+  ref("pair L2121",
+    "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 WHERE lineitem.orderkey IS NULL OR orders.orderkey IS NULL",
+    "SELECT COUNT(*) FROM (SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5     UNION ALL SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5     WHERE lineitem.orderkey IS NULL)  WHERE o1 IS NULL OR o2 IS NULL")
+  ref("pair L2129",
+    "SELECT COUNT(*) FROM lineitem FULL OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000 WHERE lineitem.orderkey IS NULL OR orders.orderkey IS NULL",
+    "SELECT COUNT(*) FROM (SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000     UNION ALL SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > 1000     WHERE lineitem.orderkey IS NULL)  WHERE o1 IS NULL OR o2 IS NULL")
+  ref("pair L2129 #2",
+    "SELECT COUNT(*) FROM lineitem FULL OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > lineitem.quantity WHERE lineitem.orderkey IS NULL OR orders.orderkey IS NULL",
+    "SELECT COUNT(*) FROM (SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > lineitem.quantity     UNION ALL SELECT lineitem.orderkey AS o1, orders.orderkey AS o2 FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.custkey > lineitem.quantity     WHERE lineitem.orderkey IS NULL)  WHERE o1 IS NULL OR o2 IS NULL")
+  ref("pair L1892 #13",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > d",
+    "VALUES (1, 2, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL)")
+  ref("pair L1892 #14",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b < d",
+    "VALUES (1, 1, 1, 2), (NULL, NULL, 1, 1), (1, 2, NULL, NULL)")
+  ref("pair L1892 #15",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 2",
+    "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+  ref("pair L1892 #16",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 2",
+    "VALUES (NULL, NULL, 1, 1), (NULL, NULL, 1, 2), (1, 1, NULL, NULL), (1, 2, NULL, NULL)")
+  ref("pair L1892 #17",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND b > 0",
+    "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+  ref("pair L1892 #18",
+    "SELECT * FROM (VALUES (1,1), (1,2)) t1(a,b) FULL OUTER JOIN (VALUES (1,1), (1,2)) t2(c,d) ON a=c AND d > 0",
+    "VALUES (1, 1, 1, 1), (1, 1, 1, 2), (1, 2, 1, 1), (1, 2, 1, 2)")
+  ref("pair L2163",
+    "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a > 1",
+    "VALUES (2, 11), (2, 10), (1, NULL)")
+  ref("pair L2163 #2",
+    "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON b > 10",
+    "VALUES (NULL, 10), (1, 11), (2, 11)")
+  ref("pair L2163 #3",
+    "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a > b",
+    "VALUES (NULL, 10), (NULL, 11), (1, NULL), (2, NULL)")
+  ref("pair L2163 #4",
+    "SELECT * FROM (VALUES 1, 2) t1(a) FULL OUTER JOIN (VALUES 10, 11) t2(b) ON a < b",
+    "VALUES (1, 10), (1, 11), (2, 10), (2, 11)")
+  ref("pair L2186",
+    "SELECT COUNT(*) FROM lineitem JOIN (SELECT orderkey, orderdate shipdate FROM orders) T USING (orderkey, shipdate)",
+    "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.shipdate = orders.orderdate")
+  ref("pair L2194",
+    "SELECT count(*) FROM ((SELECT * FROM orders) union all (SELECT * FROM orders)) JOIN orders USING (orderkey)",
+    "SELECT 2 * count(*) FROM orders")
+  ref("pair testJoinWithScalarSubqueryInOnClause",
+    "SELECT count() FROM nation a INNER JOIN nation b ON a.name = (SELECT max(name) FROM nation) INNER JOIN nation c ON c.name = split_part(b.name,'<',2)",
+    "SELECT 0")
+  ref("pair L2436",
+    "SELECT a IN (VALUES 2), a FROM (VALUES (2)) t(a)",
+    "SELECT TRUE, 2")
+  ref("pair testJoinWithExpressionsThatMayReturnNull",
+    "SELECT * FROM (     SELECT a, nullif(a, 1)     FROM (VALUES 1) w(a) ) t(a,b) JOIN (VALUES 1) u(x) ON t.a = u.x",
+    "SELECT 1, NULL, 1")
+  ref("pair testJoinWithExpressionsThatMayReturnNull #2",
+    "SELECT * FROM (     SELECT a, contains(array[2, null], a)     FROM (VALUES 1) w(a) ) t(a,b) JOIN (VALUES 1) u(x) ON t.a = u.x",
+    "SELECT 1, NULL, 1")
+  ref("pair testJoinWithExpressionsThatMayReturnNull #3",
+    "SELECT * FROM (     SELECT a, array[null][a]     FROM (VALUES 1) w(a) ) t(a,b) JOIN (VALUES 1) u(x) ON t.a = u.x",
+    "SELECT 1, NULL, 1")
+  ref("pair testJoinWithExpressionsThatMayReturnNull #4",
+    "SELECT * FROM (     SELECT a, try(a / 0)     FROM (VALUES 1) w(a) ) t(a,b) JOIN (VALUES 1) u(x) ON t.a = u.x",
+    "SELECT 1, NULL, 1")
+  ref("pair L2129 #3",
+    "SELECT COUNT(*) FROM lineitem FULL OUTER JOIN orders ON lineitem.orderkey = orders.orderkey",
+    "SELECT COUNT(*) FROM (SELECT lineitem.orderkey, orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey UNION ALL SELECT lineitem.orderkey, orders.orderkey AS o2 FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey IS NULL)")
+  ref("pair L2121 #2",
+    "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.custkey",
+    "SELECT COUNT(*) FROM (SELECT lineitem.orderkey, orders.orderkey AS o2 FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.custkey UNION ALL SELECT lineitem.orderkey, orders.orderkey AS o2 FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.custkey WHERE lineitem.orderkey IS NULL)")
+  ref("pair L2121 #3",
+    "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey IS NOT NULL",
+    "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey WHERE lineitem.orderkey IS NOT NULL")
+  ref("pair L2121 #4",
+    "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.custkey WHERE lineitem.orderkey IS NOT NULL",
+    "SELECT COUNT(*) FROM lineitem LEFT OUTER JOIN orders ON lineitem.orderkey = orders.custkey WHERE lineitem.orderkey IS NOT NULL")
+  ref("pair L2121 #5",
+    "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.orderkey WHERE orders.orderkey IS NOT NULL",
+    "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey  WHERE orders.orderkey IS NOT NULL")
+  ref("pair L2121 #6",
+    "SELECT COUNT(*) FROM lineitem FULL JOIN orders ON lineitem.orderkey = orders.custkey WHERE orders.custkey IS NOT NULL",
+    "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.custkey  WHERE orders.custkey IS NOT NULL")
+  ref("pair testOuterJoinWithNullsOnProbe",
+    "SELECT DISTINCT a.orderkey FROM (SELECT CASE WHEN orderkey > 2 THEN orderkey END orderkey FROM orders WHERE orderkey < 100) a FULL OUTER JOIN (SELECT * FROM orders WHERE orderkey < 100) b ON a.orderkey = b.orderkey",
+    "SELECT DISTINCT orderkey FROM (SELECT a.orderkey FROM (SELECT CASE WHEN orderkey > 2 THEN orderkey END orderkey FROM orders WHERE orderkey < 100) a RIGHT OUTER JOIN (SELECT * FROM orders WHERE orderkey < 100) b ON a.orderkey = b.orderkey UNION ALL SELECT a.orderkey FROM(SELECT CASE WHEN orderkey > 2 THEN orderkey END orderkey FROM orders WHERE orderkey < 100) a LEFT OUTER JOIN (SELECT * FROM orders WHERE orderkey < 100) b ON a.orderkey = b.orderkey WHERE a.orderkey IS NULL)")
+  ref("pair testSimpleLeftJoin",
+    "SELECT x.val FROM (SELECT CAST(ROW(v) AS ROW(val integer)) FROM (VALUES 1, 2, 3) t(v)) ta (x) LEFT OUTER JOIN (SELECT CAST(ROW(v) AS ROW(val integer)) FROM (VALUES 1, 2, 3) t(v)) tb (y) ON x.val=y.val WHERE y.val=1",
+    "SELECT 1")
+  ref("pair testJoinWithStatefulFilterFunction",
+    "SELECT * FROM (VALUES 1, 2) a(id) FULL JOIN (VALUES 2, 3) b(id) ON (array_intersect(array[a.id], array[b.id]) = array[a.id])",
+    "VALUES (1, null), (2, 2), (null, 3)")
+  ref("pair L3273",
+    "SELECT x, T.y, z + 1 FROM (SELECT custkey, orderstatus, totalprice FROM orders) T (x, y, z)",
+    "SELECT custkey, orderstatus, totalprice + 1 FROM orders")
+  ref("pair testTopNPartitionedWindow",
+    "SELECT * FROM (    SELECT row_number() OVER (PARTITION BY orderstatus ORDER BY orderkey) rn, orderstatus    FROM orders ) WHERE rn <= 2",
+    "VALUES (1, 'O'), (2, 'O'), (1, 'F'), (2, 'F'), (1, 'P'), (2, 'P')")
+  ref("pair testTopNPartitionedWindowWithEqualityFilter",
+    "SELECT * FROM (    SELECT row_number() OVER (PARTITION BY orderstatus ORDER BY orderkey) rn, orderstatus    FROM orders ) WHERE rn = 2",
+    "VALUES (2, 'O'), (2, 'F'), (2, 'P')")
+  ref("pair testReferenceToWithQueryInFromClause",
+    "WITH a AS (SELECT * FROM orders)SELECT * FROM (   SELECT * FROM a)",
+    "SELECT * FROM orders")
+  ref("pair L4133",
+    "WITH a AS (SELECT orderkey n FROM orders) , b AS (SELECT n + 1 n FROM a) , c AS (SELECT n + 1 n FROM b) SELECT n + 1 FROM c",
+    "SELECT orderkey + 3 FROM orders")
+  ref("pair L4144",
+    "WITH x AS (SELECT DISTINCT orderkey FROM orders ORDER BY orderkey LIMIT 10) SELECT count(*) FROM x a JOIN x b USING (orderkey)",
+    "SELECT count(*) FROM (SELECT DISTINCT orderkey FROM orders ORDER BY orderkey LIMIT 10) a JOIN (SELECT DISTINCT orderkey FROM orders ORDER BY orderkey LIMIT 10) b ON a.orderkey = b.orderkey")
+  ref("pair testWithNestedSubqueries",
+    "WITH a AS (   WITH aa AS (SELECT 123 x FROM orders LIMIT 1)   SELECT x y FROM aa ), b AS (   WITH bb AS (     WITH bbb AS (SELECT y FROM a)     SELECT bbb.* FROM bbb   )   SELECT y z FROM bb ) SELECT * FROM (   WITH q AS (SELECT z w FROM b)   SELECT j.*, k.*   FROM a j   JOIN q k ON (j.y = k.w) ) t",
+    "SELECT 123, 123 FROM orders LIMIT 1")
+  ref("pair L4181",
+    "WITH t (a, b, c) AS (SELECT 1, custkey x, orderkey FROM orders) SELECT c, b, a FROM t",
+    "SELECT orderkey, custkey, 1 FROM orders")
+  ref("pair L4235",
+    "SELECT sum(IF(orderstatus = 'F', totalprice, 0.0)) FROM orders",
+    "SELECT sum(CASE WHEN orderstatus = 'F' THEN totalprice ELSE 0.0 END) FROM orders")
+  ref("pair L4238",
+    "SELECT sum(IF(orderstatus = 'Z', totalprice)) FROM orders",
+    "SELECT sum(CASE WHEN orderstatus = 'Z' THEN totalprice END) FROM orders")
+  ref("pair L4241",
+    "SELECT sum(IF(orderstatus = 'F', NULL, totalprice)) FROM orders",
+    "SELECT sum(CASE WHEN orderstatus = 'F' THEN NULL ELSE totalprice END) FROM orders")
+  ref("pair L4244",
+    "SELECT IF(orderstatus = 'Z', orderkey / 0, orderkey) FROM orders",
+    "SELECT CASE WHEN orderstatus = 'Z' THEN orderkey / 0 ELSE orderkey END FROM orders")
+  ref("pair L4247",
+    "SELECT sum(IF(NULLIF(orderstatus, 'F') <> 'F', totalprice, 5.1)) FROM orders",
+    "SELECT sum(CASE WHEN NULLIF(orderstatus, 'F') <> 'F' THEN totalprice ELSE 5.1 END) FROM orders")
+  ref("pair L1631",
+    "SELECT orderkey FROM orders WHERE orderkey IN (1.5, 2.3)",
+    "SELECT orderkey FROM orders LIMIT 0")
+  ref("pair L4327",
+    "SELECT * FROM (SELECT orderkey, orderkey FROM orders)",
+    "SELECT orderkey, orderkey FROM orders")
+  ref("pair L4851",
+    "SELECT table_name FROM information_schema.tables WHERE table_name = 'orders' LIMIT 1",
+    "SELECT 'orders' table_name")
+  ref("pair L4851 #2",
+    "SELECT table_name FROM information_schema.columns WHERE data_type = 'bigint' AND table_name = 'customer' and column_name = 'custkey' LIMIT 1",
+    "SELECT 'customer' table_name")
+  ref("pair L4925",
+    "SELECT linenumber, sum(TRY(100/(CAST (tax*10 AS BIGINT)))) FROM lineitem GROUP BY linenumber",
+    "SELECT linenumber, sum(100/(CAST (tax*10 AS BIGINT))) FROM lineitem WHERE CAST(tax*10 AS BIGINT) <> 0 GROUP BY linenumber")
+  ref("pair L2943",
+    "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC, custkey ASC LIMIT 10",
+    "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS LAST, custkey ASC LIMIT 10")
+  ref("pair testUnionWithTopN",
+    "SELECT * FROM (   SELECT regionkey FROM nation    UNION ALL    SELECT nationkey FROM nation) t(a) ORDER BY a LIMIT 1",
+    "SELECT 0")
+  ref("pair testUnionWithAggregation",
+    "SELECT regionkey, count(*) FROM (   SELECT regionkey FROM nation    UNION ALL    SELECT * FROM (VALUES 2, 100) t(regionkey)) GROUP BY regionkey",
+    "SELECT * FROM (VALUES  (0, 5), (1, 5), (2, 6), (3, 5), (4, 5), (100, 1))")
+  ref("pair testUnionWithAggregation #2",
+    "SELECT count(orderkey), sum(sc) FROM (     SELECT sum(custkey) sc, orderkey FROM (         SELECT custkey, orderkey, orderkey+1, orderstatus FROM orders WHERE orderkey=0         UNION ALL          SELECT custkey, orderkey, orderkey+1, orderstatus FROM orders WHERE orderkey<>0)      GROUP BY GROUPING SETS ((orderkey, orderstatus), (orderkey)))",
+    "SELECT count(orderkey), sum(sc) FROM (     SELECT sum(custkey) sc, orderkey FROM (         SELECT custkey, orderkey, orderkey+1, orderstatus FROM orders WHERE orderkey=0         UNION ALL          SELECT custkey, orderkey, orderkey+1, orderstatus FROM orders WHERE orderkey<>0)      GROUP BY orderkey, orderstatus           UNION ALL           SELECT sum(custkey) sc, orderkey FROM (         SELECT custkey, orderkey, orderkey+1, orderstatus FROM orders WHERE orderkey=0         UNION ALL          SELECT custkey, orderkey, orderkey+1, orderstatus FROM orders WHERE orderkey<>0)      GROUP BY orderkey)")
+  ref("pair testUnionWithAggregationAndTableScan",
+    "SELECT orderkey, 1 FROM orders UNION ALL SELECT orderkey, count(*) FROM orders GROUP BY 1",
+    "SELECT orderkey, 1 FROM orders UNION ALL SELECT orderkey, count(*) FROM orders GROUP BY orderkey")
+  ref("pair L5209",
+    "SELECT orderkey, count(*) FROM orders GROUP BY 1 UNION ALL SELECT orderkey, 1 FROM orders",
+    "SELECT orderkey, count(*) FROM orders GROUP BY orderkey UNION ALL SELECT orderkey, 1 FROM orders")
+  ref("pair L1883",
+    "(SELECT * FROM orders ORDER BY orderkey LIMIT 10) UNION ALL TABLE orders",
+    "(SELECT * FROM orders ORDER BY orderkey LIMIT 10) UNION ALL SELECT * FROM orders")
+  ref("pair testCrossJoinsWithWhereClause",
+    "SELECT a, b, c, d FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')) t1 (a, b) CROSS JOIN (VALUES (1, 1.1), (3, 3.3), (5, 5.5)) t2 (c, d) WHERE t1.a > t2.c",
+    "SELECT * FROM (VALUES  (2, 'b', 1, 1.1), (3, 'c', 1, 1.1), (4, 'd', 1, 1.1), (4, 'd', 3, 3.3))")
+  ref("pair L5510",
+    "SELECT * FROM (VALUES (1,1), (2,2), (3, 3)) t(x, y) WHERE (x+y in (VALUES 4, 5)) AND (x*y in (VALUES 4, 5))",
+    "VALUES (2,2)")
+  ref("pair testAntiJoinNullHandling",
+    "WITH empty AS (SELECT 1 WHERE FALSE) SELECT 3 FROM (VALUES 1) WHERE NULL NOT IN (SELECT * FROM empty)",
+    "VALUES 3")
+  ref("pair testAntiJoinNullHandling #2",
+    "WITH empty AS (SELECT 1 WHERE FALSE) SELECT x FROM (VALUES NULL) t(x) WHERE x NOT IN (SELECT * FROM empty)",
+    "VALUES NULL")
+  ref("pair testSameInPredicateInProjectionAndFilter",
+    "SELECT x IN (SELECT * FROM (VALUES 1)) FROM (VALUES 2) t(x) WHERE x IN (SELECT * FROM (VALUES 1))",
+    "SELECT 1 WHERE false")
+  ref("pair testScalarSubquery",
+    "SELECT DISTINCT COUNT(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o1 FULL JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o2 ON o1.orderkey BETWEEN (SELECT avg(orderkey) FROM orders) - 10 AND (SELECT avg(orderkey) FROM orders) + 10 GROUP BY o1.orderkey",
+    "VALUES 1, 10")
+  ref("pair L6450",
+    "SELECT EXISTS(SELECT 1 FROM (VALUES 1, 1, 1, 2, 2, 3, 4) i(a) WHERE i.a < o.a AND i.a < 4) FROM (VALUES 0, 3, 3, 5) o(a)",
+    "VALUES false, true, true, true")
+  ref("pair testTwoCorrelatedExistsSubqueries",
+    "SELECT   count(*) AS numwait FROM   nation l1 WHERE   EXISTS(     SELECT *     FROM       nation l2     WHERE       l2.nationkey = l1.nationkey   )   AND NOT EXISTS(     SELECT *     FROM       nation l3     WHERE       l3.nationkey= l1.nationkey   )",
+    "VALUES 0")
+  ref("pair testCoercions",
+    "SELECT * FROM (  SELECT t2.x || t2.z cc FROM (    SELECT *    FROM (VALUES (CAST('a' AS VARCHAR), CAST('c' AS VARCHAR))) t(x, z)  ) t2  JOIN (    SELECT *    FROM (VALUES (CAST('a' AS VARCHAR), CAST('c' AS VARCHAR))) u(x, z)    WHERE z='c'  ) u2  ON t2.z = u2.z) tt WHERE cc = 'ac'",
+    "SELECT 'ac'")
+  ref("pair testCoercions #2",
+    "SELECT * FROM (  SELECT greatest (t.x, t.z) cc FROM (    SELECT *    FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) t(x, z)  ) t  JOIN (    SELECT *    FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) u(x, z)    WHERE z='c'  ) u  ON t.z = u.z)WHERE cc = 'c'",
+    "SELECT 'c'")
+  ref("pair testCoercions #3",
+    "SELECT cc[1], cc[2] FROM ( SELECT * FROM (  SELECT array[t.x, t.z] cc FROM (    SELECT *    FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) t(x, z)  ) t  JOIN (    SELECT *    FROM (VALUES (VARCHAR 'a', VARCHAR 'c')) u(x, z)    WHERE z='c'  ) u  ON t.z = u.z) WHERE cc = array['a', 'c'])",
+    "SELECT 'a', 'c'")
+  ref("pair L7908",
+    "SELECT count(*) FROM nation WHERE (SELECT true FROM (SELECT 1) t(a) WHERE a = nationkey) OR TRUE",
+    "SELECT 25")
+  ref("pair L7911",
+    "SELECT (SELECT true FROM (SELECT 1) t(a) WHERE a = nationkey) FROM nation WHERE (SELECT true FROM (SELECT 1) t(a) WHERE a = nationkey) OR TRUE ORDER BY nationkey LIMIT 2",
+    "VALUES true, null")
+  ref("pair L7940",
+    "SELECT name FROM nation, LATERAL (SELECT 1 WHERE false)",
+    "SELECT 1 WHERE false")
+  ref("pair L7940 #2",
+    "SELECT name FROM nation, LATERAL (SELECT 1)",
+    "SELECT name FROM nation")
+  ref("pair L7940 #3",
+    "SELECT name FROM nation, LATERAL (SELECT 1 WHERE name = 'ola')",
+    "SELECT 1 WHERE false")
+  ref("pair L7952",
+    "SELECT nationkey, a FROM nation, LATERAL (SELECT max(region.name) FROM region WHERE region.regionkey <= nation.regionkey) t(a) ORDER BY nationkey LIMIT 1",
+    "VALUES (0, 'AFRICA')")
+  ref("pair L7952 #2",
+    "SELECT nationkey, a FROM nation, LATERAL (SELECT region.name || '_' FROM region WHERE region.regionkey = nation.regionkey) t(a) ORDER BY nationkey LIMIT 1",
+    "VALUES (0, 'AFRICA_')")
+  ref("pair L7964",
+    "SELECT * FROM region r, LATERAL (SELECT * FROM nation) n WHERE n.regionkey = r.regionkey",
+    "SELECT * FROM region, nation WHERE nation.regionkey = region.regionkey")
+  ref("pair L7967",
+    "SELECT * FROM region, LATERAL (SELECT * FROM nation WHERE nation.regionkey = region.regionkey)",
+    "SELECT * FROM region, nation WHERE nation.regionkey = region.regionkey")
+  ref("pair L7980",
+    "SELECT y FROM (VALUES array[2, 3]) a(x) CROSS JOIN LATERAL(SELECT x[1]) b(y)",
+    "SELECT 2")
+  ref("pair L7983",
+    "SELECT * FROM (VALUES 2) a(x) CROSS JOIN LATERAL(SELECT x + 1)",
+    "SELECT 2, 3")
+  ref("pair L7983 #2",
+    "SELECT * FROM (VALUES 2) a(x) CROSS JOIN LATERAL(SELECT x)",
+    "SELECT 2, 2")
+  ref("pair L7983 #3",
+    "SELECT * FROM (VALUES 2) a(x) CROSS JOIN LATERAL(SELECT x, x + 1)",
+    "SELECT 2, 2, 3")
 }
