@@ -370,6 +370,12 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("CAST_WITHOUT_SUGGESTION") =>
           castTimestampToTime(text, e)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNSUPPORTED_GROUPING_EXPRESSION") =>
+          groupingAsZero(text, e)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("ARRAY_FUNCTION_DIFF_TYPES") =>
+          structPositionalContains(text, e)
       }
     oneBasedSubscripts(df, text)
   }
@@ -404,11 +410,37 @@ class Engine(parent: SparkSession) {
     * comparison propagates through AND like the reference's indeterminate
     * entries. */
   private def mapEquality(text: String, orig: Throwable): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{And, ArrayForAll, EqualTo, Expression, GetMapValue, LambdaFunction, Literal, MapKeys, Size, SortArray, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.expressions.{And, ArrayForAll, EqualTo, Expression, GetMapValue, In, LambdaFunction, Literal, MapKeys, Or, Size, SortArray, UnresolvedNamedLambdaVariable}
     import org.apache.spark.sql.types.MapType
+    // `m IN (VALUES ...)` parses as InSubquery over an inline table and
+    // dies DURING analysis (the In coercion checks orderability), so the
+    // one-column inline list is expanded to OR-of-equalities on the PARSED
+    // plan — 3VL-identical to IN — letting the EqualTo rewrite below catch
+    // the map comparisons after analysis.
+    val parsed = {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedInlineTable, UnresolvedStar}
+      import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+      // PrestoSql.inValues spells the list as SELECT * FROM (VALUES ...) —
+      // peel projections/aliases down to the single-column inline table
+      def inlineRows(p: LogicalPlan): Option[Seq[Expression]] = p match {
+        case t: UnresolvedInlineTable =>
+          if (t.rows.forall(_.length == 1)) Some(t.rows.map(_.head)) else None
+        case Project(Seq(_: UnresolvedStar), child) => inlineRows(child)
+        case s: SubqueryAlias => inlineRows(s.child)
+        case _ => None
+      }
+      org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
+        .transformAllExpressions {
+          case InSubquery(Seq(v), q: ListQuery)
+              if inlineRows(q.plan).isDefined =>
+            inlineRows(q.plan).get
+              .map(r => EqualTo(v, r))
+              .reduceLeft[Expression]((a, b) => Or(a, b))
+        }
+    }
     val analyzed =
-      try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark,
-        org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text))
+      try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark, parsed)
       catch { case _: Throwable => throw orig }
     var changed = false
     def mapEq(l: Expression, r: Expression): Expression = {
@@ -425,6 +457,66 @@ class Engine(parent: SparkSession) {
           if l.resolved && r.resolved && l.dataType.isInstanceOf[MapType] =>
         changed = true
         mapEq(l, r)
+      // `m IN (m1, m2, ...)` over maps (MapOperators equality through the
+      // IN list) — same per-element semantics, OR-chained
+      case In(v, list)
+          if v.resolved && list.forall(_.resolved) &&
+            v.dataType.isInstanceOf[MapType] =>
+        changed = true
+        list.map(x => mapEq(v, x)).reduceLeft[Expression]((a, b) => Or(a, b))
+    }
+    if (!changed) throw orig
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** Presto allows grouping(...) over a PLAIN GROUP BY — every flag is 0
+    * (GroupingOperationRewriter: without grouping sets the arguments are
+    * always grouped); Spark rejects grouping()/grouping_id() outside
+    * grouping sets. Retry path: analyze without the final checks, then
+    * replace the surviving Grouping/GroupingID nodes with typed zeros —
+    * grouping-set aggregates rewrite theirs to gid attributes during
+    * analysis, so any that survive are exactly the plain-GROUP-BY ones. */
+  private def groupingAsZero(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Grouping, GroupingID, Literal}
+    val analyzed =
+      try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark,
+        org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text))
+      catch { case _: Throwable => throw orig }
+    var changed = false
+    val fixed = analyzed.transformAllExpressions {
+      case g: Grouping => changed = true; Cast(Literal(0), g.dataType)
+      case g: GroupingID => changed = true; Cast(Literal(0), g.dataType)
+    }
+    if (!changed) throw orig
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** Presto ROW values compare POSITIONALLY (RowType equality ignores
+    * field names); Spark's array_contains demands identical struct types,
+    * so `contains(array_agg(ROW(a, b)), ROW(1, 2))` fails on the field
+    * names alone (named_struct(a, b) vs struct(col1, col2)). Retry path:
+    * cast the needle to the array's element type when the shapes are
+    * positionally compatible. */
+  private def structPositionalContains(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Cast}
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val analyzed =
+      try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark,
+        org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text))
+      catch { case _: Throwable => throw orig }
+    var changed = false
+    val fixed = analyzed.transformAllExpressions {
+      case ac @ ArrayContains(arr, elem)
+          if arr.resolved && elem.resolved && {
+            (arr.dataType, elem.dataType) match {
+              case (ArrayType(et: StructType, _), nt: StructType) =>
+                et != nt && et.length == nt.length
+              case _ => false
+            }
+          } =>
+        changed = true
+        val et = arr.dataType.asInstanceOf[ArrayType].elementType
+        ArrayContains(arr, Cast(elem, et))
     }
     if (!changed) throw orig
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)

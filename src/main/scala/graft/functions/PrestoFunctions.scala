@@ -752,10 +752,24 @@ object PrestoFunctions {
       else If(e(0), e(1), e(2))),
     // Presto grouping(a, b, ...) is the multi-argument BIT-VECTOR form
     // (GroupingOperationRewriter — leftmost argument = most significant
-    // bit), which is exactly Spark's grouping_id; the single-argument form
-    // stays the 0/1 flag.
+    // bit) computed from the ARGUMENT positions, so subsets and
+    // reorderings of the grouping keys are legal
+    // (AbstractTestQueries testGroupingInTableSubquery). Spark's
+    // grouping_id demands an exact match with the grouping expressions, so
+    // the vector is assembled from single-column grouping() bits instead;
+    // the result type matches grouping_id's (what the exact-match rows
+    // have always produced).
     "grouping" -> (e =>
-      if (e.length == 1) Grouping(e.head) else GroupingID(e)),
+      if (e.length == 1) Grouping(e.head)
+      else {
+        val dt = GroupingID(Nil).dataType
+        e.zipWithIndex.map { case (x, i) =>
+          val mask = 1L << (e.length - 1 - i)
+          val bit: Expression =
+            if (dt == LongType) Literal(mask) else Literal(mask.toInt)
+          Multiply(Cast(Grouping(x), dt), bit)
+        }.reduceLeft[Expression]((a, b) => Add(a, b))
+      }),
     // N-variants (minmaxby/MaxNAggregationFunction.java — bounded heap);
     // 2-arg forms construct the builtin classes (name is shadowed).
     "max_by" -> (e =>

@@ -1943,4 +1943,26 @@ class RefCorpusPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
   ref("pair L7983 #3",
     "SELECT * FROM (VALUES 2) a(x) CROSS JOIN LATERAL(SELECT x, x + 1)",
     "SELECT 2, 2, 3")
+
+  // --- ERR-class closers (round 5): positional ROW containment, grouping()
+  // over plain GROUP BY, map IN (VALUES ...) ---
+  ref("pair L662",
+    "SELECT CONTAINS(ARRAY_AGG(ROW(a, b)), ROW(1, 2)) FROM (VALUES (1, 2), (3, 4), (5, 6)) t(a, b)",
+    "SELECT TRUE")
+  ref("pair L1227",
+    "SELECT a, grouping(a) * 1.0 FROM (VALUES (1) ) AS t (a) GROUP BY a",
+    "VALUES (1, 0.0)")
+  ref("pair L1230",
+    "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY a",
+    "VALUES (1, 0, 0)")
+  ref("pair L2433",
+    "SELECT x FROM (VALUES 2) t(x) WHERE MAP(ARRAY[8589934592], ARRAY[x]) IN (VALUES MAP(ARRAY[8589934592],ARRAY[2]))",
+    "SELECT 2")
+  // grouping(a, b, ...) computes from ARGUMENT positions (subsets and
+  // reorderings of the grouping keys are legal - GroupingOperationRewriter;
+  // testGroupingInTableSubquery's shape, fixture-scale literals replaced by
+  // an equivalent formulation both engines run)
+  ref("pair grouping-arg-order",
+    "SELECT a, b, sum(c), grouping(b, a), grouping(a) FROM (VALUES (1, 2, 3), (4, 5, 6)) t(a, b, c) GROUP BY GROUPING SETS ((a), (a, b))",
+    "SELECT a, b, sum(c), grouping(b) * 2 + grouping(a), grouping(a) FROM (VALUES (1, 2, 3), (4, 5, 6)) t(a, b, c) GROUP BY GROUPING SETS ((a), (a, b))")
 }
