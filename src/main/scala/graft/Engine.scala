@@ -351,7 +351,15 @@ class Engine(parent: SparkSession) {
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("requires window to be ordered") =>
-          arbitraryWindowOrder(text)
+          try arbitraryWindowOrder(text)
+          catch {
+            // the unordered window may sit in the ORDER BY clause — the
+            // order fix exposes the window-in-Sort condition
+            case e2: org.apache.spark.sql.AnalysisException
+                if String.valueOf(e2.getMessage)
+                  .contains("UNSUPPORTED_EXPR_FOR_OPERATOR") =>
+              windowInOrderBy(text, e2)
+          }
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("FILTER_NOT_BOOLEAN") =>
           nullFilterAsBoolean(text)
@@ -373,6 +381,9 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("UNSUPPORTED_GROUPING_EXPRESSION") =>
           groupingAsZero(text, e)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNSUPPORTED_EXPR_FOR_OPERATOR") =>
+          windowInOrderBy(text, e)
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("ARRAY_FUNCTION_DIFF_TYPES") =>
           structPositionalContains(text, e)
@@ -464,6 +475,58 @@ class Engine(parent: SparkSession) {
             v.dataType.isInstanceOf[MapType] =>
         changed = true
         list.map(x => mapEq(v, x)).reduceLeft[Expression]((a, b) => Or(a, b))
+    }
+    if (!changed) throw orig
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** Presto permits window functions in ORDER BY
+    * (AbstractTestQueries testOrderByWithOutputColumnReference —
+    * `ORDER BY -row_number() OVER ()`); Spark's CheckAnalysis rejects
+    * window expressions outside Project/Aggregate
+    * (UNSUPPORTED_EXPR_FOR_OPERATOR on the Sort). Retry path: analyze
+    * without the final checks, then hoist each Sort-embedded window
+    * expression into a Window node below the sort (one node per distinct
+    * window spec — the same grouping ExtractWindowExpressions does for
+    * SELECT-level windows), sort on the hoisted attribute, and project
+    * the original output back out. */
+  private def windowInOrderBy(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, NamedExpression, SortOrder, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort, Window}
+    val analyzed =
+      try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark,
+        // unordered ranking windows in the sort keys get the same constant
+        // sort order the top-level retry gives them (RowNumberOperator)
+        arbitraryWindowOrderPlan(
+          org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)))
+      catch { case _: Throwable => throw orig }
+    var changed = false
+    val fixed = analyzed.transform {
+      case s @ Sort(order, global, child, hint)
+          if order.exists(_.exists(_.isInstanceOf[WindowExpression])) =>
+        changed = true
+        // alias every distinct window expression appearing in the sort keys
+        val winExprs = order.flatMap(_.collect { case w: WindowExpression => w })
+          .foldLeft(Seq.empty[WindowExpression])((acc, w) =>
+            if (acc.exists(_.semanticEquals(w))) acc else acc :+ w)
+        val aliases: Seq[(WindowExpression, Alias)] =
+          winExprs.zipWithIndex.map { case (w, i) =>
+            w -> Alias(w, s"__graft_ord_$i")()
+          }
+        // one Window node per distinct (partition, order) spec
+        val bySpec = aliases.groupBy { case (w, _) =>
+          (w.windowSpec.partitionSpec, w.windowSpec.orderSpec)
+        }
+        val withWindows = bySpec.foldLeft(child) {
+          case (p, ((part, ord), as)) =>
+            Window(as.map(_._2), part, ord, p)
+        }
+        val newOrder = order.map(_.transform {
+          case w: WindowExpression =>
+            aliases.find(_._1.semanticEquals(w)).get._2.toAttribute: Expression
+        }.asInstanceOf[SortOrder])
+        Project(child.output.map(a => a: NamedExpression),
+          Sort(newOrder, global, withWindows, hint))
     }
     if (!changed) throw orig
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)

@@ -1965,4 +1965,16 @@ class RefCorpusPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
   ref("pair grouping-arg-order",
     "SELECT a, b, sum(c), grouping(b, a), grouping(a) FROM (VALUES (1, 2, 3), (4, 5, 6)) t(a, b, c) GROUP BY GROUPING SETS ((a), (a, b))",
     "SELECT a, b, sum(c), grouping(b) * 2 + grouping(a), grouping(a) FROM (VALUES (1, 2, 3), (4, 5, 6)) t(a, b, c) GROUP BY GROUPING SETS ((a), (a, b))")
+
+  // --- window functions in ORDER BY (round 5): hoisted into a Window node
+  // below the sort (testOrderByWithOutputColumnReference) ---
+  ref("pair L940",
+    "SELECT a FROM (VALUES 1, 2) t(a) ORDER BY -row_number() OVER ()",
+    "VALUES 2, 1")
+  ref("pair L941",
+    "SELECT -a AS a, first_value(-a) OVER (ORDER BY a ROWS 0 PRECEDING) AS b FROM (VALUES 1, 2) t(a) ORDER BY first_value(a) OVER (ORDER BY a ROWS 0 PRECEDING)",
+    "VALUES (-2, -2), (-1, -1)")
+  ref("pair L942",
+    "SELECT -a AS a FROM (VALUES 1, 2) t(a) ORDER BY first_value(a+t.a*2) OVER (ORDER BY a ROWS 0 PRECEDING)",
+    "VALUES -1, -2")
 }
