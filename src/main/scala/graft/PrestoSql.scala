@@ -555,6 +555,49 @@ object PrestoSql {
     * functionCall with empty args; AbstractTestQueries
     * testWindowFunctionWithoutParameters); Spark's parser rejects the empty
     * argument list. */
+  /** Spark's grammar rejects LATERAL inside a PARENTHESIZED join relation
+    * (`FROM ((subq) u CROSS JOIN UNNEST(u.a) t(c)) GROUP BY ...` — 0.206
+    * allows the wrapping parens, AbstractTestQueries testUnnest union
+    * form). When the UNNEST rewrite has introduced LATERAL at the top
+    * level of such a pair and the pair is an un-aliased complete FROM
+    * relation (followed by a clause keyword, a closing paren, a comma, or
+    * the end), the parens are semantically transparent — strip them. */
+  private def unwrapLateralParens(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val fromPat = java.util.regex.Pattern
+      .compile("(?i)\\bFROM\\s*\\(").matcher(mask)
+    while (fromPat.find()) {
+      val open = fromPat.end() - 1
+      var depth = 1
+      var i = open + 1
+      var lateralTop = false
+      while (i < mask.length && depth > 0) {
+        mask(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 1 && mask.regionMatches(true, i, "LATERAL", 0, 7))
+              lateralTop = true
+        }
+        i += 1
+      }
+      val close = i - 1
+      var j = close + 1
+      while (j < mask.length && mask(j).isWhitespace) j += 1
+      val follower =
+        if (j >= mask.length) ""
+        else mask.substring(j, math.min(mask.length, j + 10))
+      val unaliased = j >= mask.length || follower.startsWith(")") ||
+        follower.startsWith(",") ||
+        "(?i)^(GROUP|ORDER|WHERE|HAVING|LIMIT|UNION|EXCEPT|INTERSECT)\\b".r
+          .findFirstIn(follower).isDefined
+      if (lateralTop && unaliased && close > open)
+        return unwrapLateralParens(sql.substring(0, open) + " " +
+          sql.substring(open + 1, close) + " " + sql.substring(close + 1))
+    }
+    sql
+  }
+
   /** Presto `TABLESAMPLE SYSTEM|BERNOULLI (n)` (SqlBase.g4 sampleType,
     * SampleNode.java:40) — Spark's spelling is `TABLESAMPLE (n PERCENT)`
     * (row-level Bernoulli). SYSTEM's split-level granularity is an
@@ -1539,8 +1582,8 @@ object PrestoSql {
   def rewrite(sql0: String): String = {
     val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(minMaxDistinct(extractFields(groupByForms(orderedAggs(
       quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(typedLiterals(
-        dateAddUnit(normalizeForms(substringFrom(unnest(rowTypes(sql0),
-          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))))
+        dateAddUnit(normalizeForms(substringFrom(unwrapLateralParens(unnest(rowTypes(sql0),
+          new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

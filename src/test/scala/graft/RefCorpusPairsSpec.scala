@@ -1977,4 +1977,10 @@ class RefCorpusPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
   ref("pair L942",
     "SELECT -a AS a FROM (VALUES 1, 2) t(a) ORDER BY first_value(a+t.a*2) OVER (ORDER BY a ROWS 0 PRECEDING)",
     "VALUES -1, -2")
+
+  // --- parenthesized join around CROSS JOIN UNNEST (round 5:
+  // unwrapLateralParens) ---
+  ref("pair testUnnest-paren-join",
+    "SELECT col, COUNT(*) FROM ((     SELECT ARRAY[1, 2] AS a     UNION ALL     SELECT ARRAY[1, 3] AS a)  unionresult   CROSS JOIN UNNEST(unionresult.a) t(col)) GROUP BY col",
+    "SELECT * FROM VALUES (1, 2), (2, 1), (3, 1)")
 }
