@@ -97,6 +97,20 @@ class InformationSchemaSpec extends AnyFunSuite {
     assert(after == 0L)
   }
 
+  test("smoke-test statements verbatim (AbstractTestIntegrationSmokeTest)") {
+    // testSelectInformationSchemaTables / testSelectInformationSchemaColumns
+    // filtering legs: an unknown catalog filters to empty; GROUP BY over the
+    // metadata works like any table
+    val e = queries.RefCorpus.engine(spark, sf)
+    assert(e.sql("SELECT table_name FROM information_schema.tables " +
+      "WHERE table_catalog = 'something_else'").collect().isEmpty)
+    assert(e.sql("SELECT table_name FROM information_schema.columns " +
+      "WHERE table_name = 'orders' GROUP BY table_name")
+      .collect().map(_.getString(0)).toSeq == Seq("orders"))
+    assert(e.sql("SELECT column_name FROM information_schema.columns " +
+      "WHERE table_catalog = 'something_else'").collect().isEmpty)
+  }
+
   test("literal containing the phrase is untouched by the repoint") {
     val out = engine.sql(
       "SELECT 'information_schema.tables' AS s, table_name " +
