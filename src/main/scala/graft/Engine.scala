@@ -385,6 +385,9 @@ class Engine(parent: SparkSession) {
             if String.valueOf(e.getMessage).contains("UNSUPPORTED_EXPR_FOR_OPERATOR") =>
           windowInOrderBy(text, e)
         case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") =>
+          sortSourceToAlias(text, e)
+        case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("ARRAY_FUNCTION_DIFF_TYPES") =>
           structPositionalContains(text, e)
       }
@@ -475,6 +478,75 @@ class Engine(parent: SparkSession) {
             v.dataType.isInstanceOf[MapType] =>
         changed = true
         list.map(x => mapEq(v, x)).reduceLeft[Expression]((a, b) => Or(a, b))
+    }
+    if (!changed) throw orig
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** Presto resolves ORDER BY expressions against the output scope FIRST,
+    * then falls back to the SOURCE scope (Analyzer legacy ordering —
+    * AbstractTestQueries testOrderByWithOutputColumnReference:
+    * `SELECT a AS foo ... GROUP BY GROUPING SETS ((a), (a, b)) ORDER BY
+    * -a`). Spark's Sort over an Aggregate exposes only the output columns,
+    * so the bare source name fails UNRESOLVED_COLUMN. Retry path: when a
+    * sort key references a source column that the SELECT list aliases AS
+    * a bare rename (`src AS alias`), substituting the alias is exact —
+    * the alias denotes precisely that source column. */
+  private def sortSourceToAlias(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
+    val parsed =
+      org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
+    def outputList(p: LogicalPlan): Seq[NamedExpression] = p match {
+      case Project(list, _) => list
+      case Aggregate(_, list, _, _) => list
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        outputList(h.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        outputList(f.child)
+      case _ => Seq.empty
+    }
+    var changed = false
+    val fixed = parsed.transform {
+      case s @ Sort(order, global, child, hint) =>
+        val list = outputList(child)
+        val outNames = list.collect {
+          case a: Alias => a.name.toLowerCase
+          case u: UnresolvedAttribute => u.nameParts.last.toLowerCase
+        }.toSet
+        // src -> alias, only for bare renames whose source name is NOT
+        // itself an output name (those resolve without help)
+        val aliasMap = list.collect {
+          case a @ Alias(u: UnresolvedAttribute, _)
+              if u.nameParts.length == 1 &&
+                !outNames.contains(u.nameParts.head.toLowerCase) =>
+            u.nameParts.head.toLowerCase -> a.name
+        }.toMap
+        if (aliasMap.isEmpty) s
+        else {
+          // grouping()/grouping_id() arguments must stay SOURCE columns
+          // (Spark matches them against the grouping expressions)
+          def inGrouping(so: SortOrder, u: UnresolvedAttribute): Boolean =
+            so.exists {
+              case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                  if Set("grouping", "grouping_id")(
+                    f.nameParts.last.toLowerCase) =>
+                f.arguments.exists(_.exists(_ eq u))
+              case _ => false
+            }
+          val newOrder = order.map { so =>
+            so.transform {
+              case u: UnresolvedAttribute
+                  if u.nameParts.length == 1 &&
+                    aliasMap.contains(u.nameParts.head.toLowerCase) &&
+                    !inGrouping(so, u) =>
+                changed = true
+                UnresolvedAttribute(Seq(aliasMap(u.nameParts.head.toLowerCase)))
+            }.asInstanceOf[SortOrder]
+          }
+          Sort(newOrder, global, child, hint)
+        }
     }
     if (!changed) throw orig
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)

@@ -1983,4 +1983,10 @@ class RefCorpusPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
   ref("pair testUnnest-paren-join",
     "SELECT col, COUNT(*) FROM ((     SELECT ARRAY[1, 2] AS a     UNION ALL     SELECT ARRAY[1, 3] AS a)  unionresult   CROSS JOIN UNNEST(unionresult.a) t(col)) GROUP BY col",
     "SELECT * FROM VALUES (1, 2), (2, 1), (3, 1)")
+
+  // --- ORDER BY source-column reference shadowed by an output alias
+  // (round 5: sortSourceToAlias retry) ---
+  ref("pair L918",
+    "SELECT a AS foo FROM (values (1,2),(3,2)) t(a,b) GROUP BY GROUPING SETS ((a), (a, b)) HAVING b IS NOT NULL ORDER BY -a",
+    "VALUES 3, 1")
 }
