@@ -151,4 +151,47 @@ class PlanSpec extends AnyFunSuite {
       .filter(col("l_returnflag") === "R").count()
     assert(df.count() == expect)
   }
+
+  test("dynamic partition pruning injects a runtime filter from the dim side") {
+    // the other half of the 100 TB layout story: when the partition-column
+    // predicate is only discoverable THROUGH a join (fact partitioned by k,
+    // dim filtered), DPP turns the dim's build side into a runtime
+    // PartitionFilter on the fact scan — no full-fact read
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      .map(k => k -> c.getOption(k))
+    try {
+      // the tiny fixture defeats the size-based benefit heuristic — force
+      // the fallback ratio a deployment would see on a selective dim
+      c.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      c.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1.0")
+      val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+      Tables.t(spark, sf, "lineitem")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      // dim must be a real scan with a filter — an inline table would
+      // constant-fold and DPP would see no selective predicate
+      val dimDir = java.nio.file.Files.createTempDirectory("graft-dppdim").toString
+      Seq(("R", "returned"), ("N", "kept"), ("A", "ack"))
+        .toDF("flag", "label").write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter(col("label") === "returned")
+      val j = fact.join(dim, fact("l_returnflag") === dim("flag"))
+        .groupBy("l_linestatus").count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
+      val viaJoin = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = Tables.t(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaJoin == expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
 }
