@@ -612,17 +612,34 @@ class Engine(parent: SparkSession) {
     * grouping-set aggregates rewrite theirs to gid attributes during
     * analysis, so any that survive are exactly the plain-GROUP-BY ones. */
   private def groupingAsZero(text: String, orig: Throwable): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Grouping, GroupingID, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Grouping, GroupingID, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val analyzed =
       try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark,
         org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text))
       catch { case _: Throwable => throw orig }
     var changed = false
-    val fixed = analyzed.transformAllExpressions {
-      case g: Grouping => changed = true; Cast(Literal(0), g.dataType)
-      case g: GroupingID => changed = true; Cast(Literal(0), g.dataType)
+    // Presto's GroupingOperationRewriter precondition: every grouping()
+    // argument must BE a grouping expression of the enclosing aggregation
+    // ("arguments must be grouping expressions") — substituting 0 for a
+    // non-key argument would silently succeed where the reference errors.
+    val fixed = analyzed.transform {
+      case a: Aggregate =>
+        def isKey(e: Expression): Boolean =
+          a.groupingExpressions.exists(_.semanticEquals(e))
+        a.transformExpressions {
+          case g: Grouping if isKey(g.child) =>
+            changed = true; Cast(Literal(0), g.dataType)
+          case g: GroupingID if g.groupByExprs.forall(isKey) =>
+            changed = true; Cast(Literal(0), g.dataType)
+        }
     }
-    if (!changed) throw orig
+    val leftover = fixed.collectFirst {
+      case p if p.expressions.exists(_.exists {
+            case _: Grouping | _: GroupingID => true; case _ => false
+          }) => p
+    }
+    if (!changed || leftover.isDefined) throw orig
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
   }
 

@@ -99,10 +99,26 @@ object InformationSchema {
     val viewDefs = engine.viewDefinitions
     val listed = spark.catalog.listTables().collect()
       .filterNot(_.name.startsWith("information_schema_"))
+    val listedNames = listed.map(_.name).toSet
     val entries = listed.map { t =>
       val schemaName = Option(t.database).filter(_.nonEmpty).getOrElse("default")
       (schemaName, t.name)
-    }.toSeq.distinct.sortBy(e => (e._1, e._2))
+    }.toSeq
+      // internal helper views (the `<t>_base` scoping pattern: a projected
+      // view `<t>` over a raw registration `<t>_base`) are plumbing the
+      // reference's metadata would never surface — hide the raw leg
+      .filterNot { case (_, n) =>
+        n.endsWith("_base") && listedNames.contains(n.stripSuffix("_base"))
+      }
+      .distinct.sortBy(e => (e._1, e._2))
+
+    // the metadata tables themselves are listed (InformationSchemaMetadata
+    // lists its own schema's tables; reference shows them under schema
+    // 'information_schema')
+    val selfSchemas: Seq[(String, StructType)] = Seq(
+      "columns" -> columnsSchema, "tables" -> tablesSchema,
+      "views" -> viewsSchema, "schemata" -> schemataSchema,
+      "table_privileges" -> privilegesSchema)
 
     def mk(schema: StructType, rows: Seq[Row], name: String): Unit =
       spark.createDataFrame(
@@ -114,6 +130,8 @@ object InformationSchema {
       // if table and view names overlap, the view wins (PageSourceProvider:166)
       val tpe = if (viewDefs.contains(name)) "VIEW" else "BASE TABLE"
       Row(catalogName, db, name, tpe)
+    } ++ selfSchemas.map { case (name, _) =>
+      Row(catalogName, "information_schema", name, "BASE TABLE")
     }, "tables")
 
     mk(viewsSchema, entries.collect {
@@ -128,6 +146,11 @@ object InformationSchema {
       fields.zipWithIndex.map { case (f, i) =>
         Row(catalogName, db, name, f.name, (i + 1).toLong, null, "YES",
           prestoTypeName(f.dataType), f.getComment().orNull, null)
+      }
+    } ++ selfSchemas.flatMap { case (name, schema) =>
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        Row(catalogName, "information_schema", name, f.name, (i + 1).toLong,
+          null, "YES", prestoTypeName(f.dataType), null, null)
       }
     }, "columns")
 

@@ -566,8 +566,18 @@ object PrestoSql {
     val mask = maskLiterals(sql)
     val fromPat = java.util.regex.Pattern
       .compile("(?i)\\bFROM\\s*\\(").matcher(mask)
+    def identChar(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == '$'
     while (fromPat.find()) {
       val open = fromPat.end() - 1
+      // a derived table (subquery) directly after the paren is a shape
+      // Spark already accepts LATERAL inside — never strip those parens
+      var k = open + 1
+      while (k < mask.length && mask(k).isWhitespace) k += 1
+      val derivedTable = Seq("SELECT", "WITH", "VALUES", "TABLE").exists { kw =>
+        mask.regionMatches(true, k, kw, 0, kw.length) &&
+          (k + kw.length >= mask.length || !identChar(mask(k + kw.length)))
+      }
       var depth = 1
       var i = open + 1
       var lateralTop = false
@@ -576,7 +586,10 @@ object PrestoSql {
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ =>
-            if (depth == 1 && mask.regionMatches(true, i, "LATERAL", 0, 7))
+            if (depth == 1 && !derivedTable &&
+                mask.regionMatches(true, i, "LATERAL", 0, 7) &&
+                (i == 0 || !identChar(mask(i - 1))) &&
+                (i + 7 >= mask.length || !identChar(mask(i + 7))))
               lateralTop = true
         }
         i += 1

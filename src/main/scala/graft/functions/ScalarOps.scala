@@ -59,7 +59,11 @@ object ScalarOps {
     * (IntervalDayTimeOperators.castToSlice → IntervalDayTime.formatMillis:
     * "%s%d %02d:%02d:%02d.%03d"); Spark renders its INTERVAL literal
     * syntax instead. Input is the physical day-time interval value
-    * (microseconds). */
+    * (microseconds). Sub-millisecond residue (values Presto's millis
+    * physical type cannot represent, e.g. a Spark-computed avg()) is
+    * TRUNCATED TOWARD ZERO by choice, so -1500us and +1500us both render
+    * a 001 millis field — symmetric magnitudes over floor semantics;
+    * documented divergence, not an oversight. */
   def formatIntervalDayTime(micros: Long): UTF8String = {
     var millis = micros / 1000L
     var sign = ""

@@ -68,4 +68,14 @@ class ErrorSemanticsSpec extends AnyFunSuite {
       assert(one(s"try(${Long.MaxValue}L + 1L)") == null)
     }
   }
+
+  test("grouping() over plain GROUP BY: key args give 0, non-key args error") {
+    // Presto GroupingOperationRewriter: plain GROUP BY → every flag 0
+    assert(engine.sql(
+      "SELECT a, grouping(a) FROM (VALUES (1)) t(a) GROUP BY a").head.get(1) == 0)
+    // "arguments must be grouping expressions" — a non-key argument must
+    // NOT silently become 0 (the reference rejects the query)
+    intercept[Exception](engine.sql(
+      "SELECT a, grouping(b) FROM (VALUES (1, 2)) t(a, b) GROUP BY a").collect())
+  }
 }

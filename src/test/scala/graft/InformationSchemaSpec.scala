@@ -111,6 +111,37 @@ class InformationSchemaSpec extends AnyFunSuite {
       "WHERE table_catalog = 'something_else'").collect().isEmpty)
   }
 
+  test("metadata tables list themselves under schema information_schema") {
+    // InformationSchemaMetadata lists its own tables; columns too
+    val selves = engine.sql(
+      "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_schema = 'information_schema' ORDER BY table_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(selves == Seq("columns", "schemata", "table_privileges", "tables", "views"))
+    val cols = engine.sql(
+      "SELECT column_name, data_type FROM information_schema.columns " +
+        "WHERE table_schema = 'information_schema' AND table_name = 'tables' " +
+        "ORDER BY ordinal_position").collect()
+    assert(cols.map(_.getString(0)).toSeq ==
+      Seq("table_catalog", "table_schema", "table_name", "table_type"))
+    assert(cols.forall(_.getString(1) == "varchar"))
+  }
+
+  test("internal <t>_base helper views are hidden when <t> shadows them") {
+    val e = engine
+    e.spark.sql("SELECT 1 AS x").createOrReplaceTempView("shadow_t_base")
+    e.spark.sql("SELECT x FROM shadow_t_base").createOrReplaceTempView("shadow_t")
+    try {
+      val names = e.sql(
+        "SELECT table_name FROM information_schema.tables " +
+          "WHERE table_name LIKE 'shadow_t%'").collect().map(_.getString(0)).toSeq
+      assert(names == Seq("shadow_t"))
+    } finally {
+      e.spark.catalog.dropTempView("shadow_t")
+      e.spark.catalog.dropTempView("shadow_t_base")
+    }
+  }
+
   test("literal containing the phrase is untouched by the repoint") {
     val out = engine.sql(
       "SELECT 'information_schema.tables' AS s, table_name " +

@@ -68,6 +68,22 @@ class PrestoSqlSpec extends AnyFunSuite {
     assert(ord.contains("posexplode(arrays_zip(a))") && ord.contains("t(v, o)"))
   }
 
+  test("unwrapLateralParens: derived tables and identifiers keep their parens") {
+    // an unaliased-looking derived table whose inner FROM carries a
+    // LATERAL-rewritten UNNEST: the parens are a subquery boundary Spark
+    // needs, not a parenthesized join — must NOT be stripped
+    val derived =
+      rw("SELECT e FROM (SELECT e FROM orders CROSS JOIN UNNEST(arr) t(e)) GROUP BY e")
+    assert(derived.replaceAll("\\s+", " ").contains("FROM (SELECT"))
+    // identifier containing 'lateral' as a substring must not count as the
+    // LATERAL keyword (word-boundary check)
+    val ident = rw("SELECT * FROM (t1 JOIN t2 ON t1.collateral = t2.k) WHERE x = 1")
+    assert(ident.replaceAll("\\s+", " ").contains("FROM (t1 JOIN"))
+    // the genuine parenthesized-join-with-LATERAL case still unwraps
+    val join = rw("SELECT * FROM ((SELECT a FROM t) u CROSS JOIN UNNEST(u.a) t(c)) GROUP BY c")
+    assert(!join.replaceAll("\\s+", " ").matches("(?s).*FROM \\(\\(SELECT.*"))
+  }
+
   test("rewrite output is deterministic (per-call alias counter)") {
     val q = "SELECT * FROM UNNEST(a) WITH ORDINALITY"
     assert(rw(q) == rw(q)) // a process-global counter would differ per call
