@@ -676,6 +676,29 @@ object PrestoFunctions {
     "line_locate_point" -> (e => LineLocatePoint(e(0), e(1))),
     "simplify_geometry" -> (e => SimplifyGeometry(e(0), Cast(e(1), DoubleType))),
     "geometry_invalid_reason" -> (e => GeometryInvalidReason(e(0))),
+    // verbatim reference spelling (GeoFunctions.java:165 registers
+    // "ST_GeometryFromText", which lowercases with no underscores)
+    "st_geometryfromtext" -> (e => StGeometryFromText(e(0))),
+    // Bing tile family (BingTileFunctions.java:1-492): tile = packed BIGINT
+    "bing_tile" -> (e => BingTileCall("bing_tile", e)),
+    "bing_tile_at" -> (e => BingTileCall("bing_tile_at",
+      Seq(Cast(e(0), DoubleType), Cast(e(1), DoubleType), e(2)))),
+    "bing_tile_quadkey" -> (e => BingTileCall("bing_tile_quadkey", e)),
+    "bing_tile_zoom_level" -> (e => BingTileCall("bing_tile_zoom_level", e)),
+    "bing_tile_coordinates" -> (e => BingTileCall("bing_tile_coordinates", e)),
+    "bing_tiles_around" -> (e => BingTileCall("bing_tiles_around",
+      Seq(Cast(e(0), DoubleType), Cast(e(1), DoubleType), e(2)))),
+    "bing_tile_polygon" -> (e => BingTilePolygon(e(0))),
+    "geometry_to_bing_tiles" -> (e => GeometryToBingTiles(e(0), e(1))),
+    // great_circle_distance (GeoFunctions.java greatCircleDistance)
+    "great_circle_distance" -> (e => StaticInvoke(bingTilesCls, DoubleType,
+      "greatCircleDistance", e.map(Cast(_, DoubleType)),
+      Seq(DoubleType, DoubleType, DoubleType, DoubleType),
+      propagateNull = true, returnNullable = false)),
+    // round_bigint_decimals (MathFunctions.java:732 — a bare
+    // @ScalarFunction whose derived name is callable; round(bigint, d) is
+    // the identity on the value)
+    "round_bigint_decimals" -> (e => Cast(e(0), LongType)),
     // --- conditional ---
     // Presto greatest/least RETURN_NULL_ON_NULL (AbstractGreatestLeast
     // .java:118); Spark's builtins skip nulls.
@@ -910,6 +933,7 @@ object PrestoFunctions {
   // paired `graft.functions.ColorFns` class, which StaticInvoke targets.
   private val colorCls: Class[_] = Class.forName("graft.functions.ColorFns")
   private val scalarOpsCls: Class[_] = Class.forName("graft.functions.ScalarOps")
+  private val bingTilesCls: Class[_] = Class.forName("graft.functions.BingTiles")
 
   // the Java/airlift whitespace set (Character.isWhitespace code points —
   // U+3000 IDEOGRAPHIC SPACE is the highest) — what SliceUtf8's trims remove

@@ -293,6 +293,60 @@ object PrestoCompat {
           (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey < 5000) AS merged_card,
           (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey % 3 = 0) AS n_hashes""")),
 
+    // Bing tile family (presto-geospatial/BingTileFunctions.java): tiles
+    // are packed BIGINTs, so the tile id itself is the shuffle key — the
+    // groupBy below is a plain long hash-aggregate (the 100 TB posture for
+    // tile-bucketed spatial rollups). DuckDB replays the web-mercator
+    // math closed-form and the quadkey via bit arithmetic.
+    "p14_bing_tiles" -> Q(
+      presto("""
+        WITH pts AS (
+          SELECT c_custkey,
+            CAST((c_custkey % 169) - 84 AS DOUBLE) + 0.5 AS lat,
+            CAST((c_custkey % 360) - 180 AS DOUBLE) + 0.25 AS lon
+          FROM customer WHERE c_custkey <= 2000),
+        tiled AS (
+          SELECT c_custkey, lat, lon, bing_tile_at(lat, lon, 8) AS tile FROM pts)
+        SELECT tile,
+          bing_tile_quadkey(tile) AS quadkey,
+          CAST(bing_tile_zoom_level(tile) AS INTEGER) AS zoom,
+          bing_tile_coordinates(tile).x AS tx,
+          bing_tile_coordinates(tile).y AS ty,
+          CAST(count(*) AS BIGINT) AS n_pts,
+          round(min(great_circle_distance(lat, lon, 0.0, 0.0)), 6) AS min_gcd
+        FROM tiled
+        GROUP BY tile ORDER BY tile"""),
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+            CAST((c_custkey % 169) - 84 AS DOUBLE) + 0.5 AS lat,
+            CAST((c_custkey % 360) - 180 AS DOUBLE) + 0.25 AS lon
+          FROM customer WHERE c_custkey <= 2000),
+        t AS (
+          SELECT c_custkey, lat, lon,
+            CAST(floor(least(greatest((lon + 180) / 360 * 65536.0, 0), 65535)) AS BIGINT) // 256 AS tx,
+            CAST(floor(least(greatest(
+              (0.5 - ln((1 + sin(lat * pi() / 180)) / (1 - sin(lat * pi() / 180))) / (4 * pi())) * 65536.0,
+              0), 65535)) AS BIGINT) // 256 AS ty
+          FROM pts),
+        e AS (
+          SELECT c_custkey, lat, lon, tx, ty,
+            tx * 268435456 + ty * 32 + 8 AS tile
+          FROM t)
+        SELECT tile,
+          list_aggregate(list_transform(range(8, 0, -1),
+            i -> CAST(((tx >> (i - 1)) & 1) + 2 * ((ty >> (i - 1)) & 1) AS VARCHAR)),
+            'string_agg', '') AS quadkey,
+          8 AS zoom,
+          CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty,
+          CAST(count(*) AS BIGINT) AS n_pts,
+          round(min(atan2(
+            sqrt(pow(sin(radians(lon)), 2) +
+                 pow(sin(radians(lat)) * cos(radians(lon)), 2)),
+            cos(radians(lat)) * cos(radians(lon))) * 6371.01), 6) AS min_gcd
+        FROM e
+        GROUP BY tile, tx, ty ORDER BY tile""")),
+
     // ML surface (presto-ml): per-group learn_regressor → regress, the
     // model-as-aggregation-result dataflow. The Gram-sketch normal
     // equations for ONE feature are exactly the textbook slope/intercept,
