@@ -61,6 +61,45 @@ object Geo {
           9.0 AS line_len
         FROM pts ORDER BY c_custkey""")),
 
+    // Verbatim reference spellings (GeoFunctions.java annotation names as
+    // written: ST_GeometryFromText, ST_Contains, ST_AsText, ...) plus the
+    // Bing-tile bucketing of the same synthesized points — guards the
+    // casing/underscore fidelity end-to-end.
+    "g06_geo_verbatim" -> Q(
+      presto("""
+        WITH pts AS (
+          SELECT c_custkey,
+            st_point(CAST(c_custkey % 60 AS DOUBLE),
+                     CAST(c_nationkey * 3 AS DOUBLE)) AS p
+          FROM customer WHERE c_custkey <= 400)
+        SELECT c_custkey,
+          ST_Contains(ST_GeometryFromText('POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))'), p)
+            AS in_box,
+          ST_AsText(p) AS wkt,
+          bing_tile_quadkey(bing_tile_at(ST_Y(p), ST_X(p), 6)) AS tile_q
+        FROM pts ORDER BY c_custkey"""),
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+            CAST(c_custkey % 60 AS DOUBLE) AS x,
+            CAST(c_nationkey * 3 AS DOUBLE) AS y
+          FROM customer WHERE c_custkey <= 400),
+        t AS (
+          SELECT c_custkey, x, y,
+            CAST(floor(least(greatest((x + 180) / 360 * 16384.0, 0), 16383)) AS BIGINT) // 256 AS tx,
+            CAST(floor(least(greatest(
+              (0.5 - ln((1 + sin(y * pi() / 180)) / (1 - sin(y * pi() / 180))) / (4 * pi())) * 16384.0,
+              0), 16383)) AS BIGINT) // 256 AS ty
+          FROM pts)
+        SELECT c_custkey,
+          x BETWEEN 0 AND 40 AND y BETWEEN 0 AND 40 AS in_box,
+          'POINT (' || CAST(CAST(x AS INTEGER) AS VARCHAR) || ' ' ||
+            CAST(CAST(y AS INTEGER) AS VARCHAR) || ')' AS wkt,
+          list_aggregate(list_transform(range(6, 0, -1),
+            i -> CAST(((tx >> (i - 1)) & 1) + 2 * ((ty >> (i - 1)) & 1) AS VARCHAR)),
+            'string_agg', '') AS tile_q
+        FROM t ORDER BY c_custkey""")),
+
     // Spatial join: customers-as-points against 5 broadcast zone polygons
     // via ST_Contains (SpatialJoinOperator's replicated build side).
     // Structural accessors over per-row constructed linestrings: dimension,
