@@ -347,7 +347,7 @@ class Engine(parent: SparkSession) {
       } else query
     val text = PrestoSql.rewrite(query1)
     val df =
-      try spark.sql(text)
+      try preRewrites(text).getOrElse(spark.sql(text))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("requires window to be ordered") =>
@@ -385,8 +385,18 @@ class Engine(parent: SparkSession) {
             if String.valueOf(e.getMessage).contains("UNSUPPORTED_EXPR_FOR_OPERATOR") =>
           windowInOrderBy(text, e)
         case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage)
+              .contains("UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY") =>
+          decorrelateRetry(text, e)
+        case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") =>
-          sortSourceToAlias(text, e)
+          try sortSourceToAlias(text, e)
+          catch {
+            // the unresolved name may be an outer reference crossing a
+            // trivial derived table inside a subquery expression — the
+            // decorrelation rewrites close that shape
+            case _: Throwable => decorrelateRetry(text, e)
+          }
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("ARRAY_FUNCTION_DIFF_TYPES") =>
           structPositionalContains(text, e)
@@ -492,6 +502,55 @@ class Engine(parent: SparkSession) {
     * sort key references a source column that the SELECT list aliases AS
     * a bare rename (`src AS alias`), substituting the alias is exact —
     * the alias denotes precisely that source column. */
+  /** Subquery shapes Presto plans from any expression context but Spark's
+    * analyzer refuses (SubqueryPlanner.java:69 / PlanNodeDecorrelator) —
+    * inline no-FROM subqueries, collapse trivial subrelations, hoist
+    * ORDER BY subqueries into a hidden projection, and turn inner-join ON
+    * subqueries into filters. See graft.Decorrelate. */
+  private def decorrelateRetry(text: String, orig: Throwable): DataFrame = {
+    val rewritten =
+      try Decorrelate(
+        org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text))
+      catch { case _: Throwable => throw orig }
+    val df =
+      try org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, rewritten)
+      catch { case _: Throwable => throw orig }
+    df
+  }
+
+  /** Pre-analysis plan rewrites, applied only when a cheap textual gate
+    * matches and only when they actually change the parsed plan:
+    *
+    *  - qualified star over a USING join → `q.* EXCEPT (using cols)`
+    *    (Presto's star expansion excludes the using columns —
+    *    StatementAnalyzer; AbstractTestQueries
+    *    testQualifiedWildcardFromJoin — Spark silently includes them);
+    *  - the graft.Decorrelate subquery-shape rewrites. These must run
+    *    BEFORE analysis: the join-condition case surfaces from the
+    *    OPTIMIZER (RewritePredicateSubquery), after Engine.sql's
+    *    analysis-time retries have already passed.
+    *
+    * Any failure falls back to the plain spark.sql path (None), so the
+    * existing analysis-retry chain still sees the original error. */
+  private def preRewrites(text: String): Option[DataFrame] = {
+    val mask = PrestoSql.maskLiterals(text)
+    val subqHint =
+      java.util.regex.Pattern.compile("(?i)\\(\\s*SELECT\\b").matcher(mask).find()
+    val usingHint =
+      java.util.regex.Pattern.compile("(?i)\\bUSING\\s*\\(").matcher(mask).find() &&
+      java.util.regex.Pattern.compile("\\w\\s*\\.\\s*\\*").matcher(mask).find()
+    if (!subqHint && !usingHint) return None
+    try {
+      val parsed =
+        org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
+      var plan = parsed
+      if (usingHint) plan = Decorrelate.usingStarExcept(plan).getOrElse(plan)
+      if (subqHint) plan = Decorrelate(plan)
+      if (plan eq parsed) None
+      else Some(org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, plan))
+    } catch { case _: Throwable => None }
+  }
+
   private def sortSourceToAlias(text: String, orig: Throwable): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, SortOrder}

@@ -442,6 +442,37 @@ object PrestoSql {
     sql0
   }
 
+  /** Presto's bare niladic date-time specials (SqlBase.g4
+    * #specialDateTimeFunction: LOCALTIME / LOCALTIMESTAMP with no
+    * argument list); Spark's parser only accepts the callable forms
+    * (`localtime()` resolves through the registry to current_time(),
+    * `localtimestamp()` is Spark-native). Qualified references
+    * (`t.localtime`) and already-callable forms pass through; both words
+    * are reserved in Presto, so no identifier can collide. */
+  private def niladicSpecials(sql0: String): String = {
+    val mask = maskLiterals(sql0)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\b(localtime|localtimestamp)\\b").matcher(mask)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      val before = {
+        var i = m.start - 1
+        while (i >= 0 && mask(i).isWhitespace) i -= 1
+        if (i >= 0) mask(i) else ' '
+      }
+      var j = m.end
+      while (j < mask.length && mask(j).isWhitespace) j += 1
+      val callable = j < mask.length && mask(j) == '('
+      if (before != '.' && !callable) {
+        sb.append(sql0.substring(last, m.end)).append("()")
+        last = m.end
+      }
+    }
+    if (last == 0) sql0
+    else { sb.append(sql0.substring(last)); sb.toString }
+  }
+
   /** Presto's grammar treats the normalization form in
     * `normalize(s, NFD)` as a bare KEYWORD (SqlBase.g4 #normalize);
     * Spark parses it as a column reference that never resolves. Quote it
@@ -1595,7 +1626,7 @@ object PrestoSql {
   def rewrite(sql0: String): String = {
     val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(minMaxDistinct(extractFields(groupByForms(orderedAggs(
       quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(typedLiterals(
-        dateAddUnit(normalizeForms(substringFrom(unwrapLateralParens(unnest(rowTypes(sql0),
+        dateAddUnit(normalizeForms(substringFrom(unwrapLateralParens(unnest(rowTypes(niladicSpecials(sql0)),
           new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
@@ -1637,11 +1668,21 @@ object PrestoSql {
           while (i < n && (sql(i) != '\'' || (i + 1 < n && sql(i + 1) == '\'' && { i += 1; true }))) i += 1
           i = math.min(i + 1, n)
           out.append(sql.substring(start, i))
-        case '"' => // quoted identifier
+        case '"' => // quoted identifier — Presto's double quotes ALWAYS
+          // delimit identifiers (SqlBase.g4; strings are single-quoted),
+          // while Spark's default parser reads them as string literals.
+          // Emit the backtick spelling ("" escape → ", ` → ``); Spark's
+          // case-insensitive resolver then matches Presto's
+          // case-insensitive identifier semantics.
           val start = i; i += 1
-          while (i < n && sql(i) != '"') i += 1
+          val body = new StringBuilder
+          while (i < n && (sql(i) != '"' ||
+              (i + 1 < n && sql(i + 1) == '"' && { body.append('"'); i += 1; true }))) {
+            if (sql(i) != '"') body.append(sql(i))
+            i += 1
+          }
           i = math.min(i + 1, n)
-          out.append(sql.substring(start, i))
+          out.append('`').append(body.toString.replace("`", "``")).append('`')
         case '-' if i + 1 < n && sql(i + 1) == '-' => // line comment
           val start = i
           while (i < n && sql(i) != '\n') i += 1

@@ -157,6 +157,70 @@ object PrestoFunctions {
     if (parts.length == 1) parts.head else fn("concat", parts.toSeq)
   }
 
+  /** Parse-side ISO-week tokens: Presto's date_parse with `%v`
+    * (week-of-weekyear) / `%x` (weekyear) builds a Joda parser
+    * (DateTimeFunctions.java:1201-1205) whose unspecified fields default
+    * to the epoch, so `date_parse('1998 53', '%x %v')` is the MONDAY of
+    * ISO week 53 of weekyear 1998 (TestDateTimeFunctionsBase:795). Spark
+    * bans week-based pattern letters, so lower the parse to arithmetic:
+    * ISO weekyear X's week 1 contains Jan 4 → monday(Jan 4 of X) +
+    * (v-1) weeks. Only patterns whose %-tokens are exactly {%v, %x, %%}
+    * plus literal separators take this path (mixed week+field patterns
+    * keep the documented pass-through divergence); unmatchable input
+    * yields NULL where the reference errors (the repo-wide posture). */
+  private def weekOnlyPattern(p: String): Boolean = {
+    var i = 0
+    var hasWeek = false
+    while (i < p.length) {
+      if (p(i) == '%' && i + 1 < p.length) {
+        p(i + 1) match {
+          case 'v' | 'x' => hasWeek = true
+          case '%' =>
+          case _ => return false
+        }
+        i += 2
+      } else i += 1
+    }
+    hasWeek
+  }
+
+  private def mysqlParseWithWeek(input: Expression, p: String): Expression = {
+    val rx = new StringBuilder
+    var i = 0
+    var group = 0
+    var gx = -1
+    var gv = -1
+    val lit0 = new StringBuilder
+    def flushLit(): Unit = if (lit0.nonEmpty) {
+      rx.append(java.util.regex.Pattern.quote(lit0.toString)); lit0.clear()
+    }
+    while (i < p.length) {
+      if (p(i) == '%' && i + 1 < p.length) {
+        p(i + 1) match {
+          case 'v' => flushLit(); group += 1; gv = group; rx.append("(\\d{1,2})")
+          case 'x' => flushLit(); group += 1; gx = group; rx.append("(\\d{1,4})")
+          case '%' => lit0.append('%')
+          case other => lit0.append(other)
+        }
+        i += 2
+      } else { lit0.append(p(i)); i += 1 }
+    }
+    flushLit()
+    val pattern = lit("^" + rx.toString)
+    def grp(g: Int, dflt: Int): Expression =
+      if (g < 0) lit(dflt)
+      else Cast(fn("regexp_extract", Seq(input, pattern, lit(g))), IntegerType)
+    val x = grp(gx, 1970) // Joda epoch default weekyear
+    val v = grp(gv, 1)
+    // monday of (weekyear x, week v): trunc(Jan 4 of x, 'WEEK') + (v-1)*7
+    val monday = fn("date_add", Seq(
+      fn("trunc", Seq(fn("make_date", Seq(x, lit(1), lit(4))), lit("WEEK"))),
+      Multiply(Subtract(v, lit(1)), lit(7))))
+    val matched = fn("regexp_like", Seq(input, pattern))
+    If(EqualNullSafe(matched, Literal(true)),
+      Cast(monday, TimestampType), Literal(null, TimestampType))
+  }
+
   /** Teradata date token set → java.time pattern (DateFormatParser.java:
     * 28-62). Tokens are uppercase, longest-match (HH24 before HH, YYYY
     * before YY); unrecognized LETTERS throw like the reference's lexer;
@@ -339,7 +403,11 @@ object PrestoFunctions {
     // ParseToTimestamp/ParseToDate constructed DIRECTLY: delegating through
     // the name would hit the Teradata to_timestamp/to_date compat entries
     // (temp functions shadow builtins) and re-translate the pattern.
-    "date_parse" -> (e => new ParseToTimestamp(e(0), translatedPattern(e(1)))),
+    "date_parse" -> (e => e(1) match {
+      case Literal(s, StringType) if s != null && weekOnlyPattern(s.toString) =>
+        mysqlParseWithWeek(e(0), s.toString)
+      case _ => new ParseToTimestamp(e(0), translatedPattern(e(1)))
+    }),
     // date_format shadows the builtin name → construct the Catalyst class
     // directly (delegating via UnresolvedFunction would recurse into us).
     "date_format" -> { e =>

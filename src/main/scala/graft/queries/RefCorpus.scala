@@ -3229,6 +3229,253 @@ object RefCorpus {
       sparkCast = Map("k1" -> "bigint", "k2" -> "bigint"),
       raw = true),
 
+    // AbstractTestQueries.java :6363-:6516 — subquery shapes Presto plans
+    // from any expression context (SubqueryPlanner/PlanNodeDecorrelator)
+    // that Spark refuses without graft.Decorrelate: correlation through a
+    // trivial subrelation, EXISTS in an inner-join ON predicate
+    // referencing both sides, and the ORDER BY hoist. DuckDB shares
+    // Spark's refusals, so each oracle is the decorrelated equivalent —
+    // checking the REWRITE's semantics, not echoing it.
+    "r236_ref_decorrelate" -> batch(Seq(
+      ("d6438", "SELECT count(*) FROM orders o WHERE (SELECT * FROM (SELECT EXISTS(SELECT 1 WHERE o.orderkey = 0)))",
+                "SELECT count(*) FROM orders o WHERE o.orderkey = 0"),
+      ("d6384", "SELECT count(*) FROM orders o WHERE (SELECT * FROM (SELECT EXISTS(SELECT o.orderkey)))",
+                "SELECT count(*) FROM orders"),
+      ("d6516", "SELECT count(*) FROM orders o WHERE (SELECT * FROM (SELECT EXISTS(SELECT 1 FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 = 0)))",
+                "SELECT count(*) FROM orders o WHERE EXISTS(SELECT 1 FROM orders i WHERE o.orderkey < i.orderkey AND i.orderkey % 1000 = 0)"),
+      ("d6428", "SELECT count(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o1 JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o2 ON NOT EXISTS(SELECT 1 WHERE o1.orderkey = o2.orderkey)",
+                "SELECT count(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o1 JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o2 ON o1.orderkey <> o2.orderkey"),
+      ("d6509", "SELECT count(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o1 JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o2 ON NOT EXISTS(SELECT 1 FROM orders i WHERE o1.orderkey < o2.orderkey AND i.orderkey % 10000 = 0)",
+                "SELECT count(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o1 JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o2 ON NOT (o1.orderkey < o2.orderkey AND EXISTS(SELECT 1 FROM orders i WHERE i.orderkey % 10000 = 0))"),
+      ("d6073", "SELECT count(*) FROM (SELECT nationkey FROM nation n ORDER BY (SELECT 2 * n.nationkey) LIMIT 5) t",
+                "SELECT count(*) FROM (SELECT nationkey FROM nation ORDER BY nationkey LIMIT 5) t"))),
+
+    // AbstractTestQueries.java :1828 testQualifiedWildcardFromJoin — the
+    // reference's own expected side: qualified star over a USING join
+    // EXCLUDES the using columns (DuckDB, like Spark, includes them — the
+    // oracle spells out Presto's expansion).
+    "r237_ref_using_star" -> batchCols(
+      Seq("partkey", "custkey"),
+      Seq("CAST(c1 AS BIGINT) AS partkey", "CAST(c2 AS BIGINT) AS custkey"),
+      Seq(
+        ("q1828", "SELECT a.*, b.* FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b using (orderkey)",
+                  "SELECT a.partkey, b.custkey FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b on a.orderkey = b.orderkey"))),
+
+    // TestDateTimeFunctionsBase:795 parse-side ISO-week tokens; values are
+    // the reference's own expected timestamps (as dates — midnight).
+    "r238_ref_week_parse" -> one(
+      "SELECT CAST(CAST(date_parse('1998 53', '%x %v') AS DATE) AS VARCHAR) AS d1, " +
+        "CAST(CAST(date_parse('2017 1', '%x %v') AS DATE) AS VARCHAR) AS d2, " +
+        "date_format(date_parse('2001 02', '%x %v'), '%x %v') AS d3",
+      Seq("d1", "d2", "d3"),
+      Seq("c1 AS d1", "c2 AS d2", "c3 AS d3"),
+      oracleSql = "SELECT '1998-12-28', '2017-01-02', '2001 02'"),
+
+    // The one-arg assertQuery/assertQueryOrdered TAIL of
+    // AbstractTestQueries.java — the reference statements not already
+    // embedded elsewhere in this corpus, auto-grouped by output schema
+    // (each case tag is the reference test method + harvest index). The
+    // reference protocol runs the same text against H2; here the DuckDB
+    // oracle replays it (overrides only where DuckDB diverges from
+    // Presto: `/` on integers is truncating in Presto, float in DuckDB;
+    // DuckDB cannot put a scalar subquery in an outer-join condition).
+    // Row ORDER of the assertQueryOrdered statements is pinned by
+    // OneArgTailSpec; the driver gate hashes the value multiset.
+    "r239a_ref_onearg_tail" -> batchCols(
+      Seq("d01"),
+      Seq("CAST(c1 AS BIGINT) AS d01"),
+      Seq(
+        ("testDistinctWithOrderBy_0", "SELECT DISTINCT custkey FROM orders ORDER BY custkey LIMIT 10"),
+        ("testJoinWithRangePredicatesinJoinClause_8", "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 16 = 0 AND partkey % 2 = 0) lineitem JOIN (SELECT * FROM orders WHERE orderkey % 16 = 0 AND custkey % 2 = 0) orders ON lineitem.orderkey % 8 = orders.orderkey % 8 AND lineitem.linenumber % 2 = 0 AND orders.custkey % 8 < 7 AND lineitem.suppkey % 10 < orders.custkey % 7 AND lineitem.suppkey % 7 > orders.custkey % 7"),
+        ("testJoinWithRangePredicatesinJoinClause_9", "SELECT COUNT(*) FROM (SELECT * FROM lineitem WHERE orderkey % 16 = 0 AND partkey % 2 = 0) lineitem JOIN (SELECT * FROM orders WHERE orderkey % 16 = 0 AND custkey % 2 = 0) orders ON lineitem.orderkey % 8 = orders.orderkey % 8 AND lineitem.linenumber % 2 = 0 AND orders.custkey % 8 < lineitem.linenumber % 2 AND lineitem.suppkey % 10 < orders.custkey % 7 AND lineitem.suppkey % 7 > orders.custkey % 7"),
+        ("testNonEqualityJoin_10", "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 2"),
+        ("testNonEqualityJoin_11", "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.orderdate < lineitem.shipdate"),
+        ("testNonEqualityJoin_12", "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.comment LIKE '%forges%'"),
+        ("testNonEqualityJoin_13", "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.comment LIKE orders.comment"),
+        ("testNonEqualityJoin_14", "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.comment NOT LIKE '%forges%'"),
+        ("testNonEqualityJoin_15", "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.comment NOT LIKE lineitem.comment"),
+        ("testNonEqualityJoin_16", "SELECT COUNT(*) FROM lineitem JOIN orders ON lineitem.orderkey = orders.orderkey AND NOT (orders.comment LIKE '%forges%')"),
+        ("testNonEqualityRightJoin_17", "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5 WHERE lineitem.orderkey IS NULL"),
+        ("testNonEqualityRightJoin_18", "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > 5.0 WHERE lineitem.orderkey IS NULL"),
+        ("testNonEqualityRightJoin_19", "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity > lineitem.suppkey WHERE lineitem.orderkey IS NULL"),
+        ("testNonEqualityRightJoin_20", "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND lineitem.quantity*1000 > orders.totalprice WHERE lineitem.orderkey IS NULL"),
+        ("testNonEqualityRightJoin_21", "SELECT COUNT(*) FROM lineitem RIGHT OUTER JOIN orders ON lineitem.orderkey = orders.orderkey AND orders.totalprice > 1000 WHERE lineitem.orderkey IS NULL"),
+        ("testChainedUnionsWithOrder_48", "SELECT orderkey FROM orders UNION (SELECT custkey FROM orders UNION SELECT linenumber FROM lineitem) UNION ALL SELECT orderkey FROM lineitem ORDER BY orderkey"),
+        ("testSubqueryUnion_49", "SELECT * FROM (SELECT orderkey FROM orders UNION SELECT custkey FROM orders UNION SELECT orderkey FROM orders) ORDER BY orderkey LIMIT 1000"),
+        ("testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere_64", "SELECT count(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o1 JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o2 ON NOT 1 = (SELECT count(*) WHERE o1.orderkey = o2.orderkey)"),
+        ("testCorrelatedScalarSubqueriesWithScalarAggregation_65", "SELECT count(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o1 JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o2 ON NOT 1 = (SELECT avg(i.orderkey) FROM orders i WHERE o1.orderkey < o2.orderkey AND i.orderkey % 10000 = 0)")),
+      sparkCast = Map("d01" -> "bigint")),
+    "r239b_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02", "c3 AS d03"),
+      Seq(
+        ("testOrderByWithNulls_25", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS FIRST, custkey ASC"),
+        ("testOrderByWithNulls_26", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) DESC NULLS FIRST, custkey ASC"),
+        ("testOrderByWithNulls_27", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) DESC NULLS LAST, custkey ASC"),
+        ("testTopNByMultipleFields_36", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY orderkey ASC, custkey ASC LIMIT 10"),
+        ("testTopNByMultipleFields_37", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY orderkey ASC, custkey DESC LIMIT 10"),
+        ("testTopNByMultipleFields_38", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY orderkey DESC, custkey ASC LIMIT 10"),
+        ("testTopNByMultipleFields_39", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY orderkey DESC, custkey DESC LIMIT 10"),
+        ("testTopNByMultipleFields_40", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY custkey ASC, orderkey ASC LIMIT 10"),
+        ("testTopNByMultipleFields_41", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY custkey ASC, orderkey DESC LIMIT 10"),
+        ("testTopNByMultipleFields_42", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY custkey DESC, orderkey ASC LIMIT 10"),
+        ("testTopNByMultipleFields_43", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY custkey DESC, orderkey DESC LIMIT 10"),
+        ("testTopNByMultipleFields_44", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS FIRST, custkey ASC LIMIT 10"),
+        ("testTopNByMultipleFields_45", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) DESC NULLS FIRST, custkey ASC LIMIT 10"),
+        ("testTopNByMultipleFields_46", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) ASC NULLS LAST LIMIT 10"),
+        ("testTopNByMultipleFields_47", "SELECT orderkey, custkey, orderstatus FROM orders ORDER BY nullif(orderkey, 3) DESC NULLS LAST, custkey ASC LIMIT 10")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint", "d03" -> "string")),
+    "r239c_ref_onearg_tail" -> batchCols(
+      Seq("d01"),
+      Seq("CAST(c1 AS DOUBLE) AS d01"),
+      Seq(
+        ("testStdDev_3", "SELECT STDDEV_SAMP(totalprice) FROM (SELECT totalprice FROM orders ORDER BY totalprice LIMIT 1) T"),
+        ("testStdDevPop_4", "SELECT STDDEV_POP(custkey) FROM (SELECT custkey FROM orders ORDER BY custkey LIMIT 1) T"),
+        ("testStdDevPop_5", "SELECT STDDEV_POP(totalprice) FROM (SELECT totalprice FROM orders ORDER BY totalprice LIMIT 1) T"),
+        // Presto lowercases quoted identifiers ("ORDERS" is the orders
+        // table); oracleize cannot map a quoted spelling, so the oracle
+        // spells the lowercased form
+        ("testQuotedIdentifiers_32", "SELECT \"TOTALPRICE\" \"my price\" FROM \"ORDERS\"",
+          "SELECT totalprice AS \"my price\" FROM orders")),
+      sparkCast = Map("d01" -> "double")),
+    "r239d_ref_onearg_tail" -> batchCols(
+      Seq("d01"),
+      Seq("c1 AS d01"),
+      Seq(
+        ("testOrderBy_22", "SELECT orderstatus FROM orders ORDER BY orderstatus"),
+        ("testOrderBy2_23", "SELECT orderstatus FROM orders ORDER BY orderkey DESC"),
+        ("testOrderByAlias_28", "SELECT orderstatus x FROM orders ORDER BY x ASC"),
+        ("testOrderByAliasWithSameNameAsUnselectedColumn_29", "SELECT orderstatus orderdate FROM orders ORDER BY orderdate ASC")),
+      sparkCast = Map("d01" -> "string")),
+    "r239e_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02"),
+      Seq(
+        ("testSubqueryBodyOrderLimit_33", "(SELECT orderkey AS a, custkey AS b FROM orders) ORDER BY a LIMIT 1"),
+        ("testSubqueryBodyProjectedOrderby_34", "(SELECT orderkey, custkey FROM orders) ORDER BY orderkey * -1"),
+        ("testScalarSubquery_53", "SELECT o1.orderkey, COUNT(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o1 LEFT JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o2 ON o1.orderkey BETWEEN (SELECT avg(orderkey) FROM orders) - 10 AND (SELECT avg(orderkey) FROM orders) + 10 GROUP BY o1.orderkey",
+          "WITH bnd AS (SELECT avg(orderkey) AS a FROM orders) SELECT o1.orderkey, COUNT(*) FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) o1 CROSS JOIN bnd LEFT JOIN (SELECT * FROM orders ORDER BY orderkey LIMIT 10) o2 ON o1.orderkey BETWEEN bnd.a - 10 AND bnd.a + 10 GROUP BY o1.orderkey")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint")),
+    "r239f_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03", "d04", "d05", "d06", "d07", "d08", "d09"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02", "c3 AS d03", "CAST(c4 AS DOUBLE) AS d04", "CAST(c5 AS VARCHAR) AS d05", "c6 AS d06", "c7 AS d07", "CAST(c8 AS BIGINT) AS d08", "c9 AS d09"),
+      Seq(
+        ("testOrderByOrdinalWithWildcard_31", "SELECT * FROM orders ORDER BY 1"),
+        ("testOrderLimitCompaction_50", "SELECT * FROM (SELECT * FROM orders ORDER BY orderkey) LIMIT 10")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint", "d03" -> "string", "d04" -> "double", "d05" -> "string", "d06" -> "string", "d07" -> "string", "d08" -> "bigint", "d09" -> "string")),
+    "r239g_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "c2 AS d02"),
+      Seq(
+        ("testOrderByLimit_1", "SELECT custkey, orderstatus FROM orders ORDER BY orderkey DESC LIMIT 10"),
+        ("testOrderByMultipleFields_24", "SELECT custkey, orderstatus FROM orders ORDER BY custkey DESC, orderstatus")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "string")),
+    "r239h_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02"),
+      Seq("CAST(c1 AS DOUBLE) AS d01", "CAST(c2 AS BIGINT) AS d02"),
+      Seq(
+        ("testCorrelatedScalarSubqueries_59", "SELECT max(l.quantity), 2 * l.orderkey FROM lineitem l GROUP BY l.orderkey, (SELECT l.orderkey)"),
+        ("testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere_63", "SELECT max(o.totalprice), o.orderkey FROM orders o GROUP BY o.orderkey, (SELECT count(*) WHERE o.orderkey = 0)")),
+      sparkCast = Map("d01" -> "double", "d02" -> "bigint")),
+    "r239i_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02", "CAST(c3 AS INTEGER) AS d03"),
+      Seq(
+        ("testExistsSubqueryWithGroupBy_56", "SELECT linenumber, min(orderkey), EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)HAVING EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)"),
+        ("testExistsSubqueryWithGroupBy_57", "SELECT linenumber, min(orderkey), EXISTS(SELECT orderkey FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, EXISTS(SELECT orderkey FROM orders WHERE orderkey < 17)")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint", "d03" -> "int")),
+    "r239j_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03", "d04", "d05", "d06", "d07", "d08", "d09", "d10", "d11", "d12", "d13", "d14", "d15", "d16", "d17", "d18", "d19", "d20", "d21", "d22", "d23", "d24", "d25"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02", "c3 AS d03", "CAST(c4 AS DOUBLE) AS d04", "CAST(c5 AS VARCHAR) AS d05", "c6 AS d06", "c7 AS d07", "CAST(c8 AS BIGINT) AS d08", "c9 AS d09", "CAST(c10 AS BIGINT) AS d10", "CAST(c11 AS BIGINT) AS d11", "CAST(c12 AS BIGINT) AS d12", "CAST(c13 AS BIGINT) AS d13", "CAST(c14 AS DOUBLE) AS d14", "CAST(c15 AS DOUBLE) AS d15", "CAST(c16 AS DOUBLE) AS d16", "CAST(c17 AS DOUBLE) AS d17", "c18 AS d18", "c19 AS d19", "CAST(c20 AS VARCHAR) AS d20", "CAST(c21 AS VARCHAR) AS d21", "CAST(c22 AS VARCHAR) AS d22", "c23 AS d23", "c24 AS d24", "c25 AS d25"),
+      Seq(
+        ("testCorrelatedExistsSubqueriesWithPrunedCorrelationSymbols_66", "SELECT * FROM orders o JOIN (SELECT * FROM lineitem ORDER BY orderkey LIMIT 2) l ON NOT EXISTS(SELECT o.orderkey = l.orderkey)")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint", "d03" -> "string", "d04" -> "double", "d05" -> "string", "d06" -> "string", "d07" -> "string", "d08" -> "bigint", "d09" -> "string", "d10" -> "bigint", "d11" -> "bigint", "d12" -> "bigint", "d13" -> "bigint", "d14" -> "double", "d15" -> "double", "d16" -> "double", "d17" -> "double", "d18" -> "string", "d19" -> "string", "d20" -> "string", "d21" -> "string", "d22" -> "string", "d23" -> "string", "d24" -> "string", "d25" -> "string")),
+    "r239k_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03", "d04", "d05", "d06", "d07", "d08", "d09", "d10", "d11", "d12", "d13", "d14", "d15", "d16", "d17", "d18", "d19", "d20", "d21", "d22", "d23", "d24", "d25", "d26", "d27"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02", "c3 AS d03", "CAST(c4 AS DOUBLE) AS d04", "CAST(c5 AS VARCHAR) AS d05", "c6 AS d06", "c7 AS d07", "CAST(c8 AS BIGINT) AS d08", "c9 AS d09", "CAST(c10 AS BIGINT) AS d10", "CAST(c11 AS BIGINT) AS d11", "c12 AS d12", "CAST(c13 AS DOUBLE) AS d13", "CAST(c14 AS VARCHAR) AS d14", "c15 AS d15", "c16 AS d16", "CAST(c17 AS BIGINT) AS d17", "c18 AS d18", "CAST(c19 AS BIGINT) AS d19", "CAST(c20 AS BIGINT) AS d20", "c21 AS d21", "CAST(c22 AS DOUBLE) AS d22", "CAST(c23 AS VARCHAR) AS d23", "c24 AS d24", "c25 AS d25", "CAST(c26 AS BIGINT) AS d26", "c27 AS d27"),
+      Seq(
+        ("testImplicitCrossJoin_51", "SELECT * FROM (SELECT * FROM orders ORDER BY orderkey LIMIT 5) a, (SELECT * FROM orders ORDER BY orderkey LIMIT 5) b, (SELECT * FROM orders ORDER BY orderkey LIMIT 5) c")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint", "d03" -> "string", "d04" -> "double", "d05" -> "string", "d06" -> "string", "d07" -> "string", "d08" -> "bigint", "d09" -> "string", "d10" -> "bigint", "d11" -> "bigint", "d12" -> "string", "d13" -> "double", "d14" -> "string", "d15" -> "string", "d16" -> "string", "d17" -> "bigint", "d18" -> "string", "d19" -> "bigint", "d20" -> "bigint", "d21" -> "string", "d22" -> "double", "d23" -> "string", "d24" -> "string", "d25" -> "string", "d26" -> "bigint", "d27" -> "string")),
+    "r239l_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03", "d04", "d05", "d06", "d07", "d08", "d09", "d10", "d11", "d12", "d13", "d14", "d15", "d16", "d17", "d18", "d19"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02", "c3 AS d03", "CAST(c4 AS DOUBLE) AS d04", "CAST(c5 AS VARCHAR) AS d05", "c6 AS d06", "c7 AS d07", "CAST(c8 AS BIGINT) AS d08", "c9 AS d09", "CAST(c10 AS BIGINT) AS d10", "CAST(c11 AS BIGINT) AS d11", "c12 AS d12", "CAST(c13 AS DOUBLE) AS d13", "CAST(c14 AS VARCHAR) AS d14", "c15 AS d15", "c16 AS d16", "CAST(c17 AS BIGINT) AS d17", "c18 AS d18", "CAST(c19 AS INTEGER) AS d19"),
+      Seq(
+        ("testSemiJoin_52", "SELECT *, o2.custkey   IN (     SELECT orderkey     FROM lineitem     WHERE orderkey % 5 = 0) FROM (SELECT * FROM orders WHERE custkey % 256 = 0) o1 JOIN (SELECT * FROM orders WHERE custkey % 256 = 0) o2   ON (o1.orderkey IN (SELECT orderkey FROM lineitem WHERE orderkey % 4 = 0)) = (o2.orderkey IN (SELECT orderkey FROM lineitem WHERE orderkey % 4 = 0)) WHERE o1.orderkey   IN (     SELECT orderkey     FROM lineitem     WHERE orderkey % 4 = 0) ORDER BY o1.orderkey   IN (     SELECT orderkey     FROM lineitem     WHERE orderkey % 7 = 0)")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint", "d03" -> "string", "d04" -> "double", "d05" -> "string", "d06" -> "string", "d07" -> "string", "d08" -> "bigint", "d09" -> "string", "d10" -> "bigint", "d11" -> "bigint", "d12" -> "string", "d13" -> "double", "d14" -> "string", "d15" -> "string", "d16" -> "string", "d17" -> "bigint", "d18" -> "string", "d19" -> "int")),
+    "r239m_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS DOUBLE) AS d02"),
+      Seq(
+        ("testGroupByOrderByLimit_2", "SELECT custkey, SUM(totalprice) FROM orders GROUP BY custkey ORDER BY SUM(totalprice) DESC LIMIT 10")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "double")),
+    "r239n_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03"),
+      Seq("CAST(c1 AS DOUBLE) AS d01", "CAST(c2 AS BIGINT) AS d02", "CAST(c3 AS BIGINT) AS d03"),
+      Seq(
+        ("testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere_62", "SELECT max(o.totalprice), o.orderkey, (SELECT count(*) WHERE o.orderkey = 0) FROM orders o GROUP BY o.orderkey")),
+      sparkCast = Map("d01" -> "double", "d02" -> "bigint", "d03" -> "bigint")),
+    "r239o_ref_onearg_tail" -> batchCols(
+      Seq("d01"),
+      Seq("CAST(c1 AS BIGINT) AS d01"),
+      Seq(
+        ("testExcept_7", "SELECT regionkey FROM (SELECT regionkey FROM nation WHERE nationkey < 7 EXCEPT SELECT regionkey FROM nation WHERE nationkey > 21) UNION ALL SELECT 4")),
+      sparkCast = Map("d01" -> "bigint")),
+    "r239p_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02"),
+      Seq(
+        ("testScalarSubqueryWithGroupBy_54", "SELECT linenumber, min(orderkey) FROM lineitem GROUP BY linenumber HAVING min(orderkey) < (SELECT avg(orderkey) FROM orders WHERE orderkey < 7)")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint")),
+    "r239q_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02", "CAST(c3 AS BIGINT) AS d03"),
+      Seq(
+        ("testScalarSubqueryWithGroupBy_55", "SELECT linenumber, min(orderkey), (SELECT max(orderkey) FROM orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, (SELECT count(orderkey) FROM orders WHERE orderkey < 7)HAVING min(orderkey) < (SELECT sum(orderkey) FROM orders WHERE orderkey < 7)")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint", "d03" -> "bigint")),
+    "r239r_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02"),
+      Seq(
+        ("testExcept_6", "SELECT nationkey, nationkey / 2 FROM (SELECT nationkey FROM nation WHERE nationkey < 10 EXCEPT SELECT nationkey FROM nation WHERE nationkey > 4) T WHERE nationkey % 2 = 0",
+          "SELECT nationkey, nationkey // 2 FROM (SELECT nationkey FROM nation WHERE nationkey < 10 EXCEPT SELECT nationkey FROM nation WHERE nationkey > 4) T WHERE nationkey % 2 = 0")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint")),
+    "r239s_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "CAST(c2 AS BIGINT) AS d02", "CAST(c3 AS BIGINT) AS d03"),
+      Seq(
+        ("testCorrelatedScalarSubqueries_58", "SELECT max(n.regionkey), 2 * n.nationkey, (SELECT n.nationkey) FROM nation n GROUP BY n.nationkey")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "bigint", "d03" -> "bigint")),
+    "r239t_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "c2 AS d02", "CAST(c3 AS BIGINT) AS d03"),
+      Seq(
+        ("testQuantifiedComparison_67", "SELECT nationkey, name, regionkey FROM nation WHERE regionkey = ANY (SELECT regionkey FROM region WHERE name IN ('ASIA', 'EUROPE'))")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "string", "d03" -> "bigint")),
+    "r239u_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03", "d04"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "c2 AS d02", "CAST(c3 AS BIGINT) AS d03", "c4 AS d04"),
+      Seq(
+        ("testCorrelatedScalarSubqueries_61", "SELECT * FROM nation n WHERE 2 = (SELECT (SELECT 2 * n.nationkey))")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "string", "d03" -> "bigint", "d04" -> "string")),
+    "r239v_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02", "d03", "d04", "d05", "d06", "d07", "d08"),
+      Seq("CAST(c1 AS BIGINT) AS d01", "c2 AS d02", "CAST(c3 AS BIGINT) AS d03", "c4 AS d04", "CAST(c5 AS BIGINT) AS d05", "c6 AS d06", "CAST(c7 AS BIGINT) AS d07", "c8 AS d08"),
+      Seq(
+        ("testCorrelatedScalarSubqueries_60", "SELECT * FROM nation n1 JOIN nation n2 ON n1.nationkey = (SELECT n2.nationkey)")),
+      sparkCast = Map("d01" -> "bigint", "d02" -> "string", "d03" -> "bigint", "d04" -> "string", "d05" -> "bigint", "d06" -> "string", "d07" -> "bigint", "d08" -> "string")),
+    "r239w_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02"),
+      Seq("c1 AS d01", "CAST(c2 AS BIGINT) AS d02"),
+      Seq(
+        ("testSelectColumnOfNulls_35", "SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM orders ORDER BY 1")),
+      sparkCast = Map("d01" -> "string", "d02" -> "bigint")),
+    "r239x_ref_onearg_tail" -> batchCols(
+      Seq("d01", "d02"),
+      Seq("c1 AS d01", "CAST(c2 AS VARCHAR) AS d02"),
+      Seq(
+        ("testOrderByOrdinal_30", "SELECT orderstatus, orderdate FROM orders ORDER BY 2, 1")),
+      sparkCast = Map("d01" -> "string", "d02" -> "string")),
+
     // DuckDB supports the ordered-aggregate grammar natively, so the oracle
     // is the same text; the array column is joined to a scalar string on
     // both sides (the driver's row-sort cannot hash array cells).

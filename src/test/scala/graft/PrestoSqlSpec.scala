@@ -19,7 +19,11 @@ class PrestoSqlSpec extends AnyFunSuite {
   test("string literals, quoted identifiers and comments pass through") {
     assert(rw("SELECT 'ARRAY[1]'") == "SELECT 'ARRAY[1]'")
     assert(rw("SELECT 'it''s ARRAY[1]'") == "SELECT 'it''s ARRAY[1]'")
-    assert(rw("SELECT \"ARRAY\" FROM t") == "SELECT \"ARRAY\" FROM t")
+    // Presto double quotes delimit IDENTIFIERS (never strings) — they
+    // lower to Spark's backtick spelling so the default parser (which
+    // reads "..." as a string literal) resolves them as identifiers
+    assert(rw("SELECT \"ARRAY\" FROM t") == "SELECT `ARRAY` FROM t")
+    assert(rw("SELECT \"a\"\"b\" FROM t") == "SELECT `a\"b` FROM t")
     assert(rw("SELECT 1 -- ARRAY[1]\n+ 2") == "SELECT 1 -- ARRAY[1]\n+ 2")
     assert(rw("SELECT /* ARRAY[1] */ 2") == "SELECT /* ARRAY[1] */ 2")
     assert(rw("SELECT 'a = ANY(b)'") == "SELECT 'a = ANY(b)'")
@@ -120,6 +124,20 @@ class PrestoSqlSpec extends AnyFunSuite {
       val once = PrestoSql.rewrite(f)
       assert(PrestoSql.rewrite(once) == once, s"\nnot idempotent for: $f\nonce: $once")
     }
+  }
+
+  test("bare localtime/localtimestamp get argument lists") {
+    assert(PrestoSql.rewrite("SELECT localtime").contains("localtime()"))
+    assert(PrestoSql.rewrite("SELECT LOCALTIMESTAMP")
+      .toLowerCase.contains("localtimestamp()"))
+    // already-callable and qualified forms, and literals, stay untouched
+    assert(PrestoSql.rewrite("SELECT localtime()") == "SELECT localtime()")
+    assert(PrestoSql.rewrite("SELECT t.localtime FROM t")
+      == "SELECT t.localtime FROM t")
+    assert(PrestoSql.rewrite("SELECT 'localtime'") == "SELECT 'localtime'")
+    // idempotent (nested Engine.sql calls re-rewrite lowered text)
+    val once = PrestoSql.rewrite("SELECT localtime, localtimestamp")
+    assert(PrestoSql.rewrite(once) == once)
   }
 
   test("oracleize skips table names inside literals") {
