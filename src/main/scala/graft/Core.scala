@@ -84,7 +84,7 @@ object Tables {
   */
 object GraftSession {
   def local(cpus: Int = 32): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -93,10 +93,26 @@ object GraftSession {
       // coalescing: fewer, fuller tasks (same knob that avoids tiny-task
       // storms on a 1000-executor cluster)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Partitioned HASH join over sort-merge when the build side fits a
+      // per-partition map — the reference's execution model (LookupJoin =
+      // partitioned hash join; HashBuilderOperator builds, never sorts).
+      // canBuildLocalHashMap (autoBroadcastJoinThreshold × shuffle
+      // partitions) still bounds the build side, AQE still handles skew,
+      // and SMJ remains the fallback for oversized builds — so the choice
+      // holds on a 1000-executor cluster, where per-partition build sides
+      // stay bounded by the same guard. factor=1 lets comparable-size
+      // sides hash-join (Spark's default demands a 3× imbalance; Presto
+      // hash-joins regardless and just picks the build side).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.shuffledHashJoinFactor", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
+    // ad-hoc config sweeps for tools (Explain/Bench A/B): "k=v,k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark2 = builder.getOrCreate()
+    spark2.sparkContext.setLogLevel("WARN")
+    spark2
   }
 }

@@ -29,6 +29,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // partitioned hash join posture — see GraftSession.local
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.shuffledHashJoinFactor", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -13,6 +13,7 @@ TypeError), then compare str(value) cell-by-cell.
 Usage: python3 tools/driver_check.py <sfdir> <outdir> [query ...]
 """
 import glob
+import os
 import json
 import sys
 
@@ -35,7 +36,10 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        p = f"{sfdir}/{t}.parquet"
+        # multi-file fixtures (tools ScaleUp) are directories of part files
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
