@@ -22,6 +22,7 @@ object Bench {
       .config("spark.sql.shuffledHashJoinFactor", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    GraftSession.localExchangeConf(builder)
     // ad-hoc config sweeps: SPARK_GRAFT_CONF="k=v,k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
       val Array(k, v) = kv.split("=", 2); builder.config(k, v)

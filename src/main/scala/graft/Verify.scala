@@ -26,14 +26,14 @@ object Verify {
     // local iteration; the driver always runs the full set)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.localExchangeConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // partitioned hash join posture — see GraftSession.local
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.shuffledHashJoinFactor", "1")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
