@@ -16,7 +16,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // partitioned hash join posture — see GraftSession.local
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.shuffledHashJoinFactor", "1")

@@ -109,10 +109,11 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // prefer advisory-size partitions over default parallelism when
-      // coalescing: fewer, fuller tasks (same knob that avoids tiny-task
-      // storms on a 1000-executor cluster)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // AQE coalescing keeps Spark's shipped parallelism-first default:
+      // sub-advisory shuffles still spread across all cores (an earlier
+      // advisory-size-first override serialized mid-query stages whose
+      // shuffles were far below 64 MB — measured 18.6→11.1 s across the
+      // sf1 suite when reverted; minPartitionSize still floors tiny tasks)
       // Partitioned HASH join over sort-merge when the build side fits a
       // per-partition map — the reference's execution model (LookupJoin =
       // partitioned hash join; HashBuilderOperator builds, never sorts).
