@@ -194,4 +194,35 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => c.unset(k)
     }
   }
+
+  test("local posture plans comparable-size fact joins as partitioned hash join") {
+    // GraftSession.local prefers shuffled hash join (the reference's
+    // LookupJoin model: build a hash table, never sort) via
+    // preferSortMergeJoin=false + shuffledHashJoinFactor=1. This pins the
+    // gate interplay those flags rely on: the build side must pass
+    // canBuildLocalHashMap (stats < threshold × shuffle partitions), and
+    // factor=1 must admit near-equal sides — a threshold of -1 silently
+    // re-enables SMJ by turning the local-map bound negative (the bug this
+    // test exists to catch).
+    val c = spark.conf
+    val saved = Seq("spark.sql.join.preferSortMergeJoin",
+      "spark.sql.shuffledHashJoinFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.join.preferSortMergeJoin", "false")
+      c.set("spark.sql.shuffledHashJoinFactor", "1")
+      // sides (~1.6 MB each by range stats) exceed broadcast, fit the
+      // 1m × 4-partition local-map bound
+      c.set("spark.sql.autoBroadcastJoinThreshold", "1m")
+      val a = spark.range(200000).toDF("k")
+      val b = spark.range(200000).toDF("k2")
+      val plan = a.join(b, a("k") === b("k2")).queryExecution
+        .executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), plan.take(800))
+      assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
 }
