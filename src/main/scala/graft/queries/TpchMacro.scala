@@ -337,15 +337,45 @@ object TpchMacro {
       // orderkey-partitioned aggregate replaces two shuffled semi/anti
       // joins of lineitem against itself (the correlated-quantifier PLAN
       // shape stays exercised by h04/q56-q59/q62).
-      both("h21_waiting_supplier", """
+      // The Spark side carries the per-order checks as WINDOWS over the
+      // (order, supp) aggregate — the h02/h09 aggregate-join-back lesson
+      // one level up: the naive CTE form evaluates lineitem⋈orders TWICE
+      // (Spark does not materialize CTEs) and shuffles the line-level
+      // relation a third time to join it back to the per-order aggregate;
+      // here lineitem⋈orders runs once, the (orderkey, suppkey) rollup
+      // carries n_late_lines (count(*) ≡ sum of late lines for the sole
+      // late supplier), and both quantifiers read from one orderkey
+      // window. The oracle keeps the aggregate-join-back formulation as
+      // an independent recompute.
+      "h21_waiting_supplier" -> Q(sql("""
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+            l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem, orders
+          WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'),
+        ps AS (
+          SELECT l_orderkey, l_suppkey, bool_or(late) AS any_late,
+            sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late_lines
+          FROM lo GROUP BY l_orderkey, l_suppkey),
+        w AS (
+          SELECT l_suppkey, n_late_lines, any_late,
+            count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+            sum(CASE WHEN any_late THEN 1 ELSE 0 END)
+              OVER (PARTITION BY l_orderkey) AS n_late_supp
+          FROM ps)
+        SELECT s_name, CAST(sum(n_late_lines) AS BIGINT) AS numwait
+        FROM w, supplier, nation
+        WHERE any_late AND n_supp > 1 AND n_late_supp = 1
+          AND s_suppkey = l_suppkey
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""),
+        Some("""
         WITH lo AS (
           SELECT l_orderkey, l_suppkey,
             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
           FROM lineitem, orders
           WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'),
         ag AS (
-          -- two-level distinct: (order, supp) partial-aggregates map-side,
-          -- then one row per order — no Expand from multi-DISTINCT rewrite
           SELECT l_orderkey, count(*) AS n_supp,
             sum(CASE WHEN any_late THEN 1 ELSE 0 END) AS n_late_supp
           FROM (SELECT l_orderkey, l_suppkey, bool_or(late) AS any_late
@@ -357,7 +387,7 @@ object TpchMacro {
           AND ag.n_supp > 1 AND ag.n_late_supp = 1
           AND s_suppkey = l1.l_suppkey
           AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
-        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""),
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
 
       // Q22: global sales opportunity (anti join + above-average filter);
       // country code derives from c_nationkey (no phone column), and the
