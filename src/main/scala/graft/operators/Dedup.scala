@@ -670,6 +670,56 @@ object Dedup {
           JOIN f fa ON fa.doc_id = c.id_a
           JOIN f fb ON fb.doc_id = c.id_b)
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard > 0.5
+        ORDER BY id_a, id_b""")),
+
+    // Exact-dedup PREFILTER → MinHash-LSH — the composition a production
+    // pipeline actually runs, and the scale lesson the sf1 soak measured:
+    // identical documents (boilerplate, mirrored pages) all land in the
+    // same LSH buckets, so candidate pairs grow with the SQUARE of the
+    // copy count (the 10×-copied sf1 fixture multiplied d04's pair stage
+    // ~100×). One fingerprint hash-shuffle first removes exact copies, so
+    // LSH sees each distinct text once and near-dup candidates scale with
+    // distinct content, not corpus size. The oracle recomputes keepers +
+    // the exhaustive survivor pair set independently.
+    "d11_lsh_after_exact" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val keep = dd
+          .groupBy(fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        lshVerifiedPairs(dd.join(keep, Seq("doc_id"), "leftsemi"))
+          .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH keep AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents)
+          GROUP BY fp),
+        d AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM keep)),
+        t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM d),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 2 + 1),
+              i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM t WHERE len(toks) >= 3)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+          AND len(a.shingles) >= 0.8 * len(b.shingles)
+          AND len(b.shingles) >= 0.8 * len(a.shingles)
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
         ORDER BY id_a, id_b"""))
   )
 }
