@@ -16,9 +16,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // partitioned hash join posture — see GraftSession.local
+      // partitioned hash join + 4 MB local broadcast cutoff — see
+      // GraftSession.local for the measured rationale of both
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.shuffledHashJoinFactor", "1")
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     GraftSession.localExchangeConf(builder)

@@ -126,6 +126,16 @@ object GraftSession {
       // hash-joins regardless and just picks the build side).
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.shuffledHashJoinFactor", "1")
+      // 4 MB broadcast cutoff in LOCAL mode: the driver builds a broadcast
+      // HashedRelation single-threaded, so a 1-2 M-row dim (part/customer
+      // at the sf10 soak) costs 1-2 s serialized build while the 32-way
+      // partitioned hash join builds the same table in parallel — measured
+      // 29.9 → 17.7 s across the six join-heavy sf10 headliners (SCALE.md).
+      // A real cluster keeps the shipped 10 MB default via spark-submit:
+      // there the broadcast eliminates a fact-side network shuffle, which
+      // dominates the one-time build. Truly small dims (nation, region,
+      // filtered lookups) stay under 4 MB and still broadcast everywhere.
+      .config("spark.sql.autoBroadcastJoinThreshold", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     localExchangeConf(builder)
