@@ -226,13 +226,91 @@ object Decorrelate {
         Filter(cond, Join(l, r, Inner, None, hint))
     }
 
+  /** Subquery expressions as NON-lambda arguments of a higher-order
+    * function: Presto plans them like any other subquery (ApplyNode from
+    * any expression context — the ExpressionAnalyzer.java:1044 ban covers
+    * only subqueries INSIDE the lambda body), but Spark's
+    * ResolveLambdaVariables.checkForSubqueryExpressions rejects subqueries
+    * anywhere under a HOF. Hoist each such subquery into a hidden
+    * projection below, and reference it by name:
+    * `SELECT filter((SELECT array_agg(k) FROM t), x -> p) FROM R` →
+    * `SELECT filter(__graft_hof_0, x -> p)
+    *    FROM (SELECT *, (SELECT array_agg(k) FROM t) AS __graft_hof_0 FROM R)`.
+    * Subqueries inside the lambda body stay put — both engines refuse
+    * those, and the untouched form preserves the error. */
+  def hoistHofSubqueries(plan: LogicalPlan): LogicalPlan = {
+    var counter = 0
+
+    def lambdaOf(f: UnresolvedFunction): Option[Expression] =
+      f.arguments.find(_.isInstanceOf[LambdaFunction])
+
+    def hasHofSubquery(e: Expression): Boolean = e.exists {
+      case f: UnresolvedFunction =>
+        lambdaOf(f).isDefined &&
+          f.arguments.exists(a => !a.isInstanceOf[LambdaFunction] &&
+            a.exists(_.isInstanceOf[SubqueryExpression]))
+      case _ => false
+    }
+
+    // replace hoistable subqueries in e; append helper aliases to `helpers`
+    def extract(e: Expression,
+        helpers: scala.collection.mutable.ArrayBuffer[NamedExpression]): Expression =
+      e.transformDown {
+        case f: UnresolvedFunction if lambdaOf(f).isDefined =>
+          val newArgs = f.arguments.map {
+            case l: LambdaFunction => l
+            case a if a.exists(_.isInstanceOf[SubqueryExpression]) =>
+              a.transformDown {
+                case sq: ScalarSubquery =>
+                  val nm = s"__graft_hof_$counter"; counter += 1
+                  helpers += Alias(sq, nm)()
+                  UnresolvedAttribute(Seq(nm))
+              }
+            case a => a
+          }
+          f.copy(arguments = newArgs)
+      }
+
+    // a bare star does not resolve over a no-FROM (one-row) child; the
+    // helper projection needs it only to pass real columns through
+    def withHelpers(child: LogicalPlan,
+        helpers: Seq[NamedExpression]): LogicalPlan = child match {
+      case _: OneRowRelation => Project(helpers, child)
+      case _ => Project(Seq(UnresolvedStar(None)) ++ helpers, child)
+    }
+
+    plan.transformUp {
+      case proj @ Project(list, child) if list.exists(hasHofSubquery) =>
+        val helpers = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+        val newList = list.map {
+          case e if hasHofSubquery(e) => extract(e, helpers) match {
+            case ne: NamedExpression => ne
+            case other => Alias(other, s"__graft_hof_prj_${counter}")()
+          }
+          case e => e
+        }
+        if (helpers.isEmpty) proj
+        else Project(newList.asInstanceOf[Seq[NamedExpression]],
+          withHelpers(child, helpers.toSeq))
+      case fl @ Filter(cond, child) if hasHofSubquery(cond) =>
+        val helpers = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+        val newCond = extract(cond, helpers)
+        if (helpers.isEmpty) fl
+        else Project(
+          Seq(UnresolvedStarExceptOrReplace(None,
+            helpers.map(h => Seq(h.name)).toSeq, None)),
+          Filter(newCond, withHelpers(child, helpers.toSeq)))
+    }
+  }
+
   /** All plan-shape rewrites in dependency order. */
   def apply(plan: LogicalPlan): LogicalPlan = {
     val p1 = inlineTrivialSubqueries(plan)
     val p2 = collapseStarSubrelation(p1)
     val p3 = inlineTrivialSubqueries(p2) // collapse may expose no-FROM forms
     val p4 = hoistSortSubqueries(p3)
-    joinCondSubqueryToFilter(p4)
+    val p5 = hoistHofSubqueries(p4)
+    joinCondSubqueryToFilter(p5)
   }
 
   // ---------------------------------------------------------------------

@@ -3261,6 +3261,24 @@ object RefCorpus {
         ("q1828", "SELECT a.*, b.* FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b using (orderkey)",
                   "SELECT a.partkey, b.custkey FROM (SELECT orderkey, partkey FROM lineitem) a JOIN (SELECT orderkey, custkey FROM orders) b on a.orderkey = b.orderkey"))),
 
+    // Subquery expressions as NON-lambda arguments of a higher-order
+    // function: Presto plans them via ApplyNode from any expression
+    // context (SubqueryPlanner.java:69; the ExpressionAnalyzer.java:1044
+    // ban covers only subqueries INSIDE the lambda body), Spark's
+    // ResolveLambdaVariables refuses subqueries anywhere under a HOF —
+    // closed by Decorrelate.hoistHofSubqueries (hidden-projection hoist).
+    // DuckDB shares Presto's acceptance through its list lambdas, so the
+    // oracle replays the same shape in DuckDB spelling.
+    "r240_ref_hof_subquery" -> batch(Seq(
+      ("h01", "SELECT cardinality(filter((SELECT array_agg(custkey) FROM customer), x -> x < 5))",
+              "SELECT len(list_filter((SELECT list(custkey) FROM customer), x -> x < 5))"),
+      ("h02", "SELECT CAST(sum(cardinality(filter((SELECT array_agg(custkey) FROM customer WHERE custkey < 100), x -> x <= orderkey % 100))) AS BIGINT) FROM orders",
+              "SELECT CAST(sum(len(list_filter((SELECT list(custkey) FROM customer WHERE custkey < 100), x -> x <= orderkey % 100))) AS BIGINT) FROM orders"),
+      ("h03", "SELECT count(*) FROM orders WHERE cardinality(filter((SELECT array_agg(custkey) FROM customer WHERE custkey < 50), x -> x = custkey)) > 0",
+              "SELECT count(*) FROM orders WHERE len(list_filter((SELECT list(custkey) FROM customer WHERE custkey < 50), x -> x = custkey)) > 0"),
+      ("h04", "SELECT element_at(transform((SELECT array_agg(custkey ORDER BY custkey) FROM customer WHERE custkey < 3), x -> x * 10), 1)",
+              "SELECT (list_transform((SELECT list(custkey ORDER BY custkey) FROM customer WHERE custkey < 3), x -> x * 10))[1]"))),
+
     // TestDateTimeFunctionsBase:795 parse-side ISO-week tokens; values are
     // the reference's own expected timestamps (as dates — midnight).
     "r238_ref_week_parse" -> one(

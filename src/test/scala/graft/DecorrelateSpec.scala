@@ -178,4 +178,27 @@ class DecorrelateSpec extends AnyFunSuite {
   ref("date_parse week tokens round-trip with date_format",
     "SELECT date_format(date_parse('2001 02', '%x %v'), '%x %v')",
     "SELECT '2001 02'")
+
+  // --- subqueries as HOF arguments (SubqueryPlanner.java:69 plans
+  //     subqueries from any expression context; the lambda-body ban is
+  //     ExpressionAnalyzer.java:1044 — NON-lambda HOF arguments are legal
+  //     Presto, refused by Spark's ResolveLambdaVariables, closed by
+  //     Decorrelate.hoistHofSubqueries) ---
+  ref("hof with subquery array argument",
+    "SELECT cardinality(filter((SELECT array_agg(custkey) FROM customer), x -> x < 5))",
+    "SELECT cardinality(filter(array_agg(custkey), x -> x < 5)) FROM customer")
+  ref("hof subquery argument with outer-correlated lambda",
+    "SELECT count(*) FROM orders WHERE cardinality(filter(" +
+      "(SELECT array_agg(custkey) FROM customer WHERE custkey < 50), x -> x = custkey)) > 0",
+    "SELECT count(*) FROM orders WHERE custkey < 50")
+  ref("hof subquery argument under transform per outer row",
+    "SELECT DISTINCT element_at(transform((SELECT array_agg(custkey ORDER BY custkey) " +
+      "FROM customer WHERE custkey < 3), x -> x * 10), 1) FROM orders",
+    "SELECT 0")
+  test("subquery INSIDE the lambda body still refused (reference also refuses: ExpressionAnalyzer.java:1044)") {
+    intercept[Exception] {
+      engine.sql("SELECT transform(ARRAY[1,2], x -> x + " +
+        "(SELECT max(custkey) FROM customer))").collect()
+    }
+  }
 }
