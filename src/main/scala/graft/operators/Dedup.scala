@@ -165,6 +165,34 @@ object Dedup {
     labels
   }
 
+  /** Eval-set DECONTAMINATION: flag corpus documents that share any
+    * word-level n-gram with a benchmark/eval set — the train/test overlap
+    * check of large-scale LM data pipelines (13-gram overlap in GPT-3's
+    * appendix; exact-substring/n-gram variants since). Returns one row per
+    * contaminated corpus doc: (idCol, shared_ngrams = distinct grams also
+    * present anywhere in the eval set).
+    *
+    * Scale shape: the eval side is benchmarks (10^3-10^5 docs) while the
+    * corpus is the 100 TB side, so the eval n-gram set is built small,
+    * de-duplicated, and BROADCAST; the corpus side is one map pass
+    * (normalize → tokenize → n-grams → explode) into a broadcast semi-join
+    * and a partial-aggregated count — the only corpus-wide shuffle is the
+    * final per-doc count, map-side combined on doc id. Gram strings keep
+    * the count collision-free; at petabyte scale hash the gram column
+    * (xxhash64) on both sides to shrink the broadcast — counts are
+    * unchanged short of a 64-bit collision. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) = df.select(
+      (cols :+ explode(array_distinct(
+        shinglesOf(tokens(col(textCol)), n))).as("g")): _*)
+    val evalGrams = grams(eval).select(col("g")).distinct()
+    grams(corpus, col(idCol))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("shared_ngrams"))
+  }
+
   /** Library API: MinHash-LSH candidate pairs over a text column.
     * Pipeline: tokenize → k-shingles (exploded; each shingle hashed once per
     * hash function) → per-doc signature via groupBy-min → band → bucket
@@ -718,6 +746,36 @@ object Dedup {
     // LSH sees each distinct text once and near-dup candidates scale with
     // distinct content, not corpus size. The oracle recomputes keepers +
     // the exhaustive survivor pair set independently.
+    // Eval-set decontamination over the fixture: docs with doc_id % 29 = 0
+    // stand in as the benchmark set, the rest as the training corpus; a
+    // contaminated doc is one sharing any normalized word 3-gram with the
+    // eval side. Eval gram set broadcasts (PlanSpec-style pin in
+    // DedupSpec); corpus side stays one map pass + per-doc count.
+    "d12_decontaminate" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        decontaminate(
+          dd.filter(col("doc_id") % 29 =!= 0),
+          dd.filter(col("doc_id") % 29 === 0),
+          "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 2 + 1),
+            i -> array_to_string(toks[i:i+2], ' ')))) AS g
+          FROM t WHERE len(toks) >= 3),
+        ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
+        co AS (SELECT doc_id, g FROM g WHERE doc_id % 29 <> 0)
+        SELECT co.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+        FROM co JOIN ev USING (g)
+        GROUP BY co.doc_id ORDER BY co.doc_id""")),
+
     "d11_lsh_after_exact" -> Q(
       (s, d) => {
         val dd = docs(s, d)

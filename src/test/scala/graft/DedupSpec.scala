@@ -87,4 +87,27 @@ class DedupSpec extends AnyFunSuite {
         !plan.contains("CartesianProduct"), plan.take(800))
       assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
     }
+
+  // d12: the eval n-gram set must BROADCAST (the corpus side is the
+  // 100 TB side — a shuffled join there would shuffle every corpus gram;
+  // the broadcast keeps the corpus side one map pass + per-doc count).
+  test("d12 broadcasts the eval gram set against the corpus gram stream") {
+    val plan = Dedup.queries("d12_decontaminate")
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("decontaminate counts distinct shared grams per doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat today"),     // shares "the cat sat", "cat sat on"
+      (2L, "completely different words here entirely"),
+      (3L, "the cat sat the cat sat")           // repeated gram counts once
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the cat sat on a rug")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
 }
