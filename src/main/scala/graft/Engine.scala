@@ -392,10 +392,16 @@ class Engine(parent: SparkSession) {
             if String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") =>
           try sortSourceToAlias(text, e)
           catch {
-            // the unresolved name may be an outer reference crossing a
-            // trivial derived table inside a subquery expression — the
-            // decorrelation rewrites close that shape
-            case _: Throwable => decorrelateRetry(text, e)
+            // grouping() in ORDER BY referencing a renamed grouping
+            // column resolves in the aggregate scope, not via aliasing
+            case _: Throwable =>
+              try sortGroupingHoist(text, e)
+              catch {
+                // the unresolved name may be an outer reference crossing
+                // a trivial derived table inside a subquery expression —
+                // the decorrelation rewrites close that shape
+                case _: Throwable => decorrelateRetry(text, e)
+              }
           }
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("ARRAY_FUNCTION_DIFF_TYPES") =>
@@ -609,6 +615,61 @@ class Engine(parent: SparkSession) {
     }
     if (!changed) throw orig
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** `ORDER BY grouping(b)` where the SELECT list renames the grouping
+    * column away (AbstractTestQueries :1213 — `SELECT a, b AS t, ...
+    * GROUP BY GROUPING SETS ((a),(b)) ORDER BY grouping(b)`): Presto
+    * resolves grouping() in ORDER BY against the SOURCE scope
+    * (GroupingOperationRewriter), while Spark's Sort sees only the
+    * aggregate output, where `b` no longer exists. Retry path: hoist
+    * each grouping-bearing sort expression INTO the aggregate's select
+    * list under a hidden alias (that scope still sees the source
+    * columns), sort on the alias, and project the helpers away. */
+  private def sortGroupingHoist(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStarExceptOrReplace}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
+    val parsed =
+      try org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
+      catch { case _: Throwable => throw orig }
+    def hasGrouping(e: Expression): Boolean = e.exists {
+      case f: UnresolvedFunction =>
+        Set("grouping", "grouping_id")(f.nameParts.last.toLowerCase)
+      case _ => false
+    }
+    var counter = 0
+    var changed = false
+    def hoist(order: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+        global: Boolean, agg: Aggregate,
+        rebuild: Aggregate => LogicalPlan): LogicalPlan = {
+      changed = true
+      val helpers = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+      val newOrder = order.map { o =>
+        if (hasGrouping(o.child)) {
+          val nm = s"__graft_gord_$counter"; counter += 1
+          helpers += Alias(o.child, nm)()
+          o.copy(child = UnresolvedAttribute(Seq(nm)))
+        } else o
+      }
+      Project(
+        Seq(UnresolvedStarExceptOrReplace(None,
+          helpers.map(h => Seq(h.name)).toSeq, None)),
+        Sort(newOrder, global, rebuild(agg.copy(
+          aggregateExpressions = agg.aggregateExpressions ++ helpers))))
+    }
+    val fixed = parsed.transformUp {
+      case Sort(order, global, agg: Aggregate, _)
+          if order.exists(o => hasGrouping(o.child)) =>
+        hoist(order, global, agg, identity)
+      case Sort(order, global,
+          h @ org.apache.spark.sql.catalyst.analysis.UnresolvedHaving(_, agg: Aggregate), _)
+          if order.exists(o => hasGrouping(o.child)) =>
+        hoist(order, global, agg, a => h.copy(child = a))
+    }
+    if (!changed) throw orig
+    try org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+    catch { case _: Throwable => throw orig }
   }
 
   /** Presto permits window functions in ORDER BY

@@ -405,6 +405,12 @@ class RefCorpusSpec extends AnyFunSuite {
   ref("union of distinct literals", "SELECT 1, 1, 'a', 'a' UNION ALL SELECT 1, 2, 'a', 'b'", "VALUES (1, 1, 'a', 'a'), (1, 2, 'a', 'b')")
 
   // --- testGrouping (:1210) — the single-argument grouping() forms ---
+  // :1213 — ORDER BY grouping(b) where the SELECT list renames b away:
+  // Presto resolves grouping() in ORDER BY against the source scope;
+  // closed by Engine.sortGroupingHoist (hidden aggregate-list alias).
+  ref("grouping in order by over renamed grouping column",
+    "SELECT a, b AS t, sum(c), grouping(a, b) + grouping(a) FROM (VALUES ('h', 'j', 11), ('k', 'l', 7)) AS t (a, b, c) GROUP BY GROUPING SETS ( (a), (b)) ORDER BY grouping(b) ASC",
+    "VALUES (NULL, 'j', 11, 3), (NULL, 'l', 7, 3), ('h', NULL, 11, 1), ('k', NULL, 7, 1)")
   ref("grouping sets single", "SELECT a, sum(b), grouping(a) FROM (VALUES ('h', 11, 0), ('k', 7, 0)) AS t (a, b, c) GROUP BY GROUPING SETS (a)", "VALUES ('h', 11, 0), ('k', 7, 0)")
   ref("grouping repeated", "SELECT a, grouping(a), grouping(a) FROM (VALUES (1) ) AS t (a) GROUP BY GROUPING SETS ((a))", "VALUES (1, 0, 0)")
 
