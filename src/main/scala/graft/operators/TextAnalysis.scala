@@ -27,6 +27,52 @@ object TextAnalysis {
   def markerHits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(words)))
 
+  /** Library API: pack documents into fixed token-budget training
+    * sequences, per shard, in id order (see t09 entry note). Returns the
+    * input ids annotated with (shard, n_tokens, start, pack). The window
+    * is PARTITIONED by shard — no global sort; each shard's running
+    * offset computes independently, so the pass scales with executors. */
+  def sequencePack(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, budget: Int, shards: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), (col(idCol) % shards).as("shard"),
+        size(Dedup.tokens(col(textCol))).as("n_tokens"))
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack", floor(col("start") / budget))
+  }
+
+  /** Library API: deterministic mixture resampling to target class
+    * weights (see t10 entry note). Returns one row per weighted class:
+    * (classCol, n_total, rate, n_kept, kept_id_sum). Classes absent from
+    * `weights` are dropped. All joins against the class-level relations
+    * broadcast (they have |weights| rows); the corpus pass is map-only. */
+  def mixtureResample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      classCol: String, weights: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val w = weights.toSeq.toDF(classCol, "wt")
+    val in = df.join(broadcast(w), classCol)
+    val counts = in.groupBy(col(classCol))
+      .agg(count(lit(1)).cast("double").as("n_total"))
+    val rates = counts.join(broadcast(w), classCol)
+    val scale = rates.agg(min(col("n_total") / col("wt")).as("scale"))
+    val r = rates.crossJoin(broadcast(scale))
+      .select(col(classCol), col("n_total").cast("long").as("n_total"),
+        least(lit(1.0), col("wt") * col("scale") / col("n_total")).as("rate"))
+    val kept = in.join(broadcast(r.select(col(classCol), col("rate"))), classCol)
+      .filter(Dedup.md5MinHashUnit(0, col(idCol).cast("string")).cast("double")
+        < col("rate") * lit(1152921504606846976.0))
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(col(idCol)).cast("long").as("kept_id_sum"))
+    r.join(kept, Seq(classCol), "left")
+      .select(col(classCol), col("n_total"), round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Language-ID heuristic: argmax of marker-set hit counts (deterministic
@@ -292,6 +338,76 @@ object TextAnalysis {
         SELECT lang, count(*) AS n_total, true AS fraction_ok
         FROM documents WHERE lang IN ('en', 'es', 'zh')
         GROUP BY lang ORDER BY lang""")),
+
+    // Sequence PACKING: concatenate documents (in id order, per shard)
+    // into fixed token-budget training sequences — the packing pass of an
+    // LM data pipeline. A doc belongs to the pack its START offset falls
+    // in (floor(start/budget)); the doc straddling a boundary overflows
+    // its pack by < one doc, the standard concat-then-chunk discipline.
+    // Scale shape: shard = id % N keeps every window PARTITIONED (no
+    // global sort/single-reducer cumsum — each shard packs independently
+    // on its executor, which is exactly how a 100 TB corpus packs).
+    "t09_sequence_pack" -> Q(
+      (s, d) => sequencePack(docs(s, d), "doc_id", "text",
+          budget = 256, shards = 8)
+        .groupBy("shard", "pack")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("pack_tokens"))
+        .orderBy("shard", "pack"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+            len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens
+          FROM documents),
+        o AS (
+          SELECT shard, n_tokens,
+            coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          FROM t)
+        SELECT shard, CAST(floor(start / 256) AS BIGINT) AS pack,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM o GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Mixture RESAMPLING: down-sample each class to hit target mixture
+    // weights, bottlenecked by the scarcest class (scale = min over
+    // classes of count/weight; class keep-rate = weight*scale/count, so
+    // the bottleneck class keeps ~everything and the rest thin out to the
+    // target proportions). Membership is a DETERMINISTIC md5-unit
+    // threshold on the doc id — reproducible across runs/engines, no RNG
+    // state — so the pass is one map stage plus two 5-row aggregates
+    // (class counts broadcast back). The same discipline sets domain
+    // mixtures (web/books/code) in LM training runs.
+    "t10_mixture_resample" -> Q(
+      (s, d) => {
+        val weights = Map(
+          "en" -> 0.40, "zh" -> 0.20, "de" -> 0.20, "es" -> 0.10, "fr" -> 0.10)
+        mixtureResample(docs(s, d), "doc_id", "lang", weights)
+          .orderBy("lang")
+      },
+      Some("""
+        WITH w AS (
+          SELECT lang, CAST(wt AS DOUBLE) AS wt FROM (VALUES
+            ('en', 0.40), ('zh', 0.20), ('de', 0.20), ('es', 0.10), ('fr', 0.10)) v(lang, wt)),
+        c AS (
+          SELECT lang, count(*) AS n_total FROM documents
+          WHERE lang IN (SELECT lang FROM w) GROUP BY lang),
+        s AS (SELECT min(n_total / wt) AS scale FROM c JOIN w USING (lang)),
+        r AS (
+          SELECT c.lang, n_total,
+            least(1.0, wt * (SELECT scale FROM s) / n_total) AS rate
+          FROM c JOIN w USING (lang)),
+        k AS (
+          SELECT d.lang, d.doc_id
+          FROM documents d JOIN r ON d.lang = r.lang
+          WHERE CAST(('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT
+            < rate * 1152921504606846976.0)
+        SELECT r.lang, CAST(n_total AS BIGINT) AS n_total,
+          CAST(round(rate, 6) AS DOUBLE) AS rate,
+          CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+          CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+        FROM r LEFT JOIN k ON r.lang = k.lang
+        GROUP BY r.lang, n_total, rate ORDER BY r.lang""")),
 
     // Document fingerprinting: md5 content fingerprint + cheap rolling-hash
     // style prefix/suffix fingerprints for fast prefiltering.
