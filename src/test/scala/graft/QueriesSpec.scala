@@ -55,7 +55,10 @@ class QueriesSpec extends AnyFunSuite {
     "r88_ref_semijoin_grouped", "r89_ref_semijoin_having",
     "r95_ref_misc_scalars", "s01_cosine_topk", "s02_cosine_pairs",
     "s05_ann_ivf", "s06_quantized_ann", "s07_kmeans_ivf", "s08_mips",
-    "s09_ann_batch")
+    "s09_ann_batch",
+    // one-row bottleneck-scale aggregate cross-joined back onto the
+    // 5-row class-rate relation (TextAnalysis.mixtureResample)
+    "t10_mixture_resample")
 
   SparkEntry.all.foreach { case (name, q) =>
     test(s"$name executes") {
