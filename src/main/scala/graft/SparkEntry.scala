@@ -46,7 +46,7 @@ object SparkEntry {
     "q24_join_semi", "q30_win_rank", "q34_win_topk", "q40_topn",
     "q46_rollup", "q49_unnest", "q55_scalar_subquery",
     "d01_dedup_exact", "d04_minhash_lsh_pairs", "d11_lsh_after_exact",
-    "t02_quality_score",
+    "d12_decontaminate", "t02_quality_score", "t09_sequence_pack",
     "s01_cosine_topk", "p07_cosine_native", "e03_sessionize",
     "e01_tumbling_window", "q72_datetime_fns",
     "h02_min_cost_supplier", "h09_product_profit", "h21_waiting_supplier",
