@@ -201,4 +201,12 @@ class DecorrelateSpec extends AnyFunSuite {
         "(SELECT max(custkey) FROM customer))").collect()
     }
   }
+  // a nested HOF whose subquery argument sits inside an OUTER lambda body
+  // hoists too and RUNS here (superset: the reference refuses any subquery
+  // under a lambda; the hoisted helper is an ordinary outer reference, so
+  // the semantics are well-defined)
+  ref("nested hof subquery argument inside outer lambda runs (superset)",
+    "SELECT transform(ARRAY[1,2], x -> cardinality(filter(" +
+      "(SELECT array_agg(custkey) FROM customer WHERE custkey < 5), y -> y < x)))",
+    "SELECT ARRAY[1, 2]")
 }
