@@ -21,6 +21,8 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.shuffledHashJoinFactor", "1")
       .config("spark.sql.autoBroadcastJoinThreshold", "4m")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "536870912")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     GraftSession.localExchangeConf(builder)

@@ -126,6 +126,16 @@ object GraftSession {
       // hash-joins regardless and just picks the build side).
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.shuffledHashJoinFactor", "1")
+      // AQE runtime SMJ→SHJ conversion (default 0 = off): when a build
+      // side outgrows the STATIC canBuildLocalHashMap bound (threshold ×
+      // partitions), the planner falls back to sort-merge — at the sf30
+      // soak that sorted a 180 M-row probe side under h05/q22/h18.
+      // 512 MB bounds the RUNTIME per-partition build (32 tasks × 512 MB
+      // within the 128 GiB heap; actual builds are far smaller), keeping
+      // the reference's hash-join-always execution model at runtime too:
+      // sf30 TPC-H-10 69.2 → 55.8 s, sf10 18.6 → 16.5 s (SCALE.md).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "536870912")
       // 4 MB broadcast cutoff in LOCAL mode: the driver builds a broadcast
       // HashedRelation single-threaded, so a 1-2 M-row dim (part/customer
       // at the sf10 soak) costs 1-2 s serialized build while the 32-way
