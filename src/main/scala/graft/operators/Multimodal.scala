@@ -7,13 +7,16 @@ import graft.{Q, Tables}
 /** Multimodal-column operators: image/audio/video as opaque `binary` columns
   * with a typed metadata struct, processed partition-wise.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
+  * Decode: REAL for the library-free formats — binary PPM (P6) images and
+  * PCM-16 mono WAV audio parse from first principles (`decodePpm`/
+  * `decodeWavPcm16`, oracled end-to-end by m05) — and STUBBED for
+  * png/jpeg/mp4 (this container has no compressed-image/video codecs):
   * `decodeStub` derives deterministic fake pixels from the payload bytes.
-  * Everything around it — the schema, the binary column handling, the
-  * mapPartitions batch shape (the Scala analogue of mapInPandas: one
+  * Everything around the stub — the schema, the binary column handling,
+  * the mapPartitions batch shape (the Scala analogue of mapInPandas: one
   * iterator per partition, vectorizable batches), partitioning, and the
-  * feature-vector output contract — is real and tested, so a real codec
-  * drops into `decodeStub` without touching the pipeline.
+  * feature-vector output contract — is real and tested, so a compressed
+  * codec drops into `decodeStub` without touching the pipeline.
   */
 object Multimodal {
 
@@ -36,6 +39,103 @@ object Multimodal {
           MediaMeta(fmt, 16 + (id % 64).toInt, 16 + (id % 48).toInt,
             if (fmt == "mp4") 8 + (id % 8).toInt else 1))
       }
+  }
+
+  // --- REAL pure-JVM codecs (no external library needed): binary PPM
+  // (P6) images and PCM-16 mono WAV audio. These two formats decode from
+  // first principles, so the "no codec in this container" caveat does not
+  // apply to them — m05 routes payloads through encode→DECODE and the
+  // DuckDB oracle recomputes the expected pixel/sample sums closed-form
+  // from the source text, so a misparsed header or byte order fails the
+  // hash. png/jpeg/mp4 remain stubbed (those genuinely need codecs). ---
+
+  /** Binary PPM (P6): `P6\n<w> <h>\n255\n` + w*h*3 RGB bytes. */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse a binary PPM (P6) payload → (width, height, rgb bytes).
+    * Accepts arbitrary whitespace between header tokens and `#` comment
+    * lines (the format's spec), requires maxval 255. */
+  def decodePpm(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < payload.length) {
+        val c = payload(pos).toChar
+        if (c.isWhitespace) pos += 1
+        else if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = pos
+      while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+      new String(payload, start, pos - start, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM (P6) payload")
+    val w = token().toInt
+    val h = token().toInt
+    require(token() == "255", "PPM maxval must be 255")
+    pos += 1 // the single whitespace byte after maxval
+    require(payload.length - pos >= w * h * 3,
+      s"PPM payload truncated: need ${w * h * 3} bytes, have ${payload.length - pos}")
+    (w, h, java.util.Arrays.copyOfRange(payload, pos, pos + w * h * 3))
+  }
+
+  /** Canonical 44-byte-header RIFF/WAVE, PCM 16-bit mono little-endian. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Parse RIFF/WAVE PCM-16 mono → (sampleRate, samples). Walks the chunk
+    * list (fmt /data may be separated by LIST/fact chunks in the wild). */
+  def decodeWavPcm16(payload: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF payload")
+    bb.getInt() // riff size
+    require(fourcc() == "WAVE", "not a WAVE payload")
+    var rate = -1
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && (rate < 0 || samples == null)) {
+      val id = fourcc(); val size = bb.getInt()
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          require(fmt == 1 && ch == 1, "only PCM mono supported")
+          rate = bb.getInt(); bb.getInt(); bb.getShort()
+          require(bb.getShort() == 16, "only 16-bit PCM supported")
+          bb.position(bb.position() + (size - 16))
+        case "data" =>
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+        case _ => bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt /data chunk")
+    (rate, samples)
   }
 
   /** STUB decode: deterministic fake "pixels" from payload bytes (??? in a
@@ -98,6 +198,45 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
+
+    // REAL decode path: text bytes → encodePpm/encodeWavPcm16 payloads →
+    // decodePpm/decodeWavPcm16 → pixel/sample sums. The oracle recomputes
+    // the sums closed-form from the SOURCE text (it never sees the binary),
+    // so any header misparse, byte-order or padding mistake in the real
+    // decoders hash-fails. png/jpeg/mp4 stay stubbed (m02); PPM/WAV need
+    // no external codec.
+    "m05_decode_real" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .where(length(col("text")) >= 8)
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val bytes = text.getBytes("UTF-8")
+            val rgb = Array.tabulate(8 * 6 * 3)(i => bytes(i % bytes.length))
+            val pcm = Array.tabulate(64)(i =>
+              (((bytes(i % bytes.length) & 0xff) - 100) * 256).toShort)
+            val (w, h, px) = decodePpm(encodePpm(8, 6, rgb))
+            val (rate, ss) = decodeWavPcm16(encodeWavPcm16(16000, pcm))
+            (id, w, h, px.map(_ & 0xff).map(_.toLong).sum,
+              rate, ss.length, ss.map(_.toLong).sum)
+          }
+          .toDF("media_id", "w", "h", "px_sum",
+            "sample_rate", "n_samples", "sample_sum")
+          .orderBy("media_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS len
+          FROM documents WHERE length(text) >= 8)
+        SELECT doc_id AS media_id, CAST(8 AS INT) AS w, CAST(6 AS INT) AS h,
+          CAST(list_sum(list_transform(range(0, 144), i ->
+            ord(substr(text, CAST(i % len AS INT) + 1, 1)))) AS BIGINT) AS px_sum,
+          CAST(16000 AS INT) AS sample_rate, CAST(64 AS INT) AS n_samples,
+          CAST(list_sum(list_transform(range(0, 64), i ->
+            (ord(substr(text, CAST(i % len AS INT) + 1, 1)) - 100) * 256)) AS BIGINT) AS sample_sum
+        FROM d ORDER BY media_id""")),
 
     // Metadata + payload stats — pure column expressions over the binary
     // column (no decode), oracle-checkable via octet_length.
