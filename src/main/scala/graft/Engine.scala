@@ -333,6 +333,10 @@ class Engine(parent: SparkSession) {
   val accessControl = new AccessControl
 
   def sql(query: String): DataFrame = {
+    statementForms(query) match {
+      case Some(df) => return df
+      case None =>
+    }
     accessControl.check(spark, query)
     // late-bind stored views: each query re-analyzes the view text, so a
     // view over a since-replaced table resolves against the NEW table
@@ -1171,6 +1175,122 @@ class Engine(parent: SparkSession) {
   def showGrants(table: Option[String] = None,
                  grantee: Option[String] = None): DataFrame =
     accessControl.showGrants(spark, table, grantee)
+
+  // --- Statement-level lifecycle forms (SqlBase.g4: PREPARE / EXECUTE /
+  // DEALLOCATE PREPARE / SET SESSION / RESET SESSION / SHOW SESSION) —
+  // the SQL spellings of the prepare/session APIs, dispatched before
+  // Spark parsing so `engine.sql("PREPARE q FROM …")` works as in the
+  // reference's CLI. ---
+
+  /** Session-property store seeded with a representative subset of the
+    * reference's SystemSessionProperties (names + defaults from
+    * MAIN/SystemSessionProperties.java); SET SESSION accepts any name,
+    * like the reference accepts catalog properties it cannot verify. */
+  private val sessionPropDefaults: Seq[(String, String, String, String)] = Seq(
+    ("optimize_hash_generation", "true", "boolean", "Compute hash codes for distribution, joins, and aggregations early in query plan"),
+    ("distributed_join", "true", "boolean", "Use a distributed join instead of a broadcast join"),
+    ("hash_partition_count", "100", "integer", "Number of partitions for distributed joins and aggregations"),
+    ("task_concurrency", "16", "integer", "Default number of local parallel jobs per worker"),
+    ("query_max_memory", "20GB", "varchar", "Maximum amount of distributed memory a query can use"),
+    ("query_max_run_time", "100.00d", "varchar", "Maximum run time of a query"),
+    ("redistribute_writes", "true", "boolean", "Force parallel distributed writes"),
+    ("spatial_join", "true", "boolean", "Use spatial index for spatial join when possible"),
+    ("colocated_join", "false", "boolean", "Experimental: Use a colocated join when possible"),
+    ("join_reordering_strategy", "ELIMINATE_CROSS_JOINS", "varchar", "The join reordering strategy to use"))
+
+  private val sessionProps =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** SHOW SESSION (ShowQueriesRewrite: name, value, default, type,
+    * description): seeded defaults overlaid with SET SESSION values. */
+  def showSession(): DataFrame = {
+    import spark.implicits._
+    val seeded = sessionPropDefaults.map { case (n, d, t, desc) =>
+      (n, sessionProps.getOrElse(n, d), d, t, desc)
+    }
+    val extra = sessionProps.toSeq
+      .filterNot { case (k, _) => sessionPropDefaults.exists(_._1 == k) }
+      .map { case (k, v) => (k, v, "", "varchar", "") }
+    (seeded ++ extra).toDF("name", "value", "default", "type", "description")
+  }
+
+  /** Current value of a session property (SET SESSION overlay on seed). */
+  def sessionProperty(name: String): Option[String] =
+    sessionProps.get(name.toLowerCase)
+      .orElse(sessionPropDefaults.find(_._1 == name.toLowerCase).map(_._2))
+
+  private def oneWordDf(word: String): DataFrame = {
+    import spark.implicits._
+    Seq(true).toDF(word)
+  }
+
+  private def statementForms(query: String): Option[DataFrame] = {
+    val t = query.trim.stripSuffix(";").trim
+    val Prep = "(?is)^PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+FROM\\s+(.+)$".r
+    val Exec = "(?is)^EXECUTE\\s+([A-Za-z_][A-Za-z0-9_]*)(\\s+USING\\s+.+)?$".r
+    val Dealloc = "(?is)^DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    val SetS = "(?is)^SET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*=\\s*(.+)$".r
+    val ResetS = "(?is)^RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
+    t match {
+      case Prep(name, body) => prepare(name, body); Some(oneWordDf("PREPARE"))
+      case Dealloc(name) => deallocate(name); Some(oneWordDf("DEALLOCATE"))
+      case Exec(name, usingPart) =>
+        val text = prepared.getOrElse(name, throw new IllegalArgumentException(
+          s"Prepared statement $name not found"))
+        val args =
+          if (usingPart == null) Nil
+          else splitTopLevel(usingPart.trim.substring(5).trim) // drop USING
+        Some(this.sql(bindPositional(text, args)))
+      case SetS(k, v) =>
+        // a trailing string/identifier value keeps its literal spelling;
+        // strip one layer of quotes for storage (Presto stores the value)
+        val stored = v.trim match {
+          case s if s.length >= 2 && s.head == '\'' && s.last == '\'' =>
+            s.substring(1, s.length - 1).replace("''", "'")
+          case s => s
+        }
+        sessionProps(k.toLowerCase) = stored; Some(oneWordDf("SET SESSION"))
+      case ResetS(k) =>
+        sessionProps.remove(k.toLowerCase); Some(oneWordDf("RESET SESSION"))
+      case s if s.toUpperCase == "SHOW SESSION" => Some(showSession())
+      case _ => None
+    }
+  }
+
+  /** Split a USING argument list on top-level commas (literal-masked so
+    * commas inside strings/parens survive). */
+  private def splitTopLevel(list: String): Seq[String] = {
+    val mask = PrestoSql.maskLiterals(list)
+    val cuts = scala.collection.mutable.ArrayBuffer(-1)
+    var depth = 0
+    for (i <- mask.indices) mask(i) match {
+      case '(' | '[' => depth += 1
+      case ')' | ']' => depth -= 1
+      case ',' if depth == 0 => cuts += i
+      case _ =>
+    }
+    cuts += list.length
+    cuts.toSeq.sliding(2).collect {
+      case scala.collection.Seq(a: Int, b: Int) => list.substring(a + 1, b).trim
+    }.toSeq
+  }
+
+  /** Inline positional `?` parameters with the USING expressions (Presto
+    * binds parameters as literals at execution — Execute.java). The mask
+    * keeps `?` inside string literals untouched. */
+  private def bindPositional(text: String, args: Seq[String]): String = {
+    val mask = PrestoSql.maskLiterals(text)
+    val sb = new StringBuilder
+    var argIdx = 0
+    for (i <- text.indices) {
+      if (mask(i) == '?' && text(i) == '?') {
+        require(argIdx < args.length,
+          s"EXECUTE: ${args.length} parameters for more markers")
+        sb.append(args(argIdx)); argIdx += 1
+      } else sb.append(text(i))
+    }
+    sb.toString
+  }
 
   private val prepared = scala.collection.mutable.Map.empty[String, String]
 

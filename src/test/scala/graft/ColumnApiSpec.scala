@@ -174,6 +174,40 @@ class ColumnApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](e.execute("top_orders", 1))
   }
 
+  test("statement forms: PREPARE / EXECUTE USING / DEALLOCATE as SQL") {
+    val e = Engine(spark).loadCatalog(sf)
+    assert(e.sql("PREPARE sq FROM SELECT o_orderkey FROM orders " +
+      "WHERE o_totalprice > ? AND o_orderstatus = ? ORDER BY o_orderkey LIMIT 5")
+      .columns.head == "PREPARE")
+    val rows = e.sql("EXECUTE sq USING 100000.0, 'F'").collect()
+    val expect = e.sql("SELECT o_orderkey FROM orders WHERE o_totalprice > " +
+      "100000.0 AND o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 5").collect()
+    assert(rows.map(_.getLong(0)).toSeq == expect.map(_.getLong(0)).toSeq)
+    // a parameter list with a comma inside a string literal binds intact
+    e.sql("PREPARE sq2 FROM SELECT ? AS a, ? AS b")
+    val r2 = e.sql("EXECUTE sq2 USING 'x, y', 7").collect().head
+    assert(r2.getString(0) == "x, y" && r2.getInt(1) == 7)
+    e.sql("DEALLOCATE PREPARE sq")
+    intercept[IllegalArgumentException](e.sql("EXECUTE sq USING 1"))
+  }
+
+  test("statement forms: SET / RESET / SHOW SESSION") {
+    val e = Engine(spark).loadCatalog(sf)
+    // seeded defaults visible (SystemSessionProperties subset)
+    val before = e.sql("SHOW SESSION").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(before("optimize_hash_generation") == "true")
+    e.sql("SET SESSION optimize_hash_generation = false")
+    e.sql("SET SESSION custom_prop = 'abc'")
+    val after = e.sql("SHOW SESSION").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("optimize_hash_generation") == "false")
+    assert(after("custom_prop") == "abc")
+    assert(e.sessionProperty("optimize_hash_generation").contains("false"))
+    e.sql("RESET SESSION optimize_hash_generation")
+    assert(e.sessionProperty("optimize_hash_generation").contains("true"))
+  }
+
   // AbstractTestQueries testExecute / testExecuteUsing family (:7530-:7560)
   // — the reference's own prepared statements, VERBATIM.
   test("EXECUTE corpus: literal, parameters in agg/join/filter/having, subquery parameter") {
