@@ -1231,7 +1231,30 @@ class Engine(parent: SparkSession) {
     val Dealloc = "(?is)^DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     val SetS = "(?is)^SET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*=\\s*(.+)$".r
     val ResetS = "(?is)^RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
+    val Tx = "(?is)^START\\s+TRANSACTION(\\s+.*)?$".r
+    val Cm = "(?is)^COMMIT(\\s+WORK)?$".r
+    val Rb = "(?is)^ROLLBACK(\\s+WORK)?$".r
+    val ExpAn = "(?is)^EXPLAIN\\s+ANALYZE\\s+(.+)$".r
+    val ExpOpt = "(?is)^EXPLAIN\\s*\\(([^)]*)\\)\\s*(.+)$".r
+    def planDf(plan: String): DataFrame = {
+      import spark.implicits._
+      Seq(plan).toDF("Query Plan")
+    }
     t match {
+      case Tx(_) => startTransaction(); Some(oneWordDf("START TRANSACTION"))
+      case Cm(_) => commit(); Some(oneWordDf("COMMIT"))
+      case Rb(_) => rollback(); Some(oneWordDf("ROLLBACK"))
+      case ExpAn(inner) => Some(planDf(explainAnalyze(inner)))
+      case ExpOpt(opts, inner) =>
+        val o = opts.toUpperCase
+        if (o.contains("GRAPHVIZ")) Some(planDf(explainGraphviz(inner)))
+        else if (o.contains("VALIDATE")) {
+          import spark.implicits._
+          this.sql(inner).queryExecution.analyzed // force analysis
+          Some(Seq(true).toDF("Valid"))
+        }
+        else if (o.contains("LOGICAL")) Some(planDf(explain(inner, "extended")))
+        else Some(planDf(explain(inner, "formatted"))) // TYPE DISTRIBUTED
       case Prep(name, body) => prepare(name, body); Some(oneWordDf("PREPARE"))
       case Dealloc(name) => deallocate(name); Some(oneWordDf("DEALLOCATE"))
       case Exec(name, usingPart) =>
@@ -1438,7 +1461,7 @@ class Engine(parent: SparkSession) {
     * PARSER/tree/ExplainType.java:30-32): mode ∈ simple, extended, codegen,
     * cost, formatted. */
   def explain(query: String, mode: String = "formatted"): String =
-    spark.sql(query).queryExecution.explainString(
+    this.sql(query).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
   /** EXPLAIN (FORMAT GRAPHVIZ) (grammar explainOption FORMAT;
@@ -1446,7 +1469,7 @@ class Engine(parent: SparkSession) {
     * plan as a DOT digraph, one node per operator. */
   def explainGraphviz(query: String): String = {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    val plan = spark.sql(query).queryExecution.optimizedPlan
+    val plan = this.sql(query).queryExecution.optimizedPlan
     val sb = new StringBuilder("digraph logical_plan {\n")
     var id = 0
     def walk(node: LogicalPlan): Int = {
@@ -1473,7 +1496,7 @@ class Engine(parent: SparkSession) {
   def explainAnalyze(query: String): String = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val df = spark.sql(query)
+    val df = this.sql(query)
     df.collect()
     val plan = df.queryExecution.executedPlan
     // AQE hides executed subtrees behind AdaptiveSparkPlanExec/QueryStageExec

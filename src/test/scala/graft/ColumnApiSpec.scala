@@ -208,6 +208,30 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(e.sessionProperty("optimize_hash_generation").contains("true"))
   }
 
+  test("statement forms: transactions and EXPLAIN options as SQL") {
+    val e = Engine(spark).loadCatalog(sf)
+    assert(e.sql("START TRANSACTION").columns.head == "START TRANSACTION")
+    e.sql("ROLLBACK")
+    e.sql("START TRANSACTION ISOLATION LEVEL READ COMMITTED")
+    e.sql("COMMIT")
+    intercept[IllegalArgumentException](e.sql("COMMIT WORK")) // no tx open
+    val phys = e.sql("EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM orders")
+      .collect().head.getString(0)
+    assert(phys.contains("Physical Plan"))
+    val dot = e.sql("EXPLAIN (FORMAT GRAPHVIZ) SELECT 1")
+      .collect().head.getString(0)
+    assert(dot.startsWith("digraph") && dot.contains("plannode_0"))
+    val valid = e.sql("EXPLAIN (TYPE VALIDATE) SELECT o_orderkey FROM orders")
+    assert(valid.columns.head == "Valid" && valid.collect().head.getBoolean(0))
+    // EXPLAIN over the PRESTO dialect goes through the engine pipeline
+    val pl = e.sql("EXPLAIN (TYPE LOGICAL) SELECT ARRAY[1,2][1]")
+      .collect().head.getString(0)
+    assert(pl.contains("Logical Plan") || pl.contains("logical"))
+    val an = e.sql("EXPLAIN ANALYZE SELECT count(*) FROM orders")
+      .collect().head.getString(0)
+    assert(an.contains("AdaptiveSparkPlan") || an.contains("HashAggregate"))
+  }
+
   // AbstractTestQueries testExecute / testExecuteUsing family (:7530-:7560)
   // — the reference's own prepared statements, VERBATIM.
   test("EXECUTE corpus: literal, parameters in agg/join/filter/having, subquery parameter") {
