@@ -1240,21 +1240,62 @@ class Engine(parent: SparkSession) {
       import spark.implicits._
       Seq(plan).toDF("Query Plan")
     }
+    // EXPLAIN of a DDL/lifecycle statement returns the statement TEXT
+    // (reference ExplainRewrite → assertExplainDdl: CREATE TABLE/VIEW
+    // shorten to the object name, everything else echoes verbatim)
+    def ddlExplain(stmt: String): Option[String] = {
+      val s = stmt.trim
+      val CreT = "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*).*$".r
+      val CreV = "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+([A-Za-z_][A-Za-z0-9_.]*).*$".r
+      s match {
+        case Prep(name, _) => Some(s"PREPARE $name")
+        case CreT(name) => Some(s"CREATE TABLE $name")
+        case CreV(name) => Some(s"CREATE VIEW $name")
+        case Dealloc(_) | SetS(_, _) | ResetS(_) | Tx(_) | Cm(_) | Rb(_) =>
+          Some(s)
+        case _ if "(?is)^(DROP|ALTER)\\s.*".r.matches(s) => Some(s)
+        case _ => None
+      }
+    }
+    // EXPLAIN [...] EXECUTE q [USING …]: explain the BOUND statement
+    // (testExplainExecute/WithUsing/SetSessionWithUsing)
+    def boundText(inner: String): Option[String] = inner.trim match {
+      case Exec(name, usingPart) if prepared.contains(name) =>
+        val args =
+          if (usingPart == null) Nil
+          else splitTopLevel(usingPart.trim.substring(5).trim)
+        Some(bindPositional(prepared(name), args))
+      case _ => None
+    }
+    val ExpDdl = "(?is)^EXPLAIN\\s+(.+)$".r
     t match {
       case Tx(_) => startTransaction(); Some(oneWordDf("START TRANSACTION"))
       case Cm(_) => commit(); Some(oneWordDf("COMMIT"))
       case Rb(_) => rollback(); Some(oneWordDf("ROLLBACK"))
       case ExpAn(inner) => Some(planDf(explainAnalyze(inner)))
-      case ExpOpt(opts, inner) =>
+      case ExpOpt(opts, inner0) =>
+        val inner = boundText(inner0).getOrElse(inner0)
         val o = opts.toUpperCase
-        if (o.contains("GRAPHVIZ")) Some(planDf(explainGraphviz(inner)))
-        else if (o.contains("VALIDATE")) {
-          import spark.implicits._
-          this.sql(inner).queryExecution.analyzed // force analysis
-          Some(Seq(true).toDF("Valid"))
+        ddlExplain(inner) match {
+          case Some(text) => Some(planDf(text))
+          case None =>
+            if (o.contains("GRAPHVIZ")) Some(planDf(explainGraphviz(inner)))
+            else if (o.contains("VALIDATE")) {
+              import spark.implicits._
+              this.sql(inner).queryExecution.analyzed // force analysis
+              Some(Seq(true).toDF("Valid"))
+            }
+            else if (o.contains("LOGICAL")) Some(planDf(explain(inner, "extended")))
+            else Some(planDf(explain(inner, "formatted"))) // TYPE DISTRIBUTED
         }
-        else if (o.contains("LOGICAL")) Some(planDf(explain(inner, "extended")))
-        else Some(planDf(explain(inner, "formatted"))) // TYPE DISTRIBUTED
+      case ExpDdl(inner0) =>
+        val inner = boundText(inner0).getOrElse(inner0)
+        ddlExplain(inner) match {
+          case Some(text) => Some(planDf(text))
+          case None if !(inner0 eq inner) => // EXPLAIN EXECUTE of a query
+            Some(planDf(explain(inner, "formatted")))
+          case None => None // plain EXPLAIN <query> → native path
+        }
       case Prep(name, body) => prepare(name, body); Some(oneWordDf("PREPARE"))
       case Dealloc(name) => deallocate(name); Some(oneWordDf("DEALLOCATE"))
       case Exec(name, usingPart) =>

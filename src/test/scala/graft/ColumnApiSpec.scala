@@ -232,6 +232,37 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(an.contains("AdaptiveSparkPlan") || an.contains("HashAggregate"))
   }
 
+  // AbstractTestQueries testExplainDdl (:4514) — EXPLAIN of a DDL or
+  // lifecycle statement returns the statement text (CREATE TABLE/VIEW
+  // shorten to the object name); testExplainExecute(:4543)/WithUsing/
+  // SetSessionWithUsing — EXPLAIN EXECUTE explains the BOUND statement.
+  test("EXPLAIN DDL/lifecycle echoes statement text; EXPLAIN EXECUTE binds") {
+    val e = Engine(spark).loadCatalog(sf)
+    def plan(q: String): String = e.sql(q).collect().head.getString(0)
+    assert(plan("EXPLAIN CREATE TABLE foo (pk bigint)") == "CREATE TABLE foo")
+    assert(plan("EXPLAIN CREATE VIEW foo AS SELECT * FROM orders") == "CREATE VIEW foo")
+    assert(plan("EXPLAIN DROP TABLE orders") == "DROP TABLE orders")
+    assert(plan("EXPLAIN ALTER TABLE orders RENAME TO new_name") ==
+      "ALTER TABLE orders RENAME TO new_name")
+    assert(plan("EXPLAIN SET SESSION foo = 'bar'") == "SET SESSION foo = 'bar'")
+    assert(plan("EXPLAIN PREPARE my_query FROM SELECT * FROM orders") ==
+      "PREPARE my_query")
+    assert(plan("EXPLAIN DEALLOCATE PREPARE my_query") ==
+      "DEALLOCATE PREPARE my_query")
+    assert(plan("EXPLAIN RESET SESSION foo") == "RESET SESSION foo")
+    assert(plan("EXPLAIN START TRANSACTION") == "START TRANSACTION")
+    assert(plan("EXPLAIN COMMIT") == "COMMIT")
+    assert(plan("EXPLAIN ROLLBACK") == "ROLLBACK")
+    // EXPLAIN (TYPE LOGICAL) EXECUTE explains the bound statement
+    e.sql("PREPARE my_query FROM SELECT o_orderkey FROM orders WHERE o_orderkey < ?")
+    val bound = plan("EXPLAIN (TYPE LOGICAL) EXECUTE my_query USING 7")
+    assert(bound.contains("o_orderkey") && !bound.contains("?"), bound.take(200))
+    // a prepared LIFECYCLE statement explains to its bound text
+    e.sql("PREPARE set_q FROM SET SESSION foo = ?")
+    assert(plan("EXPLAIN (TYPE LOGICAL) EXECUTE set_q USING 7") ==
+      "SET SESSION foo = 7")
+  }
+
   // AbstractTestQueries testExecute / testExecuteUsing family (:7530-:7560)
   // — the reference's own prepared statements, VERBATIM.
   test("EXECUTE corpus: literal, parameters in agg/join/filter/having, subquery parameter") {
