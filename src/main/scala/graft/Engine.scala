@@ -1231,6 +1231,13 @@ class Engine(parent: SparkSession) {
     val Dealloc = "(?is)^DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     val SetS = "(?is)^SET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*=\\s*(.+)$".r
     val ResetS = "(?is)^RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
+    val ShowPart = "(?is)^SHOW\\s+PARTITIONS\\s+(?:FROM|IN)\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
+    val ShowStatsQ = "(?is)^SHOW\\s+STATS\\s+FOR\\s*\\((.+)\\)$".r
+    val ShowStatsT = "(?is)^SHOW\\s+STATS\\s+(?:FOR|ON)\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
+    val ShowGr = "(?is)^SHOW\\s+GRANTS(\\s+(ON\\s+.+))?$".r
+    val ShowCre = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
+    val DescIn = "(?is)^DESCRIBE\\s+INPUT\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    val DescOut = "(?is)^DESCRIBE\\s+OUTPUT\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     val Tx = "(?is)^START\\s+TRANSACTION(\\s+.*)?$".r
     val Cm = "(?is)^COMMIT(\\s+WORK)?$".r
     val Rb = "(?is)^ROLLBACK(\\s+WORK)?$".r
@@ -1305,6 +1312,27 @@ class Engine(parent: SparkSession) {
           if (usingPart == null) Nil
           else splitTopLevel(usingPart.trim.substring(5).trim) // drop USING
         Some(this.sql(bindPositional(text, args)))
+      case ShowPart(name) => Some(showPartitions(name))
+      case ShowStatsQ(inner) => Some(showStatsForQuery(inner))
+      case ShowStatsT(name) => Some(showStats(name))
+      case ShowGr(_, tail) =>
+        val tbl = Option(tail).map(_.trim
+          .replaceAll("(?i)^ON\\s+(TABLE\\s+)?", "").trim).filter(_.nonEmpty)
+        Some(showGrants(tbl))
+      case ShowCre(name)
+          // only the engine's temp-view-backed tables need the
+          // reconstructed DDL; permanent tables/views keep Spark's
+          // native SHOW CREATE TABLE rendering
+          if (try spark.catalog.getTable(name).isTemporary
+              catch { case _: Throwable => false }) =>
+        Some(planDf(showCreateTable(name))
+          .withColumnRenamed("Query Plan", "Create Table"))
+      case DescIn(name) =>
+        import spark.implicits._
+        Some(describeInput(name).toDF("Position", "Type"))
+      case DescOut(name) =>
+        import spark.implicits._
+        Some(describeOutput(name).toDF("Column Name", "Type"))
       case SetS(k, v) =>
         // a trailing string/identifier value keeps its literal spelling;
         // strip one layer of quotes for storage (Presto stores the value)
@@ -1490,8 +1518,17 @@ class Engine(parent: SparkSession) {
     * the result schema of a prepared statement, derived by ANALYSIS only —
     * the statement is never executed. Returns (column, type-DDL) pairs. */
   def describeOutput(name: String): Seq[(String, String)] = {
-    val text = prepared.getOrElse(name,
+    val text0 = prepared.getOrElse(name,
       throw new IllegalArgumentException(s"Prepared statement $name not found"))
+    // positional parameters bind as NULL for the analysis pass: output
+    // columns that don't depend on a parameter keep their exact type, and
+    // the statement is never executed (DescribeOutputRewrite analyzes with
+    // unknown-typed parameters the same way)
+    val mask = PrestoSql.maskLiterals(text0)
+    val markers = mask.count(_ == '?')
+    val text =
+      if (markers == 0) text0
+      else bindPositional(text0, Seq.fill(markers)("NULL"))
     val parsed = org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text)
     val analyzed = spark.sessionState.analyzer.executeAndCheck(
       parsed, new org.apache.spark.sql.catalyst.QueryPlanningTracker)

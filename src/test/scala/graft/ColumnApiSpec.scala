@@ -232,6 +232,24 @@ class ColumnApiSpec extends AnyFunSuite {
     assert(an.contains("AdaptiveSparkPlan") || an.contains("HashAggregate"))
   }
 
+  test("statement forms: SHOW STATS / GRANTS / CREATE TABLE / DESCRIBE INPUT·OUTPUT as SQL") {
+    val e = Engine(spark).loadCatalog(sf)
+    val stats = e.sql("SHOW STATS FOR orders").collect()
+    // one row per column plus the summary row (null column_name)
+    assert(stats.map(_.getString(0)).contains("o_orderkey"))
+    assert(stats.count(_.isNullAt(0)) == 1)
+    val statsQ = e.sql("SHOW STATS FOR (SELECT o_orderkey FROM orders)").collect()
+    assert(statsQ.length == 2) // one column + summary row
+    assert(e.sql("SHOW GRANTS").collect().isEmpty) // allow-all default
+    val ddl = e.sql("SHOW CREATE TABLE orders").collect().head.getString(0)
+    assert(ddl.startsWith("CREATE TABLE orders"))
+    e.sql("PREPARE din FROM SELECT o_orderkey FROM orders WHERE o_custkey < ? AND o_orderstatus = ?")
+    val in = e.sql("DESCRIBE INPUT din").collect()
+    assert(in.length == 2 && in.head.getInt(0) == 1)
+    val out = e.sql("DESCRIBE OUTPUT din").collect()
+    assert(out.length == 1 && out.head.getString(0) == "o_orderkey")
+  }
+
   // AbstractTestQueries testExplainDdl (:4514) — EXPLAIN of a DDL or
   // lifecycle statement returns the statement text (CREATE TABLE/VIEW
   // shorten to the object name); testExplainExecute(:4543)/WithUsing/
