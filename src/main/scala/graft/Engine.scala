@@ -1241,7 +1241,7 @@ class Engine(parent: SparkSession) {
     val Tx = "(?is)^START\\s+TRANSACTION(\\s+.*)?$".r
     val Cm = "(?is)^COMMIT(\\s+WORK)?$".r
     val Rb = "(?is)^ROLLBACK(\\s+WORK)?$".r
-    val ExpAn = "(?is)^EXPLAIN\\s+ANALYZE\\s+(.+)$".r
+    val ExpAn = "(?is)^EXPLAIN\\s+ANALYZE\\s+(?:VERBOSE\\s+)?(.+)$".r
     val ExpOpt = "(?is)^EXPLAIN\\s*\\(([^)]*)\\)\\s*(.+)$".r
     def planDf(plan: String): DataFrame = {
       import spark.implicits._
