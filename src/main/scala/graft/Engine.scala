@@ -1201,6 +1201,11 @@ class Engine(parent: SparkSession) {
   private val sessionProps =
     scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+  /** SQL path set by SET PATH (SetPathTask.java stores the formatted path
+    * on the session; read back by the current_path session function). */
+  private var sessionPath: Option[String] = None
+  def currentPath: Option[String] = sessionPath
+
   /** SHOW SESSION (ShowQueriesRewrite: name, value, default, type,
     * description): seeded defaults overlaid with SET SESSION values. */
   def showSession(): DataFrame = {
@@ -1236,6 +1241,9 @@ class Engine(parent: SparkSession) {
     val ShowStatsT = "(?is)^SHOW\\s+STATS\\s+(?:FOR|ON)\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
     val ShowGr = "(?is)^SHOW\\s+GRANTS(\\s+(ON\\s+.+))?$".r
     val ShowCre = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
+    val ShowCreV = "(?is)^SHOW\\s+CREATE\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
+    val ShowCat = "(?is)^SHOW\\s+CATALOGS(?:\\s+LIKE\\s+'([^']*)')?$".r
+    val SetPath = "(?is)^SET\\s+PATH\\s+(.+)$".r
     val DescIn = "(?is)^DESCRIBE\\s+INPUT\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     val DescOut = "(?is)^DESCRIBE\\s+OUTPUT\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     val Tx = "(?is)^START\\s+TRANSACTION(\\s+.*)?$".r
@@ -1312,9 +1320,17 @@ class Engine(parent: SparkSession) {
           if (usingPart == null) Nil
           else splitTopLevel(usingPart.trim.substring(5).trim) // drop USING
         Some(this.sql(bindPositional(text, args)))
-      case ShowPart(name) => Some(showPartitions(name))
+      // SHOW PARTITIONS / SHOW STATS / SHOW CREATE TABLE read table data or
+      // metadata, so they carry the same SELECT check the reference applies
+      // by rewriting them into queries (ShowStatsRewrite →
+      // checkCanSelectFromColumns in Analyzer.java). The query-shaped forms
+      // (SHOW STATS FOR (query), EXECUTE, EXPLAIN ANALYZE) re-enter
+      // this.sql and get accessControl.check there.
+      case ShowPart(name) =>
+        accessControl.checkTable(name, "SELECT"); Some(showPartitions(name))
       case ShowStatsQ(inner) => Some(showStatsForQuery(inner))
-      case ShowStatsT(name) => Some(showStats(name))
+      case ShowStatsT(name) =>
+        accessControl.checkTable(name, "SELECT"); Some(showStats(name))
       case ShowGr(_, tail) =>
         val tbl = Option(tail).map(_.trim
           .replaceAll("(?i)^ON\\s+(TABLE\\s+)?", "").trim).filter(_.nonEmpty)
@@ -1325,8 +1341,40 @@ class Engine(parent: SparkSession) {
           // native SHOW CREATE TABLE rendering
           if (try spark.catalog.getTable(name).isTemporary
               catch { case _: Throwable => false }) =>
+        accessControl.checkTable(name, "SELECT")
         Some(planDf(showCreateTable(name))
           .withColumnRenamed("Query Plan", "Create Table"))
+      // SHOW CREATE VIEW (SqlBase.g4 #showCreateView; ShowQueriesRewrite
+      // visitShowCreate VIEW branch): renders the stored ORIGINAL view sql;
+      // a table name errors "is a table, not a view", a missing name
+      // errors "does not exist" — the reference's exact distinction.
+      case ShowCreV(name) =>
+        accessControl.checkTable(name, "SELECT")
+        viewTexts.get(name) match {
+          case Some(text) =>
+            Some(planDf(s"CREATE VIEW $name AS\n${text.trim}")
+              .withColumnRenamed("Query Plan", "Create View"))
+          case None =>
+            val isTable =
+              try { spark.table(name); true } catch { case _: Throwable => false }
+            if (isTable) throw new IllegalArgumentException(
+              s"Relation '$name' is a table, not a view")
+            throw new IllegalArgumentException(s"View '$name' does not exist")
+        }
+      // SHOW CATALOGS [LIKE ...] (ShowQueriesRewrite visitShowCatalogs):
+      // one "Catalog" column over the registered catalogs, LIKE-filtered.
+      case ShowCat(like) =>
+        import spark.implicits._
+        val names = spark.catalog.listCatalogs().collect().map(_.name)
+          .toSeq.sorted
+        val df = names.toDF("Catalog")
+        Some(if (like == null) df
+             else df.where(org.apache.spark.sql.functions.col("Catalog").like(like)))
+      // SET PATH (SetPathTask.java): stores the function-resolution path on
+      // the session; surfaced back via current_path/SHOW SESSION analogues.
+      case SetPath(spec) =>
+        sessionPath = Some(spec.trim)
+        Some(oneWordDf("SET PATH"))
       case DescIn(name) =>
         import spark.implicits._
         Some(describeInput(name).toDF("Position", "Type"))
@@ -1377,10 +1425,16 @@ class Engine(parent: SparkSession) {
     for (i <- text.indices) {
       if (mask(i) == '?' && text(i) == '?') {
         require(argIdx < args.length,
-          s"EXECUTE: ${args.length} parameters for more markers")
+          s"EXECUTE: ${args.length} parameters supplied but the statement " +
+            "has more ? markers")
         sb.append(args(argIdx)); argIdx += 1
       } else sb.append(text(i))
     }
+    // Presto raises on parameter-count mismatch in BOTH directions
+    // (Execute.java: "Incorrect number of parameters") — surplus USING
+    // arguments are an error, not silently dropped.
+    require(argIdx == args.length,
+      s"EXECUTE: ${args.length} parameters supplied for $argIdx ? markers")
     sb.toString
   }
 

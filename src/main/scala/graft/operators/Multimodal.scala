@@ -210,7 +210,13 @@ object Multimodal {
         import s.implicits._
         Tables.t(s, d, "documents")
           .select(col("doc_id"), col("text"))
-          .where(length(col("text")) >= 8)
+          // pure-ASCII rows only (byte length == char length): the payload
+          // bytes below index UTF-8 bytes while the oracle indexes
+          // characters/codepoints — the two agree exactly on ASCII and
+          // silently diverge otherwise, so non-ASCII rows are excluded on
+          // BOTH sides rather than papered over.
+          .where(length(col("text")) >= 8 &&
+            octet_length(col("text")) === length(col("text")))
           .as[(Long, String)]
           .map { case (id, text) =>
             val bytes = text.getBytes("UTF-8")
@@ -229,7 +235,8 @@ object Multimodal {
       Some("""
         WITH d AS (
           SELECT doc_id, text, length(text) AS len
-          FROM documents WHERE length(text) >= 8)
+          FROM documents WHERE length(text) >= 8
+            AND octet_length(CAST(text AS BLOB)) = length(text))
         SELECT doc_id AS media_id, CAST(8 AS INT) AS w, CAST(6 AS INT) AS h,
           CAST(list_sum(list_transform(range(0, 144), i ->
             ord(substr(text, CAST(i % len AS INT) + 1, 1)))) AS BIGINT) AS px_sum,

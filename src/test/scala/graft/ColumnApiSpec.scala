@@ -531,4 +531,56 @@ class ColumnApiSpec extends AnyFunSuite {
       default.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  // The reference rewrites SHOW STATS / SHOW PARTITIONS / SHOW CREATE into
+  // queries (ShowQueriesRewrite/ShowStatsRewrite), so they pass
+  // checkCanSelectFromColumns in Analyzer.java — metadata-and-data
+  // statements are NOT an access-control bypass.
+  test("statement forms respect access control when enforcing") {
+    val e = Engine(spark).loadCatalog(sf)
+    e.accessControl.setIdentity("mallory")
+    e.accessControl.setEnforcing(true)
+    try {
+      intercept[SecurityException](e.sql("SHOW STATS FOR orders"))
+      intercept[SecurityException](e.sql("SHOW STATS FOR (SELECT * FROM orders)"))
+      intercept[SecurityException](e.sql("SHOW PARTITIONS FROM orders"))
+      intercept[SecurityException](e.sql("SHOW CREATE TABLE orders"))
+      e.grant(Seq("SELECT"), "orders", "mallory")
+      assert(e.sql("SHOW STATS FOR orders").count() > 0)
+      assert(e.sql("SHOW CREATE TABLE orders").head.getString(0)
+        .contains("CREATE TABLE"))
+    } finally e.accessControl.setEnforcing(false)
+  }
+
+  test("EXECUTE raises on parameter-count mismatch in BOTH directions") {
+    val e = Engine(spark).loadCatalog(sf)
+    e.sql("PREPARE pc FROM SELECT count(*) AS n FROM orders WHERE o_orderkey < ?")
+    // too few (existing behavior) and too many (Execute.java raises on both)
+    intercept[IllegalArgumentException](e.sql("EXECUTE pc"))
+    intercept[IllegalArgumentException](e.sql("EXECUTE pc USING 10, 20"))
+    assert(e.sql("EXECUTE pc USING 10").head.getLong(0) > 0)
+  }
+
+  // SqlBase.g4:71 SHOW CREATE VIEW, :76 SHOW CATALOGS, :98 SET PATH.
+  test("statement forms: SHOW CREATE VIEW / SHOW CATALOGS / SET PATH") {
+    val e = Engine(spark).loadCatalog(sf)
+    e.createView("scv_v", "SELECT n_name FROM nation WHERE n_regionkey = 1")
+    val ddl = e.sql("SHOW CREATE VIEW scv_v")
+    assert(ddl.columns.toSeq == Seq("Create View"))
+    assert(ddl.head.getString(0).startsWith("CREATE VIEW scv_v AS"))
+    assert(ddl.head.getString(0).contains("n_regionkey = 1"))
+    // reference distinction: a table is "a table, not a view"; unknown
+    // names "do not exist" (ShowQueriesRewrite visitShowCreate)
+    val exT = intercept[IllegalArgumentException](e.sql("SHOW CREATE VIEW nation"))
+    assert(exT.getMessage.contains("is a table, not a view"))
+    val exM = intercept[IllegalArgumentException](e.sql("SHOW CREATE VIEW nope_v"))
+    assert(exM.getMessage.contains("does not exist"))
+    val cats = e.sql("SHOW CATALOGS")
+    assert(cats.columns.toSeq == Seq("Catalog"))
+    assert(cats.collect().map(_.getString(0)).contains("spark_catalog"))
+    assert(e.sql("SHOW CATALOGS LIKE 'spark%'").count() == 1)
+    assert(e.sql("SHOW CATALOGS LIKE 'zzz%'").count() == 0)
+    assert(e.sql("SET PATH a.b, c.d").columns.head == "SET PATH")
+    assert(e.currentPath.contains("a.b, c.d"))
+  }
 }
