@@ -381,7 +381,8 @@ class Engine(parent: SparkSession) {
           mapEquality(text, e)
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("CAST_WITHOUT_SUGGESTION") =>
-          castTimestampToTime(text, e)
+          try castTimestampToTime(text, e)
+          catch { case _: Throwable => tstzMismatch(text, e) }
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("UNSUPPORTED_GROUPING_EXPRESSION") =>
           groupingAsZero(text, e)
@@ -410,6 +411,12 @@ class Engine(parent: SparkSession) {
         case e: org.apache.spark.sql.AnalysisException
             if String.valueOf(e.getMessage).contains("ARRAY_FUNCTION_DIFF_TYPES") =>
           structPositionalContains(text, e)
+        // LAST: the generic tstz retry — any remaining DATATYPE_MISMATCH
+        // may be a zone-carrying timestamp in a zone-less slot (the
+        // specific error subclasses above keep their own handlers)
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("DATATYPE_MISMATCH") =>
+          tstzMismatch(text, e)
       }
     oneBasedSubscripts(df, text)
   }
@@ -431,6 +438,57 @@ class Engine(parent: SparkSession) {
           if ch.resolved && ch.dataType == TimestampType =>
         changed = true
         Cast(DateFormatClass(ch, Literal("HH:mm:ss.SSSSSS")), t, tz, ev)
+    }
+    if (!changed) throw orig
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
+  }
+
+  /** TIMESTAMP WITH TIME ZONE flowing into an expression that only accepts
+    * zone-less datetimes (functions/Tstz.scala struct representation): the
+    * reference dispatches *FromTimestampWithTimeZone overloads
+    * (DateTimeFunctions.java) — field extractors read the WALL time in the
+    * value's zone; casts to timestamp/date take the instant/wall view
+    * (session zone is UTC, where legacy cast and instant coincide). Spark
+    * reports DATATYPE_MISMATCH; retry path: analyze without final checks,
+    * rewrite the mismatched nodes, re-plan. */
+  private def tstzMismatch(text: String, orig: Throwable): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    import graft.functions.Tstz
+    val analyzed =
+      try org.apache.spark.sql.classic.GraftPlanBridge.analyze(spark,
+        org.apache.spark.sql.classic.GraftPlanBridge.parsePlan(spark, text))
+      catch { case _: Throwable => throw orig }
+    var changed = false
+    def isT(e: Expression): Boolean = e.resolved && Tstz.isTstz(e.dataType)
+    def wallWrap(e: Expression): Expression =
+      e.withNewChildren(e.children.map(c =>
+        if (isT(c)) { changed = true; Tstz.wall(c) } else c))
+    val fixed = analyzed.transformAllExpressions {
+      case c @ Cast(child, TimestampType, _, _) if isT(child) =>
+        changed = true
+        Tstz.instant(child)
+      case Cast(child, DateType, tz, ev) if isT(child) =>
+        changed = true
+        Cast(Tstz.wall(child), DateType, tz, ev)
+      // tstz vs zone-less timestamp comparison: instants
+      case cmp: BinaryComparison if isT(cmp.left) || isT(cmp.right) =>
+        changed = true
+        cmp.withNewChildren(Seq(
+          if (isT(cmp.left)) Tstz.instant(cmp.left) else cmp.left,
+          if (isT(cmp.right)) Tstz.instant(cmp.right) else cmp.right))
+      // field extractors / formatters: the wall-time view in the value's
+      // zone (whitelist — conditional/struct expressions must NOT unwrap)
+      case e @ (_: Hour | _: Minute | _: Second | _: DayOfMonth |
+                _: DayOfWeek | _: WeekDay | _: DayOfYear | _: Month |
+                _: Year | _: Quarter | _: WeekOfYear | _: TruncTimestamp |
+                _: DateFormatClass | _: MonthName | _: DayName)
+          if e.children.exists(isT) =>
+        wallWrap(e)
+      case e: UnixTimestamp if e.children.exists(isT) =>
+        // epoch is zone-independent: the instant view
+        e.withNewChildren(e.children.map(c =>
+          if (isT(c)) { changed = true; Tstz.instant(c) } else c))
     }
     if (!changed) throw orig
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
@@ -953,9 +1011,9 @@ class Engine(parent: SparkSession) {
     *    Presto's division-by-zero error.
     */
   private def oneBasedSubscripts(df: DataFrame, text: String = ""): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, Cast, Divide, Exists, Expression, Floor, GetArrayItem, InSubquery, IntegralDivide, IsNull, ListQuery, Literal, NamedExpression, Round, Subtract, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, CaseWhen, Cast, Divide, EqualNullSafe, EqualTo, Exists, Expression, Floor, GetArrayItem, Greatest, In, InSubquery, IntegralDivide, IsNull, Length, ListQuery, Literal, NamedExpression, Round, StringRPad, StringTrimRight, Subtract, SubqueryExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
-    import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
     def isIntegral(t: DataType): Boolean =
       t == LongType || t == IntegerType || t == ShortType || t == ByteType
     // (Presto's NULLS LAST default ordering is applied per sort item in the
@@ -1152,7 +1210,79 @@ class Engine(parent: SparkSession) {
       }
       cur
     }
-    val shifted0 = shift(df.queryExecution.analyzed)
+    // Presto CHAR comparisons are PAD-INSENSITIVE across lengths
+    // (Chars.compareChars logically pads the shorter operand with spaces;
+    // CharOperators.equal compares trimmed values). The rpad representation
+    // already matches for equal-length chars; comparisons with a
+    // CharMark-tagged operand lower to trim (equality) or
+    // trim+pad-to-common-length (ordering — exact compareChars semantics,
+    // including sub-space bytes like '\0' sorting before the pad). Marks
+    // are stripped afterwards and never execute.
+    def charPass(plan: LogicalPlan): LogicalPlan = {
+      import graft.functions.CharMark
+      def strip(e: Expression): Expression = e match {
+        case CharMark(c) => c
+        case other => other
+      }
+      def marked(e: Expression): Boolean = e.isInstanceOf[CharMark]
+      def trimmed(e: Expression): Expression = StringTrimRight(strip(e))
+      val cmpFixed = plan.transformUpWithSubqueries { case node =>
+        node.transformExpressionsUp {
+          case cmp: BinaryComparison if marked(cmp.left) || marked(cmp.right) =>
+            changed = true
+            val l = trimmed(cmp.left)
+            val r = trimmed(cmp.right)
+            cmp match {
+              case _: EqualTo => EqualTo(l, r)
+              case _: EqualNullSafe => EqualNullSafe(l, r)
+              case _ =>
+                val g = Greatest(Seq(Length(l), Length(r)))
+                cmp.withNewChildren(Seq(
+                  StringRPad(l, g, Literal(" ")),
+                  StringRPad(r, g, Literal(" "))))
+            }
+          case In(v, list) if (v +: list).exists(marked) =>
+            changed = true
+            In(trimmed(v), list.map(trimmed))
+        }
+      }
+      cmpFixed.transformUpWithSubqueries { case node =>
+        node.transformExpressionsUp {
+          case m: CharMark => changed = true; m.child
+        }
+      }
+    }
+    // TIMESTAMP WITH TIME ZONE semantics that analyze fine but differ
+    // (functions/Tstz.scala): comparisons use the INSTANT only
+    // (DateTimeOperators — equal instants in different zones are equal),
+    // and CAST(tstz AS VARCHAR) renders Joda 'yyyy-MM-dd HH:mm:ss.SSS ZZZ'
+    // instead of Spark's struct rendering.
+    def tstzPass(plan: LogicalPlan): LogicalPlan = {
+      import graft.functions.{Tstz, TstzToString}
+      plan.transformUpWithSubqueries { case node =>
+        node.transformExpressionsUp {
+          case c @ Cast(child, StringType, _, _)
+              if child.resolved && Tstz.isTstz(child.dataType) =>
+            changed = true
+            TstzToString(child)
+          // instants only, including tstz NESTED in rows/arrays
+          // (RowOperators compares fields with the type's own operator)
+          case cmp: BinaryComparison
+              if cmp.left.resolved && cmp.right.resolved &&
+                (Tstz.containsTstz(cmp.left.dataType) ||
+                  Tstz.containsTstz(cmp.right.dataType)) =>
+            changed = true
+            cmp.withNewChildren(Seq(
+              Tstz.stripZones(cmp.left), Tstz.stripZones(cmp.right)))
+          case In(v, list)
+              if v.resolved && Tstz.containsTstz(v.dataType) &&
+                list.forall(_.resolved) =>
+            changed = true
+            In(Tstz.stripZones(v), list.map(Tstz.stripZones))
+        }
+      }
+    }
+    val shifted0 = shift(tstzPass(charPass(df.queryExecution.analyzed)))
     val shifted = if (retyped) refreshTypes(shifted0) else shifted0
     if (!changed) df
     else org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, shifted)

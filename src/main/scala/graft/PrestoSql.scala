@@ -348,7 +348,10 @@ object PrestoSql {
     val t = m.group(1).toUpperCase(java.util.Locale.ROOT)
     val repl = t match {
       case "JSON" => s"json_parse($lit)"
-      case "VARCHAR" | "CHAR" => s"CAST($lit AS STRING)"
+      // CHAR 'x  ' is char(n) of the literal's length — the written text IS
+      // the padded representation; mark it so comparisons trim (Chars.java)
+      case "CHAR" => s"graft_char_mark(CAST($lit AS STRING))"
+      case "VARCHAR" => s"CAST($lit AS STRING)"
       case "REAL" => s"CAST($lit AS FLOAT)"
       case other => s"CAST($lit AS $other)"
     }
@@ -510,8 +513,10 @@ object PrestoSql {
   /** Presto CHAR(n) is FIXED LENGTH: `CAST(x AS CHAR(n))` pads with
     * spaces to exactly n (CharType / CharacterStringCasts — LENGTH of the
     * result is always n, concat keeps the padding); Spark's char cast
-    * neither pads nor counts the padding. Lower to rpad. Char COMPARISON
-    * pad-insensitivity is NOT modeled (documented divergence). */
+    * neither pads nor counts the padding. Lower to rpad, wrapped in the
+    * graft_char_mark identity so comparisons on CHAR operands get
+    * Presto's pad-insensitive semantics (Chars.compareChars) in the
+    * post-analysis pass. */
   private def castChar(sql: String): String = {
     val mask = maskLiterals(sql)
     val m = java.util.regex.Pattern
@@ -542,8 +547,171 @@ object PrestoSql {
     if (kw != "CAST" && kw != "TRY_CAST") return sql
     val body = sql.substring(open + 1, m.start())
     val inner = s"rpad(CAST(($body) AS STRING), $n, ' ')"
-    val repl = if (kw == "TRY_CAST") s"try($inner)" else inner
+    val repl =
+      if (kw == "TRY_CAST") s"graft_char_mark(try($inner))"
+      else s"graft_char_mark($inner)"
     castChar(sql.substring(0, ws) + repl + sql.substring(m.end()))
+  }
+
+  /** Zone-carrying TIMESTAMP literals (SqlBase.g4 TIMESTAMP '...';
+    * util/DateTimeUtils.java parseTimestampLiteral — a trailing region id
+    * or offset makes the literal TIMESTAMP WITH TIME ZONE, preserving the
+    * zone via DateTimeEncoding). Spark would parse the same text to a bare
+    * instant, losing the zone — reroute to graft_to_tstz, whose TstzParse
+    * keeps (instant, zone); constant-folded at plan time. */
+  private def tstzLiterals(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bTIMESTAMP\\s*'").matcher(mask)
+    var from = 0
+    while (m.find(from)) {
+      val qStart = m.end() - 1
+      var q = qStart + 1
+      while (q < sql.length && sql(q) != '\'') q += 1
+      if (q < sql.length) {
+        val content = sql.substring(qStart + 1, q)
+        val zm = java.util.regex.Pattern.compile(
+          """^\d{4}-\d{1,2}-\d{1,2}([ T]\d{1,2}:\d{1,2}(:\d{1,2}(\.\d{1,6})?)?)?\s+(\S+)$""")
+          .matcher(content)
+        if (zm.matches() && graft.functions.TstzParse.isZone(zm.group(4)))
+          return sql.substring(0, m.start()) +
+            s"graft_to_tstz('$content')" + tstzLiterals(sql.substring(q + 1))
+      }
+      from = m.end()
+    }
+    sql
+  }
+
+  /** `CAST(x AS TIMESTAMP WITH TIME ZONE)` → graft_to_tstz(x)
+    * (TimestampWithTimeZoneType; same paren-walk as castChar). */
+  private def castTstz(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bAS\\s+TIMESTAMP\\s+WITH\\s+TIME\\s+ZONE\\s*\\)")
+      .matcher(mask)
+    if (!m.find()) return sql
+    var depth = 0
+    var p = m.start() - 1
+    var open = -1
+    while (p >= 0 && open < 0) {
+      mask(p) match {
+        case ')' => depth += 1
+        case '(' => if (depth == 0) open = p else depth -= 1
+        case _ =>
+      }
+      p -= 1
+    }
+    if (open < 0) return sql
+    var w = open
+    while (w > 0 && mask(w - 1).isWhitespace) w -= 1
+    val ws = {
+      var k = w
+      while (k > 0 && (mask(k - 1).isLetterOrDigit || mask(k - 1) == '_')) k -= 1
+      k
+    }
+    val kw = mask.substring(ws, w).toUpperCase(java.util.Locale.ROOT)
+    if (kw != "CAST" && kw != "TRY_CAST") return sql
+    val body = sql.substring(open + 1, m.start())
+    val inner = s"graft_to_tstz($body)"
+    val repl = if (kw == "TRY_CAST") s"try($inner)" else inner
+    castTstz(sql.substring(0, ws) + repl + sql.substring(m.end()))
+  }
+
+  /** `X AT TIME ZONE Z` (SqlBase.g4 AT timeZoneSpecifier;
+    * DesugarAtTimeZoneRewriter) → graft_at_timezone(X, Z). Operand X is the
+    * preceding primary (parenthesized/call, quoted literal with optional
+    * type keyword, or identifier chain); Z is a string literal, an
+    * `INTERVAL '±hh:mm' HOUR TO MINUTE` offset (rendered as the offset
+    * string — a valid zone id), or an identifier/call. */
+  private def atTimeZone(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bAT\\s+TIME\\s+ZONE\\b").matcher(mask)
+    if (!m.find()) return sql
+    // ---- operand (left) ----
+    var e = m.start() - 1
+    while (e >= 0 && mask(e).isWhitespace) e -= 1
+    if (e < 0) return sql
+    var s = -1
+    if (mask(e) == ')') {
+      var depth = 0; var p = e
+      while (p >= 0 && s < 0) {
+        mask(p) match {
+          case ')' => depth += 1
+          case '(' => depth -= 1; if (depth == 0) s = p
+          case _ =>
+        }
+        p -= 1
+      }
+      if (s < 0) return sql
+      var w = s - 1
+      while (w >= 0 && mask(w).isWhitespace) w -= 1
+      if (w >= 0 && (mask(w).isLetterOrDigit || mask(w) == '_')) {
+        var k = w
+        while (k >= 0 && (mask(k).isLetterOrDigit || mask(k) == '_')) k -= 1
+        s = k + 1
+      }
+    } else if (sql(e) == '\'') {
+      var p = e - 1
+      while (p >= 0 && sql(p) != '\'') p -= 1
+      if (p < 0) return sql
+      s = p
+      // optional typed-literal keyword (TIMESTAMP '...')
+      var w = p - 1
+      while (w >= 0 && mask(w).isWhitespace) w -= 1
+      if (w >= 0 && (mask(w).isLetterOrDigit || mask(w) == '_')) {
+        var k = w
+        while (k >= 0 && (mask(k).isLetterOrDigit || mask(k) == '_')) k -= 1
+        val word = mask.substring(k + 1, w + 1).toUpperCase(java.util.Locale.ROOT)
+        if (word == "TIMESTAMP" || word == "TIME") s = k + 1
+      }
+    } else if (mask(e).isLetterOrDigit || mask(e) == '_') {
+      var k = e
+      while (k >= 0 && (mask(k).isLetterOrDigit || mask(k) == '_' || mask(k) == '.')) k -= 1
+      s = k + 1
+    } else return sql
+    // ---- zone (right) ----
+    var z = m.end()
+    while (z < mask.length && mask(z).isWhitespace) z += 1
+    if (z >= mask.length) return sql
+    var zEnd = -1
+    var zoneText: String = null
+    if (sql(z) == '\'') {
+      var p = z + 1
+      while (p < sql.length && sql(p) != '\'') p += 1
+      if (p >= sql.length) return sql
+      zEnd = p + 1
+      zoneText = sql.substring(z, zEnd)
+    } else if (mask.regionMatches(true, z, "INTERVAL", 0, 8)) {
+      // the interval body is blanked on the mask — re-read it from sql
+      val im = java.util.regex.Pattern.compile(
+        "(?is)^INTERVAL\\s*'([+-]?\\d{1,2}:\\d{2})'\\s*HOUR\\s+TO\\s+MINUTE")
+        .matcher(sql.substring(z))
+      if (!im.find()) return sql
+      val off = im.group(1)
+      val norm = if (off.startsWith("+") || off.startsWith("-")) off else "+" + off
+      zEnd = z + im.end()
+      zoneText = s"'$norm'"
+    } else if (mask(z).isLetterOrDigit || mask(z) == '_') {
+      var p = z
+      while (p < mask.length && (mask(p).isLetterOrDigit || mask(p) == '_' || mask(p) == '.')) p += 1
+      if (p < mask.length && mask(p) == '(') {
+        var depth = 0
+        while (p < mask.length) {
+          mask(p) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) { p += 1; zEnd = p }
+            case _ =>
+          }
+          if (zEnd >= 0) p = mask.length else p += 1
+        }
+        if (zEnd < 0) return sql
+      } else zEnd = p
+      zoneText = sql.substring(z, zEnd)
+    } else return sql
+    val operand = sql.substring(s, e + 1)
+    atTimeZone(sql.substring(0, s) +
+      s"graft_at_timezone($operand, $zoneText)" + sql.substring(zEnd))
   }
 
   /** Presto `date_add('unit', n, ts)` / `date_diff('unit', a, b)` spell
@@ -873,7 +1041,20 @@ object PrestoSql {
     * expressions are not duplicated per use. The generated text contains no
     * `[n]` subscripts (the 1-based post-analysis shift never fires on it)
     * and its ORDER BY items pick up the Presto NULLS LAST default from the
-    * defaultNullOrdering pass that runs after this one. */
+    * defaultNullOrdering pass that runs after this one.
+    *
+    * SCALE CONTRACT: the collected array is O(partition) heap — the same
+    * bound as the reference's WindowOperator/PagesIndex
+    * (presto-main/.../operator/WindowOperator.java). TIME is quadratic in
+    * the partition because WindowExec serializes the array into EVERY
+    * output UnsafeRow (measured, tools/DynFrameProbe: 10k rows 1.8 s /
+    * 20k 5.8 s / 40k 22 s single-partition) — practical per-partition
+    * bound ~10⁴–10⁵ rows; normal partition-parallel workloads scale in
+    * partition count. Scale path for larger partitions (not wired — the
+    * feature is a corpus corner): aggregate the partition to ONE array row,
+    * join back on the partition key, slice inside the join's codegen stage
+    * (zero-copy build-side access ⇒ O(n·frame)). DynamicFramesSpec pins
+    * the 20k single-partition bound. */
   private def dynamicFrames(sql0: String): String = {
     val mask = maskLiterals(sql0)
     sealed trait Bound
@@ -1625,9 +1806,9 @@ object PrestoSql {
 
   def rewrite(sql0: String): String = {
     val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(minMaxDistinct(extractFields(groupByForms(orderedAggs(
-      quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(typedLiterals(
+      quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(castTstz(atTimeZone(tstzLiterals(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unwrapLateralParens(unnest(rowTypes(niladicSpecials(sql0)),
-          new java.util.concurrent.atomic.AtomicLong(0)))))))))))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -383,3 +383,25 @@ case class PrestoTypeOf(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Type marker for Presto CHAR(n) values (SPI/type/CharType.java). The
+  * engine represents CHAR as its space-padded string (PrestoSql.castChar →
+  * rpad), which matches Presto for every function and for comparisons
+  * between equal-length chars — but Presto's comparisons are
+  * PAD-INSENSITIVE across lengths (Chars.compareChars logically pads the
+  * shorter operand with spaces; CharOperators.equal compares the trimmed
+  * values). This identity wrapper survives analysis so the post-analysis
+  * pass (Engine.oneBasedSubscripts) can see which comparison operands are
+  * CHAR-typed and lower them to trim/pad-normalized forms; it is stripped
+  * from the plan afterwards and never executes. */
+case class CharMark(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression): CharMark =
+    copy(child = c)
+}

@@ -265,6 +265,10 @@ object PrestoFunctions {
 
   /** name → builder. */
   val registry: Map[String, Seq[Expression] => Expression] = Map(
+    // CHAR(n) type marker emitted by PrestoSql.castChar — identity value,
+    // consumed (and stripped) by Engine's post-analysis char-comparison
+    // lowering (Chars.compareChars pad-insensitivity).
+    "graft_char_mark" -> (e => CharMark(e.head)),
     // --- string (StringFunctions.java) ---
     "strpos" -> (e => fn("locate", Seq(e(1), e(0)))),
     // Presto split's delimiter is a LITERAL string; Spark's builtin treats
@@ -411,41 +415,51 @@ object PrestoFunctions {
     // date_format shadows the builtin name → construct the Catalyst class
     // directly (delegating via UnresolvedFunction would recurse into us).
     "date_format" -> { e =>
+      val src = TstzWall(e(0))
       e(1) match {
         case Literal(s, StringType) if s != null && s.toString.contains("%") =>
           val p = s.toString
-          if (p.contains("%v") || p.contains("%x")) mysqlFormatWithWeek(e(0), p)
-          else DateFormatClass(e(0), translatedPattern(e(1)))
-        case _ => DateFormatClass(e(0), e(1))
+          if (p.contains("%v") || p.contains("%x")) mysqlFormatWithWeek(src, p)
+          else DateFormatClass(src, translatedPattern(e(1)))
+        case _ => DateFormatClass(src, e(1))
       }
     },
     // Joda-pattern pair (format_datetime/parse_datetime): Joda and java.time
     // patterns agree on the y/M/d/H/m/s/S core; exotic tokens (e.g. Joda 'ZZ')
     // diverge — documented divergence, no translation attempted.
-    "format_datetime" -> (e => DateFormatClass(e(0), e(1))),
+    "format_datetime" -> (e => DateFormatClass(TstzWall(e(0)), e(1))),
     "parse_datetime" -> (e => new ParseToTimestamp(e(0), e(1))),
-    "to_unixtime" -> (e => Cast(fn("unix_timestamp", e), DoubleType)),
+    // tstz → the INSTANT's epoch (to_unixtime is zone-independent)
+    "to_unixtime" -> (e =>
+      Cast(fn("unix_timestamp", Seq(TstzInstant(e.head))), DoubleType)),
     "from_unixtime" -> (e => fn("timestamp_seconds", Seq(e(0)))),
-    "to_iso8601" -> (e => Iso8601(e(0))),
+    "to_iso8601" -> (e => TstzAware("iso8601", e(0))),
     "from_iso8601_timestamp" -> (e => Cast(e(0), TimestampType)),
     "from_iso8601_date" -> (e => Cast(e(0), DateType)),
-    "day_of_week" -> (e => Add(fn("weekday", e), lit(1))),
-    "dow" -> (e => Add(fn("weekday", e), lit(1))),
-    "day_of_month" -> (e => fn("day", e)),
-    "day_of_year" -> (e => fn("dayofyear", e)),
-    "doy" -> (e => fn("dayofyear", e)),
-    "week" -> (e => fn("weekofyear", e)),
-    "week_of_year" -> (e => fn("weekofyear", e)),
+    // field extractors view a tstz's WALL time in the value's zone
+    // (DateTimeFunctions.java *FromTimestampWithTimeZone forms) — TstzWall
+    // is the identity on every other datetime type
+    "day_of_week" -> (e => Add(fn("weekday", Seq(TstzWall(e.head))), lit(1))),
+    "dow" -> (e => Add(fn("weekday", Seq(TstzWall(e.head))), lit(1))),
+    "day_of_month" -> (e => fn("day", Seq(TstzWall(e.head)))),
+    "day_of_year" -> (e => fn("dayofyear", Seq(TstzWall(e.head)))),
+    "doy" -> (e => fn("dayofyear", Seq(TstzWall(e.head)))),
+    "week" -> (e => fn("weekofyear", Seq(TstzWall(e.head)))),
+    "week_of_year" -> (e => fn("weekofyear", Seq(TstzWall(e.head)))),
     // week-based format patterns are banned on Spark >= 3.0; YEAROFWEEK is a
     // supported extract field.
     "year_of_week" -> (e =>
-      Cast(fn("date_part", Seq(lit("yearofweek"), e(0))), IntegerType)),
+      Cast(fn("date_part", Seq(lit("yearofweek"), TstzWall(e(0)))), IntegerType)),
     "yow" -> (e =>
-      Cast(fn("date_part", Seq(lit("yearofweek"), e(0))), IntegerType)),
+      Cast(fn("date_part", Seq(lit("yearofweek"), TstzWall(e(0)))), IntegerType)),
     // no 'millisecond'/'microsecond' extract field in Spark — derive
     // ms-of-second from the 'SSS' format pattern.
     "millisecond" -> (e =>
-      Cast(DateFormatClass(e(0), lit("SSS")), IntegerType)),
+      Cast(DateFormatClass(TstzWall(e(0)), lit("SSS")), IntegerType)),
+    // --- timestamp with time zone (TimestampWithTimeZoneType.java) ---
+    "graft_to_tstz" -> (e => GraftToTstz(e.head)),
+    "graft_at_timezone" -> (e => GraftAtTimezone(e(0), e(1))),
+    "with_timezone" -> (e => GraftWithTimezone(e(0), e(1))),
     // Presto date_add('unit', n, ts) / date_diff('unit', from, to): Spark's
     // PARSER owns these names and accepts the same arg order with an
     // UNQUOTED unit (date_add(MONTH, 2, d)); QUOTED-unit calls are
@@ -582,10 +596,9 @@ object PrestoFunctions {
       upper = true)),
     "parse_duration" -> (e => ParseDuration(e(0))),
     "to_milliseconds" -> (e => IntervalMillis(e(0))),
-    // AT TIME ZONE (DesugarAtTimeZoneRewriter): session zone is UTC, so
-    // shifting the wall-clock via from_utc_timestamp matches Presto's
-    // zone-displayed timestamp.
-    "at_timezone" -> (e => fn("from_utc_timestamp", Seq(e(0), e(1)))),
+    // AT TIME ZONE (DesugarAtTimeZoneRewriter): zone-preserving — the
+    // instant is unchanged, the display zone moves (see Tstz.scala).
+    "at_timezone" -> (e => GraftAtTimezone(e(0), e(1))),
     // localtime (DateTimeFunctions.java "localtime" special form): Presto's
     // bare-keyword TIME-of-day. Spark's parser has no niladic localtime, so
     // the callable form is localtime() (syntax divergence only — the TYPE
@@ -594,8 +607,10 @@ object PrestoFunctions {
     "localtime" -> (_ => fn("current_time", Nil)),
     // current_timezone() (DateTimeFunctions.java:132) is Spark-native with
     // identical name/semantics — no shim needed.
-    "timezone_hour" -> (e => TimeZonePart(e(0), minutePart = false)),
-    "timezone_minute" -> (e => TimeZonePart(e(0), minutePart = true)),
+    // tstz → the VALUE's zone offset at the instant; otherwise the session
+    // zone's (TimeZonePart)
+    "timezone_hour" -> (e => TstzAware("tz_hour", e(0))),
+    "timezone_minute" -> (e => TstzAware("tz_minute", e(0))),
     // Spark parse_url has no PORT key — extract from AUTHORITY.
     "url_extract_port" -> (e => Cast(fn("nullif", Seq(
       fn("regexp_extract",

@@ -43,7 +43,47 @@ object TpchMacro {
 
     Map(
       // Q5: local supplier volume (customer and supplier in same nation).
-      both("h05_local_supplier", s"""
+      // TRANSITIVE REGION PUSHDOWN (the reference's equivalence-class
+      // predicate inference, MAIN/sql/planner/EqualityInference.java —
+      // Spark's optimizer does not infer it across the later join):
+      // r_name='ASIA' restricts s_nationkey, and c_nationkey = s_nationkey
+      // carries the same restriction to customer; lineitem then prunes by
+      // ASIA suppkeys as a dynamic filter BEFORE its shuffle (60 k keys at
+      // sf30 — the small-domain/low-selectivity regime where the h02/h09
+      // posture applies, unlike q22's 4.4 M-key domain). The 180 M-row
+      // lineitem shuffle drops ~80%, customer and orders shrink 5×.
+      // Oracle keeps the canonical join form — hash-verified every round.
+      "h05_local_supplier" -> Q(
+        (s, d) => {
+          Tables.registerAll(s, d)
+          import org.apache.spark.sql.functions.col
+          val asiaKeys = Tables.t(s, d, "nation")
+            .join(Tables.t(s, d, "region").where("r_name = 'ASIA'"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey").collect().map(_.get(0)).toIndexedSeq
+          Tables.t(s, d, "customer")
+            .where(col("c_nationkey").isin(asiaKeys: _*))
+            .createOrReplaceTempView("customer_h05")
+          val supplierF = Tables.t(s, d, "supplier")
+            .where(col("s_nationkey").isin(asiaKeys: _*))
+          supplierF.createOrReplaceTempView("supplier_h05")
+          graft.plans.DynamicFilters.semiJoinPrune(
+            Tables.t(s, d, "lineitem"), "l_suppkey", supplierF, "s_suppkey")
+            .createOrReplaceTempView("lineitem_h05")
+          s.sql(s"""
+            SELECT n_name, $REV AS revenue
+            FROM customer_h05
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem_h05 ON l_orderkey = o_orderkey
+            JOIN supplier_h05 ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name""")
+        },
+        Some(s"""
         SELECT n_name, $REV AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -54,7 +94,7 @@ object TpchMacro {
         WHERE r_name = 'ASIA'
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1998-01-01'
-        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
       // Q7: volume shipping between two nations (supplier vs customer side).
       both("h07_volume_shipping", s"""
@@ -150,7 +190,28 @@ object TpchMacro {
         ORDER BY s_suppkey"""),
 
       // Q18: large-volume customers (HAVING over join + semi join back).
-      both("h18_large_volume", """
+      // Both lineitem aggregates run on SCALED LONGS (quantity is 2-decimal
+      // by schema contract — the oracle's DECIMAL(18,2) cast asserts it):
+      // a 43 M-group decimal(28,2) sum walks per-row BigDecimal past the
+      // compact-long representation (the q22 lesson, SCALE.md round 7);
+      // the long form is integer-exact and converts once per surviving
+      // group. Oracle keeps the canonical decimal form — hash-verified.
+      "h18_large_volume" -> Q(
+        sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+          round(o_totalprice, 4) AS totalprice,
+          CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(38,2)) / 100
+            AS DECIMAL(38,2)) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4)
+        ORDER BY totalprice DESC, o_orderkey LIMIT 100"""),
+        Some("""
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
           round(o_totalprice, 4) AS totalprice,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
@@ -161,7 +222,7 @@ object TpchMacro {
           SELECT l_orderkey FROM lineitem
           GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4)
-        ORDER BY totalprice DESC, o_orderkey LIMIT 100"""),
+        ORDER BY totalprice DESC, o_orderkey LIMIT 100""")),
 
       // Q19: discounted revenue (disjunctive multi-range part⋈lineitem).
       both("h19_discounted_revenue", s"""

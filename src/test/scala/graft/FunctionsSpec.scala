@@ -194,8 +194,10 @@ class FunctionsSpec extends AnyFunSuite {
     // session zone is UTC in tests
     assertFn("timezone_hour(TIMESTAMP '2024-06-01 12:00:00')", 0L)
     assertFn("timezone_minute(TIMESTAMP '2024-06-01 12:00:00')", 0L)
+    // zone-PRESERVING since the Tstz work: Presto's rendering, not the
+    // old instant-only compromise (TstzSpec covers the full surface)
     assertFn("CAST(at_timezone(TIMESTAMP '2024-01-01 12:00:00', " +
-      "'America/New_York') AS STRING)", "2024-01-01 07:00:00")
+      "'America/New_York') AS STRING)", "2024-01-01 07:00:00.000 America/New_York")
   }
 
   test("regexp_replace lambda form and zip") {
