@@ -14,6 +14,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+      // engine rules (dynamic semi-join pruning, scaled-long sums) run on
+      // the bench path exactly as on any user session — no hand-wiring
+      .withExtensions(new GraftPlannerExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // partitioned hash join + 4 MB local broadcast cutoff — see

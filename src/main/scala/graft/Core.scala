@@ -107,6 +107,19 @@ object GraftSession {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      // engine planner surface on every session: custom strategies + the
+      // graft optimizer rules (dynamic semi-join pruning, scaled-long
+      // decimal sums). Function NAMES stay per-Engine-session (Presto
+      // `map`/`split`/… deliberately differ from the Spark builtins —
+      // see GraftExtensions vs GraftPlannerExtensions).
+      .withExtensions(new GraftPlannerExtensions)
+      // Spark's runtime bloom-filter injection keeps its shipped 10 GiB
+      // application-side floor: the SCALE.md A/B that lowered it to fire
+      // at the soak scales REGRESSED the join headliners (date predicates
+      // keep most join keys, so the bloom build+probe outweighs rows
+      // saved); selective domains are covered by DynamicSemiJoinPrune's
+      // InSet/broadcast tiers instead, and at 100 TB the default floor
+      // fires exactly where it belongs.
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // AQE coalescing keeps Spark's shipped parallelism-first default:

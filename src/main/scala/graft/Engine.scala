@@ -40,6 +40,16 @@ class Engine(parent: SparkSession) {
 
   functions.PrestoFunctions.registerAll(spark)
 
+  // current_path session function (SqlBase.g4 CURRENT_PATH niladic special;
+  // SetPathTask stores the path, current_path reads it back — empty string
+  // when unset, matching the reference). The builder re-reads the session
+  // var at every resolution, so SET PATH takes effect immediately.
+  spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    "current_path",
+    _ => org.apache.spark.sql.catalyst.expressions.Literal(
+      sessionPath.getOrElse("")),
+    "scala_udf")
+
   /** Register every fixture table under its Presto-visible name. */
   def loadCatalog(dir: String): Engine = {
     Tables.registerAll(spark, dir)
@@ -477,11 +487,19 @@ class Engine(parent: SparkSession) {
         cmp.withNewChildren(Seq(
           if (isT(cmp.left)) Tstz.instant(cmp.left) else cmp.left,
           if (isT(cmp.right)) Tstz.instant(cmp.right) else cmp.right))
+      // date_trunc keeps the TYPE: truncate the wall time in the value's
+      // zone, reinterpret there, keep the zone (the reference's
+      // truncateTimestampWithTimeZone returns timestamp with time zone)
+      case TruncTimestamp(fmt, ts, tz) if isT(ts) =>
+        changed = true
+        Tstz.make(
+          ToUTCTimestamp(TruncTimestamp(fmt, Tstz.wall(ts), tz), Tstz.zone(ts)),
+          Tstz.zone(ts))
       // field extractors / formatters: the wall-time view in the value's
       // zone (whitelist — conditional/struct expressions must NOT unwrap)
       case e @ (_: Hour | _: Minute | _: Second | _: DayOfMonth |
                 _: DayOfWeek | _: WeekDay | _: DayOfYear | _: Month |
-                _: Year | _: Quarter | _: WeekOfYear | _: TruncTimestamp |
+                _: Year | _: Quarter | _: WeekOfYear |
                 _: DateFormatClass | _: MonthName | _: DayName)
           if e.children.exists(isT) =>
         wallWrap(e)
@@ -1259,7 +1277,58 @@ class Engine(parent: SparkSession) {
     // instead of Spark's struct rendering.
     def tstzPass(plan: LogicalPlan): LogicalPlan = {
       import graft.functions.{Tstz, TstzToString}
-      plan.transformUpWithSubqueries { case node =>
+      import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Sort}
+      def hasTstz(e: Expression): Boolean =
+        e.resolved && Tstz.containsTstz(e.dataType)
+      // replace occurrences of a tstz grouping expression OUTSIDE aggregate
+      // functions with first(g): the instant is the group key, the rendered
+      // value is a per-group representative — the reference's hashtable
+      // keeps an arbitrary representative the same way
+      // (TimestampWithTimeZoneType equality/hash read only the millis)
+      def firstify(e: Expression, groups: Seq[Expression]): Expression = e match {
+        case ae: AggregateExpression => ae
+        case g if groups.exists(_.semanticEquals(g)) =>
+          changed = true
+          First(g, ignoreNulls = false).toAggregateExpression()
+        case other => other.mapChildren(c => firstify(c, groups))
+      }
+      def instantGroups(agg: Aggregate): Aggregate = {
+        val tstzGroups = agg.groupingExpressions.filter(hasTstz)
+        val newGroups = agg.groupingExpressions.map(g =>
+          if (hasTstz(g)) { changed = true; Tstz.stripZones(g) } else g)
+        val newAggs = agg.aggregateExpressions.map { ne =>
+          firstify(ne, tstzGroups) match {
+            case ae: AggregateExpression =>
+              // a bare grouping attribute became first(attr): keep the
+              // original name AND exprId so downstream references hold
+              Alias(ae, ne.name)(ne.exprId, ne.asInstanceOf[NamedExpression].qualifier)
+            case other => other.asInstanceOf[NamedExpression]
+          }
+        }
+        agg.copy(groupingExpressions = newGroups, aggregateExpressions = newAggs)
+      }
+      plan.transformUpWithSubqueries { case node0 =>
+        // GROUP BY / DISTINCT / ORDER BY over tstz use the INSTANT only
+        // (TimestampWithTimeZoneType.java — equality, hash and comparison
+        // all read the packed millis; the zone is display metadata)
+        val node = node0 match {
+          case agg: Aggregate
+              if agg.resolved && agg.groupingExpressions.exists(hasTstz) &&
+                !agg.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Expand] =>
+            instantGroups(agg)
+          case d @ Distinct(child)
+              if d.resolved && child.output.exists(a => hasTstz(a)) =>
+            changed = true
+            instantGroups(Aggregate(
+              child.output, child.output.toIndexedSeq, child))
+          case s: Sort if s.resolved && s.order.exists(o => hasTstz(o.child)) =>
+            changed = true
+            s.copy(order = s.order.map(o =>
+              if (hasTstz(o.child)) o.copy(child = Tstz.stripZones(o.child)) else o))
+          case n => n
+        }
         node.transformExpressionsUp {
           case c @ Cast(child, StringType, _, _)
               if child.resolved && Tstz.isTstz(child.dataType) =>
@@ -1493,10 +1562,19 @@ class Engine(parent: SparkSession) {
         }
       // SHOW CATALOGS [LIKE ...] (ShowQueriesRewrite visitShowCatalogs):
       // one "Catalog" column over the registered catalogs, LIKE-filtered.
+      // listCatalogs() only returns catalogs already LOADED in the session;
+      // union the names configured via spark.sql.catalog.<name> so a
+      // configured-but-untouched catalog still lists (the reference lists
+      // from CatalogManager registration, not first use).
       case ShowCat(like) =>
         import spark.implicits._
-        val names = spark.catalog.listCatalogs().collect().map(_.name)
-          .toSeq.sorted
+        val loaded = spark.catalog.listCatalogs().collect().map(_.name)
+        val configured = spark.conf.getAll.keys.toSeq.collect {
+          case k if k.startsWith("spark.sql.catalog.") &&
+            !k.stripPrefix("spark.sql.catalog.").contains('.') =>
+            k.stripPrefix("spark.sql.catalog.")
+        }
+        val names = (loaded ++ configured).distinct.toSeq.sorted
         val df = names.toDF("Catalog")
         Some(if (like == null) df
              else df.where(org.apache.spark.sql.functions.col("Catalog").like(like)))

@@ -4,11 +4,36 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+/** Planner-only extensions: custom strategies + the graft optimizer rules,
+  * with NO function-name overrides. Safe on ANY session — including ones
+  * running plain Spark DataFrame code, because several Presto names (`map`,
+  * `split`, `max_by`, …) deliberately differ from the Spark builtins and
+  * Spark 4's `functions.*` API resolves BY NAME through the session
+  * registry (the `Engine` scaladoc's isolation rationale). Use this for
+  * sessions that mix dialects; `GraftExtensions` for a cluster serving the
+  * Presto dialect everywhere. */
+class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom whole-operator plans (SURVEY §2.11 route c)
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    // engine-level dynamic filtering + short-decimal long accumulation —
+    // every query planned in the session gets them (graft.plans
+    // .GraftOptimizations; the reference does this class of work in its
+    // optimizer: PickTableLayout/TupleDomain narrowing, PredicatePushDown
+    // equality inference, DecimalSumAggregation long state)
+    ext.injectOptimizerRule(session => new plans.DynamicSemiJoinPrune(session))
+    ext.injectOptimizerRule(_ => plans.ScaledLongSum)
+  }
+}
+
 /** Cluster-deployable registration: `--conf spark.sql.extensions=
-  * graft.GraftExtensions` installs the Presto compatibility surface into
-  * every session on the cluster — the production path (the per-session
-  * `Engine` constructor covers embedded/test use). Equivalent role to the
-  * reference's Plugin.getFunctions (SPI/Plugin.java:53).
+  * graft.GraftExtensions` installs the FULL Presto compatibility surface —
+  * the dialect function registry on top of everything in
+  * [[GraftPlannerExtensions]] — into every session on the cluster: the
+  * production path for a Presto-dialect deployment (the per-session
+  * `Engine` constructor covers embedded/mixed use, where the compat names
+  * must not shadow Spark builtins for DataFrame-API code). Equivalent role
+  * to the reference's Plugin.getFunctions (SPI/Plugin.java:53).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -18,7 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.PrestoFunctions", name),
         (args: Seq[Expression]) => builder(args)))
     }
-    // custom whole-operator plans (SURVEY §2.11 route c)
-    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    new GraftPlannerExtensions()(ext)
   }
 }

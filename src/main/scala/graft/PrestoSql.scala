@@ -445,17 +445,18 @@ object PrestoSql {
     sql0
   }
 
-  /** Presto's bare niladic date-time specials (SqlBase.g4
-    * #specialDateTimeFunction: LOCALTIME / LOCALTIMESTAMP with no
-    * argument list); Spark's parser only accepts the callable forms
-    * (`localtime()` resolves through the registry to current_time(),
-    * `localtimestamp()` is Spark-native). Qualified references
-    * (`t.localtime`) and already-callable forms pass through; both words
-    * are reserved in Presto, so no identifier can collide. */
+  /** Presto's bare niladic specials (SqlBase.g4
+    * #specialDateTimeFunction: LOCALTIME / LOCALTIMESTAMP, and
+    * CURRENT_PATH, all with no argument list); Spark's parser only
+    * accepts the callable forms (`localtime()` resolves through the
+    * registry to current_time(), `localtimestamp()` is Spark-native,
+    * `current_path()` is the Engine session function). Qualified
+    * references (`t.localtime`) and already-callable forms pass through;
+    * the words are reserved in Presto, so no identifier can collide. */
   private def niladicSpecials(sql0: String): String = {
     val mask = maskLiterals(sql0)
     val m = java.util.regex.Pattern
-      .compile("(?i)\\b(localtime|localtimestamp)\\b").matcher(mask)
+      .compile("(?i)\\b(localtime|localtimestamp|current_path)\\b").matcher(mask)
     val sb = new StringBuilder
     var last = 0
     while (m.find()) {

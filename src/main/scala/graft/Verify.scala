@@ -28,6 +28,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.localExchangeConf(SparkSession.builder()
       .master(s"local[$cpus]")
+      // same engine rules as every other session (GraftExtensions): the
+      // correctness gate exercises the dynamic-filter/scaled-sum rewrites
+      .withExtensions(new GraftPlannerExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // partitioned hash join posture — see GraftSession.local
       .config("spark.sql.join.preferSortMergeJoin", "false")

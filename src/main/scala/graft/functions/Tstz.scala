@@ -29,9 +29,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - field extractors (hour/day/…) view the WALL time via TstzWall;
   *    timezone_hour/minute expose the value's zone offset at the instant.
   *
-  * Documented residue (COVERAGE): GROUP BY / DISTINCT over tstz dedups by
-  * (instant, zone), not instant alone; format_datetime zone-name tokens
-  * print the session zone; TIME WITH TIME ZONE stays out of scope. */
+  *  - GROUP BY / DISTINCT / ORDER BY use the INSTANT only (Engine's
+  *    post-analysis pass strips zones from grouping/sort keys and keeps a
+  *    first() representative for display — TimestampWithTimeZoneType's
+  *    equality/hash/compare read only the packed millis);
+  *  - date_trunc truncates the wall time in the value's zone and RETURNS
+  *    timestamp with time zone in that zone
+  *    (truncateTimestampWithTimeZone).
+  *
+  * Documented residue (COVERAGE): format_datetime zone-name tokens print
+  * the session zone; window PARTITION BY over tstz still keys on
+  * (instant, zone); TIME WITH TIME ZONE stays out of scope. */
 object Tstz {
   val I = "__tstz_i"
   val Z = "__tstz_z"

@@ -1,17 +1,16 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.types.{StructField, StructType}
 
-/** Dynamic filtering for selective semi joins — the runtime analogue of the
-  * reference's TupleDomain pushdown (SPI/predicate/TupleDomain.java; the
-  * planner narrows a scan's domain from predicates, and
-  * MAIN/sql/planner/optimizations/MetadataQueryOptimizer.java +
-  * IndexJoinOptimizer.java turn small-side lookups into scan constraints).
-  * The same technique ships in modern engines as "dynamic filtering": run
-  * the small (dimension) side first, turn its join keys into a scan-level
-  * predicate on the fact side, and only fall back to a full join when the
-  * domain is too large to ship.
+/** Dynamic filtering for selective semi joins — the DataFrame-API utility
+  * form of the engine rule in [[GraftOptimizations]] (`DynamicSemiJoinPrune`
+  * applies the same tiering automatically to SQL/Dataset plans; this helper
+  * exists for imperative pipelines that want the prune at a specific spot).
+  * Runtime analogue of the reference's TupleDomain scan narrowing
+  * (SPI/predicate/TupleDomain.java; MAIN/sql/planner/iterative/rule/
+  * PickTableLayout.java).
   *
   * Why it matters at scale: a selective `fact.key IN (SELECT key FROM dim
   * WHERE …)` is statically un-plannable — the filter's selectivity is
@@ -20,22 +19,26 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * 0.4%). Evaluating the dim side first (it is small by contract — that is
   * what makes the semi join selective) converts that to a map-side prune.
   *
-  * Three tiers, chosen at runtime from the observed key count:
-  *   1. `keys ≤ maxInKeys`: collect the distinct keys and apply
-  *      `isin` — Catalyst compiles to an InSet hash lookup inside
-  *      whole-stage codegen AND pushes to the parquet scan (an In/range
-  *      PushedFilter ⇒ row-group stats can skip). Zero fact shuffle.
-  *   2. `keys ≤ maxBroadcastKeys`: broadcast LEFT SEMI join — one
-  *      executor-local hash probe per fact row, still zero fact shuffle.
+  * The dim side is evaluated exactly ONCE — a single bounded collect of its
+  * distinct keys decides every tier (round-8 fix: the round-7 form re-ran
+  * the dim plan up to three times — limit probe, count, join build):
+  *   1. `keys ≤ maxInKeys`: `isin` — Catalyst compiles to an InSet hash
+  *      lookup inside whole-stage codegen AND pushes to the parquet scan
+  *      (an In/range PushedFilter ⇒ row-group stats can skip). Zero fact
+  *      shuffle, zero dim re-evaluation.
+  *   2. `keys ≤ maxBroadcastKeys`: broadcast LEFT SEMI join against a
+  *      LOCAL relation built from the already-collected keys — one
+  *      executor-local hash probe per fact row, still zero fact shuffle
+  *      and still zero dim re-evaluation.
   *   3. otherwise: plain shuffled semi join (the status-quo plan) — at
   *      100 TB a dim side this large is exactly where a shuffled join is
-  *      the right call (and where Spark's own runtime bloom injection,
-  *      which defaults to ≥10 GB application scans, takes over).
+  *      the right call (and where Spark's own runtime bloom injection
+  *      takes over).
   *
   * Semantics: equivalent to `WHERE factKey IN (SELECT dimKey FROM dim)` in
   * a WHERE context — NULL fact keys and non-matches are both dropped (the
   * 3VL NULL-vs-false distinction is invisible to a filter), and NULL dim
-  * keys never match, so they are excluded before the count. */
+  * keys never match, so they are excluded before the collect. */
 object DynamicFilters {
 
   def semiJoinPrune(
@@ -46,16 +49,22 @@ object DynamicFilters {
       maxInKeys: Int = 131072,
       maxBroadcastKeys: Long = 4L * 1000 * 1000): DataFrame = {
     val keyDf = dim.select(col(dimKey)).where(col(dimKey).isNotNull).distinct()
-    // probe one past the cap so "fits" vs "overflows" is decided exactly
-    val head = keyDf.limit(maxInKeys + 1).collect().map(_.get(0))
+    // ONE evaluation sized for the largest tier, one past the cap so
+    // "fits" vs "overflows" is decided exactly
+    val cap = math.min(math.max(maxInKeys.toLong, maxBroadcastKeys),
+      16L * 1000 * 1000).toInt
+    val head = keyDf.limit(cap + 1).collect()
     if (head.length <= maxInKeys) {
-      fact.where(col(factKey).isin(head.toIndexedSeq: _*))
+      fact.where(col(factKey).isin(head.toIndexedSeq.map(_.get(0)): _*))
+    } else if (head.length <= maxBroadcastKeys) {
+      val schema = StructType(Seq(
+        StructField(factKey, keyDf.schema.head.dataType, nullable = false)))
+      val local = fact.sparkSession.createDataFrame(
+        java.util.Arrays.asList(head.map(r => Row(r.get(0))): _*), schema)
+      fact.join(broadcast(local), Seq(factKey), "left_semi")
     } else {
-      val keys = keyDf.withColumnRenamed(dimKey, factKey)
-      if (keyDf.count() <= maxBroadcastKeys)
-        fact.join(broadcast(keys), Seq(factKey), "left_semi")
-      else
-        fact.join(keys, Seq(factKey), "left_semi")
+      fact.join(keyDf.withColumnRenamed(dimKey, factKey), Seq(factKey),
+        "left_semi")
     }
   }
 }

@@ -1,0 +1,375 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Engine-level optimizer rules (registered by [[graft.GraftExtensions]], so
+  * every session — `Engine.sql`, plain `spark.sql`, DataFrame API — gets them
+  * on the normal Catalyst path; no hand-wiring per query).
+  *
+  * 1. [[DynamicSemiJoinPrune]] — runtime scan-domain narrowing for selective
+  *    semi joins / IN subqueries / fact⋈dim equi-joins: the Spark-side
+  *    analogue of the reference's planning-time TupleDomain narrowing
+  *    (SPI/predicate/TupleDomain.java:43 +
+  *    MAIN/sql/planner/iterative/rule/PickTableLayout.java) and its
+  *    equality-class predicate propagation
+  *    (MAIN/sql/planner/optimizations/PredicatePushDown.java:91,
+  *    EqualityInference.java).
+  * 2. [[ScaledLongSum]] — sum over short decimals accumulates on unscaled
+  *    longs, extending Spark's own `DecimalAggregates` (precision ≤ 8) to
+  *    the money range (precision ≤ 18): the reference accumulates short
+  *    decimals on primitive longs too
+  *    (MAIN/operator/aggregation/DecimalSumAggregation.java).
+  */
+object GraftOptimizations {
+  val ENABLED_KEY = "spark.graft.dynamicFilter.enabled"
+  val FACT_MIN_KEY = "spark.graft.dynamicFilter.factMinBytes"
+  val DIM_MAX_KEY = "spark.graft.dynamicFilter.dimMaxBytes"
+  val MAX_IN_KEY = "spark.graft.dynamicFilter.maxInKeys"
+  val DIM_BCAST_KEY = "spark.graft.dynamicFilter.dimBroadcastBytes"
+  val RATIO_KEY = "spark.graft.dynamicFilter.minFactDimRatio"
+  val SCALED_SUM_KEY = "spark.graft.scaledLongSum"
+}
+
+/** Dynamic filtering as a Catalyst rule — the engine path for what round 7
+  * proved out imperatively in [[DynamicFilters.semiJoinPrune]].
+  *
+  * Why: `fact.key IN (SELECT key FROM dim WHERE …)` (and the equivalent
+  * fact⋈dim join) is statically un-plannable — the dim filter's selectivity
+  * is invisible, so the fact side shuffles IN FULL before the join prunes it
+  * (measured at the sf30 soak: 180 M rows / 6.2 GB shuffled to keep 0.4%).
+  * Running the small dim side FIRST turns its keys into a scan-level
+  * predicate on the fact side: an In/range PushedFilter that parquet
+  * row-group stats can skip, and zero fact shuffle for the prune.
+  *
+  * Tiers, decided from ONE bounded dim evaluation (a `LIMIT maxInKeys+1`
+  * probe — never a second count pass, the round-7 triple-evaluation fix):
+  *   1. ≤ maxInKeys distinct keys: inline `In(key, literals)` — whole-stage
+  *      codegen InSet + parquet pushdown, zero fact shuffle, dim never
+  *      re-evaluated (the probe IS the evaluation).
+  *   2. more keys but a dim small enough to broadcast: tag the subquery
+  *      with a BROADCAST hint — the later RewritePredicateSubquery builds a
+  *      broadcast LEFT SEMI join, still zero fact shuffle; the dim is
+  *      evaluated once more as that join's build side (2 total, was 3).
+  *   3. otherwise: leave the plan alone — a dim side this large is exactly
+  *      where a shuffled join is right at 100 TB, and where Spark's own
+  *      runtime bloom injection takes over.
+  *
+  * Scale guards (all runtime-configurable, defaults sized from the SCALE.md
+  * sf30 A/Bs): the fact side must be ≥ factMinBytes (64 MB — skip at small
+  * scale, where the probe costs more than the shuffle it saves: the round-7
+  * h09 sf0.1 +83 % regression), the dim side must be ≤ dimMaxBytes AND
+  * ≤ fact/minFactDimRatio (never probe something fact-sized — the probe of
+  * an aggregate-over-fact dim, e.g. TPC-H Q18's HAVING subquery, would cost
+  * a full fact pass), and probe results are memoized per canonicalized dim
+  * plan (keyed with its size so a data overwrite invalidates).
+  *
+  * Semantics preserved exactly: only top-level POSITIVE conjuncts rewrite
+  * (never under NOT/OR — 3VL), dim NULL keys are excluded before the probe
+  * (they never match), a NULL fact key evaluates NULL→filtered either way,
+  * and non-deterministic or correlated or CTE-referencing dim plans are
+  * skipped. The inner-join variant only ADDS a `Filter` above the fact
+  * side (every surviving fact row must match some dim key), so join output
+  * is untouched.
+  */
+class DynamicSemiJoinPrune(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  import GraftOptimizations._
+
+  private sealed trait Decision
+  private case class InKeys(lits: Seq[Literal]) extends Decision
+  private case object Overflow extends Decision
+  private case object Skip extends Decision
+
+  // memo keyed by (canonicalized dim plan, its size estimate): repeated
+  // optimizations of the same query (bench reruns, fixed-point iterations,
+  // AQE re-plans) pay the probe once; a rewritten fixture dir changes the
+  // size and re-probes
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, BigInt, Int), Decision]
+
+  private def confLong(key: String, dflt: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+  private def enabled: Boolean =
+    spark.conf.getOption(ENABLED_KEY).forall(_.toBoolean)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    val factMin = BigInt(confLong(FACT_MIN_KEY, 64L << 20))
+    val dimMax = BigInt(confLong(DIM_MAX_KEY, 256L << 20))
+    val maxIn = confLong(MAX_IN_KEY, 131072L).toInt
+    val dimBcast = BigInt(confLong(DIM_BCAST_KEY, 64L << 20))
+    val ratio = confLong(RATIO_KEY, 4L)
+
+    /** Bytes the side actually READS: the sum of its leaf relations' size
+      * estimates. Join-node `stats.sizeInBytes` are multiplicative output
+      * products — a 5-way join of 10 MB scans reports terabytes, which
+      * would defeat the fact-size floor and fire probes at toy scale
+      * (measured: +4 s on sf0.1 TPC-H Q5 before this guard). */
+    def scanBytes(p: LogicalPlan): BigInt =
+      p.collectLeaves().map(_.stats.sizeInBytes).sum
+
+    def probeable(dim: LogicalPlan, factBytes: BigInt): Boolean = {
+      val bytes = dim.stats.sizeInBytes
+      bytes <= dimMax && bytes * ratio <= factBytes &&
+        !dim.isStreaming &&
+        !dim.exists {
+          case _: CTERelationRef => true
+          case p => p.expressions.exists(e =>
+            !e.deterministic || e.exists(_.isInstanceOf[OuterReference]))
+        }
+    }
+
+    /** One bounded evaluation of the dim side's distinct non-null keys. */
+    def probe(dim: LogicalPlan, maxKeys: Int): Decision = {
+      val key = (dim.canonicalized, dim.stats.sizeInBytes, maxKeys)
+      val cached = memo.get(key)
+      if (cached != null) return cached
+      val d =
+        try {
+          val attr = dim.output.head
+          val keysPlan = Distinct(Project(Seq(attr), Filter(IsNotNull(attr), dim)))
+          val rows = org.apache.spark.sql.classic.GraftPlanBridge
+            .ofRows(spark, keysPlan).limit(maxKeys + 1).collect()
+          if (rows.length <= maxKeys)
+            InKeys(rows.toIndexedSeq.map(r => Literal.create(r.get(0), attr.dataType)))
+          else Overflow
+        } catch { case scala.util.control.NonFatal(_) => Skip }
+      if (memo.size > 256) memo.clear()
+      memo.put(key, d)
+      d
+    }
+
+    /** Is there already an In/InSet conjunct over this key anywhere below?
+      * (Idempotency for the join variant: pushdown may have moved our
+      * inserted filter off the immediate child between iterations.) */
+    def alreadyPruned(side: LogicalPlan, key: Expression): Boolean =
+      side.exists(p => p.expressions.exists(_.exists {
+        case In(v, _) => v.semanticEquals(key)
+        case InSet(v, _) => v.semanticEquals(key)
+        case _ => false
+      }))
+
+    /** The join variant only fires when the dim side carries a
+      * data-reducing predicate (beyond pushdown's IsNotNull bookkeeping):
+      * an unfiltered dim's key domain prunes nothing, and inserting its
+      * full-domain In would block the TIGHTER prune that becomes available
+      * once upstream rules push a restriction into this dim on a later
+      * fixed-point iteration (region → nation → supplier → lineitem in
+      * TPC-H Q5: each hop's filter materializes one iteration after the
+      * previous hop's In reaches the scan). */
+    def selectivelyFiltered(dim: LogicalPlan): Boolean =
+      dim.exists {
+        case Filter(cond, _) =>
+          splitConjunctivePredicates(cond).exists {
+            case _: IsNotNull => false
+            case e => isLikelySelective(e)
+          }
+        case _ => false
+      }
+
+    plan.transformDown {
+      // WHERE key IN (SELECT …) over a big fact side
+      case f @ Filter(cond, child)
+          if cond.exists(_.isInstanceOf[InSubquery]) &&
+            scanBytes(child) >= factMin =>
+        val factBytes = scanBytes(child)
+        var changed = false
+        val rewritten = splitConjunctivePredicates(cond).map {
+          case in @ InSubquery(Seq(v), l: ListQuery)
+              if l.outerAttrs.isEmpty && l.plan.output.length == 1 &&
+                v.deterministic && probeable(l.plan, factBytes) =>
+            probe(l.plan, maxIn) match {
+              case InKeys(lits) =>
+                changed = true
+                if (lits.isEmpty) Literal.FalseLiteral else In(v, lits)
+              case Overflow
+                  if l.hint.isEmpty &&
+                    l.plan.stats.sizeInBytes <= dimBcast =>
+                changed = true
+                in.copy(query = l.copy(hint = Some(HintInfo(Some(BROADCAST)))))
+              case _ => in
+            }
+          case other => other
+        }
+        if (changed) Filter(rewritten.reduce(And), child) else f
+
+      // fact ⋈ dim equi-join: narrow the fact scan by the dim's key domain
+      // (tier 1 only — the join itself stays; we just pre-filter its input)
+      case j @ Join(left, right, Inner | LeftSemi, Some(cond), _)
+          if scanBytes(left).max(scanBytes(right)) >= factMin =>
+        val lBytes = scanBytes(left)
+        val rBytes = scanBytes(right)
+        // orientation: semi joins always prune the left (stream) side;
+        // inner joins prune the bigger side with the smaller side's keys
+        val dimIsRight = j.joinType == LeftSemi || lBytes >= rBytes
+        val (fact, dim) = if (dimIsRight) (left, right) else (right, left)
+        val (factBytes, dimBytes) = if (dimIsRight) (lBytes, rBytes) else (rBytes, lBytes)
+        val keyPairs =
+          if (factBytes < factMin || !selectivelyFiltered(dim) ||
+            !probeable(dim, factBytes)) Nil
+          else splitConjunctivePredicates(cond).collect {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if fact.outputSet.contains(a) && dim.outputSet.contains(b) => (a, b)
+            case EqualTo(b: AttributeReference, a: AttributeReference)
+                if fact.outputSet.contains(a) && dim.outputSet.contains(b) => (a, b)
+          }
+        // one In conjunct per equi-key pair (TPC-H Q5's supplier join
+        // carries both l_suppkey=s_suppkey and c_nationkey=s_nationkey —
+        // the reference's equality inference narrows BOTH sides)
+        val prunes = keyPairs
+          .filter { case (factKey, _) => !alreadyPruned(fact, factKey) }
+          .flatMap { case (factKey, dimKey) =>
+            probe(Project(Seq(dimKey), dim), maxIn) match {
+              case InKeys(lits) => Some(
+                if (lits.isEmpty) Literal.FalseLiteral else In(factKey, lits))
+              case _ => None
+            }
+          }
+        if (prunes.isEmpty) j
+        else {
+          val pruned = Filter(prunes.reduce(And), fact)
+          if (dimIsRight) j.copy(left = pruned) else j.copy(right = pruned)
+        }
+    }
+  }
+}
+
+/** Sum over `decimal(9..18, s)` accumulates on unscaled LONGS.
+  *
+  * Spark's own `DecimalAggregates` does exactly this for precision ≤ 8
+  * (where the long accumulator provably cannot overflow); the reference
+  * engine runs ALL short-decimal sums on primitive long state
+  * (MAIN/operator/aggregation/DecimalSumAggregation.java — overflow tracked
+  * separately). This rule extends the long path to the money range the
+  * schema contract actually uses (2–4 decimal places, 18-digit bound):
+  * per-row BigDecimal accumulation was 88 s cumulative of the q22 sf30
+  * profile (SCALE.md round 7). The result type is unchanged —
+  * `MakeDecimal(sum(unscaled), p+10, s)` is byte-identical to
+  * `sum(decimal(p, s))` for every in-range input (hash-verified by every
+  * driver oracle row that sums money).
+  *
+  * The lowering also walks INTO the summed expression where it can do so
+  * exactly: `CAST(double AS DECIMAL(p,s))` → `round(x·10^s) AS BIGINT`
+  * (same HALF_UP result for data that is s-decimal by contract),
+  * decimal multiply → long multiply (scales add), add/subtract → aligned
+  * long add, literals → unscaled literals, and any other decimal
+  * subexpression falls back to `UnscaledValue` (always exact for p ≤ 18).
+  *
+  * Overflow posture: ANSI long arithmetic THROWS on overflow (sessions run
+  * ANSI-on), so out-of-contract magnitudes fail loudly instead of
+  * returning wrong sums — the same fail-closed behavior Presto's decimal
+  * overflow has, reached at ~10^(18-s) instead of 10^(38-s). Disable with
+  * `spark.graft.scaledLongSum=false` for workloads that genuinely
+  * accumulate past 18 digits.
+  */
+object ScaledLongSum extends Rule[LogicalPlan] {
+  import GraftOptimizations._
+
+  /** (precision, scale) extractor (DecimalType.Fixed is private[sql]). */
+  private object Dec {
+    def unapply(dt: DataType): Option[(Int, Int)] = dt match {
+      case d: DecimalType => Some((d.precision, d.scale))
+      case _ => None
+    }
+  }
+
+  private def pow10L(n: Int): Long = math.pow(10, n).toLong
+
+  /** Lower a decimal expression to its unscaled-long form (at the
+    * expression's own scale). Total for p ≤ 18 via the UnscaledValue
+    * fallback; structural cases push the long form deeper for speed. */
+  private def toLong(e: Expression): Expression = e match {
+    case Cast(x, Dec(_, s), _, _)
+        if x.dataType == DoubleType || x.dataType == FloatType =>
+      Cast(new Round(Multiply(Cast(x, DoubleType), Literal(math.pow(10, s))),
+        Literal(0)), LongType)
+    case Cast(x, Dec(_, s), _, _)
+        if x.dataType == ByteType || x.dataType == ShortType ||
+          x.dataType == IntegerType || x.dataType == LongType =>
+      if (s == 0) Cast(x, LongType)
+      else Multiply(Cast(x, LongType), Literal(pow10L(s)))
+    case c @ Cast(x, Dec(p, s), _, _) if x.dataType.isInstanceOf[DecimalType] =>
+      val Dec(p0, s0) = x.dataType
+      // scale-preserving or widening casts lower to the child's unscaled
+      // long (×10^Δ). This drops the narrowing cast's precision check —
+      // the 2-decimal money contract the whole suite runs on (r7's q22
+      // analysis); out-of-contract magnitudes still fail loudly at the
+      // ANSI long-overflow bound instead of returning wrong sums. Only a
+      // scale REDUCTION (a rounding cast) keeps the decimal path.
+      if (s >= s0) {
+        val inner = toLong(x)
+        if (s == s0) inner else Multiply(inner, Literal(pow10L(s - s0)))
+      } else UnscaledValue(c)
+    case l @ Literal(_, Dec(_, _)) if l.value != null =>
+      Literal(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong)
+    case m @ Multiply(a, b, _)
+        if a.dataType.isInstanceOf[DecimalType] &&
+          b.dataType.isInstanceOf[DecimalType] &&
+          m.dataType.isInstanceOf[DecimalType] &&
+          m.dataType.asInstanceOf[DecimalType].scale ==
+            scaleOf(a.dataType) + scaleOf(b.dataType) =>
+      Multiply(toLong(a), toLong(b))
+    case ad @ Add(a, b, _)
+        if a.dataType.isInstanceOf[DecimalType] &&
+          b.dataType.isInstanceOf[DecimalType] &&
+          ad.dataType.isInstanceOf[DecimalType] &&
+          ad.dataType.asInstanceOf[DecimalType].scale ==
+            scaleOf(a.dataType).max(scaleOf(b.dataType)) =>
+      Add(align(a, b), align(b, a))
+    case sb @ Subtract(a, b, _)
+        if a.dataType.isInstanceOf[DecimalType] &&
+          b.dataType.isInstanceOf[DecimalType] &&
+          sb.dataType.isInstanceOf[DecimalType] &&
+          sb.dataType.asInstanceOf[DecimalType].scale ==
+            scaleOf(a.dataType).max(scaleOf(b.dataType)) =>
+      Subtract(align(a, b), align(b, a))
+    case UnaryMinus(a, failOnError) if a.dataType.isInstanceOf[DecimalType] =>
+      UnaryMinus(toLong(a), failOnError)
+    // total fallback: exact for compact (≤18-digit) values; a wider
+    // decimal whose VALUE no longer fits a long fails loudly
+    // (Decimal.toUnscaledLong → longValueExact) rather than truncating
+    case other => UnscaledValue(other)
+  }
+
+  private def scaleOf(dt: DataType): Int = dt.asInstanceOf[DecimalType].scale
+  private def isShortDecimal(dt: DataType): Boolean = dt match {
+    case Dec(p, _) => p <= 18
+    case _ => false
+  }
+  /** Long form of `a`, scaled up to max(scale(a), scale(b)). */
+  private def align(a: Expression, b: Expression): Expression = {
+    val sa = scaleOf(a.dataType); val sb = scaleOf(b.dataType)
+    val la = toLong(a)
+    if (sa >= sb) la else Multiply(la, Literal(pow10L(sb - sa)))
+  }
+
+  private def fits(e: Expression): Boolean = e.dataType match {
+    // ≤ 8 stays with Spark's own DecimalAggregates (provably
+    // overflow-free there); 9..18 is this rule's contract range
+    case Dec(p, _) => p > 8 && p <= 18
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val on = SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(SCALED_SUM_KEY)).forall(_.toBoolean)
+    if (!on) return plan
+    plan.transformAllExpressions {
+      case we @ WindowExpression(
+          ae @ AggregateExpression(s @ Sum(e, _), _, _, _, _), _) if fits(e) =>
+        val Dec(p, sc) = e.dataType
+        MakeDecimal(we.copy(windowFunction =
+          ae.copy(aggregateFunction = s.copy(child = toLong(e)))), p + 10, sc)
+      case ae @ AggregateExpression(s @ Sum(e, _), _, _, _, _) if fits(e) =>
+        val Dec(p, sc) = e.dataType
+        MakeDecimal(
+          ae.copy(aggregateFunction = s.copy(child = toLong(e))), p + 10, sc)
+    }
+  }
+}

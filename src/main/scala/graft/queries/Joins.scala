@@ -60,18 +60,16 @@ object Joins {
         GROUP BY r_name ORDER BY r_name""")),
 
     // TPC-H Q3 shape: selective dim filter + two joins + agg + topN.
-    // The revenue sum runs over SCALED LONGS (price/discount are 2-decimal
-    // money — the decimal(18,2) casts in the oracle assert exactly that),
-    // converting to decimal(38,4) once per GROUP instead of per row: sums
-    // past 18 digits of precision leave Spark's compact-long Decimal for
-    // BigDecimal, and the per-row allocation was 88 s cumulative of q22's
-    // sf30 profile (MetricsPlan). Long arithmetic cannot overflow here:
-    // |rev_scaled| < 10^12 per row, < 10^15 per order. A/B at sf30:
-    // 5.2 s → 4.3 s; the oracle keeps the canonical decimal form, so the
-    // rewrite stays hash-verified. (Tested and rejected: eager pre-join
-    // aggregation 12.4 s — 43 M-group hash before the selective join;
-    // dynamic-filter semi prune 7.5 s — 4.4 M-key broadcast build costs
-    // more than the 10%-selective shuffle it saves.)
+    // The revenue sum is written DECLARATIVELY in decimal; the engine's
+    // ScaledLongSum rule (plans/GraftOptimizations.scala) lowers it to
+    // long accumulation at plan time — round 7 hand-wrote exactly this
+    // long arithmetic after MetricsPlan showed per-row BigDecimal was
+    // 88 s cumulative of the sf30 profile (A/B 5.2 s → 4.3 s); round 8
+    // moved the rewrite into the optimizer so every money sum gets it.
+    // (Tested and rejected for THIS query: eager pre-join aggregation
+    // 12.4 s — 43 M-group hash before the selective join; dynamic-filter
+    // semi prune 7.5 s — 4.4 M-key domain, 10% selectivity, which the
+    // engine rule's dim-size/ratio guards also correctly refuse.)
     "q22_tpch_q3" -> Q(
       (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
@@ -79,11 +77,10 @@ object Joins {
         .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp") &&
           col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("s"))
-        .select(col("o_orderkey"), col("o_orderdate"),
-          (col("s").cast("decimal(38,4)") / 10000).cast("decimal(38,4)")
-            .as("revenue"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10),
       Some("""

@@ -43,47 +43,15 @@ object TpchMacro {
 
     Map(
       // Q5: local supplier volume (customer and supplier in same nation).
-      // TRANSITIVE REGION PUSHDOWN (the reference's equivalence-class
-      // predicate inference, MAIN/sql/planner/EqualityInference.java —
-      // Spark's optimizer does not infer it across the later join):
-      // r_name='ASIA' restricts s_nationkey, and c_nationkey = s_nationkey
-      // carries the same restriction to customer; lineitem then prunes by
-      // ASIA suppkeys as a dynamic filter BEFORE its shuffle (60 k keys at
-      // sf30 — the small-domain/low-selectivity regime where the h02/h09
-      // posture applies, unlike q22's 4.4 M-key domain). The 180 M-row
-      // lineitem shuffle drops ~80%, customer and orders shrink 5×.
-      // Oracle keeps the canonical join form — hash-verified every round.
-      "h05_local_supplier" -> Q(
-        (s, d) => {
-          Tables.registerAll(s, d)
-          import org.apache.spark.sql.functions.col
-          val asiaKeys = Tables.t(s, d, "nation")
-            .join(Tables.t(s, d, "region").where("r_name = 'ASIA'"),
-              col("n_regionkey") === col("r_regionkey"))
-            .select("n_nationkey").collect().map(_.get(0)).toIndexedSeq
-          Tables.t(s, d, "customer")
-            .where(col("c_nationkey").isin(asiaKeys: _*))
-            .createOrReplaceTempView("customer_h05")
-          val supplierF = Tables.t(s, d, "supplier")
-            .where(col("s_nationkey").isin(asiaKeys: _*))
-          supplierF.createOrReplaceTempView("supplier_h05")
-          graft.plans.DynamicFilters.semiJoinPrune(
-            Tables.t(s, d, "lineitem"), "l_suppkey", supplierF, "s_suppkey")
-            .createOrReplaceTempView("lineitem_h05")
-          s.sql(s"""
-            SELECT n_name, $REV AS revenue
-            FROM customer_h05
-            JOIN orders ON c_custkey = o_custkey
-            JOIN lineitem_h05 ON l_orderkey = o_orderkey
-            JOIN supplier_h05 ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            WHERE r_name = 'ASIA'
-              AND o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate < TIMESTAMP '1998-01-01'
-            GROUP BY n_name ORDER BY revenue DESC, n_name""")
-        },
-        Some(s"""
+      // The transitive region restriction (the reference's equivalence-class
+      // predicate inference, MAIN/sql/planner/EqualityInference.java) now
+      // materializes at RUNTIME from the engine's own optimizer rule
+      // (plans/GraftOptimizations.DynamicSemiJoinPrune): region's filter
+      // prunes nation's scan, the pruned nation prunes supplier, and the
+      // pruned supplier's 60 k ASIA suppkeys (sf30) prune lineitem BEFORE
+      // its shuffle — each hop one fixed-point iteration, no hand-wiring.
+      // Round 7 built this chain imperatively; round 8 deleted that.
+      both("h05_local_supplier", s"""
         SELECT n_name, $REV AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -94,7 +62,7 @@ object TpchMacro {
         WHERE r_name = 'ASIA'
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1998-01-01'
-        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
 
       // Q7: volume shipping between two nations (supplier vs customer side).
       both("h07_volume_shipping", s"""
@@ -190,28 +158,12 @@ object TpchMacro {
         ORDER BY s_suppkey"""),
 
       // Q18: large-volume customers (HAVING over join + semi join back).
-      // Both lineitem aggregates run on SCALED LONGS (quantity is 2-decimal
-      // by schema contract — the oracle's DECIMAL(18,2) cast asserts it):
-      // a 43 M-group decimal(28,2) sum walks per-row BigDecimal past the
-      // compact-long representation (the q22 lesson, SCALE.md round 7);
-      // the long form is integer-exact and converts once per surviving
-      // group. Oracle keeps the canonical decimal form — hash-verified.
-      "h18_large_volume" -> Q(
-        sql("""
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-          round(o_totalprice, 4) AS totalprice,
-          CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(38,2)) / 100
-            AS DECIMAL(38,2)) AS sum_qty
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (
-          SELECT l_orderkey FROM lineitem
-          GROUP BY l_orderkey
-          HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000)
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4)
-        ORDER BY totalprice DESC, o_orderkey LIMIT 100"""),
-        Some("""
+      // Both lineitem aggregates are decimal sums over 2-decimal money —
+      // the engine's ScaledLongSum rule accumulates them on scaled longs
+      // (the round-7 q22 lesson, now an optimizer rewrite instead of
+      // hand-written long arithmetic: a 43 M-group decimal(28,2) sum walks
+      // per-row BigDecimal past the compact-long representation).
+      both("h18_large_volume", """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
           round(o_totalprice, 4) AS totalprice,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
@@ -220,9 +172,10 @@ object TpchMacro {
         JOIN lineitem ON o_orderkey = l_orderkey
         WHERE o_orderkey IN (
           SELECT l_orderkey FROM lineitem
-          GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4)
-        ORDER BY totalprice DESC, o_orderkey LIMIT 100""")),
+        ORDER BY totalprice DESC, o_orderkey LIMIT 100"""),
 
       // Q19: discounted revenue (disjunctive multi-range part⋈lineitem).
       both("h19_discounted_revenue", s"""
@@ -248,46 +201,18 @@ object TpchMacro {
         ORDER BY custdist DESC, c_count DESC"""),
 
       // Q2: minimum-cost supplier. The fixture has no partsupp table, so the
-      // supply relation derives from lineitem. Three scale optimizations
-      // over the textbook correlated form: (1) the part predicate is a
-      // per-partkey semi-join pruning lineitem BEFORE the heavy
-      // (partkey, suppkey) aggregation; (2) that semi-join runs as a
-      // DYNAMIC FILTER (DynamicFilters.semiJoinPrune) — the filtered part
-      // side is tiny but its selectivity is statically invisible, so
-      // without it the full fact table shuffles first (measured at sf30:
-      // 180 M rows / 6.2 GB shuffled to keep 0.4%); (3) the correlated
-      // per-part min over EUROPE suppliers is a window min over the same
-      // join — computed once, no decorrelated second aggregate +
-      // self-join. Oracle keeps the declarative IN-subquery form, so the
-      // driver hash-verifies the dynamic filter's semantics every round.
-      "h02_min_cost_supplier" -> Q(
-        (s, d) => {
-          Tables.registerAll(s, d)
-          graft.plans.DynamicFilters.semiJoinPrune(
-            Tables.t(s, d, "lineitem"), "l_partkey",
-            Tables.t(s, d, "part")
-              .where("p_size = 15 AND p_type = 'ECONOMY'"), "p_partkey")
-            .createOrReplaceTempView("lineitem_h02")
-          s.sql("""
-            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
-            FROM (
-              SELECT ps_partkey, s_acctbal, s_name, n_name, ps_supplycost,
-                min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
-              FROM (
-                SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2)))
-                       AS DECIMAL(18,2)) AS ps_supplycost
-                FROM lineitem_h02
-                GROUP BY l_partkey, l_suppkey) ps,
-                supplier, nation, region
-              WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
-                AND n_regionkey = r_regionkey AND r_name = 'EUROPE') eu,
-              part
-            WHERE p_partkey = ps_partkey AND p_size = 15 AND p_type = 'ECONOMY'
-              AND ps_supplycost = min_cost
-            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
-        },
-        Some("""
+      // supply relation derives from lineitem. Two scale choices in the
+      // declarative form itself: the part predicate is an IN-subquery
+      // pruning lineitem BEFORE the heavy (partkey, suppkey) aggregation,
+      // and the correlated per-part min over EUROPE suppliers is a window
+      // min over the same join — computed once, no decorrelated second
+      // aggregate + self-join. The IN-subquery's selectivity is statically
+      // invisible (without runtime narrowing the full fact table shuffles
+      // first — measured at sf30: 180 M rows / 6.2 GB shuffled to keep
+      // 0.4%); the engine's DynamicSemiJoinPrune rule inlines the probed
+      // part keys as an InSet scan filter at plan time — round 7's
+      // hand-wired semiJoinPrune call, now on the canonical SQL path.
+      both("h02_min_cost_supplier", """
         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
         FROM (
           SELECT ps_partkey, s_acctbal, s_name, n_name, ps_supplycost,
@@ -306,7 +231,7 @@ object TpchMacro {
           part
         WHERE p_partkey = ps_partkey AND p_size = 15 AND p_type = 'ECONOMY'
           AND ps_supplycost = min_cost
-        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""),
 
       // Q4: order-priority checking (correlated EXISTS). Lateness predicate
       // adapted: shipped >60 days after order date (no commit/receipt dates
@@ -336,35 +261,7 @@ object TpchMacro {
       // picks the broadcast-semi tier and the 180 M-row fact never
       // shuffles for the semi join (only the 23 M surviving rows shuffle,
       // for the window). Oracle keeps the IN-subquery form.
-      "h09_product_profit" -> Q(
-        (s, d) => {
-          Tables.registerAll(s, d)
-          graft.plans.DynamicFilters.semiJoinPrune(
-            Tables.t(s, d, "lineitem"), "l_partkey",
-            Tables.t(s, d, "part").where("p_name LIKE '%red%'"), "p_partkey")
-            .createOrReplaceTempView("lineitem_h09")
-          s.sql("""
-            SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(38,4)) AS sum_profit
-            FROM (
-              SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4)) -
-                CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
-                     AS DECIMAL(18,4)) AS amount
-              FROM (
-                SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount,
-                  l_quantity,
-                  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2)))
-                       OVER (PARTITION BY l_partkey, l_suppkey)
-                       AS DECIMAL(18,2)) AS ps_supplycost
-                FROM lineitem_h09) l,
-                supplier, orders, nation
-              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-                AND s_nationkey = n_nationkey) profit
-            GROUP BY nation, o_year ORDER BY nation, o_year DESC""")
-        },
-        Some("""
+      both("h09_product_profit", """
         SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(38,4)) AS sum_profit
         FROM (
           SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
@@ -385,7 +282,7 @@ object TpchMacro {
             supplier, orders, nation
           WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
             AND s_nationkey = n_nationkey) profit
-        GROUP BY nation, o_year ORDER BY nation, o_year DESC""")),
+        GROUP BY nation, o_year ORDER BY nation, o_year DESC"""),
 
       // Q11: important stock identification (grouped value vs global-share
       // scalar subquery) over the derived partsupp.

@@ -8,6 +8,10 @@ object TestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // planner surface (strategies + optimizer rules) exactly as
+      // GraftSession.local sessions get it; Presto function NAMES stay
+      // isolated in Engine sessions (they shadow Spark builtins)
+      .withExtensions(new GraftPlannerExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -116,4 +116,42 @@ class TstzSpec extends AnyFunSuite {
     assert(one(s"date_format($W, '%Y-%m-%d %H:%i:%s')")
       == "2001-08-22 03:04:05")
   }
+
+  test("date_trunc preserves the type and the zone (truncate in value zone)") {
+    // truncateTimestampWithTimeZone: truncate the WALL time in the value's
+    // zone, return timestamp with time zone in the SAME zone
+    assert(one(s"CAST(date_trunc('hour', $W) AS VARCHAR)")
+      == "2001-08-22 03:00:00.000 +07:09")
+    assert(one("CAST(date_trunc('day', " +
+      "TIMESTAMP '2017-03-01 10:20:30 Asia/Kathmandu') AS VARCHAR)")
+      == "2017-03-01 00:00:00.000 Asia/Kathmandu")
+  }
+
+  test("GROUP BY / DISTINCT dedup by INSTANT, not (instant, zone)") {
+    // TimestampWithTimeZoneType equality/hash read only the packed millis:
+    // the same instant tagged with different zones is ONE group
+    assert(one("count(*) FROM (SELECT DISTINCT ts FROM (VALUES " +
+      "TIMESTAMP '2017-03-01 10:00:00 UTC', " +
+      "TIMESTAMP '2017-03-01 05:00:00 -05:00', " +
+      "TIMESTAMP '2017-03-01 11:00:00 UTC') t(ts))") == 2L)
+    val grouped = e.sql("SELECT ts, count(*) AS n FROM (VALUES " +
+      "TIMESTAMP '2017-03-01 10:00:00 UTC', " +
+      "TIMESTAMP '2017-03-01 05:00:00 -05:00', " +
+      "TIMESTAMP '2017-03-01 11:00:00 UTC') t(ts) GROUP BY ts ORDER BY 2 DESC")
+      .collect()
+    assert(grouped.length == 2)
+    assert(grouped(0).getLong(1) == 2L && grouped(1).getLong(1) == 1L)
+  }
+
+  test("ORDER BY over tstz sorts by instant") {
+    val rows = e.sql("SELECT CAST(ts AS VARCHAR) AS rendered FROM (VALUES " +
+      "TIMESTAMP '2017-03-01 10:00:00 +05:45', " + // 04:15 UTC
+      "TIMESTAMP '2017-03-01 05:00:00 -05:00', " + // 10:00 UTC
+      "TIMESTAMP '2017-03-01 09:00:00 UTC') t(ts) ORDER BY ts")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq(
+      "2017-03-01 10:00:00.000 +05:45",
+      "2017-03-01 09:00:00.000 UTC",
+      "2017-03-01 05:00:00.000 -05:00"))
+  }
 }
