@@ -23,6 +23,10 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // equality inference, DecimalSumAggregation long state)
     ext.injectOptimizerRule(session => new plans.DynamicSemiJoinPrune(session))
     ext.injectOptimizerRule(_ => plans.ScaledLongSum)
+    // full-partition window arrays (the dynamic-frame lowering) evaluate
+    // on a shared per-partition array joined back to the rows — O(n·frame)
+    // instead of WindowExec's O(n²) array-per-row serialization
+    ext.injectOptimizerRule(session => new plans.DynamicFrameJoin(session))
   }
 }
 

@@ -1034,10 +1034,11 @@ object PrestoSql {
     * FrameInfo take a bound CHANNEL — AbstractTestQueries testWindowFrames
     * runs `ROWS BETWEEN mod(custkey, 2) PRECEDING AND custkey / 500
     * FOLLOWING`); Spark's parser requires foldable bounds. Non-literal ROWS
-    * bounds on sum/avg/count/min/max are lowered here to a per-row slice of
+    * bounds on sum/avg/count/min/max are lowered here to a per-row fold of
     * the collected partition: one UNBOUNDED..UNBOUNDED collect_list (the
     * only semantics-preserving shape — the frame of every row can reach any
-    * position), one row_number, then `slice` + higher-order aggregation.
+    * position), one row_number, then a sequence(s0, e0) index fold reading
+    * elements in place.
     * All pieces bind once via a single-element transform() so the window
     * expressions are not duplicated per use. The generated text contains no
     * `[n]` subscripts (the 1-based post-analysis shift never fires on it)
@@ -1046,16 +1047,25 @@ object PrestoSql {
     *
     * SCALE CONTRACT: the collected array is O(partition) heap — the same
     * bound as the reference's WindowOperator/PagesIndex
-    * (presto-main/.../operator/WindowOperator.java). TIME is quadratic in
-    * the partition because WindowExec serializes the array into EVERY
-    * output UnsafeRow (measured, tools/DynFrameProbe: 10k rows 1.8 s /
-    * 20k 5.8 s / 40k 22 s single-partition) — practical per-partition
-    * bound ~10⁴–10⁵ rows; normal partition-parallel workloads scale in
-    * partition count. Scale path for larger partitions (not wired — the
-    * feature is a corpus corner): aggregate the partition to ONE array row,
-    * join back on the partition key, slice inside the join's codegen stage
-    * (zero-copy build-side access ⇒ O(n·frame)). DynamicFramesSpec pins
-    * the 20k single-partition bound. */
+    * (presto-main/.../operator/WindowOperator.java). TIME:
+    * [[graft.plans.DynamicFrameJoin]] rewrites the emitted Window into a
+    * grouped-aggregate branch (one sorted array per partition) joined back
+    * to the rows — WindowExec never serializes the O(partition) array into
+    * every output UnsafeRow (that serialization alone was O(rows²) bytes)
+    * — and the body below folds `sequence(s0, e0)` with `element_at`
+    * reads instead of `slice`, whose interpreted eval copies the whole
+    * array per row. Measured (tools/DynFrameProbe): the two changes cut
+    * the single-partition constant ~2.5×, but the per-row cost is STILL
+    * O(partition): Spark's interpreted higher-order-function eval pays an
+    * O(array)-per-call tax whenever the partition array flows through a
+    * lambda (measured directly: one element_at per row over a broadcast
+    * 160k array is 0.3 s; the same read wrapped in transform() is 45 s) —
+    * so both the binder transform() and the fold keep the giant-single-
+    * partition case superlinear. The linear path is prefix arrays +
+    * binder inlining (DynamicFrameJoin scaladoc). DynamicFramesSpec pins
+    * the single-partition bound, the join plan shape, and
+    * join-vs-WindowExec-path equivalence
+    * (`spark.graft.dynamicFrameJoin=false` keeps the single-branch form). */
   private def dynamicFrames(sql0: String): String = {
     val mask = maskLiterals(sql0)
     sealed trait Bound
@@ -1209,31 +1219,46 @@ object PrestoSql {
                 val hi = off(hi0, "p2")
                 val s0 = s"greatest(1, $lo)"
                 val e0 = s"least(size($w.a), $hi)"
-                val frame = s"slice($w.a, CAST($s0 AS INT), CAST($e0 - $s0 + 1 AS INT))"
-                val vals = s"transform($frame, $x -> $x.__v)"
-                val nn = s"filter($vals, $x -> $x IS NOT NULL)"
-                def fold(init: String) =
-                  s"aggregate(slice($nn, 2, CAST(size($nn) - 1 AS INT)), $init, " +
-                    s"($acc, $x) -> $acc + $x)"
+                // Per-row frame evaluation is O(frame), not O(partition):
+                // iterate the index range with sequence() and read elements
+                // in place via element_at() — zero-copy on UnsafeArrayData.
+                // slice()'s interpreted eval copies the WHOLE partition
+                // array per row (toObjectArray), which kept the pre-round-8
+                // form quadratic even after the DynamicFrameJoin rewrite
+                // removed WindowExec's per-row array serialization.
+                val seq = s"sequence(CAST($s0 AS BIGINT), CAST($e0 AS BIGINT))"
+                def elem(ix: String) = s"element_at($w.a, CAST($ix AS INT)).__v"
+                val typedNull = s"IF(1=0, element_at($w.a, 1).__v, NULL)"
+                def foldNn(init: String, merge: (String, String) => String) =
+                  s"aggregate($seq, $init, ($acc, $x) -> ${merge(acc, elem(x))})"
+                val nnCount = foldNn(s"CAST(0 AS BIGINT)",
+                  (a, e) => s"$a + (CASE WHEN $e IS NULL THEN 0 ELSE 1 END)")
                 val bodyExpr = fname match {
                   case "count" =>
-                    val cnt = if (arg == "*") s"size($frame)" else s"size($nn)"
-                    s"CASE WHEN $e0 >= $s0 THEN CAST($cnt AS BIGINT) " +
-                      "ELSE CAST(0 AS BIGINT) END"
+                    val cnt =
+                      if (arg == "*") s"CAST($e0 - $s0 + 1 AS BIGINT)" else nnCount
+                    s"CASE WHEN $e0 >= $s0 THEN $cnt ELSE CAST(0 AS BIGINT) END"
                   case "sum" =>
-                    s"CASE WHEN $e0 >= $s0 AND size($nn) > 0 " +
-                      s"THEN ${fold(s"element_at($nn, 1)")} END"
+                    s"CASE WHEN $e0 >= $s0 THEN ${foldNn(typedNull, (a, e) =>
+                      s"CASE WHEN $e IS NULL THEN $a WHEN $a IS NULL THEN $e " +
+                        s"ELSE $a + $e END")} END"
                   case "avg" =>
-                    s"CASE WHEN $e0 >= $s0 AND size($nn) > 0 " +
-                      s"THEN ${fold(s"CAST(element_at($nn, 1) AS DOUBLE)")} / size($nn) END"
+                    s"CASE WHEN $e0 >= $s0 THEN ${foldNn("CAST(NULL AS DOUBLE)",
+                      (a, e) => s"CASE WHEN $e IS NULL THEN $a " +
+                        s"WHEN $a IS NULL THEN CAST($e AS DOUBLE) " +
+                        s"ELSE $a + CAST($e AS DOUBLE) END")} / nullif($nnCount, 0) END"
                   case "min" =>
-                    s"CASE WHEN $e0 >= $s0 THEN array_min($vals) END"
+                    s"CASE WHEN $e0 >= $s0 THEN ${foldNn(typedNull, (a, e) =>
+                      s"CASE WHEN $e IS NULL THEN $a WHEN $a IS NULL THEN $e " +
+                        s"WHEN $e < $a THEN $e ELSE $a END")} END"
                   case "max" =>
-                    s"CASE WHEN $e0 >= $s0 THEN array_max($vals) END"
+                    s"CASE WHEN $e0 >= $s0 THEN ${foldNn(typedNull, (a, e) =>
+                      s"CASE WHEN $e IS NULL THEN $a WHEN $a IS NULL THEN $e " +
+                        s"WHEN $e > $a THEN $e ELSE $a END")} END"
                   case "first_value" =>
-                    s"CASE WHEN $e0 >= $s0 THEN element_at($vals, 1) END"
+                    s"CASE WHEN $e0 >= $s0 THEN ${elem(s0)} END"
                   case "last_value" =>
-                    s"CASE WHEN $e0 >= $s0 THEN element_at($vals, CAST(size($vals) AS INT)) END"
+                    s"CASE WHEN $e0 >= $s0 THEN ${elem(e0)} END"
                 }
                 val repl = s"element_at(transform(array(struct(" +
                   fields.mkString(", ") + s")), $w -> $bodyExpr), 1)"

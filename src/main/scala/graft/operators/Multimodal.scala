@@ -210,19 +210,18 @@ object Multimodal {
         import s.implicits._
         Tables.t(s, d, "documents")
           .select(col("doc_id"), col("text"))
-          // pure-ASCII rows only (byte length == char length): the payload
-          // bytes below index UTF-8 bytes while the oracle indexes
-          // characters/codepoints — the two agree exactly on ASCII and
-          // silently diverge otherwise, so non-ASCII rows are excluded on
-          // BOTH sides rather than papered over.
-          .where(length(col("text")) >= 8 &&
-            octet_length(col("text")) === length(col("text")))
+          .where(length(col("text")) >= 8)
           .as[(Long, String)]
           .map { case (id, text) =>
-            val bytes = text.getBytes("UTF-8")
-            val rgb = Array.tabulate(8 * 6 * 3)(i => bytes(i % bytes.length))
+            // index CODEPOINTS truncated to a byte — the same positions
+            // character-based substr/ord sees, so every row participates
+            // (the round-7 form indexed UTF-8 bytes and had to exclude
+            // non-ASCII rows where the two indexings diverge)
+            val cps = text.codePoints().toArray
+            val n = cps.length
+            val rgb = Array.tabulate(8 * 6 * 3)(i => (cps(i % n) & 0xff).toByte)
             val pcm = Array.tabulate(64)(i =>
-              (((bytes(i % bytes.length) & 0xff) - 100) * 256).toShort)
+              (((cps(i % n) & 0xff) - 100) * 256).toShort)
             val (w, h, px) = decodePpm(encodePpm(8, 6, rgb))
             val (rate, ss) = decodeWavPcm16(encodeWavPcm16(16000, pcm))
             (id, w, h, px.map(_ & 0xff).map(_.toLong).sum,
@@ -235,14 +234,16 @@ object Multimodal {
       Some("""
         WITH d AS (
           SELECT doc_id, text, length(text) AS len
-          FROM documents WHERE length(text) >= 8
-            AND octet_length(CAST(text AS BLOB)) = length(text))
+          FROM documents WHERE length(text) >= 8)
         SELECT doc_id AS media_id, CAST(8 AS INT) AS w, CAST(6 AS INT) AS h,
           CAST(list_sum(list_transform(range(0, 144), i ->
-            ord(substr(text, CAST(i % len AS INT) + 1, 1)))) AS BIGINT) AS px_sum,
+            ord(substr(text, CAST(i % len AS INT) + 1, 1)) % 256)) AS BIGINT) AS px_sum,
           CAST(16000 AS INT) AS sample_rate, CAST(64 AS INT) AS n_samples,
+          -- (cp%256 - 100)*256 wrapped to signed 16-bit: the engine stores
+          -- PCM as int16, so the oracle reproduces the wrap exactly
           CAST(list_sum(list_transform(range(0, 64), i ->
-            (ord(substr(text, CAST(i % len AS INT) + 1, 1)) - 100) * 256)) AS BIGINT) AS sample_sum
+            ((ord(substr(text, CAST(i % len AS INT) + 1, 1)) % 256 - 100) * 256
+              + 32768) % 65536 - 32768)) AS BIGINT) AS sample_sum
         FROM d ORDER BY media_id""")),
 
     // Metadata + payload stats — pure column expressions over the binary

@@ -3,26 +3,36 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Memory/time contract of the dynamic-frame lowering
-  * (PrestoSql.dynamicFrames).
+  * (PrestoSql.dynamicFrames + plans.DynamicFrameJoin).
   *
   * Per-row frame bounds lower to ONE unbounded collect_list per window plus
-  * a per-row slice. The collected array is O(partition) heap — same
+  * a per-row frame fold. The collected array is O(partition) heap — same
   * asymptotic bound as the reference's WindowOperator, whose PagesIndex
   * also materializes the full partition
   * (presto-main/src/main/java/com/facebook/presto/operator/WindowOperator.java).
-  * TIME is worse than the reference: every WindowExec output row serializes
-  * the full array into its UnsafeRow, so a single partition costs
-  * O(rows²) bytes — measured (tools/DynFrameProbe): 10k rows 1.8 s,
-  * 20k 5.8 s, 40k 22 s on local[8]. The practical per-PARTITION bound is
-  * therefore ~10⁴–10⁵ rows; partition-parallel workloads (the normal case)
-  * scale in the number of partitions. The designed scale path for larger
-  * single partitions is the zero-copy group-join form (aggregate the
-  * partition to one array row, join back, slice inside the join's codegen
-  * stage) — not wired, documented here and in the lowering's scaladoc.
+  * Two round-8 changes cut the single-partition TIME constant:
+  *
+  *   - plans.DynamicFrameJoin rewrites the Window into a grouped-aggregate
+  *     branch (one sorted array per partition) joined back to the rows, so
+  *     WindowExec no longer serializes the O(partition) array into every
+  *     output UnsafeRow (that serialization alone was O(rows²) bytes:
+  *     10k rows 1.8 s / 20k 5.8 s / 40k 22 s, tools/DynFrameProbe, r7).
+  *   - the lowered body folds `sequence(s0, e0)` with `element_at` reads
+  *     instead of `slice`, whose interpreted eval copies the whole
+  *     partition array per row.
+  *
+  * Remaining superlinearity: Spark's interpreted higher-order-function
+  * eval pays an O(array)-per-call tax when the partition array flows
+  * through a lambda (measured: one plain element_at per row over a
+  * broadcast 160k array is 0.3 s, the same read inside transform() is
+  * 45 s) — the linear path is binder inlining + prefix arrays
+  * (DynamicFrameJoin scaladoc / PLANS.md).
   *
   * The bound test pins the contract: a 20k-row SINGLE partition (the
   * pathological no-parallelism case) completes well inside the suite
-  * budget with correct per-row results.
+  * budget with correct per-row results, on both the join path and the
+  * single-branch WindowExec fallback (`spark.graft.dynamicFrameJoin=
+  * false`).
   */
 class DynamicFramesSpec extends AnyFunSuite {
   import TestSession._
@@ -48,5 +58,55 @@ class DynamicFramesSpec extends AnyFunSuite {
       val expect = (lo to hi).map(v).sum
       assert(rows(i.toLong) == expect, s"row $i: got ${rows(i.toLong)}, want $expect")
     }
+  }
+
+  test("the lowered plan takes the group-join form (no per-row array window)") {
+    val e = Engine(spark)
+    e.spark.range(100L).selectExpr("id AS i", "id % 7 AS v")
+      .createOrReplaceTempView("dynframe_pin")
+    val df = e.sql(
+      """SELECT i, sum(v) OVER (ORDER BY i
+        |  ROWS BETWEEN mod(i, 3) PRECEDING AND 1 FOLLOWING) AS s
+        |FROM dynframe_pin""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
+    assert(opt.exists(_.isInstanceOf[Join]), "expected the group-join rewrite")
+    // no Window node computes a collect_list anymore
+    val windowedCollect = opt.collect { case w: Window => w }.exists(
+      _.windowExpressions.exists(_.exists {
+        case a: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => true
+        case _ => false
+      }))
+    assert(!windowedCollect, "collect_list must move off the Window node")
+  }
+
+  test("join path matches the WindowExec fallback: partitions, DESC keys, nulls, ties") {
+    val e = Engine(spark)
+    // grouped partitions, a DESC NULLS FIRST order key WITH nulls and ties,
+    // per-row bounds on both ends — the comparator's hardest surface
+    e.spark.range(4000L).selectExpr(
+      "id % 7 AS g",
+      "CASE WHEN id % 11 = 0 THEN NULL ELSE (id * 37) % 50 END AS k",
+      "id % 13 AS v")
+      .createOrReplaceTempView("dynframe_mix")
+    val q =
+      """SELECT g, k, v,
+        |  sum(v) OVER (PARTITION BY g ORDER BY k DESC
+        |    ROWS BETWEEN mod(v, 4) PRECEDING AND mod(v, 3) FOLLOWING) AS s,
+        |  count(*) OVER (PARTITION BY g ORDER BY k DESC
+        |    ROWS BETWEEN mod(v, 4) PRECEDING AND mod(v, 3) FOLLOWING) AS c
+        |FROM dynframe_mix""".stripMargin
+    // rows tying on the full (g, k, v) tuple are interchangeable under
+    // any consistent total order, so compare result MULTISETS per tuple
+    def run(): Map[(Long, Any, Long), Seq[(Long, Long)]] =
+      e.sql(q).collect()
+        .map(r => (r.getLong(0), r.get(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val joined = run()
+    spark.conf.set(plans.DynamicFrameJoin.KEY, "false")
+    val fallback = try run() finally spark.conf.unset(plans.DynamicFrameJoin.KEY)
+    assert(joined.size == fallback.size)
+    for ((key, fb) <- fallback)
+      assert(joined(key) == fb, s"row $key: join path ${joined(key)}, fallback $fb")
   }
 }
