@@ -1217,6 +1217,22 @@ object PrestoSql {
                 }
                 val lo = off(lo0, "p1")
                 val hi = off(hi0, "p2")
+                // marker consumed by plans.DynamicFrameJoin: fn name (with
+                // `*` for count(*)) plus the two bound kinds — u(nbounded)/
+                // c(urrent row)/p(receding: r-pN)/f(ollowing: r+pN) — so the
+                // rule can rebuild s0/e0 from the r/p1/p2 fields and replace
+                // the whole binder with prefix-array reads (sum/avg/count)
+                // without parsing the fold body. Dead weight on the
+                // fallback path (a never-read constant struct field).
+                def kind(b: Bound): String = b match {
+                  case UnbPrec | UnbFoll => "u"
+                  case CurRow => "c"
+                  case Prec(_) => "p"
+                  case Foll(_) => "f"
+                }
+                if (Set("sum", "avg", "count")(fname))
+                  fields += s"'$fname${if (arg == "*") "*" else ""}|" +
+                    s"${kind(lo0)}|${kind(hi0)}' AS __dfr"
                 val s0 = s"greatest(1, $lo)"
                 val e0 = s"least(size($w.a), $hi)"
                 // Per-row frame evaluation is O(frame), not O(partition):

@@ -21,16 +21,23 @@ import org.scalatest.funsuite.AnyFunSuite
   *     instead of `slice`, whose interpreted eval copies the whole
   *     partition array per row.
   *
-  * Remaining superlinearity: Spark's interpreted higher-order-function
-  * eval pays an O(array)-per-call tax when the partition array flows
-  * through a lambda (measured: one plain element_at per row over a
-  * broadcast 160k array is 0.3 s, the same read inside transform() is
-  * 45 s) — the linear path is binder inlining + prefix arrays
-  * (DynamicFrameJoin scaladoc / PLANS.md).
+  * and DynamicFrameJoin replaces the per-row fold itself for
+  *   sum/avg/count over integral values with PREFIX-ARRAY reads (running
+  *   sum/count computed once per partition, frame aggregate = two
+  *   element_at reads) — removing the remaining per-row lambda, whose
+  *   interpreted eval pays an O(array)-per-call tax when the partition
+  *   array flows through it (measured: one plain element_at per row over
+  *   a broadcast 160k array is 0.3 s, the same read inside transform()
+  *   is 45 s).
   *
-  * The bound test pins the contract: a 20k-row SINGLE partition (the
-  * pathological no-parallelism case) completes well inside the suite
-  * budget with correct per-row results, on both the join path and the
+  * Measured end state (tools/DynFrameProbe, round 8): 20k 0.53 s /
+  * 40k 0.53 s / 80k 0.60 s / 160k 0.79 s / 320k 0.87 s — near-linear;
+  * the round-7 single-branch form was 40 s at 80k and 180 s at 160k.
+  *
+  * The bound tests pin the contract: a 100k-row SINGLE partition (the
+  * pathological no-parallelism case) completes in seconds — a bound the
+  * measured O(rows²) curve (≥45 s quadratic extrapolation) cannot meet —
+  * with correct per-row results, on both the join path and (at 20k) the
   * single-branch WindowExec fallback (`spark.graft.dynamicFrameJoin=
   * false`).
   */
@@ -58,6 +65,62 @@ class DynamicFramesSpec extends AnyFunSuite {
       val expect = (lo to hi).map(v).sum
       assert(rows(i.toLong) == expect, s"row $i: got ${rows(i.toLong)}, want $expect")
     }
+  }
+
+  test("100k-row single partition stays sub-quadratic (prefix-array path)") {
+    val n = 100000
+    val e = Engine(spark)
+    e.spark.range(n.toLong).selectExpr("id AS i", "id % 97 AS v")
+      .createOrReplaceTempView("dynframe_100k")
+    val t0 = System.nanoTime()
+    val got = e.sql(
+      """SELECT sum(s) AS t FROM (SELECT sum(v) OVER (ORDER BY i
+        |  ROWS BETWEEN mod(i, 3) PRECEDING AND mod(i, 5) FOLLOWING) AS s
+        |FROM dynframe_100k)""".stripMargin).collect()(0).getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // exact total from the definition
+    val v = (0 until n).map(i => (i % 97).toLong)
+    var expect = 0L
+    for (i <- 0 until n) {
+      val lo = math.max(0, i - (i % 3)); val hi = math.min(n - 1, i + (i % 5))
+      expect += (lo to hi).map(v).sum
+    }
+    assert(got == expect)
+    // measured 0.6 s on the prefix path; the r7 single-branch form needed
+    // ~60 s here. 20 s is loose enough for a loaded CI box, far below
+    // any quadratic regression.
+    assert(secs < 20.0, f"100k single partition took $secs%.1f s")
+  }
+
+  test("nullable values: sum/avg/count prefix reads match the fallback") {
+    val e = Engine(spark)
+    // value column with nulls — exercises the count-guard in the prefix
+    // difference (an all-null frame must yield NULL sum/avg, not 0)
+    e.spark.range(3000L).selectExpr(
+      "id % 5 AS g", "id AS i",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 41 END AS v")
+      .createOrReplaceTempView("dynframe_nulls")
+    val q =
+      """SELECT g, i,
+        |  sum(v) OVER (PARTITION BY g ORDER BY i
+        |    ROWS BETWEEN mod(i, 4) PRECEDING AND mod(i, 2) FOLLOWING) AS s,
+        |  avg(v) OVER (PARTITION BY g ORDER BY i
+        |    ROWS BETWEEN mod(i, 4) PRECEDING AND mod(i, 2) FOLLOWING) AS a,
+        |  count(v) OVER (PARTITION BY g ORDER BY i
+        |    ROWS BETWEEN mod(i, 4) PRECEDING AND mod(i, 2) FOLLOWING) AS c,
+        |  count(*) OVER (PARTITION BY g ORDER BY i
+        |    ROWS BETWEEN mod(i, 4) PRECEDING AND mod(i, 2) FOLLOWING) AS cs
+        |FROM dynframe_nulls""".stripMargin
+    def run(): Map[(Long, Long), (Any, Any, Long, Long)] =
+      e.sql(q).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.get(2), r.get(3), r.getLong(4), r.getLong(5))).toMap
+    val joined = run()
+    spark.conf.set(plans.DynamicFrameJoin.KEY, "false")
+    val fallback = try run() finally spark.conf.unset(plans.DynamicFrameJoin.KEY)
+    assert(joined.size == fallback.size)
+    for ((key, fb) <- fallback)
+      assert(joined(key) == fb, s"row $key: join path ${joined(key)}, fallback $fb")
   }
 
   test("the lowered plan takes the group-join form (no per-row array window)") {
