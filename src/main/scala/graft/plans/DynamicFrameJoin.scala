@@ -62,7 +62,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     PREFIX-ARRAY reads: rs/ct running sum/count windows (linear,
   *     computed once on the build branch) collected positionally, frame
   *     aggregate = two element_at reads: sum = P[e]−P[s−1] guarded by
-  *     C[e]−C[s−1] > 0. Sum/Subtract use LEGACY (wraparound) eval: 2's-
+  *     C[e]−C[s−1] > 0, where the P[s−1] subtrahend itself reads a typed
+  *     zero unless C[s−1] > 0 — the running Sum is NULL over a leading
+  *     all-NULL run (C[i] = 0 exactly when P[i] IS NULL), and subtracting
+  *     that NULL would poison frames whose own rows are non-null.
+  *     Sum/Subtract use LEGACY (wraparound) eval: 2's-
   *     complement prefix differences are exact whenever the true frame sum
   *     fits, and a cumulative prefix must not trip ANSI overflow that the
   *     frame itself would never reach (the final cast back to the value
@@ -241,29 +245,39 @@ class DynamicFrameJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     val nonEmpty = GreaterThanOrEqual(e0, s0)
     def pref(arr: Attribute, at: Expression): Expression =
       ElementAt(arr, intIx(at), None, failOnError = true)
+    val prevIx = sub(s0, Literal(1L))
     // P/C prefix difference over [s0, e0]: the s0=1 edge reads a typed zero
-    // instead of index 0 (which ANSI element_at rejects)
-    def diff(arr: Attribute): Expression =
-      sub(pref(arr, e0),
-        If(GreaterThan(s0, Literal(1L)), pref(arr, sub(s0, Literal(1L))),
-          Literal(0L)))
+    // instead of index 0 (which ANSI element_at rejects). For the SUM
+    // prefix, the subtrahend additionally reads zero while C[s0-1] = 0:
+    // the running Sum is NULL over a leading all-NULL run (exactly when
+    // the running count is 0), and P[e0]−NULL would wrongly NULL a frame
+    // that contains non-null values. And short-circuits on a false left,
+    // so the guarded element_at(s0-1) never evaluates at the s0=1 edge.
+    def diff(arr: Attribute, nullGuard: Option[Attribute]): Expression = {
+      val hasPrev = nullGuard match {
+        case Some(g) => And(GreaterThan(s0, Literal(1L)),
+          GreaterThan(pref(g, prevIx), Literal(0L)))
+        case None => GreaterThan(s0, Literal(1L))
+      }
+      sub(pref(arr, e0), If(hasPrev, pref(arr, prevIx), Literal(0L)))
+    }
     val ai = info.get(arrAttr.exprId)
     recipe.fn match {
       case "count" if recipe.star =>
         Some(If(nonEmpty, add(sub(e0, s0), Literal(1L)), Literal(0L)))
       case "count" =>
-        ai.flatMap(_.ct).map(ct => If(nonEmpty, diff(ct), Literal(0L)))
+        ai.flatMap(_.ct).map(ct => If(nonEmpty, diff(ct, None), Literal(0L)))
       case "sum" =>
         for (i <- ai; ps <- i.ps; ct <- i.ct) yield {
-          val v = If(And(nonEmpty, GreaterThan(diff(ct), Literal(0L))),
-            diff(ps), Literal(null, LongType))
+          val v = If(And(nonEmpty, GreaterThan(diff(ct, None), Literal(0L))),
+            diff(ps, Some(ct)), Literal(null, LongType))
           if (origType == LongType) v else Cast(v, origType)
         }
       case "avg" =>
         for (i <- ai; ps <- i.ps; ct <- i.ct) yield {
-          val c = diff(ct)
+          val c = diff(ct, None)
           If(And(nonEmpty, GreaterThan(c, Literal(0L))),
-            Divide(Cast(diff(ps), DoubleType), Cast(c, DoubleType)),
+            Divide(Cast(diff(ps, Some(ct)), DoubleType), Cast(c, DoubleType)),
             Literal(null, DoubleType))
         }
       case _ => None
@@ -318,7 +332,15 @@ class DynamicFrameJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       w.orderSpec.forall(o => orderable(o.child)) &&
       w.windowExpressions.collect { case UnbCollect(_, p) => p }
         .forall(orderable) &&
-      !w.child.exists(p => p.expressions.exists(!_.deterministic))
+      !w.child.exists {
+        // the child is evaluated once per branch: expression-level
+        // nondeterminism AND plan-level row-set nondeterminism (an
+        // unordered limit/offset/sample can pick different rows per
+        // evaluation) would misalign rn with the collected array
+        case _: LocalLimit | _: GlobalLimit | _: Offset | _: Tail |
+            _: Sample => true
+        case p => p.expressions.exists(!_.deterministic)
+      }
 
   /** Rewrite the Window into the group-join form. Returns the new subtree
     * plus per-collect prefix-array attrs for the parent's marker rewrite. */
@@ -460,6 +482,24 @@ class DynamicFrameJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    // applicability pre-checks — the rule sits in a fixed-point batch, so
+    // every query pays its traversal several times: plans with no Window
+    // at all exit on one node-type walk, and window plans without an
+    // unbounded collect need only the binder-inline pass (binders are
+    // emitted alongside the collects, so they can outlive the collects —
+    // a prior iteration's conversion — but not exist without any Window)
+    if (!plan.exists(_.isInstanceOf[Window])) return plan
+    val hasCollect = plan.exists {
+      case w: Window =>
+        w.windowExpressions.exists(UnbCollect.unapply(_).isDefined)
+      case _ => false
+    }
+    if (!hasCollect) {
+      return plan.transformAllExpressions {
+        case b @ Binder(fields, lf) if recipeOf(fields).isEmpty =>
+          inlineBinder(fields, lf).getOrElse(b)
+      }
+    }
     val markedElsewhere = globalMarkerTargets(plan)
     val converted = plan.transformDown {
       case Project(exprs, w: Window) if convertible(w) =>
@@ -470,7 +510,11 @@ class DynamicFrameJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       case Filter(cond, w: Window) if convertible(w) =>
         val (sub, info) =
           convert(w, prefixTargets(Seq(cond), valueTypes(w)))
-        Filter(rewriteExpr(cond, info), sub)
+        // convert() widens the subtree's output with prefix/array columns;
+        // restrict back to the Window's schema so a root/Union parent
+        // never sees the internal __dfj columns
+        Project(w.output,
+          Filter(rewriteExpr(cond, info), sub))
       case Project(exprs, Filter(cond, w: Window)) if convertible(w) =>
         val (sub, info) =
           convert(w, prefixTargets(exprs :+ cond, valueTypes(w)))

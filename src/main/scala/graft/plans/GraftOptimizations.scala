@@ -28,6 +28,29 @@ import org.apache.spark.sql.types._
   *    (MAIN/operator/aggregation/DecimalSumAggregation.java).
   */
 object GraftOptimizations {
+  /** Memo-miss counter: bumped each time a dim probe actually EVALUATES
+    * (not served from the memo). Diagnostic only — lets tests pin that
+    * re-planning the same query from freshly-built DataFrames does not
+    * re-pay the probe. */
+  val probeMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** JVM-global probe memo. It cannot live on the rule instance:
+    * `Optimizer.batches` is a def, so Spark re-invokes the extension's rule
+    * builder on EVERY optimizer execution — a fresh rule object (and any
+    * per-instance cache) each time a query is planned. The key
+    * ([[DynamicSemiJoinPrune.stableKey]]) carries the dim plan's structure
+    * plus its leaf relations' (paths, schema, bytes), so it is safe to
+    * share across sessions and invalidates itself when the data changes —
+    * the same per-table-layout caching the reference does in its metadata
+    * path (MAIN/sql/planner/iterative/rule/PickTableLayout.java). */
+  private[plans] val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Seq[String], BigInt, Int), ProbeDecision]
+
+  private[plans] sealed trait ProbeDecision
+  private[plans] case class ProbeInKeys(lits: Seq[Literal]) extends ProbeDecision
+  private[plans] case object ProbeOverflow extends ProbeDecision
+  private[plans] case object ProbeSkip extends ProbeDecision
+
   val ENABLED_KEY = "spark.graft.dynamicFilter.enabled"
   val FACT_MIN_KEY = "spark.graft.dynamicFilter.factMinBytes"
   val DIM_MAX_KEY = "spark.graft.dynamicFilter.dimMaxBytes"
@@ -82,17 +105,48 @@ class DynamicSemiJoinPrune(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
   import GraftOptimizations._
 
-  private sealed trait Decision
-  private case class InKeys(lits: Seq[Literal]) extends Decision
-  private case object Overflow extends Decision
-  private case object Skip extends Decision
+  private type Decision = GraftOptimizations.ProbeDecision
+  private val InKeys = GraftOptimizations.ProbeInKeys
+  private val Overflow = GraftOptimizations.ProbeOverflow
+  private val Skip = GraftOptimizations.ProbeSkip
 
-  // memo keyed by (canonicalized dim plan, its size estimate): repeated
-  // optimizations of the same query (bench reruns, fixed-point iterations,
-  // AQE re-plans) pay the probe once; a rewritten fixture dir changes the
-  // size and re-probes
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, BigInt, Int), Decision]
+  // memo keyed by a STABLE form of the dim plan (stableKey below), so
+  // repeated optimizations of the same query — bench reruns, dashboards,
+  // fixed-point iterations — pay the probe once; the key carries the
+  // relation paths + schema + size, so a rewritten fixture dir re-probes.
+  // Lives on the companion: Spark rebuilds this rule object per optimizer
+  // run, so instance state would never survive two plannings.
+  private def memo = GraftOptimizations.probeMemo
+
+  /** Memo key that survives FRESH `spark.read` relations. Two reads of the
+    * same path build `LogicalRelation`s whose `InMemoryFileIndex` has no
+    * value equality, so their canonicalized plans never compare equal and
+    * every freshly-built DataFrame of the same query re-paid the probe at
+    * planning time (the round-8 h02 soak regression: n bench iterations =
+    * n probes). The reference caches this class of work per table layout in
+    * the metadata path (MAIN/sql/planner/iterative/rule/PickTableLayout
+    * .java); here the layout identity is (root paths, data schema, byte
+    * size) — extracted per leaf relation, with the relations themselves
+    * replaced by `LocalRelation` skeletons so the rest of the canonicalized
+    * plan (filters, projections) compares structurally. */
+  private def stableKey(dim: LogicalPlan, maxKeys: Int)
+      : (LogicalPlan, Seq[String], BigInt, Int) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val c = dim.canonicalized
+    val descs = c.collect {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",") + "|" +
+              fs.dataSchema.catalogString + "|" + fs.sizeInBytes
+          case other => other.toString
+        }
+    }
+    val skeleton = c.transform {
+      case lr: LogicalRelation => LocalRelation(lr.output)
+    }
+    (skeleton, descs, dim.stats.sizeInBytes, maxKeys)
+  }
 
   private def confLong(key: String, dflt: Long): Long =
     spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
@@ -106,6 +160,22 @@ class DynamicSemiJoinPrune(spark: SparkSession)
     val maxIn = confLong(MAX_IN_KEY, 131072L).toInt
     val dimBcast = BigInt(confLong(DIM_BCAST_KEY, 64L << 20))
     val ratio = confLong(RATIO_KEY, 4L)
+
+    // applicability pre-checks — this rule sits in a fixed-point batch, so
+    // every query pays its traversal several times (and the transform's
+    // per-Join scanBytes() walks subtrees): if ALL leaf bytes together
+    // cannot reach the fact floor, no side can — one cheap leaf walk and
+    // out, which is the common exit for every small-scale plan; likewise
+    // bail when there is nothing this rule rewrites (no join, no
+    // IN-subquery filter)
+    if (plan.collectLeaves().map(_.stats.sizeInBytes).sum < factMin)
+      return plan
+    val applicable = plan.exists {
+      case _: Join => true
+      case Filter(cond, _) => cond.exists(_.isInstanceOf[InSubquery])
+      case _ => false
+    }
+    if (!applicable) return plan
 
     /** Bytes the side actually READS: the sum of its leaf relations' size
       * estimates. Join-node `stats.sizeInBytes` are multiplicative output
@@ -128,9 +198,10 @@ class DynamicSemiJoinPrune(spark: SparkSession)
 
     /** One bounded evaluation of the dim side's distinct non-null keys. */
     def probe(dim: LogicalPlan, maxKeys: Int): Decision = {
-      val key = (dim.canonicalized, dim.stats.sizeInBytes, maxKeys)
+      val key = stableKey(dim, maxKeys)
       val cached = memo.get(key)
       if (cached != null) return cached
+      GraftOptimizations.probeMisses.incrementAndGet()
       val d =
         try {
           val attr = dim.output.head
@@ -374,6 +445,23 @@ object ScaledLongSum extends Rule[LogicalPlan] {
     val on = SparkSession.getActiveSession
       .flatMap(_.conf.getOption(SCALED_SUM_KEY)).forall(_.toBoolean)
     if (!on) return plan
+    // applicability pre-check (the rule runs in a fixed-point batch): sums
+    // live only in Aggregate/Window nodes post-analysis — walk just those
+    // nodes' expressions before committing to the full-tree transform.
+    // Self-terminating: once rewritten, the sum child is LongType and
+    // fits() is false, so later iterations exit here too.
+    val hasTarget = plan.exists {
+      case a: Aggregate => a.aggregateExpressions.exists(_.exists {
+        case AggregateExpression(Sum(e, _), _, _, _, _) => fits(e)
+        case _ => false
+      })
+      case w: Window => w.windowExpressions.exists(_.exists {
+        case AggregateExpression(Sum(e, _), _, _, _, _) => fits(e)
+        case _ => false
+      })
+      case _ => false
+    }
+    if (!hasTarget) return plan
     plan.transformAllExpressions {
       case we @ WindowExpression(
           ae @ AggregateExpression(s @ Sum(e, _), _, _, _, _), _) if fits(e) =>

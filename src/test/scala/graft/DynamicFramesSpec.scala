@@ -123,6 +123,68 @@ class DynamicFramesSpec extends AnyFunSuite {
       assert(joined(key) == fb, s"row $key: join path ${joined(key)}, fallback $fb")
   }
 
+  test("leading all-NULL prefix: single-aggregate sum takes the prefix path and stays correct") {
+    val e = Engine(spark)
+    // The round-8 bug: the running-sum prefix array is NULL over a leading
+    // all-NULL run, so an unguarded P[e0]−P[s0−1] subtrahend poisoned any
+    // frame whose start sits past the run. A SINGLE sum/avg aggregate is
+    // the shape that engages the prefix-read replacement (the 4-aggregate
+    // equivalence test above does not), and partition g=0 here starts with
+    // rows 0,5,10,15 all NULL — frames beginning past them must still sum.
+    e.spark.range(200L).selectExpr(
+      "id % 4 AS g", "id AS i",
+      "CASE WHEN id < 16 AND id % 4 = 0 THEN NULL " +
+        "WHEN id % 7 = 0 THEN NULL ELSE id % 31 END AS v")
+      .createOrReplaceTempView("dynframe_nullrun")
+    def q(fn: String) =
+      s"""SELECT g, i, $fn(v) OVER (PARTITION BY g ORDER BY i
+         |  ROWS BETWEEN mod(i, 5) PRECEDING AND mod(i, 3) FOLLOWING) AS s
+         |FROM dynframe_nullrun""".stripMargin
+    for (fn <- Seq("sum", "avg")) {
+      val df = e.sql(q(fn))
+      // plan pin: the optimized plan took the prefix form — a group join
+      // whose root projection does per-row element_at reads, with no
+      // per-row lambda (ArrayTransform) left in it
+      val opt = df.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+      import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, ElementAt}
+      assert(opt.exists(_.isInstanceOf[Join]), s"$fn: expected group-join form")
+      val root = opt.collectFirst { case p: Project => p }.get
+      assert(root.projectList.exists(_.exists(_.isInstanceOf[ElementAt])),
+        s"$fn: root projection should read the prefix arrays")
+      assert(!root.projectList.exists(_.exists(_.isInstanceOf[ArrayTransform])),
+        s"$fn: per-row lambda survived — prefix replacement did not engage")
+      def run(): Map[(Long, Long), Any] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.get(2)).toMap
+      val joined = run()
+      spark.conf.set(plans.DynamicFrameJoin.KEY, "false")
+      val fallback =
+        try e.sql(q(fn)).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2)).toMap
+        finally spark.conf.unset(plans.DynamicFrameJoin.KEY)
+      assert(joined.size == fallback.size)
+      for ((key, fb) <- fallback)
+        assert(joined(key) == fb, s"$fn row $key: join ${joined(key)}, fallback $fb")
+    }
+  }
+
+  test("advice repro: NULL then 5, 10 — frames past the NULL run keep their sums") {
+    val e = Engine(spark)
+    e.spark.sql(
+      "SELECT * FROM VALUES (1L, CAST(NULL AS BIGINT)), (2L, 5L), (3L, 10L) t(i, v)")
+      .createOrReplaceTempView("dynframe_advice")
+    val got = e.sql(
+      """SELECT i, sum(v) OVER (ORDER BY i
+        |  ROWS BETWEEN mod(i, 2) PRECEDING AND 0 FOLLOWING) AS s
+        |FROM dynframe_advice""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.get(1))).toMap
+    // i=1: frame [1,1] all NULL → NULL; i=2: frame [2,2] → 5 (mod(2,2)=0);
+    // i=3: frame [2,3] → 15 (mod(3,2)=1)
+    assert(got(1L) == null, s"i=1: ${got(1L)}")
+    assert(got(2L) == 5L, s"i=2: ${got(2L)}")
+    assert(got(3L) == 15L, s"i=3: ${got(3L)}")
+  }
+
   test("the lowered plan takes the group-join form (no per-row array window)") {
     val e = Engine(spark)
     e.spark.range(100L).selectExpr("id AS i", "id % 7 AS v")

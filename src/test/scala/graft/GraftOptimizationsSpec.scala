@@ -112,6 +112,35 @@ class GraftOptimizationsSpec extends AnyFunSuite {
     }
   }
 
+  test("probe memo survives freshly-built DataFrames of the same query") {
+    // The round-8 h02 soak regression: LogicalRelations from two separate
+    // spark.read calls on the same path have no value equality, so a memo
+    // keyed on the canonicalized dim plan missed on every fresh build of
+    // the same query (n bench iterations = n planning-time probes). The
+    // stable key (paths + schema + size) must hit across fresh relations.
+    withConf(FACT_MIN_KEY -> "1", DIM_MAX_KEY -> (256L << 20).toString,
+      RATIO_KEY -> "0") {
+      def build(): DataFrame = {
+        spark.read.parquet(s"$sf/lineitem.parquet")
+          .createOrReplaceTempView("memo_li")
+        spark.read.parquet(s"$sf/part.parquet")
+          .createOrReplaceTempView("memo_pt")
+        spark.sql(
+          """SELECT l_partkey, count(*) AS n FROM memo_li
+            |WHERE l_partkey IN (SELECT p_partkey FROM memo_pt WHERE p_size = 15)
+            |GROUP BY l_partkey""".stripMargin)
+      }
+      val first = build()
+      assert(!first.queryExecution.optimizedPlan.toString.contains("Join"),
+        "tier-1 rewrite should fire")
+      val missesAfterFirst = probeMisses.get()
+      val second = build() // fresh relations, same paths
+      assert(!second.queryExecution.optimizedPlan.toString.contains("Join"))
+      assert(probeMisses.get() == missesAfterFirst,
+        "a freshly-built DataFrame of the same query must hit the probe memo")
+    }
+  }
+
   test("join variant: unfiltered dim is left alone (no useless probe/prune)") {
     val sql =
       """SELECT count(*) AS n FROM lineitem
