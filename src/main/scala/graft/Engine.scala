@@ -495,6 +495,43 @@ class Engine(parent: SparkSession) {
         Tstz.make(
           ToUTCTimestamp(TruncTimestamp(fmt, Tstz.wall(ts), tz), Tstz.zone(ts)),
           Tstz.zone(ts))
+      // date_add keeps the TYPE and the zone (the reference's
+      // addFieldValueTimestampWithTimeZone shifts via the zone's
+      // chronology and repacks the same zone key —
+      // MAIN/scalar/DateTimeFunctions.java): time units shift the
+      // INSTANT; calendar units (day and up) add on the WALL time in the
+      // value's zone (DST-aware), then reinterpret there
+      case ta: TimestampAdd if isT(ta.timestamp) =>
+        changed = true
+        val z = Tstz.zone(ta.timestamp)
+        if (Engine.instantShiftUnits(ta.unit.toUpperCase))
+          Tstz.make(ta.copy(timestamp = Tstz.instant(ta.timestamp)), z)
+        else
+          Tstz.make(
+            ToUTCTimestamp(ta.copy(timestamp = Tstz.wall(ta.timestamp)), z), z)
+      // date_diff over tstz: time units diff instants; calendar units
+      // count in the first tstz operand's zone calendar (the reference
+      // diffs through getChronology(leftZoneKey))
+      case td: TimestampDiff
+          if isT(td.startTimestamp) || isT(td.endTimestamp) =>
+        changed = true
+        if (Engine.instantShiftUnits(td.unit.toUpperCase))
+          td.copy(
+            startTimestamp =
+              if (isT(td.startTimestamp)) Tstz.instant(td.startTimestamp)
+              else td.startTimestamp,
+            endTimestamp =
+              if (isT(td.endTimestamp)) Tstz.instant(td.endTimestamp)
+              else td.endTimestamp)
+        else {
+          val z =
+            if (isT(td.startTimestamp)) Tstz.zone(td.startTimestamp)
+            else Tstz.zone(td.endTimestamp)
+          def wallIn(e: Expression): Expression =
+            if (isT(e)) Tstz.wall(e) else FromUTCTimestamp(e, z)
+          td.copy(startTimestamp = wallIn(td.startTimestamp),
+            endTimestamp = wallIn(td.endTimestamp))
+        }
       // field extractors / formatters: the wall-time view in the value's
       // zone (whitelist — conditional/struct expressions must NOT unwrap)
       case e @ (_: Hour | _: Minute | _: Second | _: DayOfMonth |
@@ -1327,6 +1364,29 @@ class Engine(parent: SparkSession) {
             changed = true
             s.copy(order = s.order.map(o =>
               if (hasTstz(o.child)) o.copy(child = Tstz.stripZones(o.child)) else o))
+          // window PARTITION BY / ORDER BY over tstz key on the INSTANT
+          // only, like GROUP BY: two renderings of the same instant are
+          // one window partition (TimestampWithTimeZoneType hash/compare
+          // read only the packed millis). Function ARGUMENTS keep the
+          // full (instant, zone) value. The spec copies inside each
+          // WindowExpression are rewritten in step so frame evaluation
+          // sees the same keys the node partitions on.
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.resolved && (w.partitionSpec.exists(hasTstz) ||
+                w.orderSpec.exists(o => hasTstz(o.child))) =>
+            changed = true
+            def strip(e: Expression): Expression =
+              if (hasTstz(e)) Tstz.stripZones(e) else e
+            w.copy(
+              windowExpressions = w.windowExpressions.map(_.transformUp {
+                case wsd: org.apache.spark.sql.catalyst.expressions.WindowSpecDefinition =>
+                  wsd.copy(
+                    partitionSpec = wsd.partitionSpec.map(strip(_)),
+                    orderSpec = wsd.orderSpec.map(o =>
+                      o.copy(child = strip(o.child))))
+              }.asInstanceOf[NamedExpression]),
+              partitionSpec = w.partitionSpec.map(strip(_)),
+              orderSpec = w.orderSpec.map(o => o.copy(child = strip(o.child))))
           case n => n
         }
         node.transformExpressionsUp {
@@ -1868,6 +1928,11 @@ class Engine(parent: SparkSession) {
 
 object Engine {
   def apply(spark: SparkSession): Engine = new Engine(spark)
+
+  /** date_add/date_diff units that shift the INSTANT of a tstz; calendar
+    * units (day and up) operate on the wall time in the value's zone. */
+  private[graft] val instantShiftUnits: Set[String] =
+    Set("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR")
 
   private[graft] def deleteDir(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)

@@ -29,7 +29,10 @@ object Verify {
     val spark = GraftSession.localExchangeConf(SparkSession.builder()
       .master(s"local[$cpus]")
       // same engine rules as every other session (GraftExtensions): the
-      // correctness gate exercises the dynamic-filter/scaled-sum rewrites
+      // correctness gate exercises the scaled-sum rewrite on every money
+      // query, and the dynamic-filter tiers explicitly via the
+      // q64_dynfilter_* entries (which lower the scale-sized fact floor
+      // on an isolated child session)
       .withExtensions(new GraftPlannerExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // partitioned hash join posture — see GraftSession.local

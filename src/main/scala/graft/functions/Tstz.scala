@@ -37,9 +37,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    timestamp with time zone in that zone
   *    (truncateTimestampWithTimeZone).
   *
+  * Window PARTITION BY/ORDER BY key on the instant like GROUP BY (the
+  * Engine tstz pass strips zones from the window spec, keeping function
+  * arguments intact), and date_add/date_diff are zone-preserving: time
+  * units shift the instant, calendar units operate on the wall time in
+  * the value's zone (DST-aware), matching the reference's
+  * chronology-based addFieldValueTimestampWithTimeZone.
+  *
   * Documented residue (COVERAGE): format_datetime zone-name tokens print
-  * the session zone; window PARTITION BY over tstz still keys on
-  * (instant, zone); TIME WITH TIME ZONE stays out of scope. */
+  * the session zone; TIME WITH TIME ZONE stays out of scope. */
 object Tstz {
   val I = "__tstz_i"
   val Z = "__tstz_z"

@@ -133,16 +133,17 @@ class DynamicSemiJoinPrune(spark: SparkSession)
       : (LogicalPlan, Seq[String], BigInt, Int) = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val c = dim.canonicalized
-    val descs = c.collect {
-      case lr: LogicalRelation =>
-        lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.mkString(",") + "|" +
-              fs.dataSchema.catalogString + "|" + fs.sizeInBytes
-          case other => other.toString
-        }
+    def relDesc(lr: LogicalRelation): String = lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.mkString(",") + "|" +
+          fs.dataSchema.catalogString + "|" + fs.sizeInBytes
+      case other => other.toString
     }
-    val skeleton = c.transform {
+    // …WithSubqueries: a dim can carry subquery expressions whose nested
+    // plans hold their own LogicalRelations — left raw, they would defeat
+    // the key's value equality exactly like the top-level ones
+    val descs = c.collectWithSubqueries { case lr: LogicalRelation => relDesc(lr) }
+    val skeleton = c.transformUpWithSubqueries {
       case lr: LogicalRelation => LocalRelation(lr.output)
     }
     (skeleton, descs, dim.stats.sizeInBytes, maxKeys)
@@ -185,9 +186,33 @@ class DynamicSemiJoinPrune(spark: SparkSession)
     def scanBytes(p: LogicalPlan): BigInt =
       p.collectLeaves().map(_.stats.sizeInBytes).sum
 
+    /** Bytes the dim's probe would have to READ — its own leaf relations
+      * plus the leaves of any plan nested in its subquery expressions.
+      * `dim.stats.sizeInBytes` alone is an OUTPUT estimate and misses the
+      * compute behind it: h18's join variant saw an orders dim filtered by
+      * `o_orderkey IN (180 M-row lineitem aggregate)` whose output stats
+      * looked dim-sized, and the planning-time probe silently re-ran most
+      * of the query (~5 s/plan at sf30). The probe must be cheap relative
+      * to the fact scan it might save, measured on its INPUTS. */
+    def probeInputBytes(p: LogicalPlan): BigInt = {
+      var total = BigInt(0)
+      p.foreach { node =>
+        if (node.children.isEmpty) total += node.stats.sizeInBytes
+        node.expressions.foreach(_.foreach {
+          case pe: PlanExpression[_] => pe.plan match {
+            case lp: LogicalPlan => total += probeInputBytes(lp)
+            case _ =>
+          }
+          case _ =>
+        })
+      }
+      total
+    }
+
     def probeable(dim: LogicalPlan, factBytes: BigInt): Boolean = {
       val bytes = dim.stats.sizeInBytes
       bytes <= dimMax && bytes * ratio <= factBytes &&
+        probeInputBytes(dim) * ratio <= factBytes &&
         !dim.isStreaming &&
         !dim.exists {
           case _: CTERelationRef => true

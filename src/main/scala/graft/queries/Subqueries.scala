@@ -151,6 +151,77 @@ object Subqueries {
           FROM customer JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name)
         SELECT n_name, n_cust, bal FROM nation_cust
-        WHERE n_cust > 2 ORDER BY n_name"""))
+        WHERE n_cust > 2 ORDER BY n_name""")),
+
+    // DynamicSemiJoinPrune under the driver oracle — one entry per tier.
+    // The production fact-size floor (64 MB) is sized for soak scale, so
+    // none of the sf0.01 fixtures would exercise the rewrite; each entry
+    // lowers the thresholds ON AN ISOLATED CHILD SESSION (same extensions,
+    // fresh runtime conf — nothing leaks into the rest of the driver run)
+    // so tier 1 (probe → inline InSet, semi join eliminated), tier 2
+    // (key overflow → broadcast-hinted semi join) and the inner-join
+    // variant (fact scan pre-filtered by the dim key domain) each produce
+    // a hash-checked row every round. Plan shapes are pinned in
+    // GraftOptimizationsSpec; these rows pin the SEMANTICS against DuckDB,
+    // which plans the same SQL with no such rewrite.
+    "q64_dynfilter_tier1" -> Q(
+      tuned(
+        graft.plans.GraftOptimizations.FACT_MIN_KEY -> "1",
+        graft.plans.GraftOptimizations.RATIO_KEY -> "0")("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    "q64b_dynfilter_tier2" -> Q(
+      tuned(
+        graft.plans.GraftOptimizations.FACT_MIN_KEY -> "1",
+        graft.plans.GraftOptimizations.RATIO_KEY -> "0",
+        graft.plans.GraftOptimizations.MAX_IN_KEY -> "1")("""
+        SELECT l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
+        GROUP BY l_linestatus ORDER BY l_linestatus"""),
+      Some("""
+        SELECT l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    "q64c_dynfilter_join" -> Q(
+      tuned(
+        graft.plans.GraftOptimizations.FACT_MIN_KEY -> "1",
+        graft.plans.GraftOptimizations.RATIO_KEY -> "0")("""
+        SELECT p_brand, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 15
+        GROUP BY p_brand ORDER BY p_brand"""),
+      Some("""
+        SELECT p_brand, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 15
+        GROUP BY p_brand ORDER BY p_brand"""))
   )
+
+  /** Like [[sql]], but on a fresh child session carrying the given runtime
+    * conf — used to exercise scale-gated optimizer rules at fixture scale
+    * without leaking the lowered thresholds into other queries. */
+  private def tuned(confs: (String, String)*)(text: String)
+      : (SparkSession, String) => org.apache.spark.sql.DataFrame = (s, d) => {
+    val s2 = s.newSession()
+    confs.foreach { case (k, v) => s2.conf.set(k, v) }
+    Tables.registerAll(s2, d)
+    s2.sql(text)
+  }
 }

@@ -143,6 +143,46 @@ class TstzSpec extends AnyFunSuite {
     assert(grouped(0).getLong(1) == 2L && grouped(1).getLong(1) == 1L)
   }
 
+  test("window PARTITION BY over tstz keys on the INSTANT") {
+    // same instant, different zone renderings → ONE window partition;
+    // the function argument keeps the full value (zone intact)
+    val rows = e.sql("SELECT CAST(ts AS VARCHAR) AS r, " +
+      "count(*) OVER (PARTITION BY ts) AS n FROM (VALUES " +
+      "TIMESTAMP '2017-03-01 10:00:00 UTC', " +
+      "TIMESTAMP '2017-03-01 05:00:00 -05:00', " +
+      "TIMESTAMP '2017-03-01 11:00:00 UTC') t(ts)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("2017-03-01 10:00:00.000 UTC") == 2L)
+    assert(rows("2017-03-01 05:00:00.000 -05:00") == 2L)
+    assert(rows("2017-03-01 11:00:00.000 UTC") == 1L)
+    // window ORDER BY sorts by instant too: lag crosses zone renderings
+    val lagged = e.sql("SELECT CAST(lag(ts) OVER (ORDER BY ts) AS VARCHAR) AS p " +
+      "FROM (VALUES " +
+      "TIMESTAMP '2017-03-01 10:00:00 +05:45', " + // 04:15 UTC (first)
+      "TIMESTAMP '2017-03-01 09:00:00 UTC') t(ts) ORDER BY ts")
+      .collect().map(_.getString(0)).toSeq
+    assert(lagged == Seq(null, "2017-03-01 10:00:00.000 +05:45"))
+  }
+
+  test("date_add/date_diff preserve the zone; calendar units are wall/DST-aware") {
+    // time unit: instant shift, zone kept
+    assert(one("to_iso8601(date_add('hour', 2, " +
+      "TIMESTAMP '2001-08-22 03:04:05.321 +07:09'))")
+      == "2001-08-22T05:04:05.321+07:09")
+    // calendar unit across the US spring-forward: wall time preserved,
+    // offset moves -08:00 → -07:00 (the reference adds via the zone's
+    // chronology — addFieldValueTimestampWithTimeZone)
+    assert(one("to_iso8601(date_add('day', 1, " +
+      "TIMESTAMP '2017-03-11 20:00:00 America/Los_Angeles'))")
+      == "2017-03-12T20:00:00.000-07:00")
+    // diff on time units uses instants across zones
+    assert(one("date_diff('hour', TIMESTAMP '2001-08-22 03:04:05 +07:09', " +
+      "TIMESTAMP '2001-08-23 03:04:05 +00:00')") == 31L)
+    // diff on calendar units counts wall days in the tstz operand's zone
+    assert(one("date_diff('day', TIMESTAMP '2017-03-01 23:00:00 -05:00', " +
+      "TIMESTAMP '2017-03-02 23:30:00 -05:00')") == 1L)
+  }
+
   test("ORDER BY over tstz sorts by instant") {
     val rows = e.sql("SELECT CAST(ts AS VARCHAR) AS rendered FROM (VALUES " +
       "TIMESTAMP '2017-03-01 10:00:00 +05:45', " + // 04:15 UTC
