@@ -50,6 +50,8 @@ object GraftOptimizations {
   private[plans] case class ProbeInKeys(lits: Seq[Literal]) extends ProbeDecision
   private[plans] case object ProbeOverflow extends ProbeDecision
   private[plans] case object ProbeSkip extends ProbeDecision
+  /** Exact distinct-key count (the scalar count probe, memo slot -1). */
+  private[plans] case class ProbeCount(n: Long) extends ProbeDecision
 
   val ENABLED_KEY = "spark.graft.dynamicFilter.enabled"
   val FACT_MIN_KEY = "spark.graft.dynamicFilter.factMinBytes"
@@ -57,6 +59,7 @@ object GraftOptimizations {
   val MAX_IN_KEY = "spark.graft.dynamicFilter.maxInKeys"
   val DIM_BCAST_KEY = "spark.graft.dynamicFilter.dimBroadcastBytes"
   val RATIO_KEY = "spark.graft.dynamicFilter.minFactDimRatio"
+  val MAX_BCAST_KEYS_KEY = "spark.graft.dynamicFilter.maxBroadcastKeys"
   val SCALED_SUM_KEY = "spark.graft.scaledLongSum"
 }
 
@@ -109,6 +112,7 @@ class DynamicSemiJoinPrune(spark: SparkSession)
   private val InKeys = GraftOptimizations.ProbeInKeys
   private val Overflow = GraftOptimizations.ProbeOverflow
   private val Skip = GraftOptimizations.ProbeSkip
+  private val KeyCount = GraftOptimizations.ProbeCount
 
   // memo keyed by a STABLE form of the dim plan (stableKey below), so
   // repeated optimizations of the same query — bench reruns, dashboards,
@@ -161,6 +165,7 @@ class DynamicSemiJoinPrune(spark: SparkSession)
     val maxIn = confLong(MAX_IN_KEY, 131072L).toInt
     val dimBcast = BigInt(confLong(DIM_BCAST_KEY, 64L << 20))
     val ratio = confLong(RATIO_KEY, 4L)
+    val maxBcastKeys = confLong(MAX_BCAST_KEYS_KEY, 2000000L)
 
     // applicability pre-checks — this rule sits in a fixed-point batch, so
     // every query pays its traversal several times (and the transform's
@@ -242,13 +247,48 @@ class DynamicSemiJoinPrune(spark: SparkSession)
       d
     }
 
-    /** Is there already an In/InSet conjunct over this key anywhere below?
-      * (Idempotency for the join variant: pushdown may have moved our
-      * inserted filter off the immediate child between iterations.) */
+    /** Exact distinct-key count of the dim (one full dim evaluation —
+      * bounded by probeable()'s input-byte ratio guard; memoized in slot
+      * maxKeys = -1). Used to size the broadcast-semi tier: output size
+      * STATS of a filtered projection are selectivity-blind (a 4 % date
+      * filter still reports near-full size), so the count is the only
+      * trustworthy gate for "small enough to broadcast". */
+    def countProbe(dim: LogicalPlan): Long = {
+      val key = stableKey(dim, -1)
+      val cached = memo.get(key)
+      val d = if (cached != null) cached
+      else {
+        GraftOptimizations.probeMisses.incrementAndGet()
+        val r =
+          try {
+            val attr = dim.output.head
+            val cnt = Alias(AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(attr)),
+              org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+              isDistinct = true), "cnt")()
+            val rows = org.apache.spark.sql.classic.GraftPlanBridge
+              .ofRows(spark, Aggregate(Nil, Seq(cnt), dim)).collect()
+            KeyCount(rows.head.getLong(0))
+          } catch { case scala.util.control.NonFatal(_) => Skip }
+        if (memo.size > 256) memo.clear()
+        memo.put(key, r)
+        r
+      }
+      d match {
+        case KeyCount(n) => n
+        case _ => -1L
+      }
+    }
+
+    /** Is there already an In/InSet/IN-subquery conjunct over this key
+      * anywhere below? (Idempotency for the join variant: pushdown may
+      * have moved our inserted filter off the immediate child between
+      * iterations.) */
     def alreadyPruned(side: LogicalPlan, key: Expression): Boolean =
       side.exists(p => p.expressions.exists(_.exists {
         case In(v, _) => v.semanticEquals(key)
         case InSet(v, _) => v.semanticEquals(key)
+        case InSubquery(Seq(v), _) => v.semanticEquals(key)
         case _ => false
       }))
 
@@ -322,23 +362,77 @@ class DynamicSemiJoinPrune(spark: SparkSession)
         val (fact, dim) = if (dimIsRight) (left, right) else (right, left)
         val (factBytes, dimBytes) = if (dimIsRight) (lBytes, rBytes) else (rBytes, lBytes)
         val keyPairs =
-          if (factBytes < factMin || !selectivelyFiltered(dim) ||
-            !probeable(dim, factBytes)) Nil
+          if (factBytes < factMin) Nil
           else splitConjunctivePredicates(cond).collect {
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if fact.outputSet.contains(a) && dim.outputSet.contains(b) => (a, b)
             case EqualTo(b: AttributeReference, a: AttributeReference)
                 if fact.outputSet.contains(a) && dim.outputSet.contains(b) => (a, b)
           }
+
+        /** Narrow the dim to the branch that PRODUCES the key: any join's
+          * output key values are a subset of its input branch's (joins
+          * never invent values), so the branch domain is a sound — weaker
+          * but far cheaper — prune. The full dim is preferred when
+          * probeable (its domain is tighter: the Q5 cascade); the branch
+          * is the fallback for join-shaped dims whose node stats are
+          * multiplicative garbage (h10: dim = customer⋈orders fails
+          * dimMax, but the quarter-filtered orders branch holds the whole
+          * 4 % selectivity). */
+        @annotation.tailrec
+        def branchFor(p: LogicalPlan, key: AttributeReference): LogicalPlan =
+          p match {
+            case jj: Join if jj.left.outputSet.contains(key) =>
+              branchFor(jj.left, key)
+            case jj: Join if jj.right.outputSet.contains(key) =>
+              branchFor(jj.right, key)
+            case Project(_, child) if child.outputSet.contains(key) =>
+              branchFor(child, key)
+            case other => other
+          }
+        // guards evaluate on the KEY-PROJECTED plan: the probe only ever
+        // reads that one column, and a full-width Filter node's output
+        // stats would flunk dimMax for branches whose projected form is
+        // tiny; probe EXECUTION cost stays bounded by probeInputBytes
+        def probeOk(p: LogicalPlan, dimKey: AttributeReference): Boolean =
+          selectivelyFiltered(p) &&
+            probeable(Project(Seq(dimKey), p), factBytes)
+        def probeTarget(dimKey: AttributeReference): Option[LogicalPlan] =
+          if (probeOk(dim, dimKey)) Some(dim)
+          else {
+            val b = branchFor(dim, dimKey)
+            if ((b ne dim) && probeOk(b, dimKey)) Some(b) else None
+          }
         // one In conjunct per equi-key pair (TPC-H Q5's supplier join
         // carries both l_suppkey=s_suppkey and c_nationkey=s_nationkey —
-        // the reference's equality inference narrows BOTH sides)
+        // the reference's equality inference narrows BOTH sides). When the
+        // key domain overflows the inline-literal tier but stays small
+        // enough to broadcast, insert the key subquery itself with a
+        // BROADCAST hint: RewritePredicateSubquery turns it into a
+        // broadcast LEFT SEMI on the fact side — still zero extra fact
+        // shuffle, and the main join's shuffle volume drops to the
+        // surviving rows (h10 sf30: the quarter-filtered orders dim keeps
+        // 1.7 M of 45 M orderkeys; the 60 M-row / 1.8 GB lineitem shuffle
+        // shrinks ~25×). Sharing the dim subtree inside the subquery
+        // expression is safe — Spark's own InjectRuntimeFilter does the
+        // same, and RewritePredicateSubquery dedups on conversion.
         val prunes = keyPairs
           .filter { case (factKey, _) => !alreadyPruned(fact, factKey) }
           .flatMap { case (factKey, dimKey) =>
-            probe(Project(Seq(dimKey), dim), maxIn) match {
+            probeTarget(dimKey).flatMap { target =>
+            val keyPlan = Project(Seq(dimKey), target)
+            probe(keyPlan, maxIn) match {
               case InKeys(lits) => Some(inPred(factKey, lits))
+              case Overflow =>
+                val n = countProbe(keyPlan)
+                if (n > 0 && n <= maxBcastKeys)
+                  Some(InSubquery(Seq(factKey),
+                    ListQuery(keyPlan, Seq.empty, NamedExpression.newExprId,
+                      keyPlan.output.length, Seq.empty,
+                      Some(HintInfo(Some(BROADCAST))))))
+                else None
               case _ => None
+            }
             }
           }
         if (prunes.isEmpty) j

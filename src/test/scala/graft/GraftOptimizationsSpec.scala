@@ -112,6 +112,52 @@ class GraftOptimizationsSpec extends AnyFunSuite {
     }
   }
 
+  test("join variant: key overflow + countable domain => broadcast semi on the fact") {
+    val sql =
+      """SELECT p_size, count(*) AS n FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 15 GROUP BY p_size""".stripMargin
+    val expect = baseline(sql)
+    // MAX_IN forces the literal tier to overflow; the exact key-count
+    // probe then admits the broadcast-semi tier
+    withConf(FACT_MIN_KEY -> "1", RATIO_KEY -> "0", MAX_IN_KEY -> "1",
+      MAX_BCAST_KEYS_KEY -> "1000000") {
+      val df = spark.sql(sql)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("LeftSemi"), phys.take(1500))
+      assert(rows(df) == expect)
+    }
+  }
+
+  test("join variant: join-shaped dim falls back to the key's branch") {
+    // dim = part JOIN supplier-ish shape: the join node's multiplicative
+    // stats would flunk every size guard, but the selective part branch
+    // holds the key — the prune must still derive from that branch
+    val sql =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN (SELECT p_partkey, s_suppkey FROM part
+        |      JOIN supplier ON p_size % 10 = s_suppkey % 10
+        |      WHERE p_size = 15) pd
+        |  ON l_partkey = pd.p_partkey""".stripMargin
+    val expect = baseline(sql)
+    withConf(FACT_MIN_KEY -> "1", RATIO_KEY -> "0",
+      // dimMax tiny so the full join-dim is never probeable; the branch
+      // projection (one column of part) stays under it
+      DIM_MAX_KEY -> "4096") {
+      val df = spark.sql(sql)
+      val optimized = df.queryExecution.optimizedPlan
+      val pruned = optimized.exists(p => p.expressions.exists(_.exists {
+        case org.apache.spark.sql.catalyst.expressions.In(v, _) =>
+          v.references.map(_.name).toSet == Set("l_partkey")
+        case org.apache.spark.sql.catalyst.expressions.InSet(v, _) =>
+          v.references.map(_.name).toSet == Set("l_partkey")
+        case _ => false
+      }))
+      assert(pruned, optimized.toString.take(1500))
+      assert(rows(df) == expect)
+    }
+  }
+
   test("probe memo survives freshly-built DataFrames of the same query") {
     // The round-8 h02 soak regression: LogicalRelations from two separate
     // spark.read calls on the same path have no value equality, so a memo
