@@ -27,6 +27,10 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // on a shared per-partition array joined back to the rows — O(n·frame)
     // instead of WindowExec's O(n²) array-per-row serialization
     ext.injectOptimizerRule(session => new plans.DynamicFrameJoin(session))
+    // Q18-class eager aggregation: push the outer aggregate below the
+    // join when the IN-subquery already computes the same (child, key)
+    // aggregate — the pre-agg dedupes via ReusedExchange
+    ext.injectOptimizerRule(session => new plans.EagerAggregationReuse(session))
     // an adjacent partial+final aggregate pair (child already partitioned
     // on the group keys) collapses to one complete-mode pass — runs as an
     // AQE stage-prep rule so it sees the post-replanning physical plan

@@ -27,6 +27,30 @@ import org.apache.spark.sql.types._
   *    decimals on primitive longs too
   *    (MAIN/operator/aggregation/DecimalSumAggregation.java).
   */
+/** Pushdown barrier: evaluates exactly as its child (same codegen), but is
+  * invisible to `DataSourceStrategy.translateFilter`, so the predicate
+  * never reaches the parquet reader. A multi-thousand-key In pushed as a
+  * source filter makes the reader evaluate the giant predicate against
+  * every row-group/page/dictionary stat — measured at the sf30 soak on
+  * h02's 21.6 k-key prune: 5.25 s with the filter pushed vs 3.78 s
+  * without, with ZERO row-groups skipped on the unclustered layout. Small
+  * key sets stay pushable (they do skip on sorted/z-ordered layouts and
+  * cost the reader nothing). */
+case class NoPushdown(child: Expression)
+    extends UnaryExpression with Predicate {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NoPushdown =
+    copy(child = newChild)
+}
+
 object GraftOptimizations {
   /** Memo-miss counter: bumped each time a dim probe actually EVALUATES
     * (not served from the memo). Diagnostic only — lets tests pin that
@@ -60,6 +84,7 @@ object GraftOptimizations {
   val DIM_BCAST_KEY = "spark.graft.dynamicFilter.dimBroadcastBytes"
   val RATIO_KEY = "spark.graft.dynamicFilter.minFactDimRatio"
   val MAX_BCAST_KEYS_KEY = "spark.graft.dynamicFilter.maxBroadcastKeys"
+  val MAX_PUSH_KEYS_KEY = "spark.graft.dynamicFilter.maxPushdownKeys"
   val SCALED_SUM_KEY = "spark.graft.scaledLongSum"
 }
 
@@ -165,7 +190,15 @@ class DynamicSemiJoinPrune(spark: SparkSession)
     val maxIn = confLong(MAX_IN_KEY, 131072L).toInt
     val dimBcast = BigInt(confLong(DIM_BCAST_KEY, 64L << 20))
     val ratio = confLong(RATIO_KEY, 4L)
-    val maxBcastKeys = confLong(MAX_BCAST_KEYS_KEY, 2000000L)
+    // Broadcast-semi tier DEFAULT-OFF on a single box: the sf30 A/B
+    // (SCALE.md round 9) measured the tier cutting h10's lineitem shuffle
+    // 1.8 GB → 70 MB yet LOSING 0.3–0.5 s on h02/h09/h10 — the local
+    // tmpfs/no-compression shuffle is cheaper than the extra broadcast
+    // build plus the dual probe passes. On a cluster the saved shuffle
+    // crosses a network and the trade reverses: set maxBroadcastKeys
+    // (e.g. 2000000) in spark-submit to enable.
+    val maxBcastKeys = confLong(MAX_BCAST_KEYS_KEY, 0L)
+    val maxPushKeys = confLong(MAX_PUSH_KEYS_KEY, 1024L)
 
     // applicability pre-checks — this rule sits in a fixed-point batch, so
     // every query pays its traversal several times (and the transform's
@@ -320,6 +353,11 @@ class DynamicSemiJoinPrune(spark: SparkSession)
       * keys are non-null by construction (probe filters IsNotNull). */
     def inPred(v: Expression, lits: Seq[Literal]): Expression =
       if (lits.isEmpty) Literal.FalseLiteral
+      else if (lits.size > maxPushKeys)
+        // big key sets stay OUT of the source filter (NoPushdown scaladoc:
+        // the reader's per-page/dictionary stat evaluation of a huge In
+        // costs more than the zero row-groups it skips on random layouts)
+        NoPushdown(InSet(v, lits.map(_.value).toSet))
       else if (lits.size > SQLConf.get.optimizerInSetConversionThreshold)
         InSet(v, lits.map(_.value).toSet)
       else In(v, lits)
