@@ -58,6 +58,9 @@ import org.apache.spark.sql.types.DecimalType
   */
 class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  private def dbg(msg: => String): Unit =
+    if (sys.env.contains("GRAFT_EAGER_DEBUG")) System.err.println("[eager] " + msg)
+
   private def enabled: Boolean =
     spark.conf.getOption(EagerAggregationReuse.KEY).forall(_.toBoolean)
 
@@ -85,6 +88,41 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
       case _: Count => Some(Sum(pre))
       case _: Min => Some(Min(pre))
       case _: Max => Some(Max(pre))
+      case _ => None
+    }
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case c: Cast => stripCasts(c.child)
+    case other => other
+  }
+
+  /** Drop no-op casts everywhere before comparing: ScaledLongSum and the
+    * analyzer leave `CAST(x AS <x's own type>)` asymmetrically between the
+    * outer aggregate and the subquery twin (SimplifyCasts removes them,
+    * but not necessarily before this rule sees both sides). */
+  private def normNoop(e: Expression): Expression = e.transformUp {
+    case c: Cast if c.child.dataType == c.dataType => c.child
+  }
+
+  /** The single aggregate call inside `core`, reachable only through
+    * MakeDecimal/Cast wrappers. Sum/Count re-aggregation needs the wrapper
+    * LINEAR in the aggregated value (wrapper(m·s) = m·wrapper(s), since
+    * B-duplication multiplies the per-key value m times): MakeDecimal is
+    * exact scaling, and the Casts ScaledLongSum leaves here are widening.
+    * Min/Max re-aggregate over m IDENTICAL per-key copies, so the wrapper
+    * shape is immaterial — kept to the same set for simplicity. OUTER
+    * casts are stripped before matching and re-applied after the
+    * re-aggregation, so they carry no linearity requirement. */
+  private def innerCall(core: Expression): Option[AggregateExpression] =
+    core.collect { case ae: AggregateExpression => ae } match {
+      case Seq(ae) =>
+        def path(e: Expression): Boolean = e match {
+          case x if x eq ae => true
+          case c: Cast => path(c.child)
+          case m: MakeDecimal => path(m.child)
+          case _ => false
+        }
+        if (path(core)) Some(ae) else None
       case _ => None
     }
 
@@ -165,29 +203,48 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
       // equivalence class)
       if (!groupS.exists(g => g.semanticEquals(aK) || g.semanticEquals(bK)))
         return None
-      // the twin gate: the same (child, key) aggregate exists in a subquery
-      val pos = a.output.indexWhere(_.exprId == aK.exprId)
-      if (pos < 0 || !twins.contains((a.canonicalized, pos))) return None
-      // A must not already be the pre-aggregate (idempotency)
-      a match {
-        case Aggregate(Seq(k: Attribute), _, _, _) if k.semanticEquals(aK) =>
-          return None
-        case _ =>
+      // A must not already be the pre-aggregate (idempotency, both
+      // variants: the filtered-twin form leaves Project/Filter on top)
+      def isPreAgg(p: LogicalPlan): Boolean = p match {
+        case Aggregate(Seq(k: Attribute), _, _, _) => k.semanticEquals(aK)
+        case Project(_, c) => isPreAgg(c)
+        case Filter(_, c) => isPreAgg(c)
+        case _ => false
       }
+      if (isPreAgg(a)) return None
 
-      // collect the aggregate calls; all must be A-only and supported
-      val calls = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+      // collect the aggregate calls (post-substitution, so Project aliases
+      // between Aggregate and Join are resolved); all must be A-only
+      val substituted = aggExprs.map(substitute)
+      val calls = substituted.flatMap(_.collect { case ae: AggregateExpression => ae })
       if (calls.isEmpty) return None
       if (!calls.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
         supported(ae.aggregateFunction) &&
         ae.references.nonEmpty && ae.references.forall(a.outputSet.contains) &&
         ae.deterministic)) return None
       // A-side columns outside the agg calls must be limited to the key
-      val outsideRefs = (groupS ++ aggExprs.map(ne =>
-        substitute(ne).transformUp {
+      val outsideRefs = (groupS ++ substituted.map(
+        _.transformUp {
           case ae: AggregateExpression => Literal(null, ae.dataType)
         })).flatMap(_.references).filter(a.outputSet.contains).toSet
       if (!outsideRefs.subsetOf(Set[Attribute](aK))) return None
+
+      // Variant 1 — filtered-twin reuse (the reference's Q18 plan): B
+      // carries `bK IN (SELECT k FROM A GROUP BY k [HAVING p])` over this
+      // very (child, key). The filtered subquery aggregate IS the pre-join
+      // aggregate: join B against it directly and DROP the IN (the inner
+      // join enforces exactly the same key set), so A is scanned,
+      // aggregated, and shuffled ONCE — no second fact pass, and nothing
+      // for constraint propagation to duplicate into a semi join.
+      val viaTwinJoin = twinJoinReuse(a, b, aK, bK, others, groupS,
+        aggExprs, substituted, hint, aIsLeft)
+      if (viaTwinJoin.isDefined) return viaTwinJoin
+
+      // Variant 2 — generic twin-gated push: the same (child, key)
+      // aggregate exists in a subquery, so the pre-aggregate's exchange
+      // dedupes with it via ReusedExchange
+      val pos = a.output.indexWhere(_.exprId == aK.exprId)
+      if (pos < 0 || !twins.contains((a.canonicalized, pos))) return None
 
       // pre-aggregate over A, grouped by the key; one column per call
       val preAliases = calls.map(ae => Alias(ae, "__eager_pre")())
@@ -197,8 +254,8 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
 
       // outer expressions: each call re-aggregates its pre column, cast
       // back to the original result type
-      val newAggExprs = aggExprs.map { ne =>
-        substitute(ne).transformUp {
+      val newAggExprs = aggExprs.zip(substituted).map { case (ne, sub) =>
+        sub.transformUp {
           case ae: AggregateExpression =>
             val preAttr = preByCall(ae)
             val fn = reAgg(ae.aggregateFunction, preAttr).get
@@ -222,6 +279,142 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
 
     attempt(left, right, aIsLeft = true)
       .orElse(attempt(right, left, aIsLeft = false))
+  }
+
+  /** Variant 1: B holds `bK IN (SELECT k FROM twin [HAVING p])` where the
+    * twin aggregates the SAME canonicalized child as A on the same key.
+    * Join B against the filtered twin directly, re-aggregating its output
+    * columns, and remove the IN conjunct (implied by the inner join).
+    * Exactness: B rows with bK outside the filtered key set are dropped by
+    * the inner join exactly as the IN dropped them (incl. NULL keys); each
+    * surviving outer group lives in one key class, so re-aggregation over
+    * the m duplicated per-key values reproduces the original (see
+    * innerCall for the wrapper-linearity argument). */
+  private def twinJoinReuse(a: LogicalPlan, b: LogicalPlan,
+      aK: AttributeReference, bK: AttributeReference,
+      others: Seq[Expression], groupS: Seq[Expression],
+      aggExprs: Seq[NamedExpression], substituted: Seq[Expression],
+      hint: JoinHint, aIsLeft: Boolean): Option[Aggregate] = {
+
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+
+    // the IN filter over B's key, reachable through deterministic
+    // Projects / Filters / inner Joins only — so removing it means
+    // exactly "keep B rows whose bK is in the key set", nothing more
+    def findIn(p: LogicalPlan): Option[(Filter, InSubquery, ListQuery)] =
+      p match {
+        case f @ Filter(cond, child) =>
+          split(cond).collectFirst {
+            case in @ InSubquery(Seq(v: AttributeReference), l: ListQuery)
+                if v.exprId == bK.exprId && l.outerAttrs.isEmpty &&
+                  l.plan.output.length == 1 => (f, in, l)
+          }.orElse(findIn(child))
+        case Project(pl, child) if pl.forall(_.deterministic) => findIn(child)
+        case Join(l, r, Inner, _, _) => findIn(l).orElse(findIn(r))
+        case _ => None
+      }
+    val (inFilter, inExpr, listq) = findIn(b).getOrElse { dbg("no IN filter found in b: " + b.nodeName); return None }
+
+    // peel the subquery to the twin aggregate, collecting HAVING conjuncts;
+    // the subquery's single output must be the twin's grouping key
+    val tk = listq.plan.output.head
+    def peel(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(Seq[Expression], Aggregate)] = p match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(child, conds)
+      case Filter(c, child) => peel(child, conds ++ split(c))
+      case ag @ Aggregate(Seq(k: Attribute), _, _, _) if k.exprId == tk.exprId =>
+        Some((conds, ag))
+      case _ => None
+    }
+    val (having, twin) = peel(listq.plan, Nil).getOrElse { dbg("peel failed: " + listq.plan.treeString.take(500)); return None }
+    if (having.exists(!_.deterministic)) return None
+    val tchild = twin.child
+    if (tchild.output.length != a.output.length) { dbg("arity mismatch"); return None }
+    if (tchild.canonicalized != a.canonicalized) { dbg("canonical mismatch:\nA=" + a.canonicalized.treeString.take(400) + "\nT=" + tchild.canonicalized.treeString.take(400)); return None }
+
+    // positional A → twin-child column remap (sound: canonicalized
+    // equality implies identical shape and column positions)
+    val remap: Map[ExprId, Attribute] =
+      a.output.map(_.exprId).zip(tchild.output).toMap
+    def remapped(e: Expression): Expression = e.transformUp {
+      case at: AttributeReference => remap.getOrElse(at.exprId, at)
+    }
+    val tkNew = twin.groupingExpressions.head.asInstanceOf[Attribute]
+    val twinAliases = twin.aggregateExpressions.collect { case al: Alias => al }
+    if (twinAliases.isEmpty) return None
+
+    // every aggregate-bearing subtree of the output expressions must match
+    // one of the twin's outputs (modulo outer casts + the column remap);
+    // replace it with a re-aggregation of the twin's column
+    val used = scala.collection.mutable.LinkedHashSet.empty[Attribute]
+    val introduced = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Expression, java.lang.Boolean]())
+
+    def matchTwin(e: Expression): Option[Expression] = {
+      val core = stripCasts(e)
+      val ae = innerCall(core).getOrElse(return None)
+      if (ae.isDistinct || ae.filter.nonEmpty || !ae.deterministic) return None
+      val reFn: Attribute => AggregateFunction = ae.aggregateFunction match {
+        case _: Sum | _: Count => Sum(_)
+        case _: Min => Min(_)
+        case _: Max => Max(_)
+        case _ => return None
+      }
+      val target = normNoop(remapped(core)).canonicalized
+      twinAliases.find(al => normNoop(stripCasts(al.child)).canonicalized == target)
+        .map { al =>
+          used += al.toAttribute
+          val re = AggregateExpression(reFn(al.toAttribute), Complete,
+            isDistinct = false)
+          introduced.add(re)
+          if (re.dataType == e.dataType) re else Cast(re, e.dataType)
+        }
+    }
+    def replace(e: Expression): Expression =
+      if (!e.exists(_.isInstanceOf[AggregateExpression])) e
+      else matchTwin(e) match {
+        case Some(rep) => rep
+        case None => e.mapChildren(replace)
+      }
+    val newBodies = substituted.map(replace)
+    // every original call must have been consumed
+    if (newBodies.exists(_.exists {
+      case ae: AggregateExpression => !introduced.contains(ae)
+      case _ => false
+    })) { dbg("unconsumed call; twinAliases=" + twinAliases.map(_.child.sql).mkString("; ") + " bodies=" + substituted.map(_.sql).mkString("; ")); return None }
+
+    // pre outputs the twin's key, not A's — swap it in grouping/outputs
+    def keySwap(e: Expression): Expression = e.transformUp {
+      case at: AttributeReference if at.exprId == aK.exprId => tkNew
+    }
+    val newGroup = groupS.map(keySwap)
+    val newAggExprs = aggExprs.zip(newBodies).map { case (ne, body0) =>
+      keySwap(body0) match {
+        case a2: Alias => Alias(a2.child, a2.name)(exprId = a2.exprId,
+          qualifier = a2.qualifier)
+        case at: Attribute if at.exprId == ne.exprId => at
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+
+    val pre = Project((tkNew +: used.toSeq).map(_.asInstanceOf[NamedExpression]),
+      if (having.nonEmpty) Filter(having.reduce(And), twin) else twin)
+    val remaining = split(inFilter.condition).filterNot(_ eq inExpr)
+    val newB = b.transformUp {
+      case f if f eq inFilter =>
+        if (remaining.isEmpty) inFilter.child
+        else Filter(remaining.reduce(And), inFilter.child)
+    }
+    val newCond = (EqualTo(tkNew, bK) +: others).reduce(And)
+    val newJoin =
+      if (aIsLeft) Join(pre, newB, Inner, Some(newCond), hint)
+      else Join(newB, pre, Inner, Some(newCond), hint)
+    Some(Aggregate(newGroup,
+      newAggExprs.map(_.asInstanceOf[NamedExpression]), newJoin))
   }
 }
 

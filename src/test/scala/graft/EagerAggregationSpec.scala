@@ -106,6 +106,24 @@ class EagerAggregationSpec extends AnyFunSuite {
     assert(!fired(spark.sql(dimSide)))
   }
 
+  test("filtered-twin reuse: sum-only outer joins the HAVING aggregate, IN dropped") {
+    // only sum(fv) in the output, so every call matches the twin — the
+    // filtered subquery aggregate becomes the join input and the IN
+    // (hence every semi join) disappears from the plan
+    val sumOnly =
+      """SELECT dk, dtag, sum(fv) AS s
+        |FROM ea_dim JOIN ea_fact ON dk = fk
+        |WHERE dk IN (SELECT fk FROM ea_fact GROUP BY fk HAVING sum(fv) > 5)
+        |GROUP BY dk, dtag""".stripMargin
+    val expect = withConf(EagerAggregationReuse.KEY -> "false")(rows(spark.sql(sumOnly)))
+    val df = spark.sql(sumOnly)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("LeftSemi") && !optimized.contains("__eager_pre"),
+      optimized.take(1500))
+    assert(optimized.contains("Aggregate"), optimized.take(1500))
+    assert(rows(df) == expect)
+  }
+
   test("h18 canonical SQL takes the push and matches the rule-off result") {
     val h18 =
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
@@ -122,7 +140,10 @@ class EagerAggregationSpec extends AnyFunSuite {
         |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin
     val expect = withConf(EagerAggregationReuse.KEY -> "false")(rows(spark.sql(h18)))
     val df = spark.sql(h18)
-    assert(fired(df), df.queryExecution.optimizedPlan.toString.take(2000))
+    // variant 1 (filtered-twin reuse): lineitem is aggregated ONCE and the
+    // IN — and with it every semi join — is gone from the plan
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("LeftSemi"), optimized.take(2000))
     assert(rows(df) == expect)
     // the declared result type survives the re-aggregation cast
     assert(df.schema("sum_qty").dataType.sql == "DECIMAL(38,2)")
