@@ -461,7 +461,10 @@ class DynamicSemiJoinPrune(spark: SparkSession)
             val keyPlan = Project(Seq(dimKey), target)
             probe(keyPlan, maxIn) match {
               case InKeys(lits) => Some(inPred(factKey, lits))
-              case Overflow =>
+              case Overflow if maxBcastKeys > 0 =>
+                // countProbe EXECUTES a distinct-count of the dim at
+                // planning time — only pay it when the broadcast tier can
+                // actually accept the answer (it is off by default locally)
                 val n = countProbe(keyPlan)
                 if (n > 0 && n <= maxBcastKeys)
                   Some(InSubquery(Seq(factKey),
