@@ -427,7 +427,10 @@ object PrestoFunctions {
     // Joda-pattern pair (format_datetime/parse_datetime): Joda and java.time
     // patterns agree on the y/M/d/H/m/s/S core; exotic tokens (e.g. Joda 'ZZ')
     // diverge — documented divergence, no translation attempted.
-    "format_datetime" -> (e => DateFormatClass(TstzWall(e(0)), e(1))),
+    // tstz input formats at the VALUE's zone, zone tokens included
+    // (DateTimeFunctions.java formatDatetimeWithTimeZone); other datetime
+    // types keep the session-zone DateFormatClass
+    "format_datetime" -> (e => TstzFormatDatetime(e(0), e(1))),
     "parse_datetime" -> (e => new ParseToTimestamp(e(0), e(1))),
     // tstz → the INSTANT's epoch (to_unixtime is zone-independent)
     "to_unixtime" -> (e =>

@@ -44,8 +44,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the value's zone (DST-aware), matching the reference's
   * chronology-based addFieldValueTimestampWithTimeZone.
   *
-  * Documented residue (COVERAGE): format_datetime zone-name tokens print
-  * the session zone; TIME WITH TIME ZONE stays out of scope. */
+  * format_datetime over tstz renders wall time AND zone tokens in the
+  * value's zone (TstzFormat; Joda Z-runs translated via jodaZoneTokens).
+  *
+  * Documented residue (COVERAGE): TIME WITH TIME ZONE stays out of
+  * scope. */
 object Tstz {
   val I = "__tstz_i"
   val Z = "__tstz_z"
@@ -113,6 +116,26 @@ object Tstz {
   }
 
   /** Zone offset in seconds at an instant (DST-correct). */
+  /** Translate Joda zone-token runs to java.time equivalents (outside
+    * quoted literals): ZZZ→VV (zone id), ZZ→xxx (±HH:mm), Z→Z (±HHmm).
+    * The y/M/d/H/m/s/S core and z/zzzz names agree between the two. */
+  def jodaZoneTokens(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; sb.append(c); i += 1 }
+      else if (!inQuote && c == 'Z') {
+        var n = 0
+        while (i + n < p.length && p.charAt(i + n) == 'Z') n += 1
+        sb.append(if (n >= 3) "VV" else if (n == 2) "xxx" else "Z")
+        i += n
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def offsetSeconds(zoneId: String, instantMicros: Long): Int =
     java.time.ZoneId.of(zoneId, java.time.ZoneId.SHORT_IDS).getRules
       .getOffset(java.time.Instant.EPOCH.plus(
@@ -291,6 +314,56 @@ case class TstzZonePart(child: Expression, minutePart: Boolean)
   }
   override protected def withNewChildInternal(c: Expression): TstzZonePart =
     copy(child = c)
+}
+
+/** format_datetime over tstz: the wall time AND the zone tokens render in
+  * the VALUE's zone, not the session's (DateTimeFunctions.java
+  * formatDatetimeWithTimeZone formats at the value's chronology). Joda
+  * zone-token runs translate to java.time: ZZZ→VV (zone id), ZZ→xxx
+  * (±HH:mm), Z→Z (±HHmm); 'z'/'zzzz' (short/full names) agree. */
+case class TstzFormat(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  @transient private lazy val literalFormatter =
+    right match {
+      case Literal(p, StringType) if p != null =>
+        java.time.format.DateTimeFormatter
+          .ofPattern(Tstz.jodaZoneTokens(p.toString))
+      case _ => null
+    }
+  override def eval(input: InternalRow): Any = {
+    val row = left.eval(input).asInstanceOf[InternalRow]
+    if (row == null || row.isNullAt(0) || row.isNullAt(1)) return null
+    val pat = right.eval(input)
+    if (pat == null) return null
+    val zdt = java.time.Instant.EPOCH
+      .plus(row.getLong(0), java.time.temporal.ChronoUnit.MICROS)
+      .atZone(java.time.ZoneId.of(row.getUTF8String(1).toString,
+        java.time.ZoneId.SHORT_IDS))
+    val fmt =
+      if (literalFormatter != null) literalFormatter
+      else java.time.format.DateTimeFormatter
+        .ofPattern(Tstz.jodaZoneTokens(pat.toString))
+    UTF8String.fromString(zdt.format(fmt))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : TstzFormat = copy(left = l, right = r)
+}
+
+/** Type-dispatched format_datetime: tstz input formats at the value's
+  * zone (TstzFormat); everything else keeps Spark's session-zone
+  * DateFormatClass over the wall view. */
+case class TstzFormatDatetime(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override lazy val replacement: Expression =
+    if (Tstz.isTstz(left.dataType)) TstzFormat(left, right)
+    else DateFormatClass(TstzWall(left), right,
+      // ResolveTimeZone does not reach inside a replacement — fill the
+      // session zone ourselves (same value the rule would assign)
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : TstzFormatDatetime = copy(left = l, right = r)
 }
 
 /** to_iso8601 over tstz: offset-rendered instant in the value's zone

@@ -183,6 +183,24 @@ class TstzSpec extends AnyFunSuite {
       "TIMESTAMP '2017-03-02 23:30:00 -05:00')") == 1L)
   }
 
+  test("format_datetime renders wall time AND zone tokens in the value's zone") {
+    // zone id token (Joda ZZZ) prints the stored zone, not the session's
+    assert(one("format_datetime(TIMESTAMP '2017-06-01 10:00:00 " +
+      "America/Los_Angeles', 'yyyy-MM-dd HH:mm ZZZ')")
+      == "2017-06-01 10:00 America/Los_Angeles")
+    // offset tokens at the value's zone/instant (PDT = -0700 / -07:00)
+    assert(one("format_datetime(TIMESTAMP '2017-06-01 10:00:00 " +
+      "America/Los_Angeles', 'HH:mm Z')") == "10:00 -0700")
+    assert(one("format_datetime(TIMESTAMP '2017-06-01 10:00:00 " +
+      "America/Los_Angeles', 'HH:mm ZZ')") == "10:00 -07:00")
+    // short zone NAME at the instant (DST-aware)
+    assert(one("format_datetime(TIMESTAMP '2017-01-01 10:00:00 " +
+      "America/Los_Angeles', 'HH:mm z')") == "10:00 PST")
+    // non-tstz input keeps Spark's session-zone semantics
+    assert(one("format_datetime(TIMESTAMP '2017-06-01 10:00:00', " +
+      "'yyyy-MM-dd HH:mm')") == "2017-06-01 10:00")
+  }
+
   test("ORDER BY over tstz sorts by instant") {
     val rows = e.sql("SELECT CAST(ts AS VARCHAR) AS rendered FROM (VALUES " +
       "TIMESTAMP '2017-03-01 10:00:00 +05:45', " + // 04:15 UTC
