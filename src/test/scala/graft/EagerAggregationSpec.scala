@@ -124,6 +124,58 @@ class EagerAggregationSpec extends AnyFunSuite {
     assert(rows(df) == expect)
   }
 
+  test("filtered-twin reuse: expression-wrapped and repeated calls stay exact") {
+    // sums appear inside arithmetic and twice; every call must match the
+    // twin and re-aggregate exactly
+    val wrapped =
+      """SELECT dk, sum(fv) * 2 + sum(fv) AS s3, max(fv) AS mx
+        |FROM ea_dim JOIN ea_fact ON dk = fk
+        |WHERE dk IN (SELECT fk FROM ea_fact GROUP BY fk
+        |             HAVING sum(fv) > 5 AND max(fv) < 1000)
+        |GROUP BY dk""".stripMargin
+    val expect = withConf(EagerAggregationReuse.KEY -> "false")(rows(spark.sql(wrapped)))
+    val df = spark.sql(wrapped)
+    assert(rows(df) == expect)
+  }
+
+  test("filtered-twin reuse: extra conjuncts in the IN's filter survive") {
+    val extra =
+      """SELECT dk, sum(fv) AS s
+        |FROM ea_dim JOIN ea_fact ON dk = fk
+        |WHERE dtag <> 'b'
+        |  AND dk IN (SELECT fk FROM ea_fact GROUP BY fk HAVING sum(fv) > 5)
+        |GROUP BY dk""".stripMargin
+    val expect = withConf(EagerAggregationReuse.KEY -> "false")(rows(spark.sql(extra)))
+    assert(rows(spark.sql(extra)) == expect)
+  }
+
+  test("filtered-twin reuse: grouping by the FACT-side key swaps to the twin key") {
+    val byFk =
+      """SELECT fk, sum(fv) AS s
+        |FROM ea_dim JOIN ea_fact ON dk = fk
+        |WHERE dk IN (SELECT fk FROM ea_fact GROUP BY fk HAVING sum(fv) > 5)
+        |GROUP BY fk""".stripMargin
+    val expect = withConf(EagerAggregationReuse.KEY -> "false")(rows(spark.sql(byFk)))
+    val df = spark.sql(byFk)
+    assert(df.columns.toSeq == Seq("fk", "s"))
+    assert(rows(df) == expect)
+  }
+
+  test("IN under the null-padded side of an outer join does not take the variant") {
+    // b = dim LEFT JOIN (filtered fact-agg side): removing an IN below the
+    // null-producing side would change padding — findIn only descends
+    // inner joins, so results must match rule-off either way
+    val outerSide =
+      """SELECT dk, sum(fv) AS s
+        |FROM ea_dim
+        |LEFT JOIN (SELECT fk, fv FROM ea_fact
+        |           WHERE fk IN (SELECT fk FROM ea_fact GROUP BY fk
+        |                        HAVING sum(fv) > 5)) f ON dk = fk
+        |GROUP BY dk""".stripMargin
+    val expect = withConf(EagerAggregationReuse.KEY -> "false")(rows(spark.sql(outerSide)))
+    assert(rows(spark.sql(outerSide)) == expect)
+  }
+
   test("h18 canonical SQL takes the push and matches the rule-off result") {
     val h18 =
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
