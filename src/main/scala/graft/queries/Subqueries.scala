@@ -197,6 +197,26 @@ object Subqueries {
         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
         GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // tier 1 with the key set past maxPushdownKeys: the InSet evaluates
+    // behind the NoPushdown barrier (scan-output filter, no source
+    // predicate) — the round-9 path h02 takes at soak scale
+    "q64d_dynfilter_nopush" -> Q(
+      tuned(
+        graft.plans.GraftOptimizations.FACT_MIN_KEY -> "1",
+        graft.plans.GraftOptimizations.RATIO_KEY -> "0",
+        graft.plans.GraftOptimizations.MAX_PUSH_KEYS_KEY -> "1")("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS disc
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 23)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS disc
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 23)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q64c_dynfilter_join" -> Q(
       tuned(
         graft.plans.GraftOptimizations.FACT_MIN_KEY -> "1",

@@ -90,6 +90,21 @@ class GraftOptimizationsSpec extends AnyFunSuite {
     }
   }
 
+  test("tier 1 past maxPushdownKeys: InSet behind the NoPushdown barrier, no source filter") {
+    val expect = baseline(IN_SEMI_SQL)
+    withConf(FACT_MIN_KEY -> "1", DIM_MAX_KEY -> (256L << 20).toString,
+      RATIO_KEY -> "0", MAX_PUSH_KEYS_KEY -> "1") {
+      val df = spark.sql(IN_SEMI_SQL)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("nopushdown"), optimized.take(1000))
+      assert(!optimized.contains("Join"), optimized.take(1000))
+      // the barrier keeps the key set OUT of the parquet source predicate
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("PushedFilters: [In("), phys.take(1500))
+      assert(rows(df) == expect)
+    }
+  }
+
   test("join variant: selectively-filtered dim prunes the fact scan") {
     val sql =
       """SELECT p_size, count(*) AS n FROM lineitem
