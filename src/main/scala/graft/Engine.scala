@@ -471,10 +471,43 @@ class Engine(parent: SparkSession) {
       catch { case _: Throwable => throw orig }
     var changed = false
     def isT(e: Expression): Boolean = e.resolved && Tstz.isTstz(e.dataType)
+    def isTt(e: Expression): Boolean =
+      e.resolved && graft.functions.Ttz.isTtz(e.dataType)
     def wallWrap(e: Expression): Expression =
       e.withNewChildren(e.children.map(c =>
-        if (isT(c)) { changed = true; Tstz.wall(c) } else c))
+        if (isT(c)) { changed = true; Tstz.wall(c) }
+        else if (isTt(c)) { changed = true; graft.functions.TtzToTimestamp(c) }
+        else c))
     val fixed = analyzed.transformAllExpressions {
+      // ── TIME WITH TIME ZONE (functions/Ttz.scala) ──
+      // ttz − ttz → interval day-time on millisUtc
+      case Subtract(l, r, _) if isTt(l) && isTt(r) =>
+        changed = true
+        graft.functions.TtzSubtract(l, r)
+      // non-legacy casts: → time / → timestamp take the WALL clock in the
+      // value's zone
+      case Cast(child, _: org.apache.spark.sql.types.TimeType, _, _)
+          if isTt(child) =>
+        changed = true
+        graft.functions.TtzToTime(child)
+      case Cast(child, TimestampType, _, _) if isTt(child) =>
+        changed = true
+        graft.functions.TtzToTimestamp(child)
+      // ttz vs plain TIME comparison: the zone-less side coerces at the
+      // session zone, both compare on millisUtc
+      // (TimeWithTimeZoneOperators; the ttz = ttz case needs no retry —
+      // the tstz pass strips both sides to millis)
+      case cmp: BinaryComparison if isTt(cmp.left) || isTt(cmp.right) =>
+        changed = true
+        def side(e: Expression): Expression =
+          if (isTt(e)) graft.functions.Ttz.millis(e)
+          else e.dataType match {
+            case _: org.apache.spark.sql.types.TimeType =>
+              graft.functions.Ttz.millis(graft.functions.TimeToTtz(e))
+            case _ => e
+          }
+        cmp.withNewChildren(Seq(side(cmp.left), side(cmp.right)))
+
       case c @ Cast(child, TimestampType, _, _) if isT(child) =>
         changed = true
         Tstz.instant(child)
@@ -538,7 +571,7 @@ class Engine(parent: SparkSession) {
                 _: DayOfWeek | _: WeekDay | _: DayOfYear | _: Month |
                 _: Year | _: Quarter | _: WeekOfYear |
                 _: DateFormatClass | _: MonthName | _: DayName)
-          if e.children.exists(isT) =>
+          if e.children.exists(c => isT(c) || isTt(c)) =>
         wallWrap(e)
       case e: UnixTimestamp if e.children.exists(isT) =>
         // epoch is zone-independent: the instant view
@@ -1394,6 +1427,12 @@ class Engine(parent: SparkSession) {
               if child.resolved && Tstz.isTstz(child.dataType) =>
             changed = true
             TstzToString(child)
+          // ttz renders 'HH:mm:ss.SSS <zone-as-stored>'
+          // (TIME_WITH_TIME_ZONE_FORMATTER)
+          case c @ Cast(child, StringType, _, _)
+              if child.resolved && graft.functions.Ttz.isTtz(child.dataType) =>
+            changed = true
+            graft.functions.TtzToString(child)
           // instants only, including tstz NESTED in rows/arrays
           // (RowOperators compares fields with the type's own operator)
           case cmp: BinaryComparison
@@ -1408,6 +1447,18 @@ class Engine(parent: SparkSession) {
                 list.forall(_.resolved) =>
             changed = true
             In(Tstz.stripZones(v), list.map(Tstz.stripZones))
+          // DISTINCT aggregates (count(DISTINCT x), sum(DISTINCT x), …)
+          // dedup on the INSTANT: strip zones from the aggregated input
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+              if ae.isDistinct && ae.aggregateFunction.children.exists(c =>
+                c.resolved && Tstz.containsTstz(c.dataType)) =>
+            changed = true
+            ae.copy(aggregateFunction = ae.aggregateFunction
+              .withNewChildren(ae.aggregateFunction.children.map(c =>
+                if (c.resolved && Tstz.containsTstz(c.dataType))
+                  Tstz.stripZones(c)
+                else c)).asInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
         }
       }
     }

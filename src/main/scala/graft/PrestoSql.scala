@@ -618,6 +618,69 @@ object PrestoSql {
     castTstz(sql.substring(0, ws) + repl + sql.substring(m.end()))
   }
 
+  /** Zone-carrying TIME literals (`TIME '03:04:05.321 +07:09'` —
+    * SqlBase.g4 TIME '...'; util/DateTimeUtils.java parseTimeLiteral: a
+    * trailing zone makes the literal TIME WITH TIME ZONE). Spark's TIME
+    * parser rejects the zone → reroute to graft_to_ttz (functions/Ttz),
+    * constant-folded at plan time. */
+  private def ttzLiterals(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bTIME\\s*'").matcher(mask)
+    var from = 0
+    while (m.find(from)) {
+      val qStart = m.end() - 1
+      var q = qStart + 1
+      while (q < sql.length && sql(q) != '\'') q += 1
+      if (q < sql.length) {
+        val content = sql.substring(qStart + 1, q)
+        val tm = graft.functions.TtzParse.pattern.matcher(content.trim)
+        if (tm.matches() && tm.group(6) != null &&
+            graft.functions.TstzParse.isZone(tm.group(6)))
+          return sql.substring(0, m.start()) +
+            s"graft_to_ttz('$content')" + ttzLiterals(sql.substring(q + 1))
+      }
+      from = m.end()
+    }
+    sql
+  }
+
+  /** `CAST(x AS TIME WITH TIME ZONE)` → graft_to_ttz(x) (same paren-walk
+    * as castTstz; the \bTIME\s+WITH pattern cannot match inside
+    * TIMESTAMP WITH TIME ZONE). */
+  private def castTtz(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bAS\\s+TIME\\s+WITH\\s+TIME\\s+ZONE\\s*\\)")
+      .matcher(mask)
+    if (!m.find()) return sql
+    var depth = 0
+    var p = m.start() - 1
+    var open = -1
+    while (p >= 0 && open < 0) {
+      mask(p) match {
+        case ')' => depth += 1
+        case '(' => if (depth == 0) open = p else depth -= 1
+        case _ =>
+      }
+      p -= 1
+    }
+    if (open < 0) return sql
+    var w = open
+    while (w > 0 && mask(w - 1).isWhitespace) w -= 1
+    val ws = {
+      var k = w
+      while (k > 0 && (mask(k - 1).isLetterOrDigit || mask(k - 1) == '_')) k -= 1
+      k
+    }
+    val kw = mask.substring(ws, w).toUpperCase(java.util.Locale.ROOT)
+    if (kw != "CAST" && kw != "TRY_CAST") return sql
+    val body = sql.substring(open + 1, m.start())
+    val inner = s"graft_to_ttz($body)"
+    val repl = if (kw == "TRY_CAST") s"try($inner)" else inner
+    castTtz(sql.substring(0, ws) + repl + sql.substring(m.end()))
+  }
+
   /** `X AT TIME ZONE Z` (SqlBase.g4 AT timeZoneSpecifier;
     * DesugarAtTimeZoneRewriter) → graft_at_timezone(X, Z). Operand X is the
     * preceding primary (parenthesized/call, quoted literal with optional
@@ -1848,9 +1911,9 @@ object PrestoSql {
 
   def rewrite(sql0: String): String = {
     val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(minMaxDistinct(extractFields(groupByForms(orderedAggs(
-      quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(castTstz(atTimeZone(tstzLiterals(typedLiterals(
+      quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(castTstz(castTtz(atTimeZone(tstzLiterals(ttzLiterals(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unwrapLateralParens(unnest(rowTypes(niladicSpecials(sql0)),
-          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

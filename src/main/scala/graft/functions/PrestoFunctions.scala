@@ -461,6 +461,8 @@ object PrestoFunctions {
       Cast(DateFormatClass(TstzWall(e(0)), lit("SSS")), IntegerType)),
     // --- timestamp with time zone (TimestampWithTimeZoneType.java) ---
     "graft_to_tstz" -> (e => GraftToTstz(e.head)),
+    // TIME WITH TIME ZONE (functions/Ttz.scala): literals + CAST routing
+    "graft_to_ttz" -> (e => TtzCast(e.head)),
     "graft_at_timezone" -> (e => GraftAtTimezone(e(0), e(1))),
     "with_timezone" -> (e => GraftWithTimezone(e(0), e(1))),
     // Presto date_add('unit', n, ts) / date_diff('unit', from, to): Spark's

@@ -72,8 +72,12 @@ object Tstz {
     CreateNamedStruct(Seq(Literal(I), i, Literal(Z), z))
 
   /** Does the type contain a tstz anywhere (row/array/map nesting)? */
+  /** Either zone-carrying type: tstz or its TIME sibling ([[Ttz]]) — both
+    * compare/group on the packed instant only, so the strip machinery
+    * treats them uniformly. */
   def containsTstz(dt: DataType): Boolean = dt match {
-    case s: StructType => isTstz(s) || s.fields.exists(f => containsTstz(f.dataType))
+    case s: StructType =>
+      isTstz(s) || Ttz.isTtz(s) || s.fields.exists(f => containsTstz(f.dataType))
     case a: ArrayType => containsTstz(a.elementType)
     case m: MapType => containsTstz(m.keyType) || containsTstz(m.valueType)
     case _ => false
@@ -84,6 +88,7 @@ object Tstz {
     * compares instants, matching RowOperators/DateTimeOperators. */
   def stripZones(e: Expression): Expression = e.dataType match {
     case dt if isTstz(dt) => instant(e)
+    case dt if Ttz.isTtz(dt) => Ttz.millis(e)
     case s: StructType if containsTstz(s) =>
       CreateNamedStruct(s.fields.zipWithIndex.flatMap { case (f, i) =>
         Seq(Literal(f.name),
@@ -103,6 +108,8 @@ object Tstz {
   private def stripZonesLambda(v: Expression, dt: DataType): Expression = dt match {
     case t if isTstz(t) =>
       org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(v, Literal(I))
+    case t if Ttz.isTtz(t) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(v, Literal(Ttz.M))
     case s: StructType if containsTstz(s) =>
       CreateNamedStruct(s.fields.flatMap { f =>
         Seq(Literal(f.name), stripZonesLambda(
@@ -149,7 +156,9 @@ object Tstz {
 case class TstzWall(child: Expression)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   override lazy val replacement: Expression =
-    if (Tstz.isTstz(child.dataType)) Tstz.wall(child) else child
+    if (Tstz.isTstz(child.dataType)) Tstz.wall(child)
+    else if (Ttz.isTtz(child.dataType)) TtzToTimestamp(child)
+    else child
   override protected def withNewChildInternal(c: Expression): TstzWall =
     copy(child = c)
 }
@@ -194,6 +203,7 @@ case class GraftToTstz(child: Expression)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   override lazy val replacement: Expression = child.dataType match {
     case dt if Tstz.isTstz(dt) => child
+    case dt if Ttz.isTtz(dt) => TtzToTstz(child)
     case StringType => TstzParse(child)
     case _ => Tstz.make(Cast(child, TimestampType), Literal("UTC"))
   }
@@ -268,6 +278,11 @@ case class TstzAware(tag: String, child: Expression)
       case "iso8601" => TstzIso8601(child)
       case "tz_hour" => TstzZonePart(child, minutePart = false)
       case "tz_minute" => TstzZonePart(child, minutePart = true)
+    } else if (Ttz.isTtz(child.dataType)) tag match {
+      // ttz: the value's zone offset at the 1970-01-01 frame
+      case "tz_hour" => TtzZonePart(child, minutePart = false)
+      case "tz_minute" => TtzZonePart(child, minutePart = true)
+      case "iso8601" => TstzIso8601(TtzToTstz(child))
     } else tag match {
       case "iso8601" => Iso8601(child)
       case "tz_hour" => TimeZonePart(child, minutePart = false)
