@@ -1415,7 +1415,14 @@ object PrestoSql {
       val kinds = items.map(kind)
       val needs = distinct || kinds.contains("empty") ||
         (items.length > 1 && kinds.exists(_ != "plain"))
-      if ((needs || kinds == List("sets")) && items.nonEmpty) {
+      // bare single ROLLUP/CUBE keeps Spark's one-scan native plan, but its
+      // `()` set misses Presto's one-row-on-EMPTY-input semantics — closed
+      // below with a ZERO-SCAN union branch (global aggregate over
+      // WHERE 1=0, admitted by a LIMIT-1 emptiness probe in HAVING), not
+      // the full-scan global branch explicit `()` sets pay
+      val bareSingle = !needs &&
+        (kinds == List("rollup") || kinds == List("cube"))
+      if ((needs || kinds == List("sets") || bareSingle) && items.nonEmpty) {
         // each item → its list of element-sets (elements are text chunks)
         def splitTop(s: String): List[String] = {
           val out = scala.collection.mutable.ArrayBuffer(-1)
@@ -1575,6 +1582,44 @@ object PrestoSql {
                       a.map(" AS " + _).getOrElse("")
                   } else it
                 }.mkString(", ")
+                val fromText = sql0.substring(fromAt, m.start()).trim
+                if (bareSingle) {
+                  // native ROLLUP/CUBE stays (marker keeps re-entry from
+                  // reprocessing it: the item reads as "plain"); the union
+                  // branch costs ZERO scan — its aggregate runs over
+                  // WHERE 1=0 (constant-folds to an empty LocalRelation)
+                  // and the emptiness probe stops at the first input row
+                  val main = sql0.substring(qStart, m.end()) +
+                    " /*graft:native*/" + sql0.substring(m.end(), end) +
+                    userHaving
+                  val whereAt = {
+                    var p = fromAt
+                    var found = false
+                    while (!found && p < m.start()) {
+                      if (mask(p).isLetter) {
+                        val ws = p
+                        while (p < m.start() &&
+                          (mask(p).isLetterOrDigit || mask(p) == '_')) p += 1
+                        if (depthPrefix(ws) == gbDepth &&
+                            mask.substring(ws, p).equalsIgnoreCase("where"))
+                          found = true
+                      } else p += 1
+                    }
+                    found
+                  }
+                  val deadFrom = fromText +
+                    (if (whereAt) " AND (1=0)" else " WHERE 1=0")
+                  val probe =
+                    s"(SELECT count(*) FROM (SELECT 1 $fromText LIMIT 1)) = 0"
+                  val guard =
+                    if (userHaving.trim.nonEmpty)
+                      userHaving.trim + s" AND $probe"
+                    else s"HAVING $probe"
+                  val branch = "SELECT " + branchList + " " + deadFrom +
+                    " " + guard
+                  Some(sql0.substring(0, qStart) + main + " UNION ALL " +
+                    branch + " " + sql0.substring(tailStart))
+                } else {
                 val nonEmpty = sets.filter(_.nonEmpty)
                 val main =
                   if (nonEmpty.isEmpty) Nil
@@ -1582,10 +1627,11 @@ object PrestoSql {
                     nonEmpty.map(s => "(" + s.mkString(", ") + ")")
                       .mkString("GROUPING SETS (", ", ", ")") + userHaving)
                 val branch = "SELECT " + branchList + " " +
-                  sql0.substring(fromAt, m.start()).trim + userHaving
+                  fromText + userHaving
                 val parts = main ++ List.fill(sets.count(_.isEmpty))(branch)
                 Some(sql0.substring(0, qStart) + parts.mkString(" UNION ALL ") +
                   sql0.substring(tailStart))
+                }
               }
             }
           }

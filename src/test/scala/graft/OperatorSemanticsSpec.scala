@@ -81,6 +81,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(grand == Tables.t(spark, sf, "lineitem").count())
   }
 
+  test("bare ROLLUP/CUBE on EMPTY input emits the one global row (Presto QueryPlanner)") {
+    val e = Engine(spark)
+    val base = "(VALUES (1, 'a'), (2, 'a'), (3, 'b')) v(x, y)"
+    // empty input: the () grouping set is a global aggregation — one row
+    val empty = e.sql("SELECT count(*) AS n, sum(x) AS s FROM " +
+      s"(SELECT * FROM $base WHERE 1=0) t GROUP BY ROLLUP(y)").collect()
+    assert(empty.length == 1 && empty(0).getLong(0) == 0L && empty(0).isNullAt(1))
+    val emptyCube = e.sql(s"SELECT y, count(*) AS n FROM $base " +
+      "WHERE x < 0 GROUP BY CUBE(x, y)").collect()
+    assert(emptyCube.length == 1 && emptyCube(0).isNullAt(0) &&
+      emptyCube(0).getLong(1) == 0L)
+    // non-empty input: exactly ONE global row (the guarded branch stays out)
+    val rows = e.sql(s"SELECT y, count(*) AS n FROM $base GROUP BY ROLLUP(y)")
+      .collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.length == 3) // 'a', 'b', and the global row
+    assert(rows.filter(_.isNullAt(0)).head.getLong(1) == 3L)
+    // HAVING applies to the guarded branch too
+    val having = e.sql(s"SELECT y, count(*) AS n FROM $base " +
+      "GROUP BY ROLLUP(y) HAVING count(*) > 100").collect()
+    assert(having.isEmpty)
+  }
+
   test("full outer join keeps keys from both sides") {
     val df = SparkEntry.all("q27_join_full").fn(spark, sf)
     assert(df.filter(col("n_hi") === 0 && col("n_lo") === 0).count() == 0)
