@@ -1583,6 +1583,9 @@ object PrestoSql {
                   } else it
                 }.mkString(", ")
                 val fromText = sql0.substring(fromAt, m.start()).trim
+                // (correlated bodies cannot reach here with a usable plan:
+                // Spark rejects outer references under a grouping-sets
+                // Aggregate before any of this matters)
                 if (bareSingle) {
                   // native ROLLUP/CUBE stays (marker keeps re-entry from
                   // reprocessing it: the item reads as "plain"); the union
