@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
+import graft.{Engine, Q, Tables}
 
 /** Sorts/limits, set operations, grouping sets, distinct, sampling, unnest.
   *
@@ -109,6 +109,26 @@ object Relational {
           CAST(grouping(l_linestatus) AS INT) AS g_ls
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST""")),
+
+    // Bare ROLLUP over EMPTY input emits ONE global row (Presto
+    // QueryPlanner treats the () set as a global aggregation; DuckDB
+    // agrees) — the PrestoSql zero-scan guarded-branch rewrite, driven
+    // through the Engine dialect path and hash-checked every round.
+    "q46b_rollup_empty" -> Q(
+      (s, d) => {
+        val e = Engine(s)
+        Tables.registerAll(e.spark, d) // Engine runs on an isolated session
+        e.sql("""
+          SELECT count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+          FROM lineitem WHERE l_quantity < -1
+          GROUP BY ROLLUP(l_returnflag)""")
+      },
+      Some("""
+        SELECT count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        FROM lineitem WHERE l_quantity < -1
+        GROUP BY ROLLUP(l_returnflag)""")),
 
     // CUBE over two dims.
     "q47_cube" -> Q(
