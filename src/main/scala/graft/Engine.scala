@@ -1451,7 +1451,16 @@ class Engine(parent: SparkSession) {
           // dedup on the INSTANT: strip zones from the aggregated input
           case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
               if ae.isDistinct && ae.aggregateFunction.children.exists(c =>
-                c.resolved && Tstz.containsTstz(c.dataType)) =>
+                c.resolved && Tstz.containsTstz(c.dataType)) &&
+                // only when the result type survives the strip: a
+                // collect-style aggregate (array_agg(DISTINCT x)) derives
+                // its type from the child — retyping it post-analysis
+                // would leave parent AttributeReferences stale
+                ae.aggregateFunction.withNewChildren(
+                  ae.aggregateFunction.children.map(c =>
+                    if (c.resolved && Tstz.containsTstz(c.dataType))
+                      Tstz.stripZones(c)
+                    else c)).dataType == ae.aggregateFunction.dataType =>
             changed = true
             ae.copy(aggregateFunction = ae.aggregateFunction
               .withNewChildren(ae.aggregateFunction.children.map(c =>

@@ -456,7 +456,8 @@ object PrestoSql {
   private def niladicSpecials(sql0: String): String = {
     val mask = maskLiterals(sql0)
     val m = java.util.regex.Pattern
-      .compile("(?i)\\b(localtime|localtimestamp|current_path)\\b").matcher(mask)
+      .compile("(?i)\\b(localtime|localtimestamp|current_path|current_time)\\b")
+      .matcher(mask)
     val sb = new StringBuilder
     var last = 0
     while (m.find()) {
@@ -1548,10 +1549,40 @@ object PrestoSql {
                 tailStart = hEnd
               }
               val badGuards = fromAt < 0 ||
-                selText.matches("(?is)^\\s*DISTINCT\\b.*") ||
-                "(?i)\\bgrouping\\s*\\(".r.findFirstIn(selText + userHaving).isDefined
+                selText.matches("(?is)^\\s*DISTINCT\\b.*")
               if (badGuards) None
               else {
+                // grouping(...) inside the GLOBAL-AGG union branch: every
+                // argument is grouped away there, so the call is the
+                // all-ones bitmask constant (Presto QueryPlanner assigns
+                // bit 1 per absent argument, leftmost = MSB) — substitute
+                // it textually, since the branch has no GROUP BY for the
+                // call to resolve against
+                def substGrouping(text: String): String = {
+                  val tm = maskLiterals(text)
+                  val gp = java.util.regex.Pattern
+                    .compile("(?i)\\bgrouping\\s*\\(").matcher(tm)
+                  val sb = new StringBuilder
+                  var last = 0
+                  while (gp.find()) if (gp.start() >= last) {
+                    var gd = 1; var gi = gp.end(); var commas = 0
+                    while (gi < tm.length && gd > 0) {
+                      tm(gi) match {
+                        case '(' => gd += 1
+                        case ')' => gd -= 1
+                        case ',' if gd == 1 => commas += 1
+                        case _ =>
+                      }
+                      gi += 1
+                    }
+                    sb.append(text.substring(last, gp.start()))
+                    sb.append("CAST(" + ((1L << (commas + 1)) - 1) +
+                      " AS BIGINT)")
+                    last = gi
+                  }
+                  sb.append(text.substring(last))
+                  sb.toString
+                }
                 // NULL the grouping columns in the global-agg branch via a
                 // typed all-NULL aggregate (max of an empty CASE)
                 val selItems = {
@@ -1580,7 +1611,7 @@ object PrestoSql {
                       else None)
                     s"max(CASE WHEN 1=0 THEN ($expr) END)" +
                       a.map(" AS " + _).getOrElse("")
-                  } else it
+                  } else substGrouping(it)
                 }.mkString(", ")
                 val fromText = sql0.substring(fromAt, m.start()).trim
                 // (correlated bodies cannot reach here with a usable plan:
@@ -1595,28 +1626,38 @@ object PrestoSql {
                   val main = sql0.substring(qStart, m.end()) +
                     " /*graft:native*/" + sql0.substring(m.end(), end) +
                     userHaving
-                  val whereAt = {
+                  // position just past a depth-equal WHERE keyword, if any
+                  // (the user predicate runs from there to the GROUP BY)
+                  val whereEndAt = {
                     var p = fromAt
-                    var found = false
-                    while (!found && p < m.start()) {
+                    var at = -1
+                    while (at < 0 && p < m.start()) {
                       if (mask(p).isLetter) {
                         val ws = p
                         while (p < m.start() &&
                           (mask(p).isLetterOrDigit || mask(p) == '_')) p += 1
                         if (depthPrefix(ws) == gbDepth &&
                             mask.substring(ws, p).equalsIgnoreCase("where"))
-                          found = true
+                          at = p
                       } else p += 1
                     }
-                    found
+                    at
                   }
-                  val deadFrom = fromText +
-                    (if (whereAt) " AND (1=0)" else " WHERE 1=0")
+                  // parenthesize the user predicate before AND-ing the
+                  // deadener — a bare `a OR b AND (1=0)` binds as
+                  // `a OR (b AND 1=0)` and leaves the branch alive
+                  val deadFrom =
+                    if (whereEndAt >= 0)
+                      sql0.substring(fromAt, whereEndAt) + " (" +
+                        sql0.substring(whereEndAt, m.start()).trim +
+                        ") AND (1=0)"
+                    else fromText + " WHERE 1=0"
                   val probe =
                     s"(SELECT count(*) FROM (SELECT 1 $fromText LIMIT 1)) = 0"
                   val guard =
                     if (userHaving.trim.nonEmpty)
-                      userHaving.trim + s" AND $probe"
+                      "HAVING (" + substGrouping(userHaving.trim.replaceFirst(
+                        "(?is)^HAVING\\b", "").trim) + s") AND $probe"
                     else s"HAVING $probe"
                   val branch = "SELECT " + branchList + " " + deadFrom +
                     " " + guard
@@ -1630,7 +1671,7 @@ object PrestoSql {
                     nonEmpty.map(s => "(" + s.mkString(", ") + ")")
                       .mkString("GROUPING SETS (", ", ", ")") + userHaving)
                 val branch = "SELECT " + branchList + " " +
-                  fromText + userHaving
+                  fromText + substGrouping(userHaving)
                 val parts = main ++ List.fill(sets.count(_.isEmpty))(branch)
                 Some(sql0.substring(0, qStart) + parts.mkString(" UNION ALL ") +
                   sql0.substring(tailStart))

@@ -609,7 +609,18 @@ object PrestoFunctions {
     // the callable form is localtime() (syntax divergence only — the TYPE
     // divergence is closed: Engine sessions enable spark.sql.timeType, so
     // this returns a true TIME value, as do TIME literals/casts/extracts).
-    "localtime" -> (_ => fn("current_time", Nil)),
+    // Built as the Catalyst class directly: the compat current_time entry
+    // below SHADOWS the builtin, and localtime must stay plain TIME.
+    // precision 3: Presto's TIME is millisecond-resolution
+    // (SPI/type/TimeType.java)
+    "localtime" -> (_ =>
+      new org.apache.spark.sql.catalyst.expressions.CurrentTime(lit(3))),
+    // current_time (SqlBase.g4 #specialDateTimeFunction): Presto's type is
+    // TIME WITH TIME ZONE at the session zone — wrap the TIME-of-day in the
+    // ttz struct (closes the COVERAGE.md residue; on the UTC Engine session
+    // the instant is unchanged, only the type/rendering gains the zone).
+    "current_time" -> (_ => TimeToTtz(
+      new org.apache.spark.sql.catalyst.expressions.CurrentTime(lit(3)))),
     // current_timezone() (DateTimeFunctions.java:132) is Spark-native with
     // identical name/semantics — no shim needed.
     // tstz → the VALUE's zone offset at the instant; otherwise the session

@@ -373,10 +373,19 @@ case class TstzFormatDatetime(left: Expression, right: Expression)
     extends RuntimeReplaceable with BinaryLike[Expression] {
   override lazy val replacement: Expression =
     if (Tstz.isTstz(left.dataType)) TstzFormat(left, right)
-    else DateFormatClass(TstzWall(left), right,
-      // ResolveTimeZone does not reach inside a replacement — fill the
-      // session zone ourselves (same value the rule would assign)
-      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    else {
+      // TypeCoercion/CheckAnalysis never see inside a replacement, so the
+      // DATE/varchar→timestamp cast the analyzer used to insert must be
+      // built here explicitly
+      val wall = TstzWall(left)
+      val ts =
+        if (wall.dataType == TimestampType) wall
+        else Cast(wall, TimestampType)
+      DateFormatClass(ts, right,
+        // ResolveTimeZone does not reach inside a replacement — fill the
+        // session zone ourselves (same value the rule would assign)
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    }
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : TstzFormatDatetime = copy(left = l, right = r)
 }

@@ -371,7 +371,19 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
           val re = AggregateExpression(reFn(al.toAttribute), Complete,
             isDistinct = false)
           introduced.add(re)
-          if (re.dataType == e.dataType) re else Cast(re, e.dataType)
+          // re-apply the ORIGINAL outer-cast chain around the
+          // re-aggregation, each cast with its own target type and
+          // evalMode: collapsing a stacked chain like
+          // CAST(CAST(sum(x) AS DECIMAL(10,0)) AS STRING) into one outer
+          // cast would lose the inner rounding (and TRY casts their
+          // null-on-error mode)
+          def rebuild(orig: Expression): Expression = orig match {
+            case c: Cast => c.copy(child = rebuild(c.child))
+            case _ =>
+              if (re.dataType == core.dataType) re
+              else Cast(re, core.dataType)
+          }
+          rebuild(e)
         }
     }
     def replace(e: Expression): Expression =
@@ -408,11 +420,19 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
     // branch), not as a new top-level join: pre is key-unique, so joining
     // it anywhere along the key's equivalence path is equivalent — and at
     // the filter site the SMALL branch (orders) meets the 8.8 M-row pre
-    // BEFORE fanning out through the rest of B (measured sf30: the
-    // top-level form shuffled the 45 M-row c⋈o intermediate and built a
-    // 6 GB hash map on it; grafted, h18 runs ~2× faster). The old top
-    // join's A side disappears entirely; its non-key conjuncts (B-only by
-    // the shared guard) become a Filter over the rewritten B.
+    // BEFORE fanning out through the rest of B. The win is PLAN-SHAPE,
+    // verified on the optimized plan (OptPlan: 3 lineitem relations
+    // rule-off → 1 rule-on; the top-level form's 3.1 GB c⋈o intermediate
+    // exchange and its 6 GB hash build are gone from the shape). WALL
+    // time on one box is a wash — interleaved sf30 on/off A/Bs
+    // (bench/BENCH_sf30_r10_h18ab.json; judge round-9 A/Bs agree) show
+    // ON ≈ OFF within co-tenant noise, because the surviving single
+    // lineitem aggregate dominates either way on tmpfs shuffle. The
+    // removed scan + exchange are real cluster-fabric savings (one fact
+    // read instead of two at 100 TB), which is where this rewrite pays.
+    // The old top join's A side disappears entirely; its non-key
+    // conjuncts (B-only by the shared guard) become a Filter over the
+    // rewritten B.
     val remaining = split(inFilter.condition).filterNot(_ eq inExpr)
     val inKey = inExpr.values.head.asInstanceOf[AttributeReference]
     val grafted = b.transformUp {

@@ -67,8 +67,16 @@ object GraftOptimizations {
     * share across sessions and invalidates itself when the data changes —
     * the same per-table-layout caching the reference does in its metadata
     * path (MAIN/sql/planner/iterative/rule/PickTableLayout.java). */
-  private[plans] val probeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Seq[String], BigInt, Int), ProbeDecision]
+  private[plans] val probeMemo: java.util.Map[(LogicalPlan, Seq[String], BigInt, Int), ProbeDecision] =
+    java.util.Collections.synchronizedMap(
+      // access-ordered LRU, size-bounded: a hot dashboard query's probe
+      // survives 250 cold ones (the old >256 full clear evicted everything)
+      new java.util.LinkedHashMap[(LogicalPlan, Seq[String], BigInt, Int), ProbeDecision](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(LogicalPlan, Seq[String], BigInt, Int), ProbeDecision])
+            : Boolean = size() > 256
+      })
 
   private[plans] sealed trait ProbeDecision
   private[plans] case class ProbeInKeys(lits: Seq[Literal]) extends ProbeDecision
@@ -164,8 +172,18 @@ class DynamicSemiJoinPrune(spark: SparkSession)
     val c = dim.canonicalized
     def relDesc(lr: LogicalRelation): String = lr.relation match {
       case fs: HadoopFsRelation =>
+        // file count + newest modification time invalidate the memo when
+        // data is rewritten at the same path with the same byte size
+        // (REFRESH TABLE has no hook into this JVM-global map); the
+        // FileIndex caches its listing, so this costs no extra IO
+        val files =
+          try fs.location.listFiles(Nil, Nil).iterator.flatMap(_.files).toSeq
+          catch { case scala.util.control.NonFatal(_) => Nil }
+        val maxMod =
+          if (files.isEmpty) 0L else files.map(_.getModificationTime).max
         fs.location.rootPaths.mkString(",") + "|" +
-          fs.dataSchema.catalogString + "|" + fs.sizeInBytes
+          fs.dataSchema.catalogString + "|" + fs.sizeInBytes + "|" +
+          files.length + "|" + maxMod
       case other => other.toString
     }
     // …WithSubqueries: a dim can carry subquery expressions whose nested
@@ -275,8 +293,7 @@ class DynamicSemiJoinPrune(spark: SparkSession)
             InKeys(rows.toIndexedSeq.map(r => Literal.create(r.get(0), attr.dataType)))
           else Overflow
         } catch { case scala.util.control.NonFatal(_) => Skip }
-      if (memo.size > 256) memo.clear()
-      memo.put(key, d)
+      memo.put(key, d) // LRU-bounded (removeEldestEntry)
       d
     }
 
@@ -303,8 +320,7 @@ class DynamicSemiJoinPrune(spark: SparkSession)
               .ofRows(spark, Aggregate(Nil, Seq(cnt), dim)).collect()
             KeyCount(rows.head.getLong(0))
           } catch { case scala.util.control.NonFatal(_) => Skip }
-        if (memo.size > 256) memo.clear()
-        memo.put(key, r)
+        memo.put(key, r) // LRU-bounded (removeEldestEntry)
         r
       }
       d match {

@@ -130,6 +130,51 @@ object Relational {
         FROM lineitem WHERE l_quantity < -1
         GROUP BY ROLLUP(l_returnflag)""")),
 
+    // Bare ROLLUP + grouping() in the select list over EMPTY input: the
+    // global row carries grouping()=1 (all arguments grouped away). The
+    // union branch substitutes the all-ones bitmask textually (round-10
+    // close of the COVERAGE.md branch-bail residue).
+    "q46c_rollup_empty_grouping" -> Q(
+      (s, d) => {
+        val e = Engine(s)
+        Tables.registerAll(e.spark, d)
+        e.sql("""
+          SELECT count(*) AS n, CAST(grouping(l_returnflag) AS INT) AS g_rf,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+          FROM lineitem WHERE l_quantity < -1
+          GROUP BY ROLLUP(l_returnflag)""")
+      },
+      Some("""
+        SELECT count(*) AS n, CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        FROM lineitem WHERE l_quantity < -1
+        GROUP BY ROLLUP(l_returnflag)""")),
+
+    // Same shape on NON-empty input with an OR-form HAVING whose first
+    // disjunct holds on the zero-row aggregate (count(*)=0): the guarded
+    // branch must stay dead — pins the round-10 parenthesization fix
+    // (unparenthesized 'a OR b AND probe' re-bound as 'a OR (b AND probe)'
+    // and emitted a spurious global row).
+    "q46e_rollup_having_or" -> Q(
+      (s, d) => {
+        val e = Engine(s)
+        Tables.registerAll(e.spark, d)
+        e.sql("""
+          SELECT l_returnflag, count(*) AS n,
+            CAST(grouping(l_returnflag) AS INT) AS g_rf
+          FROM lineitem WHERE l_quantity < 10
+          GROUP BY ROLLUP(l_returnflag)
+          HAVING count(*) = 0 OR count(*) > 10
+          ORDER BY g_rf, l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+          CAST(grouping(l_returnflag) AS INT) AS g_rf
+        FROM lineitem WHERE l_quantity < 10
+        GROUP BY ROLLUP(l_returnflag)
+        HAVING count(*) = 0 OR count(*) > 10
+        ORDER BY g_rf, l_returnflag NULLS LAST""")),
+
     // CUBE over two dims.
     "q47_cube" -> Q(
       (s, d) => t(s, d, "orders")

@@ -112,7 +112,8 @@ class FunctionsSpec extends AnyFunSuite {
       "0 01:00:01.000")
     // niladic keyword form isn't in Spark's grammar: callable as localtime()
     assert(one("localtime()").isInstanceOf[java.time.LocalTime])
-    assert(one("typeof(localtime())") == "time(6)")
+    // ms precision — Presto's TIME is millisecond-resolution (TimeType.java)
+    assert(one("typeof(localtime())") == "time(3)")
   }
 
   test("binary codec functions: big-endian, ieee754, base64url") {

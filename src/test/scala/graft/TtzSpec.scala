@@ -101,4 +101,14 @@ class TtzSpec extends AnyFunSuite {
     // 01:04+06:09 has the earlier instant
     assert(ordered == Seq("01:04:05.321 +06:09", "03:04:05.321 +07:09"))
   }
+
+  test("current_time is TIME WITH TIME ZONE at the session zone; localtime stays TIME") {
+    // bare keyword AND callable forms; ms precision (Presto TIME is ms)
+    val ct = one("cast(current_time as varchar)").toString
+    assert(ct.matches("\\d{2}:\\d{2}:\\d{2}\\.\\d{3} UTC"), ct)
+    val lt = one("cast(localtime as varchar)").toString
+    assert(lt.matches("\\d{2}:\\d{2}:\\d{2}\\.\\d{3}"), lt)
+    // ttz-typed: timezone_hour works on it (would fail on plain TIME)
+    assert(one("timezone_hour(current_time)") == 0L)
+  }
 }
