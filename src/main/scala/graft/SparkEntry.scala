@@ -20,6 +20,7 @@ object SparkEntry {
     _root_.graft.queries.PrestoCompat.queries,
     _root_.graft.queries.Coverage.queries,
     _root_.graft.queries.TpchMacro.queries,
+    _root_.graft.queries.TpcDsShapes.queries,
     _root_.graft.queries.Geo.queries,
     _root_.graft.queries.RefCorpus.queries,
     _root_.graft.operators.Dedup.queries,
@@ -51,7 +52,9 @@ object SparkEntry {
     "e01_tumbling_window", "q72_datetime_fns",
     "h02_min_cost_supplier", "h09_product_profit", "h21_waiting_supplier",
     "g02_spatial_join", "d05_simhash", "s05_ann_ivf", "e05_asof_join",
-    "e06_interval_join")
+    "e06_interval_join",
+    "ds01_star_rollup", "ds02_moving_rank", "ds03_channel_union",
+    "ds04_yoy_growth", "ds05_gsets_rank")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
