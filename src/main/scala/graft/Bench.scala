@@ -40,6 +40,8 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
 
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = os.getSystemLoadAverage
     val results = SparkEntry.benchNames.flatMap { name =>
       SparkEntry.all.get(name).map { q =>
         try {
@@ -52,7 +54,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // loadavg_start: the 1-min load BEFORE the suite ran (co-tenant noise
+    // indicator — this box bursts to load-avg ~25; numbers recorded above
+    // ~5 understate nothing on the Spark side but a reader should prefer a
+    // quiet-window re-run). loadavg_end includes our own 32-thread burst.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":${os.getSystemLoadAverage}%.2f,"ts":"${java.time.Instant.now}"}""")
     spark.stop()
   }
 }
