@@ -64,6 +64,22 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     spark.conf.getOption(EagerAggregationReuse.KEY).forall(_.toBoolean)
 
+  /** Variant 3 (generic eager push) is DEFAULT-OFF: interleaved sf30 A/Bs
+    * measured it LOSING on both target shapes single-box (q22 ON 6.3 s vs
+    * OFF 4.8 s median; h10 ON 4.0 s vs OFF 2.6 s — the extra 45–148 M-row
+    * hash pass costs more than the tmpfs shuffle bytes it saves; see
+    * bench/BENCH_sf30_r10_{q22,h10}_generic_ab.json). On a network fabric
+    * the saved bytes cross the wire and the trade plausibly reverses —
+    * the reference enables its cost-based equivalent
+    * (PushPartialAggregationThroughJoin) under a CBO this engine doesn't
+    * have — so it ships as an explicit cluster opt-in, exactness-swept. */
+  private def genericOn: Boolean =
+    spark.conf.getOption(EagerAggregationReuse.GENERIC_KEY).exists(_.toBoolean)
+
+  private def genericMinBytes: BigInt =
+    BigInt(spark.conf.getOption(EagerAggregationReuse.GENERIC_MIN_BYTES_KEY)
+      .map(_.toLong).getOrElse(256L << 20))
+
   /** Key positions make attributes comparable across plan copies: the
     * canonicalized child + the attribute's ordinal in its output. */
   private def keyPos(child: LogicalPlan, key: Attribute): Int =
@@ -140,9 +156,12 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
       case Aggregate(_, _, Project(_, _: Join), _) => true
       case _ => false
     }
-    if (!shape || plan.subqueriesAll.isEmpty) return plan
-    val twins = twinKeys(plan)
-    if (twins.isEmpty) return plan
+    if (!shape) return plan
+    val twins =
+      if (plan.subqueriesAll.isEmpty) Set.empty[(LogicalPlan, Int)]
+      else twinKeys(plan)
+    // variant 3 (generic eager push) needs no twin — only the shape
+    if (twins.isEmpty && !genericOn) return plan
 
     plan.transformDown {
       case agg @ Aggregate(groupExprs, aggExprs, aggChild, _)
@@ -199,14 +218,17 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => false
       }
       if (others.exists(_.references.exists(a.outputSet.contains))) return None
-      // outer grouping must pin the join key (either side of the
-      // equivalence class)
-      if (!groupS.exists(g => g.semanticEquals(aK) || g.semanticEquals(bK)))
-        return None
+      // the TWIN variants additionally need the outer grouping to pin the
+      // join key (their pre-aggregate groups by the key alone); the
+      // generic sum-of-sums identity needs no such pin
+      val groupPinsKey =
+        groupS.exists(g => g.semanticEquals(aK) || g.semanticEquals(bK))
       // A must not already be the pre-aggregate (idempotency, both
       // variants: the filtered-twin form leaves Project/Filter on top)
       def isPreAgg(p: LogicalPlan): Boolean = p match {
-        case Aggregate(Seq(k: Attribute), _, _, _) => k.semanticEquals(aK)
+        case Aggregate(ks, _, _, _)
+            if ks.nonEmpty && ks.forall(_.isInstanceOf[Attribute]) =>
+          ks.exists(_.semanticEquals(aK))
         case Project(_, c) => isPreAgg(c)
         case Filter(_, c) => isPreAgg(c)
         case _ => false
@@ -222,12 +244,15 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
         supported(ae.aggregateFunction) &&
         ae.references.nonEmpty && ae.references.forall(a.outputSet.contains) &&
         ae.deterministic)) return None
-      // A-side columns outside the agg calls must be limited to the key
+      // A-side columns referenced outside the agg calls: the twin
+      // variants require key-only (their pre groups by the key alone);
+      // the generic variant groups its pre by these PLUS the key, so any
+      // attribute set is admissible there
       val outsideRefs = (groupS ++ substituted.map(
         _.transformUp {
           case ae: AggregateExpression => Literal(null, ae.dataType)
         })).flatMap(_.references).filter(a.outputSet.contains).toSet
-      if (!outsideRefs.subsetOf(Set[Attribute](aK))) return None
+      val keyOnly = outsideRefs.subsetOf(Set[Attribute](aK))
 
       // Variant 1 — filtered-twin reuse (the reference's Q18 plan): B
       // carries `bK IN (SELECT k FROM A GROUP BY k [HAVING p])` over this
@@ -236,19 +261,42 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
       // join enforces exactly the same key set), so A is scanned,
       // aggregated, and shuffled ONCE — no second fact pass, and nothing
       // for constraint propagation to duplicate into a semi join.
-      val viaTwinJoin = twinJoinReuse(a, b, aK, bK, others, groupS,
-        aggExprs, substituted, hint, aIsLeft)
+      val viaTwinJoin =
+        if (keyOnly && groupPinsKey)
+          twinJoinReuse(a, b, aK, bK, others, groupS,
+            aggExprs, substituted, hint, aIsLeft)
+        else None
       if (viaTwinJoin.isDefined) return viaTwinJoin
 
-      // Variant 2 — generic twin-gated push: the same (child, key)
-      // aggregate exists in a subquery, so the pre-aggregate's exchange
-      // dedupes with it via ReusedExchange
+      // Variant 2 — twin-gated push: the same (child, key) aggregate
+      // exists in a subquery, so the pre-aggregate's exchange dedupes
+      // with it via ReusedExchange.
+      // Variant 3 — GENERIC eager push (no twin; Yan & Larson VLDB'94
+      // eager group-by): the sum-of-sums identity needs neither a twin
+      // nor the key pinned in the outer grouping — the pre-aggregate
+      // groups by (A-side outside refs ∪ key), the inner join duplicates
+      // each pre row per matching B row, and re-aggregation multiplies
+      // both sides of the identity equally. OPT-IN ONLY (see genericOn:
+      // measured to lose single-box) with a size floor so light queries
+      // never pay the extra hash pass even when enabled. In the
+      // fixed-point batch the push CASCADES down a join chain (each
+      // firing strictly descends, so it terminates at the scans) — the
+      // cascade is what reaches the Q10 shape, where the group keys live
+      // two joins above the fact.
       val pos = a.output.indexWhere(_.exprId == aK.exprId)
-      if (pos < 0 || !twins.contains((a.canonicalized, pos))) return None
+      val hasTwin = keyOnly && groupPinsKey &&
+        pos >= 0 && twins.contains((a.canonicalized, pos))
+      if (!hasTwin &&
+        !(genericOn && a.stats.sizeInBytes >= genericMinBytes)) return None
 
-      // pre-aggregate over A, grouped by the key; one column per call
+      // pre-aggregate over A: the twin form groups by the key alone (so
+      // its exchange canonicalizes equal to the twin's); the generic form
+      // adds every A-side attribute the outer query needs
+      val preGroups: Seq[Attribute] =
+        if (hasTwin || keyOnly) Seq(aK)
+        else (outsideRefs - aK).toSeq :+ aK
       val preAliases = calls.map(ae => Alias(ae, "__eager_pre")())
-      val pre = Aggregate(Seq(aK), aK +: preAliases, a)
+      val pre = Aggregate(preGroups, preGroups ++ preAliases, a)
       val preByCall: Map[AggregateExpression, Attribute] =
         calls.zip(preAliases.map(_.toAttribute)).toMap
 
@@ -463,4 +511,6 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object EagerAggregationReuse {
   val KEY = "spark.graft.eagerAgg"
+  val GENERIC_KEY = "spark.graft.eagerAgg.generic"
+  val GENERIC_MIN_BYTES_KEY = "spark.graft.eagerAgg.genericMinBytes"
 }
