@@ -31,6 +31,9 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // join when the IN-subquery already computes the same (child, key)
     // aggregate — the pre-agg dedupes via ReusedExchange
     ext.injectOptimizerRule(session => new plans.EagerAggregationReuse(session))
+    // multi-channel UNION ALL of same-relation aggregates (TPC-DS
+    // q33/q71 shape) fuses to ONE scan + Expand — n fact reads become 1
+    ext.injectOptimizerRule(session => new plans.FuseUnionAggregates(session))
     // an adjacent partial+final aggregate pair (child already partitioned
     // on the group keys) collapses to one complete-mode pass — runs as an
     // AQE stage-prep rule so it sees the post-replanning physical plan

@@ -1548,8 +1548,14 @@ object PrestoSql {
                 userHaving = sql0.substring(end, hEnd)
                 tailStart = hEnd
               }
+              // window functions cannot ride the global-agg union branch:
+              // their PARTITION BY/ORDER BY reference grouping columns
+              // RAW, which the branch (an implicit global aggregate) must
+              // not — those queries keep the native plan (empty-input
+              // residue narrowed to rollup+grouping()+window only)
               val badGuards = fromAt < 0 ||
-                selText.matches("(?is)^\\s*DISTINCT\\b.*")
+                selText.matches("(?is)^\\s*DISTINCT\\b.*") ||
+                "(?i)\\bOVER\\s*\\(".r.findFirstIn(selText + userHaving).isDefined
               if (badGuards) None
               else {
                 // grouping(...) inside the GLOBAL-AGG union branch: every

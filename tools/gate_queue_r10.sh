@@ -11,7 +11,7 @@ tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/gate10/v_default \
 python3 tools/driver_check.py /root/testdata/sf0.01 /tmp/gate10/v_default \
   > /tmp/gate10/check_default.txt 2>&1
 
-SPARK_GRAFT_CONF="spark.graft.eagerAgg.generic=true,spark.graft.eagerAgg.genericMinBytes=0" \
+SPARK_GRAFT_CONF="spark.graft.eagerAgg.generic=true,spark.graft.eagerAgg.genericMinBytes=0,spark.graft.fuseUnionScans=true" \
   tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/gate10/v_generic \
   > /tmp/gate10/verify_generic.log 2>&1
 python3 tools/driver_check.py /root/testdata/sf0.01 /tmp/gate10/v_generic \
