@@ -54,7 +54,8 @@ object SparkEntry {
     "g02_spatial_join", "d05_simhash", "s05_ann_ivf", "e05_asof_join",
     "e06_interval_join",
     "ds01_star_rollup", "ds02_moving_rank", "ds03_channel_union",
-    "ds04_yoy_growth", "ds05_gsets_rank")
+    "ds04_yoy_growth", "ds05_gsets_rank", "ds06_bucket_counts",
+    "ds07_rollup_topk")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -112,10 +112,46 @@ object TpcDsShapes {
         ORDER BY qty DESC, rf NULLS LAST, ls NULLS LAST) AS INT) AS rnk
     FROM g"""
 
+  // DS q88 shape: independent time-bucket counts, each its own scalar
+  // subquery, cross-joined into one row (eight fact scans by
+  // construction — the reference's benchto runs it exactly so).
+  private val DS06 = """
+    SELECT s1.c AS h1, s2.c AS h2, s3.c AS h3, s4.c AS h4,
+           s5.c AS h5, s6.c AS h6, s7.c AS h7, s8.c AS h8
+    FROM
+      (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) = 1 AND l_quantity < 30) s1,
+      (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) = 2 AND l_quantity < 30) s2,
+      (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) = 3 AND l_quantity < 30) s3,
+      (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) = 4 AND l_quantity < 30) s4,
+      (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) = 5 AND l_quantity < 30) s5,
+      (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) = 6 AND l_quantity < 30) s6,
+      (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) = 7 AND l_quantity < 30) s7,
+      (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) = 8 AND l_quantity < 30) s8"""
+
+  // DS q67 shape: three-level ROLLUP then top-3 per returnflag by rank
+  // over the aggregate (window above grouping sets, filtered).
+  private val DS07 = """
+    WITH agg AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+        CAST(year(l_shipdate) AS INT) AS yr,
+        CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT))
+    )
+    SELECT rf, ls, yr, g_rf, qty, rnk FROM (
+      SELECT rf, ls, yr, g_rf, qty,
+        CAST(rank() OVER (PARTITION BY rf, g_rf
+          ORDER BY qty DESC, ls NULLS LAST, yr NULLS LAST) AS INT) AS rnk
+      FROM agg) t
+    WHERE rnk <= 3"""
+
   val queries: Map[String, Q] = Map(
     "ds01_star_rollup" -> entry(DS01),
     "ds02_moving_rank" -> entry(DS02),
     "ds03_channel_union" -> entry(DS03),
     "ds04_yoy_growth" -> entry(DS04),
-    "ds05_gsets_rank" -> entry(DS05))
+    "ds05_gsets_rank" -> entry(DS05),
+    "ds06_bucket_counts" -> entry(DS06),
+    "ds07_rollup_topk" -> entry(DS07))
 }
