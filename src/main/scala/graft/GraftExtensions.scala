@@ -34,6 +34,10 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // multi-channel UNION ALL of same-relation aggregates (TPC-DS
     // q33/q71 shape) fuses to ONE scan + Expand — n fact reads become 1
     ext.injectOptimizerRule(session => new plans.FuseUnionAggregates(session))
+    // grouping sets with a covering set + decomposable aggregates compute
+    // the finest level once and re-aggregate coarser levels from it,
+    // replacing the ×|sets| Expand row blowup
+    ext.injectOptimizerRule(session => new plans.CascadeGroupingSets(session))
     // an adjacent partial+final aggregate pair (child already partitioned
     // on the group keys) collapses to one complete-mode pass — runs as an
     // AQE stage-prep rule so it sees the post-replanning physical plan
