@@ -34,6 +34,9 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // multi-channel UNION ALL of same-relation aggregates (TPC-DS
     // q33/q71 shape) fuses to ONE scan + Expand — n fact reads become 1
     ext.injectOptimizerRule(session => new plans.FuseUnionAggregates(session))
+    // condition-less joins of single-row aggregates over one relation
+    // (TPC-DS q88 shape) fuse into ONE scan with FILTER-clause aggregates
+    ext.injectOptimizerRule(session => new plans.FuseScalarAggregates(session))
     // grouping sets with a covering set + decomposable aggregates compute
     // the finest level once and re-aggregate coarser levels from it,
     // replacing the ×|sets| Expand row blowup
