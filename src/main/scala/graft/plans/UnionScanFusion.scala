@@ -67,7 +67,8 @@ class FuseUnionAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
         q match {
           case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) =>
             peel(c, cond)
-          case Filter(f, c) if cond.isEmpty && f.deterministic =>
+          case Filter(f, c) if cond.isEmpty && f.deterministic &&
+              !f.exists(_.isInstanceOf[PlanExpression[_]]) =>
             peel(c, Some(f))
           case lr: LogicalRelation => Some(Branch(agg, cond, lr))
           case _ => None
@@ -251,7 +252,8 @@ class FuseScalarAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
         q match {
           case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) =>
             peel(c, cond)
-          case Filter(f, c) if cond.isEmpty && f.deterministic =>
+          case Filter(f, c) if cond.isEmpty && f.deterministic &&
+              !f.exists(_.isInstanceOf[PlanExpression[_]]) =>
             peel(c, Some(f))
           case lr: LogicalRelation => Some(ScalarBranch(agg, cond, lr))
           case _ => None
