@@ -206,11 +206,15 @@ object Dedup {
     * through their other, more selective bands or are left to the exact
     * dedup stage (identical docs never reach LSH anyway). The bucket-size
     * aggregation shuffles one row per bucket key, and AQE broadcasts it
-    * back — cost O(#buckets), never O(candidates). Default = no cap (the
-    * oracled d04 pipeline is exact-recall by construction). */
+    * back — cost O(#buckets), never O(candidates). The guard is ON by
+    * default (cap 1000 ⇒ worst bucket ≤ 10⁶ candidate rows); pass
+    * `maxBucketSize = Int.MaxValue` to opt out when exact recall over a
+    * known-clean corpus matters more than the quadratic safety net. */
+  val DefaultMaxBucketSize = 1000
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val shingled = df
       .select(col(idCol), tokens(col(textCol)).as("t"))
@@ -224,7 +228,7 @@ object Dedup {
     * and share it with the exact-verify stage. */
   def minhashLshPairsFromShingles(df: DataFrame, idCol: String,
       shingleCol: String, numHashes: Int = 8, bandSize: Int = 2,
-      maxBucketSize: Int = Int.MaxValue,
+      maxBucketSize: Int = DefaultMaxBucketSize,
       hashFn: (Int, Column) => Column = (i, sh) => xxhash64(lit(i), sh)): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     // Signature layout is DELIBERATELY explode+groupBy, not K map-only

@@ -77,21 +77,32 @@ object KafkaSource {
     * output and on a synthesized wire-schema DataFrame (the spec path). */
   def decode(wire: DataFrame, schema: StructType, format: String = "json",
       csvDelimiter: String = ","): DataFrame = {
-    val decoded = format match {
-      case "json" => RecordDecoder.json(wire, "value", schema)
-      case "csv" => RecordDecoder.csv(wire, "value", schema, csvDelimiter)
-      case "raw" => wire // raw layouts go through RecordDecoder.raw directly
-      case other => throw new IllegalArgumentException(
-        s"unknown decoder '$other' (json|csv|raw)")
-    }
-    // KafkaInternalFieldDescription.java names
-    decoded
+    val internalNames = Seq("_partition_id", "_partition_offset", "_message",
+      "_key", "_timestamp")
+    val shadowed = schema.fieldNames.toSet & internalNames.toSet
+    require(shadowed.isEmpty,
+      s"payload schema shadows Kafka internal column(s) ${shadowed.mkString(", ")} " +
+        "(KafkaInternalFieldDescription names are reserved)")
+    // Internal columns FIRST, from the wire columns — decoding afterwards
+    // means a payload field that reuses a wire name (e.g. "value",
+    // "timestamp") replaces the wire column without corrupting the
+    // metadata, and survives the wire-column drop below.
+    val withInternal = wire // KafkaInternalFieldDescription.java names
       .withColumn("_partition_id", col("partition"))
       .withColumn("_partition_offset", col("offset"))
       .withColumn("_message", col("value").cast("string"))
       .withColumn("_key", col("key").cast("string"))
       .withColumn("_timestamp", col("timestamp"))
-      .drop("key", "value", "topic", "partition", "offset", "timestamp",
-        "timestampType")
+    val decoded = format match {
+      case "json" => RecordDecoder.json(withInternal, "value", schema)
+      case "csv" => RecordDecoder.csv(withInternal, "value", schema, csvDelimiter)
+      case "raw" => withInternal // raw layouts go through RecordDecoder.raw directly
+      case other => throw new IllegalArgumentException(
+        s"unknown decoder '$other' (json|csv|raw)")
+    }
+    // Drop only the wire columns the payload did NOT redefine.
+    val keep = schema.fieldNames.toSet
+    val wireLeftovers = wireSchema.fieldNames.filterNot(keep.contains)
+    decoded.drop(wireLeftovers: _*)
   }
 }

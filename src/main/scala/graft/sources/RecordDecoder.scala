@@ -23,20 +23,28 @@ object RecordDecoder {
   /** JSON decoder (decoder/json/JsonRowDecoder.java): payload string →
     * typed columns per `schema`; malformed rows yield nulls (the
     * reference's lenient mode). Non-payload columns pass through. */
-  def json(df: DataFrame, valueCol: String, schema: StructType): DataFrame = {
-    val parsed = from_json(col(valueCol).cast("string"), schema)
-    schema.fieldNames.foldLeft(df)((acc, f) =>
-      acc.withColumn(f, parsed.getField(f)))
-  }
+  def json(df: DataFrame, valueCol: String, schema: StructType): DataFrame =
+    decodeVia(df, from_json(col(valueCol).cast("string"), schema), schema)
 
   /** CSV decoder (decoder/csv/CsvRowDecoder.java): delimiter-separated
     * payload → typed columns positionally per `schema`. */
   def csv(df: DataFrame, valueCol: String, schema: StructType,
-      delimiter: String = ","): DataFrame = {
-    val parsed = from_csv(col(valueCol).cast("string"),
-      schema, Map("sep" -> delimiter))
-    schema.fieldNames.foldLeft(df)((acc, f) =>
-      acc.withColumn(f, parsed.getField(f)))
+      delimiter: String = ","): DataFrame =
+    decodeVia(df, from_csv(col(valueCol).cast("string"),
+      schema, Map("sep" -> delimiter)), schema)
+
+  /** All decoded fields in ONE select resolved against the original frame —
+    * a per-field withColumn fold would let a payload field that reuses the
+    * payload-column name (e.g. a JSON field literally called "value")
+    * overwrite the source column mid-fold and corrupt every later field.
+    * Payload fields replace same-named input columns in place; everything
+    * else passes through. */
+  private def decodeVia(df: DataFrame, parsed: Column,
+      schema: StructType): DataFrame = {
+    val decoded = schema.fieldNames.toSet
+    val passthrough = df.columns.filterNot(decoded.contains).map(col).toSeq
+    df.select(passthrough ++
+      schema.fieldNames.toSeq.map(f => parsed.getField(f).as(f)): _*)
   }
 
   /** One raw-decoder field: big-endian bytes at [offset, offset+width) of

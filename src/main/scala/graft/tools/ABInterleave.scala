@@ -5,7 +5,9 @@ import graft._
   * ONE JVM (same JIT/page-cache state for both arms — sequential pairs lie
   * under co-tenant load). Usage:
   *   ABInterleave <dir> <query> <confKey> [nPairs=4]
-  * Prewarms both arms, then alternates ON/OFF nPairs times; prints one JSON
+  * Prewarms both arms, then runs nPairs pairs with the arm order flipped on
+  * every other pair (ON/OFF, OFF/ON, …) so any monotone warm-up or co-tenant
+  * trend cancels across pairs instead of favoring one arm; prints one JSON
   * line with per-run seconds and the 1-minute load average sampled at each
   * run so the judge can see the window was quiet. */
 object ABInterleave {
@@ -23,7 +25,10 @@ object ABInterleave {
       ((System.nanoTime() - t0) / 1e9, l)
     }
     run(true); run(false) // prewarm both arms
-    val runs = (1 to nPairs).flatMap { _ => Seq(true, false).map(a => (a, run(a))) }
+    val runs = (1 to nPairs).flatMap { i =>
+      val order = if (i % 2 == 1) Seq(true, false) else Seq(false, true)
+      order.map(a => (a, run(a)))
+    }
     def arm(on: Boolean) = runs.collect { case (`on`, (s, _)) => s }
     def fmt(xs: Seq[Double]) = xs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val loads = runs.map(_._2._2)

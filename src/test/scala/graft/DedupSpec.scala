@@ -60,6 +60,26 @@ class DedupSpec extends AnyFunSuite {
     assert(bigCap.count() == uncapped.count())
   }
 
+  test("LSH hot-bucket guard is ON by default") {
+    import spark.implicits._
+    assert(Dedup.DefaultMaxBucketSize == 1000)
+    // a boilerplate cluster above the default cap: all bands land in one
+    // bucket of size 1100 > 1000, so the DEFAULT path must drop it
+    val boiler = (0L until 1100L).map(i =>
+      (i, "identical licence header boilerplate text repeated across files"))
+    val pair = Seq(
+      (5000L, "completely different content about spark engines at scale today"),
+      (5001L, "completely different content about spark engines at scale now"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+    val defaults = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(defaults.toSet == Set((5000L, 5001L)))
+    // explicit opt-out restores exhaustive pairing within the hot bucket
+    val optOut = Dedup.minhashLshPairs(df, "doc_id", "text",
+      maxBucketSize = Int.MaxValue)
+    assert(optOut.count() >= 1100L * 1099L / 2)
+  }
+
   test("d09 keeps exactly one doc per cluster") {
     val df = SparkEntry.all("d09_dedup_clusters").fn(spark, sf)
     val rows = df.collect()

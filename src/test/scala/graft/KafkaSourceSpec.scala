@@ -71,6 +71,39 @@ class KafkaSourceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains(KafkaSource.BROKERS_KEY))
   }
 
+  test("payload fields that reuse wire-column names decode cleanly") {
+    // A JSON payload with fields literally named "value" and "timestamp":
+    // internal columns are computed from the wire BEFORE decoding, the
+    // payload fields replace the wire columns in place, and nothing is
+    // silently dropped or corrupted mid-decode.
+    val schema = StructType(Seq(
+      StructField("value", StringType), StructField("timestamp", LongType),
+      StructField("id", LongType)))
+    val out = KafkaSource.decode(
+      wireDf(Seq("""{"value":"v0","timestamp":42,"id":1}""",
+        """{"value":"v1","timestamp":43,"id":2}""")),
+      schema, "json")
+    assert(out.schema.fieldNames.toSet == Set("value", "timestamp", "id",
+      "_partition_id", "_partition_offset", "_message", "_key", "_timestamp"))
+    val rows = out.orderBy("_partition_offset").collect()
+    assert(rows.map(_.getAs[String]("value")).toSeq == Seq("v0", "v1"))
+    assert(rows.map(_.getAs[Long]("timestamp")).toSeq == Seq(42L, 43L))
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    // internal columns still carry the Kafka metadata, not payload data
+    assert(rows(0).getAs[String]("_key") == "k0")
+    assert(rows(0).getAs[java.sql.Timestamp]("_timestamp") ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(rows(1).getAs[String]("_message").contains("\"v1\""))
+  }
+
+  test("payload schema shadowing an internal _-column is rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      KafkaSource.decode(wireDf(Seq("{}")),
+        StructType(Seq(StructField("_timestamp", LongType))), "json")
+    }
+    assert(ex.getMessage.contains("_timestamp"))
+  }
+
   test("unknown decoder name is rejected") {
     val ex = intercept[IllegalArgumentException] {
       KafkaSource.decode(wireDf(Seq("x")), StructType(Nil), "avro")
