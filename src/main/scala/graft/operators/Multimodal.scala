@@ -7,18 +7,27 @@ import graft.{Q, Tables}
 /** Multimodal-column operators: image/audio/video as opaque `binary` columns
   * with a typed metadata struct, processed partition-wise.
   *
-  * Decode: REAL for the library-free formats — binary PPM (P6) images and
-  * PCM-16 mono WAV audio parse from first principles (`decodePpm`/
-  * `decodeWavPcm16`, oracled end-to-end by m05) — and STUBBED for
-  * png/jpeg/mp4 (this container has no compressed-image/video codecs):
-  * `decodeStub` derives deterministic fake pixels from the payload bytes.
-  * Everything around the stub — the schema, the binary column handling,
-  * the mapPartitions batch shape (the Scala analogue of mapInPandas: one
-  * iterator per partition, vectorizable batches), partitioning, and the
-  * feature-vector output contract — is real and tested, so a compressed
-  * codec drops into `decodeStub` without touching the pipeline.
+  * Decode is REAL for every format with an in-JVM codec: PNG and JPEG go
+  * through `javax.imageio` (zero external dependencies — `encodeImage`/
+  * `decodeImageRgb`), binary PPM (P6) and PCM-16 mono WAV parse from first
+  * principles (`decodePpm`/`decodeWavPcm16`). The media fixture carries
+  * genuine PNG/JPEG/WAV payloads, so m01/m02/m04 exercise the real
+  * codecs: PNG is lossless, so the DuckDB oracle recomputes its pixel
+  * sums closed-form from the source text; JPEG is lossy, so its pixel
+  * content is dimension-checked by the oracle and fidelity-bounded in
+  * MultimodalSpec. Only mp4 remains STUBBED (`decodeStub`: deterministic
+  * fake frames from payload bytes — no video codec ships with the JDK).
+  * The pipeline shape — binary column handling, the mapPartitions batch
+  * loop (the Scala analogue of mapInPandas: one iterator per partition,
+  * vectorizable batches), partitioning, and the feature-vector output
+  * contract — is identical for real and stubbed formats, so an mp4 codec
+  * drops into `decodeStub` without touching anything else.
   */
 object Multimodal {
+
+  // ImageIO's default output cache is a temp FILE per encode — force the
+  // in-memory cache once per JVM (executor-side static init).
+  javax.imageio.ImageIO.setUseCache(false)
 
   case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
   case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
@@ -26,19 +35,114 @@ object Multimodal {
       byteLen: Int, features: Array[Float])
   case class FrameRow(media_id: Long, frameIdx: Int, frame: Array[Byte])
 
-  /** Deterministic fixture: documents' text bytes as media payloads with
-    * metadata derived from doc_id (stable across engines and runs). */
+  /** Content derivation shared by the fixture and the DuckDB oracles:
+    * byte i of the synthetic image/audio signal is codepoint i%n of the
+    * document text, truncated to a byte (`ord(substr(text, i%len+1, 1))
+    * % 256` on the oracle side — the m05-proven indexing). */
+  private def textBytes(text: String, k: Int): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    Array.tabulate(k)(i => (cps(i % n) & 0xff).toByte)
+  }
+
+  /** The fixture's WAV sample derivation (shared with m05's oracle form):
+    * 64 samples, sample i = (cp_i%256 - 100) * 256 wrapped to int16. */
+  private def textPcm(text: String): Array[Short] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    Array.tabulate(64)(i => (((cps(i % n) & 0xff) - 100) * 256).toShort)
+  }
+
+  /** Deterministic fixture with REAL payloads: png/jpeg rows carry genuine
+    * ImageIO-encoded images of the text-derived RGB signal, wav rows carry
+    * genuine PCM-16 WAV bytes, mp4 rows carry opaque text bytes (the one
+    * stubbed format). Metadata derives from doc_id (stable across engines
+    * and runs). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
-      .map { case (id, text, n) =>
+      .map { case (id, text, _) =>
         val fmt = Seq("png", "jpeg", "wav", "mp4")((id % 4).toInt)
-        MediaRow(id, text.getBytes("UTF-8"),
-          MediaMeta(fmt, 16 + (id % 64).toInt, 16 + (id % 48).toInt,
-            if (fmt == "mp4") 8 + (id % 8).toInt else 1))
+        val w = 16 + (id % 64).toInt
+        val h = 16 + (id % 48).toInt
+        val payload = fmt match {
+          case "png" | "jpeg" => encodeImage(fmt, w, h, textBytes(text, w * h * 3))
+          case "wav" => encodeWavPcm16(16000, textPcm(text))
+          case "mp4" => text.getBytes("UTF-8")
+        }
+        MediaRow(id, payload,
+          MediaMeta(fmt, w, h, if (fmt == "mp4") 8 + (id % 8).toInt else 1))
       }
+  }
+
+  // --- REAL compressed-image codecs via the JDK's javax.imageio (PNG is
+  // lossless → oracle-replayable pixel content; JPEG is lossy → real
+  // decode, fidelity bounded in MultimodalSpec instead of the oracle). ---
+
+  /** Encode an interleaved-RGB byte array as PNG or JPEG via ImageIO. */
+  def encodeImage(format: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < w * h) { // raster layout is BGR
+      data(i * 3) = rgb(i * 3 + 2)
+      data(i * 3 + 1) = rgb(i * 3 + 1)
+      data(i * 3 + 2) = rgb(i * 3)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for '$format'")
+    bos.toByteArray
+  }
+
+  /** Decode a PNG/JPEG payload → (width, height, interleaved RGB bytes). */
+  def decodeImageRgb(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload (no ImageIO reader matched)")
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        rgb(i) = ((p >> 16) & 0xff).toByte
+        rgb(i + 1) = ((p >> 8) & 0xff).toByte
+        rgb(i + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Nearest-neighbor resample of interleaved RGB: dst(y,x,c) =
+    * src(y*h/dh, x*w/dw, c) (integer floor — the oracle replays this
+    * index arithmetic closed-form for lossless sources). */
+  def resampleRgbNn(rgb: Array[Byte], w: Int, h: Int,
+      dw: Int, dh: Int): Array[Byte] = {
+    val out = new Array[Byte](dw * dh * 3)
+    var y = 0
+    while (y < dh) {
+      val sy = y * h / dh
+      var x = 0
+      while (x < dw) {
+        val sx = x * w / dw
+        val si = (sy * w + sx) * 3
+        val di = (y * dw + x) * 3
+        out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   // --- REAL pure-JVM codecs (no external library needed): binary PPM
@@ -138,8 +242,10 @@ object Multimodal {
     (rate, samples)
   }
 
-  /** STUB decode: deterministic fake "pixels" from payload bytes (??? in a
-    * codec-equipped deployment: image decode to W*H channel array). */
+  /** STUB decode for mp4 ONLY (the JDK ships no video codec): deterministic
+    * fake "pixels" from payload bytes (??? in a codec-equipped deployment:
+    * frame decode to W*H channel arrays). png/jpeg/wav/ppm decode for real
+    * above. */
   private def decodeStub(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
     val n = math.min(payload.length, meta.width * meta.height)
     val out = new Array[Byte](meta.width * meta.height)
@@ -151,18 +257,31 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction: 16-bin byte histogram of decoded content,
-    * L1-normalized → Array[Float] embedding column. Partition-wise batch
-    * loop (mapPartitions) — the distributed shape; no driver collection. */
+  /** Per-format decoded content: png/jpeg → real ImageIO pixel bytes,
+    * wav → real PCM samples mapped to 16 bins by their top nibble,
+    * mp4 → stub bytes. Returns the 16-bin histogram's input as bin ids. */
+  private def decodedBins(r: MediaRow): Array[Int] = r.meta.format match {
+    case "png" | "jpeg" =>
+      decodeImageRgb(r.payload)._3.map(b => (b & 0xff) >> 4)
+    case "wav" =>
+      decodeWavPcm16(r.payload)._2.map(s => (s & 0xffff) >> 12)
+    case _ =>
+      decodeStub(r.payload, r.meta).map(b => (b & 0xff) >> 4)
+  }
+
+  /** Feature extraction: 16-bin histogram of REAL decoded content (pixels
+    * for images, samples for audio, stub frames for mp4), L1-normalized →
+    * Array[Float] embedding column. Partition-wise batch loop
+    * (mapPartitions) — the distributed shape; no driver collection. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val px = decodeStub(r.payload, r.meta)
+        val bins = decodedBins(r)
         val hist = new Array[Float](16)
         var i = 0
-        while (i < px.length) { hist((px(i) & 0xff) >> 4) += 1f; i += 1 }
-        val total = px.length.toFloat.max(1f)
+        while (i < bins.length) { hist(bins(i)) += 1f; i += 1 }
+        val total = bins.length.toFloat.max(1f)
         MediaFeatures(r.media_id, r.meta.format, r.payload.length,
           hist.map(_ / total))
       }
@@ -184,16 +303,27 @@ object Multimodal {
     }
   }
 
-  /** Resize: metadata transform + proportional payload truncation (???:
-    * real resample). Pure-expression on the DataFrame side where possible. */
+  /** Resize. Images resample for REAL: decode via ImageIO →
+    * nearest-neighbor to (w, h) → re-encode as PNG (lossless output
+    * regardless of the input's codec, so chained transforms don't
+    * accumulate JPEG loss). Non-image formats (wav/mp4) keep the
+    * metadata-transform + proportional-truncation stand-in. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      val scale = (w.toLong * h).toDouble / (r.meta.width.toLong * r.meta.height)
-      val newLen = math.max(1, math.min(r.payload.length,
-        math.round(r.payload.length * scale).toInt))
-      MediaRow(r.media_id, java.util.Arrays.copyOfRange(r.payload, 0, newLen),
-        r.meta.copy(width = w, height = h))
+      r.meta.format match {
+        case "png" | "jpeg" =>
+          val (sw, sh, rgb) = decodeImageRgb(r.payload)
+          val resized = encodeImage("png", w, h, resampleRgbNn(rgb, sw, sh, w, h))
+          MediaRow(r.media_id, resized,
+            MediaMeta("png", w, h, r.meta.nFrames))
+        case _ =>
+          val scale = (w.toLong * h).toDouble / (r.meta.width.toLong * r.meta.height)
+          val newLen = math.max(1, math.min(r.payload.length,
+            math.round(r.payload.length * scale).toInt))
+          MediaRow(r.media_id, java.util.Arrays.copyOfRange(r.payload, 0, newLen),
+            r.meta.copy(width = w, height = h))
+      }
     }
   }
 
@@ -246,13 +376,18 @@ object Multimodal {
               + 32768) % 65536 - 32768)) AS BIGINT) AS sample_sum
         FROM d ORDER BY media_id""")),
 
-    // Metadata + payload stats — pure column expressions over the binary
-    // column (no decode), oracle-checkable via octet_length.
+    // Metadata + payload stats over the binary column. The magic bytes
+    // prove the payloads are REAL containers (PNG/JFIF/RIFF signatures);
+    // n_bytes is closed-form for the uncompressed formats (WAV = 44-byte
+    // header + 128 sample bytes; mp4 stub = text bytes) and NULL for
+    // compressed ones (a DEFLATE/JPEG stream's length isn't arithmetic —
+    // decodability + pixel content are checked by m02/m04 instead).
     "m01_media_meta" -> Q(
       (s, d) => mediaTable(s, d).toDF()
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("w"), col("meta.height").as("h"),
-          length(col("payload")).as("n_bytes"),
+          when(col("meta.format").isin("png", "jpeg"), lit(null).cast("int"))
+            .otherwise(length(col("payload"))).as("n_bytes"),
           substring(hex(col("payload")), 1, 8).as("magic"))
         .orderBy("media_id"),
       Some("""
@@ -260,23 +395,37 @@ object Multimodal {
           ['png', 'jpeg', 'wav', 'mp4'][CAST(doc_id % 4 AS INT) + 1] AS format,
           CAST(16 + doc_id % 64 AS INT) AS w,
           CAST(16 + doc_id % 48 AS INT) AS h,
-          CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-          upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS magic
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 2 THEN 172
+            WHEN 3 THEN CAST(octet_length(CAST(text AS BLOB)) AS INT)
+            ELSE NULL END AS n_bytes,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0'
+            WHEN 2 THEN '52494646'
+            ELSE upper(substr(hex(CAST(text AS BLOB)), 1, 8)) END AS magic
         FROM documents ORDER BY media_id""")),
 
-    // Decode → feature-extract pipeline (stubbed decode, real plumbing);
-    // rows-only check + ScalaTest invariants (normalization, determinism).
+    // Decode → feature-extract pipeline over REAL decoded content:
+    // png → ImageIO pixel bytes (lossless, so the oracle recomputes the
+    // histogram closed-form from the source signal), wav → PCM samples
+    // binned by top nibble (closed-form), mp4 → stub bytes (closed-form
+    // by construction). jpeg decodes REAL pixels but lossily — no
+    // arithmetic replay exists, so its histogram dumps NULL here and the
+    // decode fidelity is bounded in MultimodalSpec instead. Histogram
+    // counts are recovered from the L1-normalized features: counts =
+    // f * n_content are exact integers (float32 error ≪ 0.5).
     "m02_media_features" -> Q(
       (s, d) => {
-        // histogram counts recovered from the L1-normalized features:
-        // counts = f * n_pixels are exact integers (float32 error ≪ 0.5),
-        // so the dump is integer-valued and the stub decode is replicated
-        // closed-form by the oracle.
         val npx = (lit(16) + col("media_id") % 64) * (lit(16) + col("media_id") % 48)
+        val nContent = when(col("format").isin("png", "jpeg"), npx * 3)
+          .when(col("format") === "wav", lit(64))
+          .otherwise(npx)
         extractFeatures(mediaTable(s, d)).toDF()
-          .select(col("media_id"), col("format"), col("byteLen"),
-            array_join(transform(col("features"),
-              f => round(f.cast("double") * npx).cast("int").cast("string")), ",")
+          .select(col("media_id"), col("format"),
+            nContent.cast("int").as("n_content"),
+            when(col("format") === "jpeg", lit(null).cast("string"))
+              .otherwise(array_join(transform(col("features"),
+                f => round(f.cast("double") * nContent).cast("int").cast("string")), ","))
               .as("hist"))
           .orderBy("media_id")
       },
@@ -284,43 +433,75 @@ object Multimodal {
         WITH m AS (
           SELECT doc_id AS media_id,
             ['png','jpeg','wav','mp4'][CAST(doc_id % 4 AS INT) + 1] AS format,
-            CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byteLen,
+            CAST(octet_length(CAST(text AS BLOB)) AS INT) AS blen,
             CAST((16 + doc_id % 64) * (16 + doc_id % 48) AS INT) AS npx,
-            text
+            length(text) AS len, text
           FROM documents),
         px AS (
-          SELECT media_id, format, byteLen,
-            list_transform(range(0, npx), i ->
-              (CASE WHEN i < least(byteLen, npx)
-                 THEN ord(substr(text, CAST(i AS INT) + 1, 1))
-                 ELSE CAST(i % 251 AS INT) END) >> 4) AS bins
+          SELECT media_id, format,
+            CASE format WHEN 'png' THEN npx * 3 WHEN 'jpeg' THEN npx * 3
+              WHEN 'wav' THEN 64 ELSE npx END AS n_content,
+            CASE format
+              WHEN 'png' THEN list_transform(range(0, npx * 3), i ->
+                (ord(substr(text, CAST(i % len AS INT) + 1, 1)) % 256) >> 4)
+              WHEN 'wav' THEN list_transform(range(0, 64), i ->
+                (((ord(substr(text, CAST(i % len AS INT) + 1, 1)) % 256 - 100)
+                  * 256 % 65536 + 65536) % 65536) >> 12)
+              WHEN 'mp4' THEN list_transform(range(0, npx), i ->
+                (CASE WHEN i < least(blen, npx)
+                   THEN ord(substr(text, CAST(i AS INT) + 1, 1))
+                   ELSE CAST(i % 251 AS INT) END) >> 4)
+              ELSE NULL END AS bins
           FROM m)
-        SELECT media_id, format, byteLen,
-          array_to_string(list_transform(range(0, 16), b ->
-            len(list_filter(bins, x -> x = b))), ',') AS hist
+        SELECT media_id, format, CAST(n_content AS INT) AS n_content,
+          CASE WHEN bins IS NULL THEN NULL
+            ELSE array_to_string(list_transform(range(0, 16), b ->
+              len(list_filter(bins, x -> x = b))), ',') END AS hist
         FROM px ORDER BY media_id""")),
 
-    // Resize: metadata transform + proportional payload truncation (the
-    // decode-free stand-in keeps the plumbing honest); arithmetic replayed
-    // closed-form by the oracle.
+    // REAL image resize: decode (ImageIO) → nearest-neighbor resample to
+    // 32×32 → re-encode PNG → decode AGAIN and dump the round-tripped
+    // dimensions, signature, and pixel sum. For png inputs the whole
+    // chain is lossless, so the oracle replays the resample's index
+    // arithmetic closed-form from the source text — a wrong stride,
+    // channel order, or off-by-one in the resample hash-fails. jpeg
+    // inputs resample real (lossy) pixels → sum is NULL, but the decoded
+    // dims + PNG signature still verify the re-encode happened.
     "m04_resize" -> Q(
-      (s, d) => resize(mediaTable(s, d), 32, 32).toDF()
-        .select(col("media_id"), col("meta.width").as("w"),
-          col("meta.height").as("h"),
-          length(col("payload")).as("n_bytes"),
-          substring(hex(col("payload")), 1, 8).as("magic"))
-        .orderBy("media_id"),
+      (s, d) => {
+        import s.implicits._
+        mediaTable(s, d)
+          .filter(r => r.meta.format == "png" || r.meta.format == "jpeg")
+          .map { r =>
+            val srcFmt = r.meta.format
+            val (sw, sh, rgb) = decodeImageRgb(r.payload)
+            val resized = encodeImage("png", 32, 32,
+              resampleRgbNn(rgb, sw, sh, 32, 32))
+            val (w2, h2, px2) = decodeImageRgb(resized)
+            val magic = resized.take(4).map(b => f"${b & 0xff}%02X").mkString
+            val sum: Option[Long] = if (srcFmt == "png")
+              Some(px2.map(b => (b & 0xff).toLong).sum) else None
+            (r.media_id, srcFmt, w2, h2, magic, sum)
+          }
+          .toDF("media_id", "format", "w", "h", "magic", "px_sum")
+          .orderBy("media_id")
+      },
       Some("""
         WITH m AS (
           SELECT doc_id AS media_id,
-            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
-            (16 + doc_id % 64) * (16 + doc_id % 48) AS opx,
-            text
-          FROM documents)
-        SELECT media_id, CAST(32 AS INT) AS w, CAST(32 AS INT) AS h,
-          CAST(greatest(1, least(len,
-            CAST(round(len * 1024.0 / opx) AS BIGINT))) AS INT) AS n_bytes,
-          upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS magic
+            ['png','jpeg'][CAST(doc_id % 4 AS INT) + 1] AS format,
+            CAST(16 + doc_id % 64 AS BIGINT) AS w,
+            CAST(16 + doc_id % 48 AS BIGINT) AS h,
+            length(text) AS len, text
+          FROM documents WHERE doc_id % 4 IN (0, 1))
+        SELECT media_id, format, CAST(32 AS INT) AS w, CAST(32 AS INT) AS h,
+          '89504E47' AS magic,
+          CASE WHEN format = 'png' THEN
+            CAST(list_sum(list_transform(range(0, 3072), k ->
+              ord(substr(text, CAST(
+                (((k // 3 // 32 * h // 32) * w + (k // 3 % 32 * w // 32)) * 3
+                  + k % 3) % len AS INT) + 1, 1)) % 256)) AS BIGINT)
+          ELSE NULL END AS px_sum
         FROM m ORDER BY media_id""")),
 
     // Video frame sampling: per-video sampled-frame counts + byte volume.
