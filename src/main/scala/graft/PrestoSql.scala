@@ -1548,14 +1548,22 @@ object PrestoSql {
                 userHaving = sql0.substring(end, hEnd)
                 tailStart = hEnd
               }
-              // window functions cannot ride the global-agg union branch:
-              // their PARTITION BY/ORDER BY reference grouping columns
-              // RAW, which the branch (an implicit global aggregate) must
-              // not — those queries keep the native plan (empty-input
-              // residue narrowed to rollup+grouping()+window only)
+              // Window functions in the select list ride the rewrite via a
+              // DISJOINT-branch lift (round 11): the probe-guarded union
+              // branch emits rows exactly when the main branch does not,
+              // so each side computes the window over its own rows — main
+              // keeps the native plan with the window intact, and the
+              // branch wraps its zero-scan global aggregate in a subquery
+              // (grouping columns → typed-NULL inner columns, aggregate
+              // calls → inner columns) and applies the window above it.
+              // An OVER inside a nested subquery item or in HAVING keeps
+              // the native plan (the lift itself bails on subquery-bearing
+              // items, restoring the pre-round-11 behavior there).
+              val selHasTopWindow =
+                "(?i)\\bOVER\\s*\\(".r.findFirstIn(selText).isDefined
               val badGuards = fromAt < 0 ||
                 selText.matches("(?is)^\\s*DISTINCT\\b.*") ||
-                "(?i)\\bOVER\\s*\\(".r.findFirstIn(selText + userHaving).isDefined
+                "(?i)\\bOVER\\s*\\(".r.findFirstIn(userHaving).isDefined
               if (badGuards) None
               else {
                 // grouping(...) inside the GLOBAL-AGG union branch: every
@@ -1623,7 +1631,44 @@ object PrestoSql {
                 // (correlated bodies cannot reach here with a usable plan:
                 // Spark rejects outer references under a grouping-sets
                 // Aggregate before any of this matters)
-                if (bareSingle) {
+                // position just past a depth-equal WHERE keyword, if any
+                // (the user predicate runs from there to the GROUP BY)
+                val whereEndAt = {
+                  var p = fromAt
+                  var at = -1
+                  while (at < 0 && p < m.start()) {
+                    if (mask(p).isLetter) {
+                      val ws = p
+                      while (p < m.start() &&
+                        (mask(p).isLetterOrDigit || mask(p) == '_')) p += 1
+                      if (depthPrefix(ws) == gbDepth &&
+                          mask.substring(ws, p).equalsIgnoreCase("where"))
+                        at = p
+                    } else p += 1
+                  }
+                  at
+                }
+                // parenthesize the user predicate before AND-ing the
+                // deadener — a bare `a OR b AND (1=0)` binds as
+                // `a OR (b AND 1=0)` and leaves the branch alive
+                val deadFrom =
+                  if (whereEndAt >= 0)
+                    sql0.substring(fromAt, whereEndAt) + " (" +
+                      sql0.substring(whereEndAt, m.start()).trim +
+                      ") AND (1=0)"
+                  else fromText + " WHERE 1=0"
+                val probe =
+                  s"(SELECT count(*) FROM (SELECT 1 $fromText LIMIT 1)) = 0"
+                val guard =
+                  if (userHaving.trim.nonEmpty)
+                    "HAVING (" + substGrouping(userHaving.trim.replaceFirst(
+                      "(?is)^HAVING\\b", "").trim) + s") AND $probe"
+                  else s"HAVING $probe"
+                if (selHasTopWindow) {
+                  windowLift(selItems, sets, normEl, substGrouping,
+                    bareSingle, sql0, mask, qStart, m.end(), end, userHaving,
+                    deadFrom, guard, tailStart)
+                } else if (bareSingle) {
                   // native ROLLUP/CUBE stays (marker keeps re-entry from
                   // reprocessing it: the item reads as "plain"); the union
                   // branch costs ZERO scan — its aggregate runs over
@@ -1632,39 +1677,6 @@ object PrestoSql {
                   val main = sql0.substring(qStart, m.end()) +
                     " /*graft:native*/" + sql0.substring(m.end(), end) +
                     userHaving
-                  // position just past a depth-equal WHERE keyword, if any
-                  // (the user predicate runs from there to the GROUP BY)
-                  val whereEndAt = {
-                    var p = fromAt
-                    var at = -1
-                    while (at < 0 && p < m.start()) {
-                      if (mask(p).isLetter) {
-                        val ws = p
-                        while (p < m.start() &&
-                          (mask(p).isLetterOrDigit || mask(p) == '_')) p += 1
-                        if (depthPrefix(ws) == gbDepth &&
-                            mask.substring(ws, p).equalsIgnoreCase("where"))
-                          at = p
-                      } else p += 1
-                    }
-                    at
-                  }
-                  // parenthesize the user predicate before AND-ing the
-                  // deadener — a bare `a OR b AND (1=0)` binds as
-                  // `a OR (b AND 1=0)` and leaves the branch alive
-                  val deadFrom =
-                    if (whereEndAt >= 0)
-                      sql0.substring(fromAt, whereEndAt) + " (" +
-                        sql0.substring(whereEndAt, m.start()).trim +
-                        ") AND (1=0)"
-                    else fromText + " WHERE 1=0"
-                  val probe =
-                    s"(SELECT count(*) FROM (SELECT 1 $fromText LIMIT 1)) = 0"
-                  val guard =
-                    if (userHaving.trim.nonEmpty)
-                      "HAVING (" + substGrouping(userHaving.trim.replaceFirst(
-                        "(?is)^HAVING\\b", "").trim) + s") AND $probe"
-                    else s"HAVING $probe"
                   val branch = "SELECT " + branchList + " " + deadFrom +
                     " " + guard
                   Some(sql0.substring(0, qStart) + main + " UNION ALL " +
@@ -1698,6 +1710,180 @@ object PrestoSql {
       }
     }
     sql0
+  }
+
+  /** groupByForms' window-in-select lift (the round-11 close of the
+    * empty-input residue — reference semantics:
+    * MAIN/sql/analyzer/StatementAnalyzer.java:1540-1562). The probe-guarded
+    * empty-set branch and the native main branch are DISJOINT (the probe
+    * admits the branch exactly when the input is empty, where the native
+    * plan emits nothing), so each side may compute the select list's
+    * window functions over its own rows. Main keeps the native plan with
+    * the original text; the branch becomes
+    * `SELECT <items'> FROM (SELECT <typed-NULL grouping cols, aggregate
+    * calls> <deadened FROM> <probe HAVING>) __graft_wb` where <items'>
+    * rewrites aggregate calls to the inner aliases and grouping-element
+    * identifiers to the typed-NULL columns — so a window's PARTITION
+    * BY/ORDER BY resolves against the wrapped one-row aggregate. UNION
+    * ALL takes its output names from the main branch, so the branch needs
+    * no alias reconstruction. Bails (native plan, the pre-round-11
+    * behavior) on: non-identifier grouping elements, subqueries inside a
+    * select item, or unbalanced text. */
+  private def windowLift(selItems: List[String], sets: List[List[String]],
+      normEl: String => String, substGrouping: String => String,
+      bareSingle: Boolean, sql0: String, mask: String, qStart: Int,
+      gbKeywordEnd: Int, gbClauseEnd: Int, userHaving: String,
+      deadFrom: String, guard: String, tailStart: Int): Option[String] = {
+    val gElsOrig = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      sets.flatten.foreach(e => seen.getOrElseUpdate(normEl(e), e))
+      seen.values.toList
+    }
+    if (!gElsOrig.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))) return None
+    val gIdx = gElsOrig.map(_.toLowerCase).zipWithIndex.toMap
+    // aggregate heads that must move into the inner query even when their
+    // arguments reference grouping columns (sum(g) over empty input = NULL,
+    // exactly the () row's value)
+    val aggNames = Set("sum", "count", "avg", "min", "max", "stddev",
+      "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+      "skewness", "kurtosis", "corr", "covar_pop", "covar_samp",
+      "regr_slope", "regr_intercept", "bool_and", "bool_or", "every",
+      "arbitrary", "any_value", "approx_distinct", "approx_percentile",
+      "approx_set", "merge", "histogram", "numeric_histogram", "map_agg",
+      "map_union", "multimap_agg", "array_agg", "checksum", "count_if",
+      "max_by", "min_by", "geometric_mean", "bitwise_and_agg",
+      "bitwise_or_agg", "bitwise_xor_agg", "listagg", "string_agg",
+      "set_agg", "set_union", "reduce_agg", "approx_most_frequent",
+      "entropy", "first", "last", "collect_list", "collect_set")
+    val innerAggs =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    def aliasFor(callText: String): String = {
+      val k = callText.toLowerCase.replaceAll("\\s+", " ").trim
+      innerAggs.getOrElseUpdate(k,
+        (s"__graft_a${innerAggs.size}", callText))._1
+    }
+    // one select item → its branch-outer text (None = can't place)
+    def lift(text: String): Option[String] = {
+      val tm = maskLiterals(text)
+      if ("(?i)\\bSELECT\\b".r.findFirstIn(tm).isDefined) return None
+      def refsGrouping(from: Int, until: Int): Boolean = {
+        var p = from; var found = false
+        while (!found && p < until) {
+          if (tm(p).isLetter || tm(p) == '_') {
+            val ws = p
+            while (p < until && (tm(p).isLetterOrDigit || tm(p) == '_')) p += 1
+            var q = p
+            while (q < until && tm(q).isWhitespace) q += 1
+            val qualified = (ws > 0 && tm(ws - 1) == '.') ||
+              (q < until && (tm(q) == '(' || tm(q) == '.'))
+            if (!qualified && gIdx.contains(text.substring(ws, p).toLowerCase))
+              found = true
+          } else p += 1
+        }
+        found
+      }
+      def closeOf(open: Int): Int = {
+        var dd = 0; var p = open
+        while (p < tm.length) {
+          if (tm(p) == '(') dd += 1
+          else if (tm(p) == ')') { dd -= 1; if (dd == 0) return p }
+          p += 1
+        }
+        -1
+      }
+      val sb = new StringBuilder
+      var p = 0
+      var ok = true
+      def emitRange(a: Int, b: Int): Unit =
+        lift(text.substring(a, b)) match {
+          case Some(t) => sb.append(t)
+          case None => ok = false
+        }
+      while (ok && p < text.length) {
+        val c = tm(p)
+        if (c.isLetter || c == '_') {
+          val ws = p
+          while (p < tm.length && (tm(p).isLetterOrDigit || tm(p) == '_')) p += 1
+          val word = text.substring(ws, p)
+          var q = p
+          while (q < tm.length && tm(q).isWhitespace) q += 1
+          val isCall = q < tm.length && tm(q) == '(' &&
+            (ws == 0 || tm(ws - 1) != '.')
+          if (isCall) {
+            val close = closeOf(q)
+            if (close < 0) ok = false
+            else {
+              // absorb a FILTER (WHERE ...) suffix into the call extent
+              var fEnd = close + 1
+              val fm = java.util.regex.Pattern.compile("(?is)^\\s*FILTER\\s*\\(")
+                .matcher(tm.substring(close + 1))
+              if (fm.find()) {
+                val fClose = closeOf(close + 1 + fm.end() - 1)
+                if (fClose >= 0) fEnd = fClose + 1
+              }
+              val om = java.util.regex.Pattern.compile("(?is)^\\s*OVER\\s*\\(")
+                .matcher(tm.substring(fEnd))
+              if (om.find()) { // window call: recurse into args + spec
+                val oOpen = fEnd + om.end() - 1
+                val oClose = closeOf(oOpen)
+                if (oClose < 0) ok = false
+                else {
+                  sb.append(word).append('(')
+                  emitRange(q + 1, close)
+                  sb.append(')').append(text.substring(close + 1, oOpen + 1))
+                  emitRange(oOpen + 1, oClose)
+                  sb.append(')')
+                  p = oClose + 1
+                }
+              } else {
+                val overInside = "(?i)\\bOVER\\b".r
+                  .findFirstIn(tm.substring(ws, fEnd)).isDefined
+                if (!overInside && (aggNames.contains(word.toLowerCase) ||
+                    !refsGrouping(ws, fEnd))) {
+                  sb.append(aliasFor(text.substring(ws, fEnd)))
+                  p = fEnd
+                } else { // scalar over grouping cols / nested window: recurse
+                  sb.append(word).append('(')
+                  emitRange(q + 1, close)
+                  sb.append(')').append(text.substring(close + 1, fEnd))
+                  p = fEnd
+                }
+              }
+            }
+          } else {
+            gIdx.get(word.toLowerCase) match {
+              case Some(i) if (ws == 0 || tm(ws - 1) != '.') &&
+                  (q >= tm.length || tm(q) != '.') =>
+                sb.append(s"__graft_g$i")
+              case _ => sb.append(word)
+            }
+          }
+        } else { sb.append(text(p)); p += 1 }
+      }
+      if (ok) Some(sb.toString) else None
+    }
+    val outerItems = selItems.map(it => lift(substGrouping(it)))
+    if (outerItems.exists(_.isEmpty)) return None
+    val innerGs = gElsOrig.zipWithIndex.map { case (g, i) =>
+      s"max(CASE WHEN 1=0 THEN ($g) END) AS __graft_g$i" }
+    val innerSel = (innerGs ++
+      innerAggs.values.toList.map { case (a, t) => s"$t AS $a" } ++
+      (if (innerGs.isEmpty) List("count(*) AS __graft_cnt") else Nil))
+      .mkString(", ")
+    val branch = "SELECT " + outerItems.map(_.get).mkString(", ") +
+      " FROM (SELECT " + innerSel + " " + deadFrom + " " + guard +
+      ") __graft_wb"
+    val main =
+      if (bareSingle)
+        sql0.substring(qStart, gbKeywordEnd) + " /*graft:native*/" +
+          sql0.substring(gbKeywordEnd, gbClauseEnd) + userHaving
+      else
+        sql0.substring(qStart, gbKeywordEnd) + " /*graft:native*/ " +
+          sets.map(s => "(" + s.mkString(", ") + ")")
+            .mkString("GROUPING SETS (", ", ", ")") + userHaving
+    Some(sql0.substring(0, qStart) + main +
+      List.fill(sets.count(_.isEmpty))(" UNION ALL " + branch).mkString +
+      " " + sql0.substring(tailStart))
   }
 
   /** Presto `x LIKE p ESCAPE NULL` evaluates to NULL (null escape — the

@@ -175,6 +175,56 @@ object Relational {
         HAVING count(*) = 0 OR count(*) > 10
         ORDER BY g_rf, l_returnflag NULLS LAST""")),
 
+    // Bare ROLLUP + WINDOW FUNCTION in the select list over EMPTY input —
+    // the round-11 close of the last COVERAGE §2.4 residue: the
+    // probe-guarded branch and the native main are disjoint, so the
+    // window rides each side separately (branch computes it over the
+    // wrapped one-row global aggregate; grouping cols become typed-NULL
+    // inner columns, aggregate calls become inner columns). Expect ONE
+    // row: (NULL, NULL, 1).
+    "q46f_rollup_empty_window" -> Q(
+      (s, d) => {
+        val e = Engine(s)
+        Tables.registerAll(e.spark, d)
+        e.sql("""
+          SELECT l_returnflag AS rf,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+            CAST(rank() OVER (ORDER BY sum(l_quantity) DESC) AS INT) AS rnk
+          FROM lineitem WHERE l_quantity < -1
+          GROUP BY ROLLUP(l_returnflag)""")
+      },
+      Some("""
+        SELECT l_returnflag AS rf,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+          CAST(rank() OVER (ORDER BY sum(l_quantity) DESC) AS INT) AS rnk
+        FROM lineitem WHERE l_quantity < -1
+        GROUP BY ROLLUP(l_returnflag)""")),
+
+    // Same lift on NON-empty input: the branch must stay dead and the
+    // native plan computes the window over the rollup rows — grouping()
+    // in the OVER clause included (constant-substituted in the branch).
+    "q46g_rollup_window" -> Q(
+      (s, d) => {
+        val e = Engine(s)
+        Tables.registerAll(e.spark, d)
+        e.sql("""
+          SELECT l_returnflag AS rf,
+            CAST(grouping(l_returnflag) AS INT) AS g_rf, count(*) AS n,
+            CAST(rank() OVER (PARTITION BY grouping(l_returnflag)
+              ORDER BY count(*) DESC, l_returnflag) AS INT) AS rnk
+          FROM lineitem
+          GROUP BY ROLLUP(l_returnflag)
+          ORDER BY g_rf, rnk""")
+      },
+      Some("""
+        SELECT l_returnflag AS rf,
+          CAST(grouping(l_returnflag) AS INT) AS g_rf, count(*) AS n,
+          CAST(rank() OVER (PARTITION BY grouping(l_returnflag)
+            ORDER BY count(*) DESC, l_returnflag) AS INT) AS rnk
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag)
+        ORDER BY g_rf, rnk""")),
+
     // CUBE over two dims.
     "q47_cube" -> Q(
       (s, d) => t(s, d, "orders")
