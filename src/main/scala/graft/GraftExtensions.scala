@@ -46,6 +46,13 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // AQE stage-prep rule so it sees the post-replanning physical plan
     ext.injectQueryStagePrepRule(session =>
       new plans.CollapseSingleStageAggregate(session))
+    // a window whose partition keys prefix the grouping keys of the
+    // aggregate below it shares ONE sort with that aggregate (streaming
+    // sort-aggregate, no hash table) — the reference's
+    // StreamingAggregationOperator placement; runs after the collapse
+    // rule so it sees the single-stage Complete shape
+    ext.injectQueryStagePrepRule(session =>
+      new plans.SortSharedAggregate(session))
   }
 }
 
