@@ -1515,7 +1515,8 @@ class Engine(parent: SparkSession) {
     ("redistribute_writes", "true", "boolean", "Force parallel distributed writes"),
     ("spatial_join", "true", "boolean", "Use spatial index for spatial join when possible"),
     ("colocated_join", "false", "boolean", "Experimental: Use a colocated join when possible"),
-    ("join_reordering_strategy", "ELIMINATE_CROSS_JOINS", "varchar", "The join reordering strategy to use"))
+    ("join_reordering_strategy", "ELIMINATE_CROSS_JOINS", "varchar", "The join reordering strategy to use"),
+    ("resource_group", "", "varchar", "Resource group for admission control (maps to the Spark scheduler pool)"))
 
   private val sessionProps =
     scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -1717,9 +1718,23 @@ class Engine(parent: SparkSession) {
             s.substring(1, s.length - 1).replace("''", "'")
           case s => s
         }
-        sessionProps(k.toLowerCase) = stored; Some(oneWordDf("SET SESSION"))
+        sessionProps(k.toLowerCase) = stored
+        // resource groups (MAIN/execution/resourceGroups/
+        // InternalResourceGroupManager.java: per-group queueing and
+        // concurrency caps, selected per session): Spark's analogue is
+        // the fair-scheduler pool — per-pool weight/minShare/FIFO from
+        // spark.scheduler.allocation.file — selected per thread. The
+        // group name IS the pool name; jobs submitted by this engine's
+        // thread after SET SESSION resource_group='g' queue in pool g.
+        if (k.equalsIgnoreCase("resource_group"))
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            if (stored.isEmpty) null else stored)
+        Some(oneWordDf("SET SESSION"))
       case ResetS(k) =>
-        sessionProps.remove(k.toLowerCase); Some(oneWordDf("RESET SESSION"))
+        sessionProps.remove(k.toLowerCase)
+        if (k.equalsIgnoreCase("resource_group"))
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        Some(oneWordDf("RESET SESSION"))
       case s if s.toUpperCase == "SHOW SESSION" => Some(showSession())
       case _ => None
     }

@@ -80,6 +80,13 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
     BigInt(spark.conf.getOption(EagerAggregationReuse.GENERIC_MIN_BYTES_KEY)
       .map(_.toLong).getOrElse(256L << 20))
 
+  /** Minimum estimated fraction of A-side shuffle bytes the pre-aggregate
+    * must save (narrowing × reduction, see genericCostGate) for the
+    * generic tier to fire. 0 disables the cost gate. */
+  private def genericMinSavedFrac: Double =
+    spark.conf.getOption(EagerAggregationReuse.GENERIC_MIN_SAVED_KEY)
+      .map(_.toDouble).getOrElse(0.3)
+
   /** Key positions make attributes comparable across plan copies: the
     * canonicalized child + the attribute's ordinal in its output. */
   private def keyPos(child: LogicalPlan, key: Attribute): Int =
@@ -286,8 +293,35 @@ class EagerAggregationReuse(spark: SparkSession) extends Rule[LogicalPlan] {
       val pos = a.output.indexWhere(_.exprId == aK.exprId)
       val hasTwin = keyOnly && groupPinsKey &&
         pos >= 0 && twins.contains((a.canonicalized, pos))
-      if (!hasTwin &&
-        !(genericOn && a.stats.sizeInBytes >= genericMinBytes)) return None
+      // Bytes-based cost gate for the generic tier (the reference fires
+      // its equivalent, PushPartialAggregationThroughJoin, under a cost
+      // model — MAIN/cost/CostComparator.java, PlanOptimizers.java:392):
+      // fire only when the estimated fraction of A-side shuffle bytes
+      // SAVED clears `genericMinSavedFrac`. The only REAL saving is row
+      // reduction — column pruning already narrows the shuffle to the
+      // kept key/agg columns with or without the pre-aggregate — and row
+      // reduction is provable exactly when the key carries a distinct
+      // count (ANALYZE TABLE ... FOR COLUMNS + spark.sql.cbo.enabled,
+      // the cluster posture). Without stats nothing is saved-by-proof
+      // and the gate stays off: that is precisely the measured sf30
+      // single-box losses (q22/h10 — the extra 45–148 M-row hash pass
+      // bought ~0.2% row reduction), so a cluster can set
+      // spark.graft.eagerAgg.generic=true once, ANALYZE its facts, and
+      // never hand-flag a query. genericMinSavedFrac=0 restores the
+      // unconditional (size-floor-only) round-10 behavior.
+      def genericCostGate: Boolean = {
+        if (a.stats.sizeInBytes < genericMinBytes) return false
+        if (genericMinSavedFrac <= 0) return true
+        val st = a.stats
+        val rowRatio =
+          (st.attributeStats.get(aK).flatMap(_.distinctCount), st.rowCount) match {
+            case (Some(d), Some(r)) if r > 0 =>
+              (BigDecimal(d) / BigDecimal(r)).min(1).toDouble
+            case _ => 1.0
+          }
+        1.0 - rowRatio >= genericMinSavedFrac
+      }
+      if (!hasTwin && !(genericOn && genericCostGate)) return None
 
       // pre-aggregate over A: the twin form groups by the key alone (so
       // its exchange canonicalizes equal to the twin's); the generic form
@@ -513,4 +547,5 @@ object EagerAggregationReuse {
   val KEY = "spark.graft.eagerAgg"
   val GENERIC_KEY = "spark.graft.eagerAgg.generic"
   val GENERIC_MIN_BYTES_KEY = "spark.graft.eagerAgg.genericMinBytes"
+  val GENERIC_MIN_SAVED_KEY = "spark.graft.eagerAgg.genericMinSavedFrac"
 }

@@ -53,13 +53,30 @@ import org.apache.spark.sql.execution.window.WindowExec
   * never changes what any exchange partitions on except case 2's
   * provably-compatible hash(G)→hash(P) narrowing.
   *
-  * A/B-gated via `spark.graft.sortSharedAgg` (see SCALE.md for the sf30
-  * interleaved pairs).
+  * MEASURED OUTCOME (round 11, sf30 soak, interleaved A/Bs committed in
+  * SCALE.md): shape 2 (eliminates an exchange AND the near-useless
+  * partial pass) WINS — h21 sf0.1 on-median 0.649 s vs off 0.758 s — and
+  * ships default-ON via `spark.graft.sortSharedAgg`. Shape 1 (in-place
+  * hash→sort swap, no exchange change) is a single-box LOSS and ships
+  * default-OFF behind `spark.graft.sortSharedAgg.inPlace`: the stage
+  * breakdown shows the 59.4 M-group hash table (69.9 s cumulative
+  * aggTime) replaced by a TWO-key sort (23.2 s — no radix path; the
+  * window's displaced single-bigint sort radix-sorted in 2.6 s) plus an
+  * interpreted SortAggregateExec (no whole-stage codegen), a net wash to
+  * ~5% loss (two 5-pair interleaved A/Bs). The trade is per-node CPU,
+  * not network, so it does not reverse on a cluster — the reference wins
+  * this shape only because its StreamingAggregationOperator is as
+  * codegen-tight as its hash aggregate.
   */
 class SortSharedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
 
   private def enabled: Boolean =
     spark.conf.getOption(SortSharedAggregate.KEY).forall(_.toBoolean)
+
+  /** Shape 1 (in-place swap, no exchange eliminated): measured losing
+    * single-box (see class doc) — explicit opt-in. */
+  private def inPlaceEnabled: Boolean =
+    spark.conf.getOption(SortSharedAggregate.IN_PLACE_KEY).exists(_.toBoolean)
 
   /** Strip a chain of ProjectExec, returning (projects outer→inner, core). */
   private def stripProjects(p: SparkPlan): (List[ProjectExec], SparkPlan) =
@@ -96,7 +113,7 @@ class SortSharedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
           if partition.nonEmpty && partition.forall(_.isInstanceOf[Attribute]) =>
         val (projs, core) = stripProjects(sort.child)
         core match {
-          case agg: HashAggregateExec if !agg.isStreaming &&
+          case agg: HashAggregateExec if inPlaceEnabled && !agg.isStreaming &&
               agg.aggregateExpressions.forall(_.mode == Complete) =>
             partitionFirst(partition, agg.groupingExpressions) match {
               case Some(ordered) =>
@@ -169,4 +186,5 @@ class SortSharedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
 
 object SortSharedAggregate {
   val KEY = "spark.graft.sortSharedAgg"
+  val IN_PLACE_KEY = "spark.graft.sortSharedAgg.inPlace"
 }

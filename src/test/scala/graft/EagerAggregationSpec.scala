@@ -195,7 +195,8 @@ class EagerAggregationSpec extends AnyFunSuite {
     // opted in with the floor dropped: fires without any twin subquery,
     // exact under duplicate dim keys (dk=1 twice) and NULL fact values
     withConf(EagerAggregationReuse.GENERIC_KEY -> "true",
-      EagerAggregationReuse.GENERIC_MIN_BYTES_KEY -> "0") {
+      EagerAggregationReuse.GENERIC_MIN_BYTES_KEY -> "0",
+      EagerAggregationReuse.GENERIC_MIN_SAVED_KEY -> "0") {
       val df = spark.sql(GENERIC_SQL)
       assert(fired(df), df.queryExecution.optimizedPlan.toString.take(1500))
       assert(rows(df) == expect)
@@ -221,12 +222,52 @@ class EagerAggregationSpec extends AnyFunSuite {
         rows(off)
       }
       withConf(EagerAggregationReuse.GENERIC_KEY -> "true",
-        EagerAggregationReuse.GENERIC_MIN_BYTES_KEY -> "0") {
+        EagerAggregationReuse.GENERIC_MIN_BYTES_KEY -> "0",
+        EagerAggregationReuse.GENERIC_MIN_SAVED_KEY -> "0") {
         val df = spark.sql(sql)
         assert(fired(df), df.queryExecution.optimizedPlan.toString.take(1500))
         assert(rows(df) == expect)
       }
     }
+  }
+
+  test("generic cost gate: off on a pruned narrow shuffle, on under stats-proven reduction") {
+    // The round-10 sf30 losses (q22/h10) shuffle an already-pruned
+    // key+measure projection: nothing for the pre-aggregate to save, so
+    // even with the tier globally enabled the bytes gate must keep it
+    // OFF — a cluster can set spark.graft.eagerAgg.generic=true once
+    // without per-query flags.
+    withConf(EagerAggregationReuse.GENERIC_KEY -> "true",
+      EagerAggregationReuse.GENERIC_MIN_BYTES_KEY -> "0") {
+      assert(!fired(spark.sql(GENERIC_SQL)))
+    }
+    // With column statistics (ANALYZE TABLE ... FOR COLUMNS + CBO, the
+    // cluster posture) the key's distinct count proves the row
+    // reduction, and the gate admits the push — exact vs the rule-off run.
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS ea_fact_stats")
+    (0 until 400).map(i => (i % 4L, i.toLong, s"t$i"))
+      .toDF("fk", "fv", "ftag")
+      .write.mode("overwrite").saveAsTable("ea_fact_stats")
+    spark.sql("ANALYZE TABLE ea_fact_stats COMPUTE STATISTICS FOR COLUMNS fk")
+    val sql =
+      """SELECT dk, dtag, sum(fv) AS s, count(fv) AS c
+        |FROM ea_dim JOIN ea_fact_stats ON dk = fk
+        |GROUP BY dk, dtag""".stripMargin
+    val expect = withConf(EagerAggregationReuse.GENERIC_KEY -> "false",
+      "spark.sql.cbo.enabled" -> "true") {
+      val off = spark.sql(sql)
+      assert(!fired(off))
+      rows(off)
+    }
+    withConf(EagerAggregationReuse.GENERIC_KEY -> "true",
+      EagerAggregationReuse.GENERIC_MIN_BYTES_KEY -> "0",
+      "spark.sql.cbo.enabled" -> "true") {
+      val df = spark.sql(sql)
+      assert(fired(df), df.queryExecution.optimizedPlan.toString.take(1500))
+      assert(rows(df) == expect)
+    }
+    spark.sql("DROP TABLE IF EXISTS ea_fact_stats")
   }
 
   test("generic eager push is default-off (opt-in only)") {
