@@ -57,6 +57,18 @@ class FuseUnionAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     spark.conf.getOption(FuseUnionAggregates.KEY).exists(_.toBoolean)
 
+  /** Bytes-based per-plan gate (round 11, the same posture as
+    * EagerAggregation.genericMinSavedFrac): with the tier enabled
+    * cluster-wide, fuse only when the shared relation's size estimate
+    * clears this floor — the n−1 scans the fusion saves only dominate
+    * the n·rows Expand copies when the fact is big enough that reading
+    * it is I/O-bound (remote object storage at 100 TB), while a
+    * page-cache-sized fixture re-decodes cheaper than it copies
+    * (the measured sf30 ds03 loss). 0 restores unconditional fusion. */
+  private def minBytes: BigInt =
+    BigInt(spark.conf.getOption(FuseUnionAggregates.MIN_BYTES_KEY)
+      .map(_.toLong).getOrElse(8L << 30))
+
   private case class Branch(agg: Aggregate, cond: Option[Expression],
       rel: LogicalRelation)
 
@@ -96,6 +108,7 @@ class FuseUnionAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
     // same relation everywhere (schema included — canonical equality)
     if (!bs.tail.forall(_.rel.canonicalized == b0.rel.canonicalized))
       return None
+    if (b0.rel.stats.sizeInBytes < minBytes) return None
     if (!bs.forall(b => b.agg.aggregateExpressions.forall(_.deterministic) &&
       b.agg.groupingExpressions.forall(_.deterministic))) return None
     // grouping sets (Expand below) would not dissect to a relation, so
@@ -208,6 +221,7 @@ class FuseUnionAggregates(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object FuseUnionAggregates {
   val KEY = "spark.graft.fuseUnionScans"
+  val MIN_BYTES_KEY = "spark.graft.fuseUnionScans.minBytes"
 }
 
 /** Fuse a condition-less join tree of GLOBAL (single-row) aggregates over

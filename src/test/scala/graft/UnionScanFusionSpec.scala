@@ -53,7 +53,8 @@ class UnionScanFusionSpec extends AnyFunSuite {
     val off = spark.sql(CHANNELS)
     assert(!fused(off) && relCount(off) == 3) // default posture: untouched
     val expect = rows(off)
-    withConf(FuseUnionAggregates.KEY -> "true") {
+    withConf(FuseUnionAggregates.KEY -> "true",
+        FuseUnionAggregates.MIN_BYTES_KEY -> "0") {
       val df = spark.sql(CHANNELS)
       assert(fused(df), df.queryExecution.optimizedPlan.toString.take(1500))
       assert(relCount(df) == 1)
@@ -67,7 +68,8 @@ class UnionScanFusionSpec extends AnyFunSuite {
         |UNION ALL
         |SELECT k, sum(v) AS s, 'hi' AS ch FROM fu_f WHERE m >= 5 GROUP BY k""".stripMargin
     val expect = rows(spark.sql(overlap))
-    withConf(FuseUnionAggregates.KEY -> "true") {
+    withConf(FuseUnionAggregates.KEY -> "true",
+        FuseUnionAggregates.MIN_BYTES_KEY -> "0") {
       val df = spark.sql(overlap)
       assert(fused(df))
       assert(rows(df) == expect)
@@ -80,7 +82,8 @@ class UnionScanFusionSpec extends AnyFunSuite {
         |UNION ALL
         |SELECT count(DISTINCT k) AS s, 'big' AS ch FROM fu_f WHERE v > 8""".stripMargin
     val expect = rows(spark.sql(q))
-    withConf(FuseUnionAggregates.KEY -> "true") {
+    withConf(FuseUnionAggregates.KEY -> "true",
+        FuseUnionAggregates.MIN_BYTES_KEY -> "0") {
       val df = spark.sql(q)
       assert(fused(df))
       assert(rows(df) == expect)
@@ -93,7 +96,8 @@ class UnionScanFusionSpec extends AnyFunSuite {
         |UNION
         |SELECT k, min(v) AS s FROM fu_f WHERE m >= 5 GROUP BY k""".stripMargin
     val expect = rows(spark.sql(q))
-    withConf(FuseUnionAggregates.KEY -> "true") {
+    withConf(FuseUnionAggregates.KEY -> "true",
+        FuseUnionAggregates.MIN_BYTES_KEY -> "0") {
       val df = spark.sql(q)
       assert(fused(df))
       assert(rows(df) == expect)
@@ -102,6 +106,7 @@ class UnionScanFusionSpec extends AnyFunSuite {
 
   test("guards: different relations, different aggregates, non-constant mismatch => untouched") {
     spark.conf.set(FuseUnionAggregates.KEY, "true")
+    spark.conf.set(FuseUnionAggregates.MIN_BYTES_KEY, "0")
     try {
     import spark.implicits._
     Seq((1L, 2L)).toDF("k", "v").createOrReplaceTempView("fu_other")
@@ -117,6 +122,26 @@ class UnionScanFusionSpec extends AnyFunSuite {
       """SELECT k, sum(v) AS s, k+1 AS t FROM fu_f WHERE m <= 4 GROUP BY k
         |UNION ALL SELECT k, sum(v) AS s, k+2 AS t FROM fu_f WHERE m >= 5 GROUP BY k""".stripMargin
     assert(!fused(spark.sql(nonConst)))
-    } finally spark.conf.unset(FuseUnionAggregates.KEY)
+    } finally {
+      spark.conf.unset(FuseUnionAggregates.KEY)
+      spark.conf.unset(FuseUnionAggregates.MIN_BYTES_KEY)
+    }
+  }
+
+  test("bytes gate: tier on, small relation stays unfused; floor 0 fuses") {
+    // a cluster sets fuseUnionScans=true globally; the per-plan bytes
+    // floor (default 8 GB) keeps page-cache-sized facts on the n-scan
+    // plan (the measured sf30 ds03 loss) and admits only I/O-bound facts
+    val q =
+      """SELECT k, sum(v) AS s FROM fu_f WHERE m <= 4 GROUP BY k
+        |UNION ALL
+        |SELECT k, sum(v) AS s FROM fu_f WHERE m >= 5 GROUP BY k""".stripMargin
+    withConf(FuseUnionAggregates.KEY -> "true") { // default floor
+      assert(!fused(spark.sql(q)))
+    }
+    withConf(FuseUnionAggregates.KEY -> "true",
+        FuseUnionAggregates.MIN_BYTES_KEY -> "0") {
+      assert(fused(spark.sql(q)))
+    }
   }
 }
