@@ -51,19 +51,26 @@ object TextNorm {
   def tokensArray(text: UTF8String): ArrayData =
     new GenericArrayData(tokenize(text).asInstanceOf[Array[Any]])
 
-  def shingles(arr: ArrayData, k: Int): ArrayData = {
+  def shingles(arr: ArrayData, k: Int): ArrayData = shingles(arr, k, 1)
+
+  /** Strided variant: windows start at 0, stride, 2·stride, … (stride=1
+    * is the classic shingle set; stride=k gives non-overlapping chunks —
+    * the passage-dedup layout). */
+  def shingles(arr: ArrayData, k: Int, stride: Int): ArrayData = {
     val n = arr.numElements()
     if (n < k) new GenericArrayData(Array.empty[Any])
     else {
       val sep = UTF8String.fromString(" ")
-      val out = new Array[Any](n - k + 1)
+      val out = new Array[Any]((n - k) / stride + 1)
       var i = 0
+      var o = 0
       while (i <= n - k) {
         val parts = new Array[UTF8String](k)
         var j = 0
         while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-        out(i) = UTF8String.concatWs(sep, parts: _*)
-        i += 1
+        out(o) = UTF8String.concatWs(sep, parts: _*)
+        o += 1
+        i += stride
       }
       new GenericArrayData(out)
     }
@@ -101,14 +108,16 @@ case class NormalizedTokens(child: Expression) extends UnaryExpression {
   * window — replaces the interpreted transform(slice → array_join) HOF
   * chain. Empty result when the input has fewer than k tokens (the
   * filter(isNotNull) semantics of the HOF form). */
-case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, k: Int, stride: Int = 1)
+    extends UnaryExpression {
   require(k >= 1, "shingle size must be positive")
+  require(stride >= 1, "stride must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    TextNorm.shingles(v.asInstanceOf[ArrayData], k)
+    TextNorm.shingles(v.asInstanceOf[ArrayData], k, stride)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextNorm.shingles($c, $k);")
+      s"${ev.value} = graft.functions.TextNorm.shingles($c, $k, $stride);")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "word_shingles"

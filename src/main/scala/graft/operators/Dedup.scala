@@ -47,6 +47,37 @@ object Dedup {
   def shinglesOf(toks: Column, k: Int): Column =
     cl(graft.functions.WordShingles(ex(toks), k))
 
+  /** Strided token windows (stride=k ⇒ non-overlapping chunks). */
+  def stridedShinglesOf(toks: Column, k: Int, stride: Int): Column =
+    cl(graft.functions.WordShingles(ex(toks), k, stride))
+
+  /** Library API: PASSAGE-level exact dedup — find token windows shared
+    * across documents (licence headers, navigation chrome, quote chains:
+    * the boilerplate that survives document-level dedup because the
+    * surrounding text differs). `window`-token chunks every `stride`
+    * tokens are fingerprinted; chunks appearing in ≥ `minDocs` distinct
+    * documents come back with their spread. The follow-up "scrub" pass is
+    * a broadcast semi-join of this (small) result against the corpus.
+    *
+    * Scale posture: the corpus pass is map-only (tokenize → windows →
+    * explode); the one shuffle carries (chunk, doc_id) pairs — window
+    * text, never documents — with map-side combine on the per-partition
+    * repeats; output is bounded by the repeated-chunk count. */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, stride: Int = 2, minDocs: Int = 2): DataFrame = {
+    val chunks = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= window)
+      .select(col(idCol),
+        explode(stridedShinglesOf(col("__t"), window, stride)).as("chunk"))
+    chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** One MinHash value: min over shingles of an md5-derived 64-bit hash,
     * seeded by `seed` (distinct permutation per seed). */
   def minhash(shingleCol: Column, seed: Int): Column =
@@ -755,6 +786,30 @@ object Dedup {
     // contaminated doc is one sharing any normalized word 3-gram with the
     // eval side. Eval gram set broadcasts (PlanSpec-style pin in
     // DedupSpec); corpus side stays one map pass + per-doc count.
+    // Passage-level exact dedup: 4-token windows every 2 tokens,
+    // cross-document repeats (the boilerplate that document-level dedup
+    // misses). One (chunk, doc) shuffle, never documents; the oracle
+    // rebuilds the identical strided-window table in SQL and replays
+    // every count.
+    "d13_passage_dedup" -> Q(
+      (s, d) => passageDedup(docs(s, d), "doc_id", "text",
+          window = 4, stride = 2, minDocs = 2)
+        .orderBy("chunk"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS chunk
+          FROM t, unnest(range(1, len(toks) - 4 + 2, 2)) AS u(i)
+          WHERE len(toks) >= 4)
+        SELECT chunk, count(DISTINCT doc_id) AS n_docs,
+          count(*) AS n_occurrences,
+          min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY chunk""")),
+
     "d12_decontaminate" -> Q(
       (s, d) => {
         val dd = docs(s, d)

@@ -73,7 +73,98 @@ object TextAnalysis {
         coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
   }
 
+  /** Library API: bigram language-model perplexity scoring — the CCNet
+    * quality-filter shape (score each document by how surprising its
+    * token stream is under an n-gram LM trained on the corpus itself;
+    * keep the low-perplexity head / drop the gibberish tail).
+    *
+    * Model: Laplace-smoothed bigram, p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V),
+    * with c(w1) summed FROM the bigram table (so rows normalize) and V =
+    * corpus-wide distinct-token count. Score: per-document mean negative
+    * log-likelihood over its bigrams (`nll`) and perplexity exp(nll).
+    *
+    * Plan shape at 100 TB: one exploded-bigram aggregation builds the
+    * model (shuffle is O(model), not O(corpus) — map-side combine
+    * collapses repeats per partition), the model re-joins BROADCAST, and
+    * the per-document mean is the only corpus-sized shuffle (map-side
+    * combined to one row per doc). `maxVocab > 0` caps the model for
+    * open vocabularies: tokens outside the top-`maxVocab` by count map to
+    * an OOV bucket BEFORE counting, bounding the model at
+    * (maxVocab+1)² regardless of corpus size. */
+  def lmPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxVocab: Int = 0): org.apache.spark.sql.DataFrame = {
+    val toks0 = df.select(col(idCol), Dedup.tokens(col(textCol)).as("__t"))
+    val toks =
+      if (maxVocab <= 0) toks0
+      else {
+        val top = toks0.select(explode(col("__t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(maxVocab)
+          .select(col("w"), lit(true).as("__keep"))
+        // map-only OOV rewrite via a broadcast membership map
+        val keepSet = map_from_arrays(
+          collect_list(col("w")), collect_list(lit(true)))
+        val kept = top.agg(keepSet.as("__m"))
+        toks0.crossJoin(broadcast(kept))
+          .select(col(idCol), transform(col("__t"),
+            t => when(col("__m")(t).isNotNull, t).otherwise(lit("<oov>")))
+            .as("__t"))
+      }
+    val bg = toks.select(col(idCol),
+      explode(Dedup.shinglesOf(col("__t"), 2)).as("bg"))
+    val model = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val uni = model.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vdf = toks.select(explode(col("__t")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("vsz"))
+    val scoredModel = model.join(uni, "w1")
+      .crossJoin(vdf)
+      .select(col("bg"),
+        ((col("c12") + 1.0) / (col("c1") + col("vsz"))).as("p"))
+    bg.join(broadcast(scoredModel), "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(col("p"))).as("__nll"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__nll"), 6).as("nll"),
+        round(exp(col("__nll")), 4).as("ppl"))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Bigram-LM perplexity scoring (quality filtering by corpus-trained
+    // n-gram LM — the CCNet shape). The oracle retrains the identical
+    // Laplace-smoothed model in SQL and replays every score, so the
+    // count plumbing, smoothing denominator, and log/exp math all
+    // hash-check. Uncapped vocabulary here (the fixture's is 31 tokens);
+    // the maxVocab OOV path is spec-tested (top-K ties are not
+    // oracle-stable by nature).
+    "t11_lm_perplexity" -> Q(
+      (s, d) => lmPerplexity(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2 + 2),
+            i -> array_to_string(toks[i:i+1], ' '))) AS bg
+          FROM t WHERE len(toks) >= 2),
+        model AS (
+          SELECT bg, count(*) AS c12, string_split(bg, ' ')[1] AS w1
+          FROM bg GROUP BY bg),
+        uni AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1),
+        v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz
+              FROM (SELECT unnest(toks) AS w FROM t)),
+        p AS (
+          SELECT m.bg, (m.c12 + 1.0) / (u.c1 + v.vsz) AS p
+          FROM model m JOIN uni u ON m.w1 = u.w1 CROSS JOIN v)
+        SELECT b.doc_id, count(*) AS n_bigrams,
+          round(avg(-ln(p.p)), 6) AS nll,
+          round(exp(avg(-ln(p.p))), 4) AS ppl
+        FROM bg b JOIN p ON b.bg = p.bg
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
 
     // Language-ID heuristic: argmax of marker-set hit counts (deterministic
     // tie-break by category name order en > sql > data > stream).

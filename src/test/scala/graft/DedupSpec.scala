@@ -60,6 +60,46 @@ class DedupSpec extends AnyFunSuite {
     assert(bigCap.count() == uncapped.count())
   }
 
+  test("passage dedup finds cross-document boilerplate windows") {
+    import spark.implicits._
+    val boiler = "all rights reserved by the example corporation"
+    val df = Seq(
+      (1L, s"doc one body text $boiler trailing content here"),
+      (2L, s"completely different opening $boiler and another ending"),
+      (3L, "no shared window in this document at all today")).toDF("doc_id", "text")
+    val hot = Dedup.passageDedup(df, "doc_id", "text",
+      window = 4, stride = 1, minDocs = 2).collect()
+    assert(hot.nonEmpty)
+    // every reported chunk really spans both docs and comes from the
+    // boilerplate span
+    assert(hot.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(hot.forall(r => boiler.contains(
+      r.getAs[String]("chunk").split(" ").head) ||
+      r.getAs[String]("chunk").split(" ").forall(boiler.contains)))
+    // the scrub application: explode windows, join the (small) hot-chunk
+    // table, flag exactly docs 1+2
+    val windows = df.select(col("doc_id"),
+      explode(Dedup.stridedShinglesOf(Dedup.tokens(col("text")), 4, 1))
+        .as("chunk"))
+    val docsHit = windows.join(
+      Dedup.passageDedup(df, "doc_id", "text", 4, 1, 2).select("chunk"),
+      "chunk").select("doc_id").distinct().as[Long].collect().toSet
+    assert(docsHit == Set(1L, 2L))
+  }
+
+  test("strided shingles: stride=k yields non-overlapping chunks") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = df.select(
+      Dedup.stridedShinglesOf(Dedup.tokens(col("text")), 2, 2).as("c"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b", "c d", "e f"))
+    val s1 = df.select(
+      Dedup.stridedShinglesOf(Dedup.tokens(col("text")), 2, 1).as("c"))
+      .as[Seq[String]].head()
+    assert(s1 == Seq("a b", "b c", "c d", "d e", "e f", "f g"))
+  }
+
   test("LSH hot-bucket guard is ON by default") {
     import spark.implicits._
     assert(Dedup.DefaultMaxBucketSize == 1000)

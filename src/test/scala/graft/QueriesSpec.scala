@@ -54,6 +54,9 @@ class QueriesSpec extends AnyFunSuite {
     "r158_ref_atq_sweep", "r15_ref_setop_agg", "r161_ref_atq_sweep",
     "r165_ref_atq_sweep", "r186_ref_atq_sweep", "r191_pt_corpus",
     "r217_pt_raw", "r219_pt_raw", "r236_ref_decorrelate",
+    // t11 = the LM's single-row vocab-size scalar cross-joined onto the
+    // (tiny, broadcast) model table
+    "t11_lm_perplexity",
     "r239a_ref_onearg_tail", "r239e_ref_onearg_tail", "r239k_ref_onearg_tail",
     "r239l_ref_onearg_tail", "r35_ref_correlated", "r41_ref_semijoin_groupby",
     "r42_ref_semijoin_having", "r46_ref_correlated_agg", "r53_ref_join_family",
