@@ -1870,9 +1870,21 @@ object PrestoSql {
       innerAggs.values.toList.map { case (a, t) => s"$t AS $a" } ++
       (if (innerGs.isEmpty) List("count(*) AS __graft_cnt") else Nil))
       .mkString(", ")
+    // ONE branch regardless of how many empty sets: separate UNION'd
+    // branches would each compute the window over their own single row
+    // (two `()` sets would both get row_number()=1); instead the inner
+    // aggregate row is replicated per empty set and the branch's window
+    // spans all replicas — exactly Presto/DuckDB's one-row-per-empty-set
+    // + window-over-the-result semantics.
+    val nEmpty = sets.count(_.isEmpty)
+    val dupJoin =
+      if (nEmpty <= 1) ""
+      else " CROSS JOIN (" + (1 to nEmpty)
+        .map(i => s"SELECT $i AS __graft_dup")
+        .mkString(" UNION ALL ") + ") __graft_dups"
     val branch = "SELECT " + outerItems.map(_.get).mkString(", ") +
       " FROM (SELECT " + innerSel + " " + deadFrom + " " + guard +
-      ") __graft_wb"
+      ") __graft_wb" + dupJoin
     val main =
       if (bareSingle)
         sql0.substring(qStart, gbKeywordEnd) + " /*graft:native*/" +
@@ -1881,8 +1893,7 @@ object PrestoSql {
         sql0.substring(qStart, gbKeywordEnd) + " /*graft:native*/ " +
           sets.map(s => "(" + s.mkString(", ") + ")")
             .mkString("GROUPING SETS (", ", ", ")") + userHaving
-    Some(sql0.substring(0, qStart) + main +
-      List.fill(sets.count(_.isEmpty))(" UNION ALL " + branch).mkString +
+    Some(sql0.substring(0, qStart) + main + " UNION ALL " + branch +
       " " + sql0.substring(tailStart))
   }
 
