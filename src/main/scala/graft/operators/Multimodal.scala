@@ -15,13 +15,20 @@ import graft.{Q, Tables}
   * codecs: PNG is lossless, so the DuckDB oracle recomputes its pixel
   * sums closed-form from the source text; JPEG is lossy, so its pixel
   * content is dimension-checked by the oracle and fidelity-bounded in
-  * MultimodalSpec. Only mp4 remains STUBBED (`decodeStub`: deterministic
-  * fake frames from payload bytes — no video codec ships with the JDK).
-  * The pipeline shape — binary column handling, the mapPartitions batch
-  * loop (the Scala analogue of mapInPandas: one iterator per partition,
-  * vectorizable batches), partitioning, and the feature-vector output
-  * contract — is identical for real and stubbed formats, so an mp4 codec
-  * drops into `decodeStub` without touching anything else.
+  * MultimodalSpec. MP4 is REAL at the CONTAINER level: `encodeMp4`/
+  * `decodeMp4` mux and demux genuine ISO-BMFF box structure (ftyp,
+  * moov/mvhd/trak/tkhd/mdia/mdhd/minf/stbl with stsd/stts/stsz/stsc/stco,
+  * mdat) from first principles — frame sampling walks the REAL stsz
+  * sample-size table and stts run-length durations, exactly what a
+  * training pipeline's frame extractor does before handing samples to a
+  * codec. Only the pixel-level video codec itself is absent (the JDK
+  * ships none); m02 histograms the demuxed mdat sample bytes instead of
+  * decoded pixels. The pipeline shape — binary column handling, the
+  * mapPartitions batch loop (the Scala analogue of mapInPandas: one
+  * iterator per partition, vectorizable batches), partitioning, and the
+  * feature-vector output contract — is identical across formats, so a
+  * video codec drops in at the mdat-sample boundary without touching
+  * anything else.
   */
 object Multimodal {
 
@@ -32,8 +39,16 @@ object Multimodal {
   case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
   case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, format: String,
-      byteLen: Int, features: Array[Float])
+      byteLen: Int, nContent: Int, features: Array[Float])
   case class FrameRow(media_id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** Demuxed ISO-BMFF facts: movie header (mvhd), media header (mdhd),
+    * track visual dims (tkhd, 16.16 fixed point), the per-sample size
+    * table (stsz), run-length-expanded sample durations (stts), and the
+    * raw media payload (mdat). */
+  case class Mp4Info(movieTimescale: Int, movieDuration: Long,
+      mediaTimescale: Int, mediaDuration: Long, width: Int, height: Int,
+      sampleSizes: Array[Int], sampleDeltas: Array[Int], mdat: Array[Byte])
 
   /** Content derivation shared by the fixture and the DuckDB oracles:
     * byte i of the synthetic image/audio signal is codepoint i%n of the
@@ -55,9 +70,12 @@ object Multimodal {
 
   /** Deterministic fixture with REAL payloads: png/jpeg rows carry genuine
     * ImageIO-encoded images of the text-derived RGB signal, wav rows carry
-    * genuine PCM-16 WAV bytes, mp4 rows carry opaque text bytes (the one
-    * stubbed format). Metadata derives from doc_id (stable across engines
-    * and runs). */
+    * genuine PCM-16 WAV bytes, mp4 rows carry genuine ISO-BMFF containers
+    * (text bytes split into nFrames mdat samples; movie timescale 600,
+    * media timescale 1000 + (id%5)*500, per-sample duration 40 ticks with
+    * a distinct 41 + id%7 final tick so stts run-length encodes to two
+    * entries). Metadata derives from doc_id (stable across engines and
+    * runs). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.t(spark, dir, "documents")
@@ -70,7 +88,16 @@ object Multimodal {
         val payload = fmt match {
           case "png" | "jpeg" => encodeImage(fmt, w, h, textBytes(text, w * h * 3))
           case "wav" => encodeWavPcm16(16000, textPcm(text))
-          case "mp4" => text.getBytes("UTF-8")
+          case "mp4" =>
+            val bytes = text.getBytes("UTF-8")
+            val nf = 8 + (id % 8).toInt
+            val deltas = Array.tabulate(nf)(f =>
+              if (f < nf - 1) 40 else 41 + (id % 7).toInt)
+            val samples = Array.tabulate(nf) { f =>
+              java.util.Arrays.copyOfRange(bytes,
+                f * bytes.length / nf, (f + 1) * bytes.length / nf)
+            }
+            encodeMp4(w, h, 600, 1000 + (id % 5).toInt * 500, deltas, samples)
         }
         MediaRow(id, payload,
           MediaMeta(fmt, w, h, if (fmt == "mp4") 8 + (id % 8).toInt else 1))
@@ -242,37 +269,181 @@ object Multimodal {
     (rate, samples)
   }
 
-  /** STUB decode for mp4 ONLY (the JDK ships no video codec): deterministic
-    * fake "pixels" from payload bytes (??? in a codec-equipped deployment:
-    * frame decode to W*H channel arrays). png/jpeg/wav/ppm decode for real
-    * above. */
-  private def decodeStub(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
-    val n = math.min(payload.length, meta.width * meta.height)
-    val out = new Array[Byte](meta.width * meta.height)
-    var i = 0
-    while (i < out.length) {
-      out(i) = if (i < n) payload(i) else (i % 251).toByte
-      i += 1
+  // --- REAL ISO-BMFF (MP4) container mux/demux, first principles. The
+  // box grammar is public (ISO/IEC 14496-12); the reference treats video
+  // as opaque varbinary, so this is an extension in the same spirit as
+  // PPM/WAV: everything a pipeline needs BEFORE a codec — sample table,
+  // durations, track dims, media payload — is genuinely parsed. ---
+
+  private def unityMatrix(bb: java.nio.ByteBuffer): Unit = {
+    bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+  }
+
+  /** Mux samples into a minimal-but-valid ISO-BMFF file:
+    * ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(vmhd,
+    * stbl(stsd/stts/stsz/stsc/stco))))) + mdat. One track, one chunk;
+    * stts is run-length-encoded from `deltas` (media-timescale ticks per
+    * sample); tkhd width/height are 16.16 fixed point; stco holds the
+    * absolute mdat payload offset. All box sizes are 32-bit big-endian. */
+  def encodeMp4(w: Int, h: Int, movieTimescale: Int, mediaTimescale: Int,
+      deltas: Array[Int], samples: Array[Array[Byte]]): Array[Byte] = {
+    require(deltas.length == samples.length && samples.nonEmpty,
+      "one duration per sample, at least one sample")
+    val nf = samples.length
+    val mediaDur = deltas.map(_.toLong).sum
+    val movieDur = mediaDur * movieTimescale / mediaTimescale
+    val stts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    deltas.foreach { d =>
+      if (stts.nonEmpty && stts.last._2 == d)
+        stts(stts.length - 1) = (stts.last._1 + 1, d)
+      else stts += ((1, d))
     }
-    out
+    val mdatLen = samples.map(_.length).sum
+    val sttsSz = 16 + 8 * stts.length
+    val stszSz = 20 + 4 * nf
+    val stsdSz = 16 + 86 // one VisualSampleEntry ('raw ')
+    val stblSz = 8 + stsdSz + sttsSz + stszSz + 28 + 20 // + stsc + stco
+    val minfSz = 8 + 20 + stblSz // vmhd + stbl
+    val mdiaSz = 8 + 32 + 33 + minfSz // mdhd + hdlr + minf
+    val trakSz = 8 + 92 + mdiaSz // tkhd + mdia
+    val moovSz = 8 + 108 + trakSz // mvhd + trak
+    val bb = java.nio.ByteBuffer.allocate(20 + moovSz + 8 + mdatLen) // BE
+    def box(sz: Int, typ: String): Unit = {
+      bb.putInt(sz); bb.put(typ.getBytes("US-ASCII"))
+    }
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    box(20, "ftyp"); fourcc("isom"); bb.putInt(0x200); fourcc("isom")
+    box(moovSz, "moov")
+    box(108, "mvhd"); bb.putInt(0) // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(movieTimescale); bb.putInt(movieDur.toInt)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    bb.putLong(0); unityMatrix(bb)
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(2) // next_track_ID
+    box(trakSz, "trak")
+    box(92, "tkhd"); bb.putInt(7) // v0; enabled | in_movie | in_preview
+    bb.putInt(0); bb.putInt(0); bb.putInt(1); bb.putInt(0) // times, id, res
+    bb.putInt(movieDur.toInt); bb.putLong(0)
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    unityMatrix(bb)
+    bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed
+    box(mdiaSz, "mdia")
+    box(32, "mdhd"); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(mediaTimescale); bb.putInt(mediaDur.toInt)
+    bb.putShort(0x55c4.toShort); bb.putShort(0) // language 'und'
+    box(33, "hdlr"); bb.putInt(0); bb.putInt(0); fourcc("vide")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.put(0.toByte)
+    box(minfSz, "minf")
+    box(20, "vmhd"); bb.putInt(1)
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    box(stblSz, "stbl")
+    box(stsdSz, "stsd"); bb.putInt(0); bb.putInt(1)
+    box(86, "raw ") // VisualSampleEntry
+    bb.putInt(0); bb.putShort(0); bb.putShort(1) // reserved, data_ref_idx
+    (0 until 4).foreach(_ => bb.putInt(0)) // pre_defined + reserved
+    bb.putShort(w.toShort); bb.putShort(h.toShort)
+    bb.putInt(0x00480000); bb.putInt(0x00480000) // 72 dpi
+    bb.putInt(0); bb.putShort(1) // reserved, frame_count
+    (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
+    bb.putShort(24); bb.putShort(-1) // depth, pre_defined
+    box(sttsSz, "stts"); bb.putInt(0); bb.putInt(stts.length)
+    stts.foreach { case (c, d) => bb.putInt(c); bb.putInt(d) }
+    box(stszSz, "stsz"); bb.putInt(0); bb.putInt(0); bb.putInt(nf)
+    samples.foreach(s => bb.putInt(s.length))
+    box(28, "stsc"); bb.putInt(0); bb.putInt(1)
+    bb.putInt(1); bb.putInt(nf); bb.putInt(1)
+    box(20, "stco"); bb.putInt(0); bb.putInt(1); bb.putInt(20 + moovSz + 8)
+    box(8 + mdatLen, "mdat")
+    samples.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Demux an ISO-BMFF payload: a real recursive box walker (siblings by
+    * 32-bit size, `1` → 64-bit largesize, `0` → to-end-of-enclosing;
+    * descends into moov/trak/mdia/minf/stbl), reading mvhd + mdhd in both
+    * version 0 and version 1 layouts, tkhd 16.16 dims, stts run-length
+    * durations, stsz (uniform or per-sample) and the mdat payload.
+    * Unknown leaf boxes are skipped by size — files with extra boxes
+    * (free, udta, codec-specific sample entries) still parse. */
+  def decodeMp4(payload: Array[Byte]): Mp4Info = {
+    val bb = java.nio.ByteBuffer.wrap(payload) // big-endian by default
+    var movTs = -1; var movDur = -1L; var medTs = -1; var medDur = -1L
+    var w = -1; var h = -1
+    var sizes: Array[Int] = null
+    var deltas: Array[Int] = null
+    var mdat: Array[Byte] = null
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        var size = bb.getInt(pos).toLong & 0xffffffffL
+        val typ = new String(payload, pos + 4, 4, "US-ASCII")
+        var hdr = 8
+        if (size == 1) { size = bb.getLong(pos + 8); hdr = 16 }
+        else if (size == 0) size = (end - pos).toLong
+        require(size >= hdr && pos + size <= end, s"corrupt box '$typ' at $pos")
+        val b = pos + hdr
+        typ match {
+          case t if containers(t) => walk(b, pos + size.toInt)
+          case "mvhd" =>
+            if ((payload(b) & 0xff) == 1) {
+              movTs = bb.getInt(b + 20); movDur = bb.getLong(b + 24)
+            } else {
+              movTs = bb.getInt(b + 12)
+              movDur = bb.getInt(b + 16).toLong & 0xffffffffL
+            }
+          case "mdhd" =>
+            if ((payload(b) & 0xff) == 1) {
+              medTs = bb.getInt(b + 20); medDur = bb.getLong(b + 24)
+            } else {
+              medTs = bb.getInt(b + 12)
+              medDur = bb.getInt(b + 16).toLong & 0xffffffffL
+            }
+          case "tkhd" =>
+            val o = if ((payload(b) & 0xff) == 1) b + 88 else b + 76
+            w = bb.getInt(o) >>> 16; h = bb.getInt(o + 4) >>> 16
+          case "stts" =>
+            val n = bb.getInt(b + 4)
+            deltas = (0 until n).flatMap { i =>
+              Seq.fill(bb.getInt(b + 8 + i * 8))(bb.getInt(b + 12 + i * 8))
+            }.toArray
+          case "stsz" =>
+            val uniform = bb.getInt(b + 4); val n = bb.getInt(b + 8)
+            sizes = if (uniform != 0) Array.fill(n)(uniform)
+              else Array.tabulate(n)(i => bb.getInt(b + 12 + i * 4))
+          case "mdat" =>
+            mdat = java.util.Arrays.copyOfRange(payload, b, pos + size.toInt)
+          case _ => () // skip unknown leaves by size
+        }
+        pos += size.toInt
+      }
+    }
+    walk(0, payload.length)
+    require(movTs > 0 && medTs > 0 && sizes != null && deltas != null &&
+      mdat != null, "missing required ISO-BMFF boxes")
+    Mp4Info(movTs, movDur, medTs, medDur, w, h, sizes, deltas, mdat)
   }
 
   /** Per-format decoded content: png/jpeg → real ImageIO pixel bytes,
     * wav → real PCM samples mapped to 16 bins by their top nibble,
-    * mp4 → stub bytes. Returns the 16-bin histogram's input as bin ids. */
+    * mp4 → REAL demuxed mdat sample bytes (the pre-codec media payload).
+    * Returns the 16-bin histogram's input as bin ids. */
   private def decodedBins(r: MediaRow): Array[Int] = r.meta.format match {
     case "png" | "jpeg" =>
       decodeImageRgb(r.payload)._3.map(b => (b & 0xff) >> 4)
     case "wav" =>
       decodeWavPcm16(r.payload)._2.map(s => (s & 0xffff) >> 12)
     case _ =>
-      decodeStub(r.payload, r.meta).map(b => (b & 0xff) >> 4)
+      decodeMp4(r.payload).mdat.map(b => (b & 0xff) >> 4)
   }
 
   /** Feature extraction: 16-bin histogram of REAL decoded content (pixels
-    * for images, samples for audio, stub frames for mp4), L1-normalized →
-    * Array[Float] embedding column. Partition-wise batch loop
-    * (mapPartitions) — the distributed shape; no driver collection. */
+    * for images, samples for audio, demuxed mdat bytes for mp4),
+    * L1-normalized → Array[Float] embedding column. Partition-wise batch
+    * loop (mapPartitions) — the distributed shape; no driver collection. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -283,22 +454,23 @@ object Multimodal {
         while (i < bins.length) { hist(bins(i)) += 1f; i += 1 }
         val total = bins.length.toFloat.max(1f)
         MediaFeatures(r.media_id, r.meta.format, r.payload.length,
-          hist.map(_ / total))
+          bins.length, hist.map(_ / total))
       }
     }
   }
 
-  /** Frame sampling for video payloads: every `stride`-th fixed-size chunk
-    * (??? in deployment: keyframe extraction). One row per sampled frame. */
+  /** Frame sampling for video payloads: demux the REAL ISO-BMFF sample
+    * table and emit every `stride`-th sample's mdat byte range (stsz
+    * sizes → cumulative offsets — the container-level frame extraction a
+    * pipeline runs before any codec). One row per sampled frame. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.format == "mp4").flatMap { r =>
-      val frameSize = math.max(1, r.payload.length / math.max(1, r.meta.nFrames))
-      (0 until r.meta.nFrames by stride).map { f =>
-        val start = f * frameSize
-        val end = math.min(r.payload.length, start + frameSize)
+      val info = decodeMp4(r.payload)
+      val offsets = info.sampleSizes.scanLeft(0)(_ + _)
+      (0 until info.sampleSizes.length by stride).map { f =>
         FrameRow(r.media_id, f,
-          java.util.Arrays.copyOfRange(r.payload, math.min(start, end), end))
+          java.util.Arrays.copyOfRange(info.mdat, offsets(f), offsets(f + 1)))
       }
     }
   }
@@ -306,8 +478,10 @@ object Multimodal {
   /** Resize. Images resample for REAL: decode via ImageIO →
     * nearest-neighbor to (w, h) → re-encode as PNG (lossless output
     * regardless of the input's codec, so chained transforms don't
-    * accumulate JPEG loss). Non-image formats (wav/mp4) keep the
-    * metadata-transform + proportional-truncation stand-in. */
+    * accumulate JPEG loss). MP4 re-muxes the container with updated tkhd
+    * track dimensions (the codec-free container-level resize annotation;
+    * sample data passes through untouched — still a VALID ISO-BMFF file).
+    * WAV keeps the metadata-transform + proportional-truncation stand-in. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
@@ -317,6 +491,15 @@ object Multimodal {
           val resized = encodeImage("png", w, h, resampleRgbNn(rgb, sw, sh, w, h))
           MediaRow(r.media_id, resized,
             MediaMeta("png", w, h, r.meta.nFrames))
+        case "mp4" =>
+          val i = decodeMp4(r.payload)
+          val offsets = i.sampleSizes.scanLeft(0)(_ + _)
+          val samples = Array.tabulate(i.sampleSizes.length)(f =>
+            java.util.Arrays.copyOfRange(i.mdat, offsets(f), offsets(f + 1)))
+          MediaRow(r.media_id,
+            encodeMp4(w, h, i.movieTimescale, i.mediaTimescale,
+              i.sampleDeltas, samples),
+            r.meta.copy(width = w, height = h))
         case _ =>
           val scale = (w.toLong * h).toDouble / (r.meta.width.toLong * r.meta.height)
           val newLen = math.max(1, math.min(r.payload.length,
@@ -377,10 +560,11 @@ object Multimodal {
         FROM d ORDER BY media_id""")),
 
     // Metadata + payload stats over the binary column. The magic bytes
-    // prove the payloads are REAL containers (PNG/JFIF/RIFF signatures);
-    // n_bytes is closed-form for the uncompressed formats (WAV = 44-byte
-    // header + 128 sample bytes; mp4 stub = text bytes) and NULL for
-    // compressed ones (a DEFLATE/JPEG stream's length isn't arithmetic —
+    // prove the payloads are REAL containers (PNG/JFIF/RIFF/ISO-BMFT ftyp
+    // signatures); n_bytes is closed-form for the uncompressed formats
+    // (WAV = 44-byte header + 128 sample bytes; mp4 = fixed box overhead
+    // + 4 bytes/sample stsz + the text-byte mdat) and NULL for compressed
+    // ones (a DEFLATE/JPEG stream's length isn't arithmetic —
     // decodability + pixel content are checked by m02/m04 instead).
     "m01_media_meta" -> Q(
       (s, d) => mediaTable(s, d).toDF()
@@ -397,29 +581,73 @@ object Multimodal {
           CAST(16 + doc_id % 48 AS INT) AS h,
           CASE CAST(doc_id % 4 AS INT)
             WHEN 2 THEN 172
-            WHEN 3 THEN CAST(octet_length(CAST(text AS BLOB)) AS INT)
+            WHEN 3 THEN CAST(555 + 4 * (8 + doc_id % 8)
+              + octet_length(CAST(text AS BLOB)) AS INT)
             ELSE NULL END AS n_bytes,
           CASE CAST(doc_id % 4 AS INT)
             WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0'
             WHEN 2 THEN '52494646'
-            ELSE upper(substr(hex(CAST(text AS BLOB)), 1, 8)) END AS magic
+            ELSE '00000014' END AS magic
         FROM documents ORDER BY media_id""")),
+
+    // REAL container demux: every ISO-BMFF fact below is parsed from the
+    // muxed boxes and replayed closed-form by the oracle from the source
+    // doc_id/text — a wrong box size, version-branch offset, 16.16 shift,
+    // stts run-length expansion, stsz table read, or mdat slice
+    // hash-fails. movie_dur exercises the cross-timescale conversion
+    // (media ticks → movie ticks, integer floor).
+    "m06_mp4_demux" -> Q(
+      (s, d) => {
+        import s.implicits._
+        mediaTable(s, d).filter(_.meta.format == "mp4")
+          .map { r =>
+            val i = decodeMp4(r.payload)
+            (r.media_id, i.movieTimescale, i.movieDuration,
+              i.mediaTimescale, i.mediaDuration, i.width, i.height,
+              i.sampleSizes.length, i.sampleSizes.max,
+              i.sampleDeltas.map(_.toLong).sum,
+              i.mdat.map(b => (b & 0xff).toLong).sum)
+          }
+          .toDF("media_id", "movie_ts", "movie_dur", "media_ts", "media_dur",
+            "w", "h", "n_samples", "max_sample", "delta_sum", "mdat_sum")
+          .orderBy("media_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id AS media_id,
+            CAST(8 + doc_id % 8 AS BIGINT) AS nf,
+            CAST(1000 + (doc_id % 5) * 500 AS INT) AS mts,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blen,
+            CAST(doc_id % 7 AS BIGINT) AS m7, text
+          FROM documents WHERE doc_id % 4 = 3)
+        SELECT media_id, CAST(600 AS INT) AS movie_ts,
+          (40 * nf + 1 + m7) * 600 // mts AS movie_dur,
+          mts AS media_ts,
+          40 * nf + 1 + m7 AS media_dur,
+          CAST(16 + media_id % 64 AS INT) AS w,
+          CAST(16 + media_id % 48 AS INT) AS h,
+          CAST(nf AS INT) AS n_samples,
+          CAST(list_max(list_transform(range(0, nf), f ->
+            (f + 1) * blen // nf - f * blen // nf)) AS INT) AS max_sample,
+          40 * nf + 1 + m7 AS delta_sum,
+          CAST(list_sum(list_transform(range(0, blen), i ->
+            ord(substr(text, CAST(i AS INT) + 1, 1)))) AS BIGINT) AS mdat_sum
+        FROM v ORDER BY media_id""")),
 
     // Decode → feature-extract pipeline over REAL decoded content:
     // png → ImageIO pixel bytes (lossless, so the oracle recomputes the
     // histogram closed-form from the source signal), wav → PCM samples
-    // binned by top nibble (closed-form), mp4 → stub bytes (closed-form
-    // by construction). jpeg decodes REAL pixels but lossily — no
-    // arithmetic replay exists, so its histogram dumps NULL here and the
-    // decode fidelity is bounded in MultimodalSpec instead. Histogram
-    // counts are recovered from the L1-normalized features: counts =
-    // f * n_content are exact integers (float32 error ≪ 0.5).
+    // binned by top nibble (closed-form), mp4 → demuxed mdat sample bytes
+    // (= the text bytes by construction — closed-form). jpeg decodes REAL
+    // pixels but lossily — no arithmetic replay exists, so its histogram
+    // dumps NULL here and the decode fidelity is bounded in MultimodalSpec
+    // instead. Histogram counts are recovered from the L1-normalized
+    // features: counts = f * n_content are exact integers (float32 error
+    // ≪ 0.5); n_content itself is the engine's decoded element count, so
+    // a demux that slices mdat wrong hash-fails here too.
     "m02_media_features" -> Q(
       (s, d) => {
-        val npx = (lit(16) + col("media_id") % 64) * (lit(16) + col("media_id") % 48)
-        val nContent = when(col("format").isin("png", "jpeg"), npx * 3)
-          .when(col("format") === "wav", lit(64))
-          .otherwise(npx)
+        val nContent = col("nContent")
         extractFeatures(mediaTable(s, d)).toDF()
           .select(col("media_id"), col("format"),
             nContent.cast("int").as("n_content"),
@@ -440,17 +668,15 @@ object Multimodal {
         px AS (
           SELECT media_id, format,
             CASE format WHEN 'png' THEN npx * 3 WHEN 'jpeg' THEN npx * 3
-              WHEN 'wav' THEN 64 ELSE npx END AS n_content,
+              WHEN 'wav' THEN 64 ELSE blen END AS n_content,
             CASE format
               WHEN 'png' THEN list_transform(range(0, npx * 3), i ->
                 (ord(substr(text, CAST(i % len AS INT) + 1, 1)) % 256) >> 4)
               WHEN 'wav' THEN list_transform(range(0, 64), i ->
                 (((ord(substr(text, CAST(i % len AS INT) + 1, 1)) % 256 - 100)
                   * 256 % 65536 + 65536) % 65536) >> 12)
-              WHEN 'mp4' THEN list_transform(range(0, npx), i ->
-                (CASE WHEN i < least(blen, npx)
-                   THEN ord(substr(text, CAST(i AS INT) + 1, 1))
-                   ELSE CAST(i % 251 AS INT) END) >> 4)
+              WHEN 'mp4' THEN list_transform(range(0, blen), i ->
+                ord(substr(text, CAST(i AS INT) + 1, 1)) >> 4)
               ELSE NULL END AS bins
           FROM m)
         SELECT media_id, format, CAST(n_content AS INT) AS n_content,
@@ -504,9 +730,11 @@ object Multimodal {
           ELSE NULL END AS px_sum
         FROM m ORDER BY media_id""")),
 
-    // Video frame sampling: per-video sampled-frame counts + byte volume.
-    // The stub chunking is pure arithmetic over (payload length, n_frames),
-    // so the oracle replicates it closed-form.
+    // Video frame sampling: per-video sampled-frame counts + byte volume,
+    // driven by the REAL stsz sample table (sample f covers mdat bytes
+    // [f*blen/nf, (f+1)*blen/nf) — the muxer's floor-split arithmetic,
+    // which the oracle replays; a demuxer that misreads stsz or slices
+    // mdat at the wrong offsets hash-fails).
     "m03_frame_sample" -> Q(
       (s, d) => sampleFrames(mediaTable(s, d), stride = 2).toDF()
         .groupBy("media_id")
@@ -516,17 +744,13 @@ object Multimodal {
       Some("""
         WITH v AS (
           SELECT doc_id AS media_id,
-            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blen,
             CAST(8 + doc_id % 8 AS BIGINT) AS nf
-          FROM documents WHERE doc_id % 4 = 3),
-        f AS (
-          SELECT media_id, len, nf, greatest(1, len // nf) AS fs
-          FROM v)
+          FROM documents WHERE doc_id % 4 = 3)
         SELECT media_id,
           CAST(len(range(0, nf, 2)) AS BIGINT) AS n_frames_sampled,
-          CAST(list_sum(list_transform(range(0, nf, 2), fr ->
-            greatest(0, least(len, fr * fs + fs) - least(fr * fs, len))))
-            AS BIGINT) AS total_bytes
-        FROM f ORDER BY media_id"""))
+          CAST(list_sum(list_transform(range(0, nf, 2), f ->
+            (f + 1) * blen // nf - f * blen // nf)) AS BIGINT) AS total_bytes
+        FROM v ORDER BY media_id"""))
   )
 }

@@ -100,9 +100,71 @@ class MultimodalSpec extends AnyFunSuite {
         case "wav" =>
           val (rate, samples) = Multimodal.decodeWavPcm16(r.payload)
           assert(rate == 16000 && samples.length == 64)
-        case "mp4" => // the one stubbed format: opaque bytes
-          assert(r.payload.nonEmpty)
+        case "mp4" => // real ISO-BMFF: ftyp signature + demuxable boxes
+          assert(new String(r.payload.slice(4, 8), "US-ASCII") == "ftyp")
+          val i = Multimodal.decodeMp4(r.payload)
+          assert(i.width == r.meta.width && i.height == r.meta.height)
+          assert(i.sampleSizes.length == r.meta.nFrames)
+          assert(i.sampleSizes.sum == i.mdat.length)
       }
+    }
+  }
+
+  test("MP4 mux/demux round-trips every box fact") {
+    val samples = Array(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
+    val deltas = Array(100, 100, 160)
+    val bytes = Multimodal.encodeMp4(320, 240, 600, 1000, deltas, samples)
+    val i = Multimodal.decodeMp4(bytes)
+    assert(i.movieTimescale == 600 && i.mediaTimescale == 1000)
+    assert(i.mediaDuration == 360 && i.movieDuration == 360L * 600 / 1000)
+    assert(i.width == 320 && i.height == 240)
+    assert(i.sampleSizes.toSeq == Seq(3, 1, 2))
+    assert(i.sampleDeltas.toSeq == deltas.toSeq)
+    assert(i.mdat.toSeq == samples.flatten.toSeq)
+  }
+
+  test("MP4 demux skips unknown boxes and handles version-1 headers") {
+    val base = Multimodal.encodeMp4(64, 48, 600, 2000,
+      Array(40, 40), Array(Array[Byte](7, 8), Array[Byte](9)))
+    // splice an unknown top-level box ('free') between ftyp and moov
+    val free = java.nio.ByteBuffer.allocate(12)
+      .putInt(12).put("free".getBytes("US-ASCII")).putInt(0xdead).array()
+    // fix up nothing else: top-level siblings are walked by size
+    val spliced = base.take(20) ++ free ++ base.drop(20)
+    val i = Multimodal.decodeMp4(spliced)
+    assert(i.width == 64 && i.mediaTimescale == 2000)
+    assert(i.mdat.toSeq == Seq[Byte](7, 8, 9))
+
+    // hand-build a version-1 mvhd inside a minimal moov next to the v0
+    // boxes the muxer wrote: verify the 64-bit duration branch
+    val v1 = java.nio.ByteBuffer.allocate(8 + 4 + 8 + 8 + 4 + 8)
+      .putInt(40).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0x01000000) // version 1
+      .putLong(0).putLong(0) // ctime, mtime (64-bit)
+      .putInt(90000) // timescale
+      .putLong(1234567890123L) // duration (64-bit)
+      .array()
+    // replace base's mvhd (108 bytes at offset 20+8) with the v1 one and
+    // shrink the moov size accordingly
+    val moovOff = 20
+    val moovSz = java.nio.ByteBuffer.wrap(base, moovOff, 4).getInt
+    val rest = base.slice(moovOff + 8 + 108, moovOff + moovSz) // trak…
+    val newMoov = java.nio.ByteBuffer.allocate(8)
+      .putInt(8 + v1.length + rest.length).put("moov".getBytes("US-ASCII"))
+      .array() ++ v1 ++ rest
+    val rebuilt = base.take(20) ++ newMoov ++ base.drop(moovOff + moovSz)
+    val j = Multimodal.decodeMp4(rebuilt)
+    assert(j.movieTimescale == 90000 && j.movieDuration == 1234567890123L)
+    assert(j.mdat.toSeq == Seq[Byte](7, 8, 9)) // mdat offset unchanged
+  }
+
+  test("MP4 resize re-muxes a valid container with new track dims") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val resized = Multimodal.resize(media, 8, 8).collect()
+    resized.filter(_.meta.format == "mp4").take(5).foreach { r =>
+      val i = Multimodal.decodeMp4(r.payload)
+      assert(i.width == 8 && i.height == 8)
+      assert(i.sampleSizes.sum == i.mdat.length)
     }
   }
 
