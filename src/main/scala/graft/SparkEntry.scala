@@ -29,7 +29,8 @@ object SparkEntry {
     _root_.graft.operators.Multimodal.queries,
     _root_.graft.operators.Events.queries,
     _root_.graft.operators.RangeJoin.queries,
-    _root_.graft.operators.Bpe.queries)
+    _root_.graft.operators.Bpe.queries,
+    _root_.graft.operators.Retrieval.queries)
 
   val all: Map[String, Q] = {
     val merged = modules.reduce(_ ++ _)

@@ -298,7 +298,91 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting algorithm): normalize to the alpha
+    * character stream, hash every k-gram (md5-unit, DuckDB-replayable),
+    * slide a w-gram window over the hash sequence and select each
+    * window's MINIMUM hash, rightmost occurrence on ties (robust
+    * winnowing), then de-duplicate selections across overlapping windows.
+    * Guarantee: any substring match of length ≥ w+k−1 shares at least one
+    * fingerprint — the property that makes this the standard local
+    * algorithm for partial-overlap detection at corpus scale.
+    *
+    * Scale: the k-gram explode is map-side; the only shuffle partitions
+    * grams by doc_id for the sliding-window min (Spark window frame
+    * ROWS [0, w−1]) — O(corpus chars), with output density 2/(w+1).
+    * The rightmost-tie argmin rides ONE window function: min over
+    * struct(h, −i) orders by hash then by LARGEST position. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"),
+        regexp_replace(lower(col(textCol)), "[^a-z]", "").as("nt"))
+      .filter(length(col("nt")) >= k + w - 1)
+    val grams = base
+      .select(col("doc_id"), (length(col("nt")) - (k - 1)).as("n"),
+        posexplode(transform(sequence(lit(0), length(col("nt")) - k),
+          i => col("nt").substr(i + lit(1), lit(k)))))
+      .select(col("doc_id"), col("n"), col("pos").as("i"),
+        md5MinHashUnit(0, col("col")).as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("mn", min(struct(col("h"), (-col("i")).as("negi"))).over(frame))
+      .filter(col("i") <= col("n") - w) // full windows only
+      .select(col("doc_id"), col("mn.h").as("fingerprint"),
+        (-col("mn.negi")).cast("long").as("pos"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Winnowing fingerprints, aggregated per document (count, xor and min
+    // of the selected hashes, sum of selected positions — the position
+    // sum pins the rightmost-tie rule and the selection windows; the
+    // DuckDB side replays the window argmin relationally via a
+    // range-join + min + rightmost-max).
+    "d14_winnowing" -> Q(
+      (s, d) => winnow(docs(s, d), "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_fp"),
+          expr("bit_xor(fingerprint)").as("fp_xor"),
+          sum(col("pos")).cast("long").as("pos_sum"),
+          min(col("fingerprint")).as("fp_min"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH nd AS (
+          SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS nt
+          FROM documents),
+        b AS (
+          SELECT doc_id, nt, length(nt) - 7 AS n
+          FROM nd WHERE length(nt) >= 11),
+        g AS (SELECT doc_id, n, unnest(range(0, n)) AS i, nt FROM b),
+        hg AS (
+          SELECT doc_id, n, i,
+            CAST(CAST('0x' || substr(md5('0:' ||
+              substr(nt, CAST(i AS INT) + 1, 8)), 1, 15) AS UBIGINT)
+              AS BIGINT) AS h
+          FROM g),
+        wj AS (
+          SELECT a.doc_id, a.i AS j, c.i AS i, c.h
+          FROM hg a JOIN hg c
+            ON a.doc_id = c.doc_id AND c.i BETWEEN a.i AND a.i + 3
+          WHERE a.i <= a.n - 4),
+        mn AS (SELECT doc_id, j, min(h) AS mh FROM wj GROUP BY doc_id, j),
+        sel AS (
+          SELECT wj.doc_id, wj.j, max(wj.i) AS pos
+          FROM wj JOIN mn
+            ON wj.doc_id = mn.doc_id AND wj.j = mn.j AND wj.h = mn.mh
+          GROUP BY wj.doc_id, wj.j),
+        fp AS (
+          SELECT DISTINCT s.doc_id, s.pos, hg.h
+          FROM sel s JOIN hg
+            ON hg.doc_id = s.doc_id AND hg.i = s.pos)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+          bit_xor(h) AS fp_xor,
+          CAST(sum(pos) AS BIGINT) AS pos_sum, min(h) AS fp_min
+        FROM fp GROUP BY doc_id ORDER BY doc_id""")),
 
     // Exact dedup on normalized text: keep the min doc_id per fingerprint.
     "d01_dedup_exact" -> Q(

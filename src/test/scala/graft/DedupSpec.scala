@@ -170,4 +170,40 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("winnowing guarantee: docs sharing a substring >= w+k-1 chars share a fingerprint") {
+    import spark.implicits._
+    // k=8, w=4: any common normalized substring of length >= 11 must
+    // produce at least one common (fingerprint) selection
+    val shared = "quickbrownfoxesjumped" // 21 alpha chars, well over 11
+    val df = Seq(
+      (1L, s"alpha $shared omega end of the first document body"),
+      (2L, s"totally unrelated preamble $shared and a different tail"),
+      (3L, "no overlap with anything else whatsoever in this one")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnow(df, "doc_id", "text").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty, "guarantee violated")
+    assert((fp(1L) intersect fp(3L)).isEmpty ||
+      (fp(1L) intersect fp(3L)).size < (fp(1L) intersect fp(2L)).size)
+  }
+
+  test("winnowing picks the rightmost minimum on ties and dedups selections") {
+    import spark.implicits._
+    // a run of one character: every k-gram hashes identically, so each
+    // window's min ties and the RIGHTMOST position wins -> selected
+    // positions are exactly w-1 .. n-1 (one per window, all same hash)
+    val df = Seq((7L, "a" * 20)).toDF("doc_id", "text") // n = 20-8+1 = 13 grams
+    val rows = Dedup.winnow(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1) // (pos, fingerprint)
+    assert(rows.map(_._1).toSeq == (3L to 12L), s"positions: ${rows.map(_._1).mkString(",")}")
+    assert(rows.map(_._2).distinct.length == 1, "all fingerprints must be the same hash")
+  }
+
+  test("winnowing density is bounded: at most one fingerprint per window start") {
+    val out = Dedup.winnow(Tables.t(spark, sf, "documents"), "doc_id", "text")
+      .groupBy("doc_id").count().collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) >= 1))
+  }
 }

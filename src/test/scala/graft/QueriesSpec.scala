@@ -44,6 +44,8 @@ class QueriesSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     // ds06 = DS q88 shape: eight SINGLE-ROW scalar subqueries cross-joined
     "ds06_bucket_counts",
+    // s10 = BM25: the 1-row (N, avgdl) corpus stats broadcast-crossed in
+    "s10_bm25",
     "e08_gap_fill", "g02_spatial_join", "p07_cosine_native", "p13_setdigest",
     "q26_join_cross", "r100_ref_bigint_sweep", "r101_ref_bigint_pairs",
     "r102_ref_boolean_sweep", "r105_ref_int_pairs", "r106_ref_int_singles",
