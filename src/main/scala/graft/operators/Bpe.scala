@@ -136,20 +136,20 @@ object Bpe {
   private def trainCtes(numMerges: Int, maxWords: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""
-      WITH wf AS (
+      WITH wf AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
           SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
           FROM documents)
         GROUP BY word ORDER BY c DESC, word LIMIT $maxWords),
-      s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS st, c FROM wf)""")
+      s0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS st, c FROM wf)""")
     for (i <- 0 until numMerges) {
       sb.append(s""",
       p$i AS (SELECT unnest(list_transform(range(1, len(string_split(trim(st),' '))), j ->
           {'l': string_split(trim(st),' ')[j], 'r': string_split(trim(st),' ')[j+1]})) AS pair, c
         FROM s$i),
-      m$i AS (SELECT pair.l AS l, pair.r AS r, CAST(SUM(c) AS BIGINT) AS cnt
+      m$i AS MATERIALIZED (SELECT pair.l AS l, pair.r AS r, CAST(SUM(c) AS BIGINT) AS cnt
         FROM p$i GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
-      s${i + 1} AS (SELECT replace(st, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' ') AS st, c
+      s${i + 1} AS MATERIALIZED (SELECT replace(st, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' ') AS st, c
         FROM s$i, m$i m)""")
     }
     sb.toString
