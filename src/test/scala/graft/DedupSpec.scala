@@ -206,4 +206,23 @@ class DedupSpec extends AnyFunSuite {
       .groupBy("doc_id").count().collect()
     assert(out.nonEmpty && out.forall(_.getLong(1) >= 1))
   }
+
+  test("winnow overlap pairs: shared-substring docs pair; hot-postings cap prunes") {
+    import spark.implicits._
+    val shared = "sharedboilerplateheaderacrossdocs" // > w+k-1 alpha chars
+    val df = Seq(
+      (1L, s"$shared plus unique body one with words"),
+      (2L, s"$shared plus other unique content two"),
+      (3L, "entirely disjoint text in the third document here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(df, "doc_id", "text",
+        minShared = 2, maxPostings = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // cap = 1: every fingerprint shared by BOTH docs is hot -> no pairs
+    val capped = Dedup.winnowOverlapPairs(df, "doc_id", "text",
+        minShared = 1, maxPostings = 1)
+      .count()
+    assert(capped == 0)
+  }
 }
