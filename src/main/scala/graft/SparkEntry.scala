@@ -30,7 +30,8 @@ object SparkEntry {
     _root_.graft.operators.Events.queries,
     _root_.graft.operators.RangeJoin.queries,
     _root_.graft.operators.Bpe.queries,
-    _root_.graft.operators.Retrieval.queries)
+    _root_.graft.operators.Retrieval.queries,
+    _root_.graft.sources.Warc.queries)
 
   val all: Map[String, Q] = {
     val merged = modules.reduce(_ ++ _)

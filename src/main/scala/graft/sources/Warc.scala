@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** WARC (Web ARChive, ISO 28500) record mux/parse from first principles —
+  * the Common Crawl container every web-scale training-data pipeline
+  * ingests. A WARC file is a concatenation of records, each:
+  *
+  *   WARC/1.0\r\n  <headers: Name: value\r\n ...>  \r\n  <Content-Length
+  *   body bytes>  \r\n\r\n
+  *
+  * Record boundaries are found by Content-Length arithmetic, NOT by
+  * scanning for delimiters (bodies may contain anything) — the parser
+  * walks the stream exactly as the spec requires, so a wrong length
+  * computation or separator handling corrupts every subsequent record
+  * and hash-fails the roundtrip oracle.
+  *
+  * Scale shape: real crawls arrive as many ~1 GB WARC files; the natural
+  * Spark mapping is one file per task (binaryFile read → parse in
+  * mapPartitions). The fixture query builds one file per shard with
+  * `groupByKey(shard).mapGroups` — the same parse path, driver-free.
+  */
+object Warc {
+
+  case class WarcRecord(headers: Map[String, String], body: Array[Byte])
+
+  /** Serialize one record; Content-Length is appended automatically. */
+  def encodeRecord(fields: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    (fields :+ ("Content-Length" -> body.length.toString)).foreach {
+      case (k, v) => sb.append(k).append(": ").append(v).append("\r\n")
+    }
+    sb.append("\r\n")
+    sb.toString.getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  /** Parse a WARC file: version line, header block to the blank line,
+    * Content-Length body slice, record separator; repeat to EOF. Unknown
+    * headers are preserved (a real parser must tolerate them). */
+  def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos + 1 < bytes.length &&
+        !(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) pos += 1
+      require(pos + 1 < bytes.length, "unterminated WARC header line")
+      val s = new String(bytes, start, pos - start, "UTF-8")
+      pos += 2
+      s
+    }
+    while (pos < bytes.length) {
+      val version = line()
+      require(version.startsWith("WARC/"), s"bad WARC version line '$version'")
+      var headers = Map.empty[String, String]
+      var l = line()
+      while (l.nonEmpty) {
+        val i = l.indexOf(':')
+        require(i > 0, s"bad WARC header '$l'")
+        headers += (l.substring(0, i).trim -> l.substring(i + 1).trim)
+        l = line()
+      }
+      val len = headers.getOrElse("Content-Length",
+        sys.error("missing Content-Length")).toInt
+      require(pos + len + 4 <= bytes.length, "truncated WARC body")
+      val body = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      pos += len
+      require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+        bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+        s"missing record separator at $pos")
+      pos += 4
+      out += WarcRecord(headers, body)
+    }
+    out.result()
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // WARC roundtrip: documents mux into one genuine multi-record WARC
+    // file per shard (records in doc_id order with response headers:
+    // record id, date, target URI), then the stream parser walks every
+    // file back and the query emits per-record facts — record index
+    // within the file (pins stream-walking order), Content-Length, body
+    // byte sum, and the parsed header values, all replayed closed-form
+    // by the oracle from the source rows. One mis-sliced body desyncs
+    // the stream and fails every later record in the shard.
+    "w01_warc_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+          .as[(Long, String, String)]
+          .groupByKey(_._1 % 8)
+          .mapGroups { (shard, it) =>
+            val bytes = it.toSeq.sortBy(_._1).toArray.flatMap {
+              case (id, text, src) =>
+                encodeRecord(Seq(
+                  "WARC-Type" -> "response",
+                  "WARC-Record-ID" -> s"<urn:uuid:doc-$id>",
+                  "WARC-Date" -> f"2026-01-${1 + id % 28}%02dT00:00:00Z",
+                  "WARC-Target-URI" -> s"https://example.com/$src/$id",
+                  "Content-Type" -> "text/plain"),
+                  text.getBytes("UTF-8"))
+            }
+            (shard.toInt, bytes)
+          }
+          .flatMap { case (shard, bytes) =>
+            parse(bytes).zipWithIndex.map { case (r, i) =>
+              val id = r.headers("WARC-Record-ID")
+                .stripPrefix("<urn:uuid:doc-").stripSuffix(">").toLong
+              (id, shard, i, r.headers("Content-Length").toInt,
+                r.body.map(b => (b & 0xff).toLong).sum,
+                r.headers("WARC-Target-URI"), r.headers("WARC-Date"))
+            }
+          }
+          .toDF("doc_id", "shard", "rec_index", "content_length",
+            "body_sum", "target_uri", "warc_date")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, source, CAST(doc_id % 8 AS INT) AS shard,
+            octet_length(CAST(text AS BLOB)) AS clen
+          FROM documents),
+        r AS (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY shard ORDER BY doc_id) - 1 AS INT) AS rec_index
+          FROM d)
+        SELECT doc_id, shard, rec_index,
+          CAST(clen AS INT) AS content_length,
+          CAST(list_sum(list_transform(range(0, clen), i ->
+            ord(substr(text, CAST(i AS INT) + 1, 1)))) AS BIGINT) AS body_sum,
+          'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR)
+            AS target_uri,
+          '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+            'T00:00:00Z' AS warc_date
+        FROM r ORDER BY doc_id"""))
+  )
+}
