@@ -76,7 +76,147 @@ object Warc {
     out.result()
   }
 
+  // --- .warc.gz: one gzip MEMBER per record, concatenated (RFC 1952
+  // multi-member — the actual Common Crawl layout; per-record members
+  // are what make crawl archives seekable via offset indexes). ---
+
+  case class GzMember(offset: Long, compressedLen: Int, crcOk: Boolean,
+      isize: Long, data: Array[Byte])
+
+  /** Compress one record as a standalone gzip member. */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(record); g.close()
+    bos.toByteArray
+  }
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** First-principles multi-member gzip splitter: parse each member's
+    * RFC 1952 header (magic, CM=8, FLG with FEXTRA/FNAME/FCOMMENT/FHCRC
+    * skipping), inflate the raw deflate stream tracking consumed bytes
+    * (member boundaries are NOT findable by scanning — compressed bytes
+    * can contain anything), then read and VERIFY the CRC32 + ISIZE
+    * trailer. Returns per-member offsets — the seekability contract a
+    * crawl-index consumer relies on. */
+  def splitGzipMembers(bytes: Array[Byte]): Seq[GzMember] = {
+    val out = Seq.newBuilder[GzMember]
+    var pos = 0
+    while (pos < bytes.length) {
+      val start = pos
+      require((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+        s"bad gzip magic at $pos")
+      require(bytes(pos + 2) == 8, "unsupported gzip compression method")
+      val flg = bytes(pos + 3) & 0xff
+      pos += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+        pos += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(pos) != 0) pos += 1; pos += 1 } // FNAME
+      if ((flg & 16) != 0) { while (bytes(pos) != 0) pos += 1; pos += 1 } // FCOMMENT
+      if ((flg & 2) != 0) pos += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true) // raw deflate
+      inf.setInput(bytes, pos, bytes.length - pos)
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(tmp)
+        if (n > 0) buf.write(tmp, 0, n)
+        else if (inf.needsInput()) sys.error(s"truncated deflate stream at $pos")
+      }
+      pos += inf.getBytesRead.toInt
+      inf.end()
+      val data = buf.toByteArray
+      require(pos + 8 <= bytes.length, "truncated gzip trailer")
+      val crc = le32(bytes, pos)
+      val isize = le32(bytes, pos + 4)
+      pos += 8
+      val c = new java.util.zip.CRC32()
+      c.update(data)
+      out += GzMember(start, pos - start, (c.getValue & 0xffffffffL) == crc,
+        isize, data)
+    }
+    out.result()
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // .warc.gz roundtrip: per-record gzip members concatenated per shard,
+    // split back by REAL RFC 1952 framing (inflate-tracked member
+    // boundaries, CRC32 verified, ISIZE read from the trailer), each
+    // member's record parsed. The oracle reconstructs every record's
+    // exact byte image in SQL and checks the gzip trailer ISIZE against
+    // it — a framing bug, header-layout drift, or CRC mishandling fails
+    // the hash. Compressed sizes are deflate-implementation-dependent
+    // and deliberately NOT emitted.
+    "w02_warc_gz" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+          .as[(Long, String, String)]
+          .groupByKey(_._1 % 8)
+          .mapGroups { (shard, it) =>
+            val bytes = it.toSeq.sortBy(_._1).toArray.flatMap {
+              case (id, text, src) =>
+                gzipMember(encodeRecord(Seq(
+                  "WARC-Type" -> "response",
+                  "WARC-Record-ID" -> s"<urn:uuid:doc-$id>",
+                  "WARC-Date" -> f"2026-01-${1 + id % 28}%02dT00:00:00Z",
+                  "WARC-Target-URI" -> s"https://example.com/$src/$id",
+                  "Content-Type" -> "text/plain"),
+                  text.getBytes("UTF-8")))
+            }
+            (shard.toInt, bytes)
+          }
+          .flatMap { case (shard, bytes) =>
+            splitGzipMembers(bytes).zipWithIndex.map { case (m, i) =>
+              val r = parse(m.data).head
+              val id = r.headers("WARC-Record-ID")
+                .stripPrefix("<urn:uuid:doc-").stripSuffix(">").toLong
+              (id, shard, i, m.crcOk, m.isize,
+                r.headers("Content-Length").toInt,
+                r.body.map(b => (b & 0xff).toLong).sum)
+            }
+          }
+          .toDF("doc_id", "shard", "member_index", "crc_ok", "isize",
+            "content_length", "body_sum")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, source, CAST(doc_id % 8 AS INT) AS shard,
+            octet_length(CAST(text AS BLOB)) AS clen
+          FROM documents),
+        r AS (
+          SELECT *,
+            CAST(row_number() OVER (
+              PARTITION BY shard ORDER BY doc_id) - 1 AS INT) AS member_index,
+            length(
+              'WARC/1.0' || chr(13) || chr(10) ||
+              'WARC-Type: response' || chr(13) || chr(10) ||
+              'WARC-Record-ID: <urn:uuid:doc-' || CAST(doc_id AS VARCHAR) ||
+              '>' || chr(13) || chr(10) ||
+              'WARC-Date: 2026-01-' ||
+              lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+              'T00:00:00Z' || chr(13) || chr(10) ||
+              'WARC-Target-URI: https://example.com/' || source || '/' ||
+              CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+              'Content-Type: text/plain' || chr(13) || chr(10) ||
+              'Content-Length: ' || CAST(clen AS VARCHAR) ||
+              chr(13) || chr(10) || chr(13) || chr(10)
+            ) + clen + 4 AS isize
+          FROM d)
+        SELECT doc_id, shard, member_index, TRUE AS crc_ok,
+          CAST(isize AS BIGINT) AS isize,
+          CAST(clen AS INT) AS content_length,
+          CAST(list_sum(list_transform(range(0, clen), i ->
+            ord(substr(text, CAST(i AS INT) + 1, 1)))) AS BIGINT) AS body_sum
+        FROM r ORDER BY doc_id""")),
 
     // WARC roundtrip: documents mux into one genuine multi-record WARC
     // file per shard (records in doc_id order with response headers:

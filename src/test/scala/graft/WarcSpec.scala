@@ -42,6 +42,47 @@ class WarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Warc.parse(noSep) }
   }
 
+  test("gzip members split at true boundaries with verified CRC and ISIZE") {
+    val a = rec(1, "first record body")
+    val b = rec(2, "second, longer record body with more bytes in it")
+    val gz = Warc.gzipMember(a) ++ Warc.gzipMember(b)
+    val ms = Warc.splitGzipMembers(gz)
+    assert(ms.length == 2)
+    assert(ms(0).offset == 0 && ms(1).offset == ms(0).compressedLen.toLong)
+    assert(ms.forall(_.crcOk))
+    assert(ms(0).isize == a.length && ms(1).isize == b.length)
+    assert(ms(0).data.toSeq == a.toSeq && ms(1).data.toSeq == b.toSeq)
+  }
+
+  test("gzip splitter skips FNAME/FEXTRA optional fields and flags bad CRC") {
+    // hand-build a member with FNAME + FEXTRA set (GZIPOutputStream never
+    // writes them, so this exercises the header-flag paths for real)
+    val payload = rec(9, "payload behind optional headers")
+    val deflater = new java.util.zip.Deflater(-1, true)
+    deflater.setInput(payload); deflater.finish()
+    val dbuf = new Array[Byte](payload.length * 2 + 64)
+    val dlen = deflater.deflate(dbuf); deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    val bb = java.nio.ByteBuffer.allocate(10 + 2 + 3 + 5 + dlen + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x1f.toByte).put(0x8b.toByte).put(8.toByte)
+      .put((4 | 8).toByte) // FLG: FEXTRA | FNAME
+      .putInt(0).put(0.toByte).put(0xff.toByte) // mtime, XFL, OS
+      .putShort(3.toShort).put(Array[Byte](1, 2, 3)) // FEXTRA: xlen + data
+      .put("name".getBytes("US-ASCII")).put(0.toByte) // FNAME, NUL-terminated
+      .put(dbuf, 0, dlen)
+      .putInt(crc.getValue.toInt).putInt(payload.length)
+    val ms = Warc.splitGzipMembers(bb.array())
+    assert(ms.length == 1 && ms.head.crcOk && ms.head.data.toSeq == payload.toSeq)
+
+    // corrupt one body byte inside the deflate stream's stored CRC: flip a
+    // trailer CRC byte instead (deterministic) -> crcOk must go false
+    val good = Warc.gzipMember(payload)
+    val bad = good.clone()
+    bad(bad.length - 6) = (bad(bad.length - 6) ^ 0x5a).toByte // CRC32 field
+    assert(!Warc.splitGzipMembers(bad).head.crcOk)
+  }
+
   test("content length is byte-exact for multi-byte UTF-8 bodies") {
     val body = "héllo — ünïcode"
     val r = Warc.parse(Warc.encodeRecord(Seq("WARC-Type" -> "response"),
