@@ -125,6 +125,84 @@ case class NormalizeString(child: Expression, form: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** HTML → text extraction for web-corpus preprocessing (the trafilatura/
+  * CCNet step that precedes every text-quality operator): a single-pass
+  * scanner that strips tags (each tag is a word separator),
+  * drops <script>/<style> element CONTENT and <!-- comments --> entirely
+  * (entities inside them must NOT decode), decodes the named entities
+  * amp/lt/gt/quot/apos/nbsp and numeric &#NN;/&#xHH; forms, and
+  * collapses whitespace runs to single spaces, trimmed. Stray '&' and
+  * unknown entities pass through literally (lenient, like real parsers). */
+case class HtmlText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(HtmlText.extract(v.toString))
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HtmlText {
+  def extract(html: String): String = {
+    val sb = new StringBuilder
+    val n = html.length
+    val lower = html.toLowerCase
+    def skipElement(from: Int, name: String): Int = {
+      val e = lower.indexOf("</" + name, from)
+      if (e < 0) n
+      else {
+        val close = html.indexOf('>', e)
+        if (close < 0) n else close + 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        sb.append(' ') // any markup boundary separates words
+        if (lower.startsWith("<!--", i)) {
+          val e = lower.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (lower.startsWith("<script", i)) i = skipElement(i, "script")
+        else if (lower.startsWith("<style", i)) i = skipElement(i, "style")
+        else {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i)
+        val dec: Option[String] =
+          if (semi > i && semi - i <= 10) {
+            html.substring(i + 1, semi) match {
+              case "amp" => Some("&")
+              case "lt" => Some("<")
+              case "gt" => Some(">")
+              case "quot" => Some("\"")
+              case "apos" => Some("'")
+              case "nbsp" => Some(" ")
+              case e if e.length > 2 && (e.startsWith("#x") || e.startsWith("#X")) =>
+                try Some(new String(Character.toChars(
+                  Integer.parseInt(e.substring(2), 16))))
+                catch { case _: Exception => None }
+              case e if e.length > 1 && e.startsWith("#") &&
+                  e.drop(1).forall(_.isDigit) =>
+                try Some(new String(Character.toChars(e.drop(1).toInt)))
+                catch { case _: Exception => None }
+              case _ => None
+            }
+          } else None
+        dec match {
+          case Some(s) => sb.append(s); i = semi + 1
+          case None => sb.append('&'); i += 1
+        }
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+}
+
 /** The PORTER2 ("English") Snowball stemmer — the algorithm behind the
   * reference's word_stem (WordStemFunction.java binds
   * org.tartarus.snowball.ext.EnglishStemmer for 'en'; the published

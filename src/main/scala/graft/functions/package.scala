@@ -51,6 +51,10 @@ package object functions {
   /** Porter-style word stem. */
   def word_stem(col: Column): Column = c(WordStem(x(col)))
 
+  /** HTML → text extraction (strip tags, drop script/style/comments,
+    * decode entities, normalize whitespace). */
+  def html_to_text(col: Column): Column = c(HtmlText(x(col)))
+
   /** Big-endian binary codecs (VarbinaryFunctions.java). */
   def to_big_endian_64(col: Column): Column = c(ToBigEndian(x(col), 64))
   def to_big_endian_32(col: Column): Column = c(ToBigEndian(x(col), 32))

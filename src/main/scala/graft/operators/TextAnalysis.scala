@@ -139,6 +139,38 @@ object TextAnalysis {
     // hash-check. Uncapped vocabulary here (the fixture's is 31 tokens);
     // the maxVocab OOV path is spec-tested (top-K ties are not
     // oracle-stable by nature).
+    // HTML → text extraction (the web-corpus preprocessing step): each
+    // document renders into a REAL html page (escaped body text, title,
+    // style/script elements, a comment, and an entity-bearing paragraph),
+    // and the HtmlText scanner extracts the text back. The oracle knows
+    // the expected extraction closed-form: title words + the original
+    // text (whitespace-normalized; escaping round-trips) + the decoded
+    // entity paragraph — a scanner that leaks script/style content,
+    // misses an entity form, or splits words on the wrong boundaries
+    // hash-fails.
+    "t14_html_extract" -> Q(
+      (s, d) => {
+        val esc = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{margin:0;}</style></head>" +
+            "<body><!-- nav chrome --><p>"),
+          esc,
+          lit("</p><script>if(1<2){var x='&amp;&lt;ignored';}</script>" +
+            "<p>score &amp; rank &lt; 10 &#65;&#x42;</p></body></html>"))
+        docs(s, d)
+          .select(col("doc_id"),
+            _root_.graft.functions.html_to_text(html).as("extracted"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+          trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+          ' score & rank < 10 AB' AS extracted
+        FROM documents ORDER BY doc_id""")),
+
     "t11_lm_perplexity" -> Q(
       (s, d) => lmPerplexity(docs(s, d), "doc_id", "text")
         .orderBy("doc_id"),
