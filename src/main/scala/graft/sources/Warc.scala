@@ -218,6 +218,65 @@ object Warc {
             ord(substr(text, CAST(i AS INT) + 1, 1)))) AS BIGINT) AS body_sum
         FROM r ORDER BY doc_id""")),
 
+    // Crawl-index seek-read (the CDX contract): per shard, build the
+    // .warc.gz, split members to get (offset, compressedLen) per record
+    // — the index a crawl store persists — then for the selected subset
+    // SEEK: slice exactly bytes[offset, offset+len) out of the file
+    // image, run the member splitter on the ISOLATED slice and parse the
+    // record it contains. Nothing about the slice can lean on stream
+    // context, so a wrong offset or length fails loudly. Emitted facts
+    // are oracle-replayable; offsets themselves are deflate-dependent
+    // and stay internal (seek_ok pins that they were byte-exact).
+    "w03_warc_seek" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+          .as[(Long, String, String)]
+          .groupByKey(_._1 % 8)
+          .flatMapGroups { (shard, it) =>
+            val bytes = it.toSeq.sortBy(_._1).toArray.flatMap {
+              case (id, text, src) =>
+                gzipMember(encodeRecord(Seq(
+                  "WARC-Type" -> "response",
+                  "WARC-Record-ID" -> s"<urn:uuid:doc-$id>",
+                  "WARC-Target-URI" -> s"https://example.com/$src/$id"),
+                  text.getBytes("UTF-8")))
+            }
+            splitGzipMembers(bytes).flatMap { m =>
+              val r = parse(m.data).head
+              val id = r.headers("WARC-Record-ID")
+                .stripPrefix("<urn:uuid:doc-").stripSuffix(">").toLong
+              if (id % 7 != 0) None // index everything; seek a subset
+              else {
+                val slice = java.util.Arrays.copyOfRange(bytes,
+                  m.offset.toInt, m.offset.toInt + m.compressedLen)
+                val again = splitGzipMembers(slice)
+                val rr = parse(again.head.data).head
+                val ok = again.length == 1 && again.head.crcOk &&
+                  rr.headers == r.headers &&
+                  java.util.Arrays.equals(again.head.data, m.data)
+                Some((id, shard.toInt, ok,
+                  rr.headers("Content-Length").toInt,
+                  rr.body.map(b => (b & 0xff).toLong).sum,
+                  rr.headers("WARC-Target-URI")))
+              }
+            }
+          }
+          .toDF("doc_id", "shard", "seek_ok", "content_length",
+            "body_sum", "target_uri")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, TRUE AS seek_ok,
+          CAST(octet_length(CAST(text AS BLOB)) AS INT) AS content_length,
+          CAST(list_sum(list_transform(
+            range(0, octet_length(CAST(text AS BLOB))), i ->
+            ord(substr(text, CAST(i AS INT) + 1, 1)))) AS BIGINT) AS body_sum,
+          'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR)
+            AS target_uri
+        FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""")),
+
     // WARC roundtrip: documents mux into one genuine multi-record WARC
     // file per shard (records in doc_id order with response headers:
     // record id, date, target URI), then the stream parser walks every
