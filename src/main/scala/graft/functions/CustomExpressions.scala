@@ -203,6 +203,90 @@ object HtmlText {
   }
 }
 
+/** Aho-Corasick multi-pattern automaton (Aho & Corasick 1975) — the
+  * blocklist/phrase-list filter a corpus pipeline runs with THOUSANDS of
+  * patterns: one pass over the text regardless of pattern count, where a
+  * contains() loop costs O(patterns × text). Built once per plan (the
+  * expression holds the automaton; tasks get it via closure broadcast).
+  * Finds ALL occurrences, including overlapping ones, via output links. */
+class AhoCorasick(patterns: Seq[String]) extends Serializable {
+  import scala.collection.mutable
+  private val gotoMap = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+  private val outBuf = mutable.ArrayBuffer(List.empty[Int])
+  // trie
+  patterns.zipWithIndex.foreach { case (p, idx) =>
+    var v = 0
+    p.foreach { ch =>
+      v = gotoMap(v).getOrElseUpdate(ch, {
+        gotoMap += mutable.HashMap.empty[Char, Int]
+        outBuf += Nil
+        gotoMap.length - 1
+      })
+    }
+    outBuf(v) = idx :: outBuf(v)
+  }
+  private val fail = new Array[Int](gotoMap.length)
+  // BFS fail links; output sets union through the fail chain
+  locally {
+    val q = mutable.Queue.empty[Int]
+    gotoMap(0).values.foreach { v => fail(v) = 0; q += v }
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      gotoMap(u).foreach { case (ch, v) =>
+        var f = fail(u)
+        while (f != 0 && !gotoMap(f).contains(ch)) f = fail(f)
+        fail(v) = if (gotoMap(f).contains(ch) && gotoMap(f)(ch) != v)
+          gotoMap(f)(ch) else 0
+        outBuf(v) = outBuf(v) ++ outBuf(fail(v))
+        q += v
+      }
+    }
+  }
+  private val gotoArr: Array[Map[Char, Int]] = gotoMap.map(_.toMap).toArray
+  private val out: Array[List[Int]] = outBuf.toArray
+  private val plen: Array[Int] = patterns.map(_.length).toArray
+
+  /** (n_matches incl. overlapping, distinct patterns hit, min start or -1). */
+  def stats(text: String): (Long, Int, Int) = {
+    var state = 0
+    var n = 0L
+    var firstPos = Int.MaxValue
+    val hit = new Array[Boolean](plen.length)
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (state != 0 && !gotoArr(state).contains(ch)) state = fail(state)
+      state = gotoArr(state).getOrElse(ch, 0)
+      out(state).foreach { idx =>
+        n += 1
+        hit(idx) = true
+        val start = i - plen(idx) + 1
+        if (start < firstPos) firstPos = start
+      }
+      i += 1
+    }
+    (n, hit.count(identity), if (firstPos == Int.MaxValue) -1 else firstPos)
+  }
+}
+
+/** Multi-pattern match statistics over a lowercased text column:
+  * struct(n_matches, n_patterns, first_pos). Patterns are plan-time
+  * constants (the blocklist); matching is case-insensitive. */
+case class MultiMatchStats(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_matches", LongType, nullable = false),
+    StructField("n_patterns", IntegerType, nullable = false),
+    StructField("first_pos", IntegerType, nullable = false)))
+  @transient private lazy val ac = new AhoCorasick(patterns.map(_.toLowerCase))
+  override protected def nullSafeEval(v: Any): Any = {
+    val (n, p, f) = ac.stats(v.toString.toLowerCase)
+    InternalRow(n, p, f)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** The PORTER2 ("English") Snowball stemmer — the algorithm behind the
   * reference's word_stem (WordStemFunction.java binds
   * org.tartarus.snowball.ext.EnglishStemmer for 'en'; the published

@@ -55,6 +55,12 @@ package object functions {
     * decode entities, normalize whitespace). */
   def html_to_text(col: Column): Column = c(HtmlText(x(col)))
 
+  /** Aho-Corasick multi-pattern statistics (case-insensitive, all
+    * occurrences incl. overlapping): struct(n_matches, n_patterns,
+    * first_pos). One text pass regardless of pattern count. */
+  def multi_match_stats(col: Column, patterns: Seq[String]): Column =
+    c(MultiMatchStats(x(col), patterns))
+
   /** Big-endian binary codecs (VarbinaryFunctions.java). */
   def to_big_endian_64(col: Column): Column = c(ToBigEndian(x(col), 64))
   def to_big_endian_32(col: Column): Column = c(ToBigEndian(x(col), 32))

@@ -130,6 +130,36 @@ object TextAnalysis {
         round(exp(col("__nll")), 4).as("ppl"))
   }
 
+  /** t15 blocklist: nested patterns to exercise overlapping matches. */
+  private val blocklistPatterns = Seq("scan", "can", "an", "join", "in", "data")
+
+  /** DuckDB replay: per pattern, brute-force all 0-based occurrence
+    * positions with a list comprehension, then aggregate counts / hit
+    * flags / min position across patterns. */
+  private def blocklistOracle: String = {
+    val occ = blocklistPatterns.zipWithIndex.map { case (p, i) =>
+      s"""list_filter(range(0, length(lt) - ${p.length} + 1), i ->
+         substr(lt, CAST(i AS INT) + 1, ${p.length}) = '$p') AS o$i"""
+    }.mkString(",\n          ")
+    val idx = blocklistPatterns.indices
+    val total = idx.map(i => s"len(o$i)").mkString(" + ")
+    val hits = idx.map(i => s"(CASE WHEN len(o$i) > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val mins = idx.map(i => s"coalesce(list_min(o$i), 2000000000)")
+      .mkString(", ")
+    s"""
+      WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+      o AS (SELECT doc_id,
+          $occ
+        FROM t)
+      SELECT doc_id,
+        CAST($total AS BIGINT) AS n_matches,
+        CAST($hits AS INT) AS n_patterns,
+        CAST(CASE WHEN $total = 0 THEN -1
+          ELSE least($mins) END AS INT) AS first_pos
+      FROM o ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Bigram-LM perplexity scoring (quality filtering by corpus-trained
@@ -139,6 +169,28 @@ object TextAnalysis {
     // hash-check. Uncapped vocabulary here (the fixture's is 31 tokens);
     // the maxVocab OOV path is spec-tested (top-K ties are not
     // oracle-stable by nature).
+    // Blocklist / phrase-list matching via a REAL Aho-Corasick automaton
+    // (one text pass regardless of pattern count — the only shape that
+    // survives a thousands-of-phrases filter list at corpus scale; a
+    // contains() loop is O(patterns × text)). The pattern set nests
+    // ("an" inside "scan", "in" inside "join") so overlapping and nested
+    // occurrences are exercised; the oracle recounts every pattern's
+    // occurrence positions by brute force in SQL — a missed output link,
+    // wrong fail transition, or off-by-one start position hash-fails.
+    "t15_blocklist_match" -> Q(
+      (s, d) => {
+        val st = _root_.graft.functions.multi_match_stats(
+          col("text"), blocklistPatterns)
+        docs(s, d)
+          .select(col("doc_id"), st.as("st"))
+          .select(col("doc_id"),
+            col("st.n_matches").as("n_matches"),
+            col("st.n_patterns").as("n_patterns"),
+            col("st.first_pos").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some(blocklistOracle)),
+
     // HTML → text extraction (the web-corpus preprocessing step): each
     // document renders into a REAL html page (escaped body text, title,
     // style/script elements, a comment, and an entity-bearing paragraph),
