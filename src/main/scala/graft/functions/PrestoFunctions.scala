@@ -347,6 +347,14 @@ object PrestoFunctions {
         case Literal(s, StringType) if s != null => s.toString
       }.getOrElse("NFC"))),
     "word_stem" -> (e => WordStem(e.head)),
+    // graft extensions (not reference names): web-corpus preprocessing
+    // scalars, SQL-callable for Engine/extension users.
+    "html_to_text" -> (e => HtmlText(e.head)),
+    "multi_match_stats" -> (e => MultiMatchStats(e.head, e.drop(1).map {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"multi_match_stats patterns must be string literals, got $other")
+    })),
     // --- math (MathFunctions.java) ---
     // SIGNED base conversion (Long.toString/parseLong, lowercase) —
     // Spark's conv() is unsigned 64-bit, so negatives round-trip wrong.

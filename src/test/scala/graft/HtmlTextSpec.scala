@@ -37,4 +37,18 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(extract("<html><head><title>T</title></head><body>B</body></html>")
       == "T B")
   }
+
+  test("html_to_text and multi_match_stats are SQL-callable via the Engine") {
+    import TestSession._
+    val e = Engine(spark)
+    val t = e.sql("SELECT html_to_text('<p>a &amp; b</p><script>x</script>') AS t")
+      .collect()(0).getString(0)
+    assert(t == "a & b", t)
+    val r = e.sql(
+      "SELECT multi_match_stats('Join the scan', 'join', 'scan', 'an') AS s")
+      .collect()(0).getStruct(0)
+    assert(r.getAs[Long]("n_matches") == 3L)
+    assert(r.getAs[Int]("n_patterns") == 3)
+    assert(r.getAs[Int]("first_pos") == 0)
+  }
 }
