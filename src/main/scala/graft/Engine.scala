@@ -1433,6 +1433,13 @@ class Engine(parent: SparkSession) {
               if child.resolved && graft.functions.Ttz.isTtz(child.dataType) =>
             changed = true
             graft.functions.TtzToString(child)
+          // plain TIME renders 'HH:mm:ss.SSS' — always 3 fractional digits
+          // (TimeOperators.castToSlice); Spark strips trailing zeros
+          case c @ Cast(child, StringType, _, _)
+              if child.resolved &&
+                child.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType] =>
+            changed = true
+            graft.functions.TimeToString(child)
           // instants only, including tstz NESTED in rows/arrays
           // (RowOperators compares fields with the type's own operator)
           case cmp: BinaryComparison
@@ -1972,7 +1979,10 @@ class Engine(parent: SparkSession) {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val df = this.sql(query)
-    df.collect()
+    // Drive execution WITHOUT collecting: pull every row through the plan
+    // on the executors and discard it — runtime metrics populate
+    // identically, and a 100 TB result can't OOM the driver.
+    df.queryExecution.toRdd.foreach(_ => ())
     val plan = df.queryExecution.executedPlan
     // AQE hides executed subtrees behind AdaptiveSparkPlanExec/QueryStageExec
     // (childless in the traversal API) — unwrap explicitly

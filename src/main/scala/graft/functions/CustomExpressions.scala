@@ -155,6 +155,16 @@ object HtmlText {
         if (close < 0) n else close + 1
       }
     }
+    // A real tag name ends at '>', '/', or whitespace — '<scripty>' and
+    // '<styled-box>' are ordinary tags, not script/style elements.
+    def tagAt(i: Int, name: String): Boolean =
+      lower.startsWith("<" + name, i) && {
+        val j = i + 1 + name.length
+        j >= n || {
+          val ch = html.charAt(j)
+          ch == '>' || ch == '/' || Character.isWhitespace(ch)
+        }
+      }
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -163,8 +173,8 @@ object HtmlText {
         if (lower.startsWith("<!--", i)) {
           val e = lower.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
-        } else if (lower.startsWith("<script", i)) i = skipElement(i, "script")
-        else if (lower.startsWith("<style", i)) i = skipElement(i, "style")
+        } else if (tagAt(i, "script")) i = skipElement(i, "script")
+        else if (tagAt(i, "style")) i = skipElement(i, "style")
         else {
           val e = html.indexOf('>', i)
           i = if (e < 0) n else e + 1
@@ -278,9 +288,12 @@ case class MultiMatchStats(child: Expression, patterns: Seq[String])
     StructField("n_matches", LongType, nullable = false),
     StructField("n_patterns", IntegerType, nullable = false),
     StructField("first_pos", IntegerType, nullable = false)))
-  @transient private lazy val ac = new AhoCorasick(patterns.map(_.toLowerCase))
+  // Locale.ROOT: default-locale lowercasing is locale-sensitive (Turkish
+  // 'I' → dotless 'ı' would silently stop matching 'in'/'join' patterns)
+  @transient private lazy val ac =
+    new AhoCorasick(patterns.map(_.toLowerCase(java.util.Locale.ROOT)))
   override protected def nullSafeEval(v: Any): Any = {
-    val (n, p, f) = ac.stats(v.toString.toLowerCase)
+    val (n, p, f) = ac.stats(v.toString.toLowerCase(java.util.Locale.ROOT))
     InternalRow(n, p, f)
   }
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -117,6 +117,24 @@ case class TtzToString(child: Expression)
     copy(child = c)
 }
 
+/** CAST(TIME AS VARCHAR): fixed 'HH:mm:ss.SSS' — the reference always
+  * renders TIME with exactly three fractional digits
+  * (MAIN/util/DateTimeUtils.java TIME_FORMATTER / TimeOperators
+  * castToSlice); Spark's native TIME→STRING cast strips trailing
+  * fractional zeros ('….680' → '….68'). */
+case class TimeToString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val m = v.asInstanceOf[Long] / 1000000L // nanos-of-day → millis-of-day
+    UTF8String.fromString("%02d:%02d:%02d.%03d".format(
+      m / 3600000L, m / 60000L % 60, m / 1000L % 60, m % 1000L))
+  }
+  override protected def withNewChildInternal(c: Expression): TimeToString =
+    copy(child = c)
+}
+
 /** Type-dispatched builder behind graft_to_ttz / CAST(x AS TIME WITH TIME
   * ZONE): string parses; TIME coerces at the session zone (UTC Engine
   * sessions — wall == UTC millis); tstz keeps (instant's time-of-day at

@@ -149,8 +149,9 @@ object Bpe {
         FROM s$i),
       m$i AS MATERIALIZED (SELECT pair.l AS l, pair.r AS r, CAST(SUM(c) AS BIGINT) AS cnt
         FROM p$i GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
-      s${i + 1} AS MATERIALIZED (SELECT replace(st, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' ') AS st, c
-        FROM s$i, m$i m)""")
+      s${i + 1} AS MATERIALIZED (SELECT CASE WHEN m.l IS NULL THEN st
+          ELSE replace(st, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' ') END AS st, c
+        FROM s$i LEFT JOIN m$i m ON TRUE)""")
     }
     sb.toString
   }
@@ -198,8 +199,9 @@ object Bpe {
         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS st FROM w)""" +
         (0 until numMerges).map(i => s""",
       e${i + 1} AS (SELECT doc_id, wi,
-        replace(st, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' ') AS st
-        FROM e$i, m$i m)""").mkString + s""",
+        CASE WHEN m.l IS NULL THEN st
+          ELSE replace(st, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' ') END AS st
+        FROM e$i LEFT JOIN m$i m ON TRUE)""").mkString + s""",
       tok AS (SELECT doc_id, wi, string_split(trim(st), ' ') AS toks
         FROM e$numMerges),
       flat AS (SELECT doc_id, wi, generate_subscripts(toks, 1) AS ti,

@@ -218,9 +218,8 @@ object TextAnalysis {
       },
       Some("""
         SELECT doc_id,
-          'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
-          trim(regexp_replace(text, '\s+', ' ', 'g')) ||
-          ' score & rank < 10 AB' AS extracted
+          trim(regexp_replace('doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+            text || ' score & rank < 10 AB', '\s+', ' ', 'g')) AS extracted
         FROM documents ORDER BY doc_id""")),
 
     "t11_lm_perplexity" -> Q(

@@ -149,6 +149,11 @@ class ColumnApiSpec extends AnyFunSuite {
       "SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus")
     assert(analyzed.contains("Runtime metrics"), analyzed.take(300))
     assert(analyzed.contains("numOutputRows="), analyzed.take(2000))
+    // Metrics must populate WITHOUT collecting the result to the driver:
+    // a full-width unaggregated result (the 100 TB shape) still reports.
+    val wide = e.explainAnalyze("SELECT * FROM orders CROSS JOIN nation")
+    assert(wide.contains("Runtime metrics"), wide.take(300))
+    assert(wide.contains("numOutputRows="), wide.take(2000))
   }
 
   test("Engine CTAS writes, commits, and registers the table") {

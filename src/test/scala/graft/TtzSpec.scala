@@ -103,14 +103,13 @@ class TtzSpec extends AnyFunSuite {
   }
 
   test("current_time is TIME WITH TIME ZONE at the session zone; localtime stays TIME") {
-    // bare keyword AND callable forms; ms precision (Presto TIME is ms).
-    // Spark's TIME varchar rendering strips trailing fractional zeros
-    // (….680 → ….68, ….000 → no fraction), so accept 0-3 digits — the
-    // fixed form flaked whenever the wall-clock millis ended in 0.
+    // bare keyword AND callable forms; ms precision (Presto TIME is ms),
+    // rendered with EXACTLY 3 fractional digits (TimeOperators.castToSlice
+    // via DateTimeUtils.TIME_FORMATTER) — TimeToString pads.
     val ct = one("cast(current_time as varchar)").toString
-    assert(ct.matches("\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,3})? UTC"), ct)
+    assert(ct.matches("\\d{2}:\\d{2}:\\d{2}\\.\\d{3} UTC"), ct)
     val lt = one("cast(localtime as varchar)").toString
-    assert(lt.matches("\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,3})?"), lt)
+    assert(lt.matches("\\d{2}:\\d{2}:\\d{2}\\.\\d{3}"), lt)
     // ttz-typed: timezone_hour works on it (would fail on plain TIME)
     assert(one("timezone_hour(current_time)") == 0L)
   }
