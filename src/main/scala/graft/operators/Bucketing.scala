@@ -25,6 +25,74 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  // ── Persisted bucketed layouts (grouped execution à la
+  // presto-hive/.../HiveBucketing.java + SPI ConnectorTablePartitioning:
+  // a table stored pre-hashed on its key executes joins/aggregations on
+  // that key with NO exchange). The layout lives as plain parquet files
+  // with Spark's bucket-id file naming plus a small marker file, so ANY
+  // later session — a different JVM, a cluster — re-registers it with
+  // one DDL statement and gets exchange-free plans. ──
+
+  private val MARKER = "_graft_bucketspec"
+
+  /** Persist `df` as an external bucketed layout at `layoutDir/name_b`.
+    * `repartition(buckets, key)` first so each task holds exactly one
+    * bucket (repartition and bucketBy share murmur3-pmod hashing):
+    * one file per bucket, which also makes the sorted output ordering
+    * usable by the scan. */
+  def persistBucketed(spark: SparkSession, df: DataFrame, layoutDir: String,
+      name: String, key: String, buckets: Int): Unit = {
+    val loc = s"$layoutDir/${name}_b"
+    val stage = s"graft_stage_${name}_b"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", loc)
+      .format("parquet")
+      .saveAsTable(stage)
+    spark.sql(s"DROP TABLE $stage") // external: files stay
+    val marker = java.nio.file.Paths.get(loc, MARKER)
+    java.nio.file.Files.write(marker,
+      s"key=$key\nbuckets=$buckets\n".getBytes("UTF-8"))
+  }
+
+  /** Re-register a persisted bucketed layout in THIS session's catalog
+    * (idempotent; schema read from the parquet footers). Returns the
+    * catalog table name, or None when no layout exists for `name`. */
+  def registerBucketed(spark: SparkSession, layoutDir: String,
+      name: String): Option[String] = {
+    val loc = s"$layoutDir/${name}_b"
+    val marker = java.nio.file.Paths.get(loc, MARKER)
+    if (!java.nio.file.Files.isRegularFile(marker)) return None
+    val props = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      .linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+    val (key, buckets) = (props("key"), props("buckets").toInt)
+    val tbl = s"graft_bucketed_$name"
+    if (!spark.catalog.tableExists(tbl)) {
+      val schema = spark.read.parquet(loc).schema.toDDL
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS $tbl ($schema) USING parquet
+        CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+        LOCATION '$loc'""")
+    }
+    Some(tbl)
+  }
+
+  /** Bucketed-layout redirect for [[graft.Tables]]: when the session sets
+    * `spark.graft.bucketedDir` and that directory holds a persisted layout
+    * for `name`, serve the bucketed catalog table instead of the flat
+    * parquet — every query keyed on the bucket column then plans its
+    * joins/aggregates exchange-free. */
+  def redirect(spark: SparkSession, name: String): Option[DataFrame] = {
+    val layout =
+      try spark.conf.get("spark.graft.bucketedDir", "")
+      catch { case _: Exception => "" }
+    if (layout.isEmpty) None
+    else registerBucketed(spark, layout, name).map(spark.table)
+  }
+
   /** Stage orders+lineitem as co-bucketed tables (idempotent per session). */
   def stageOrdersLineitem(spark: SparkSession, dir: String,
       buckets: Int = 8): Unit = {

@@ -36,4 +36,50 @@ class BucketingSpec extends AnyFunSuite {
     val plain = SparkEntry.all("q20_join_inner").fn(spark, sf).collect()
     assert(bucketed.sameElements(plain))
   }
+
+  test("persisted layout: redirect serves bucketed tables; h18 shape plans " +
+      "with zero Exchange and identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketlayout").toString
+    Bucketing.persistBucketed(spark,
+      Tables.t(spark, sf, "orders"), dir, "orders", "o_orderkey", 4)
+    Bucketing.persistBucketed(spark,
+      Tables.t(spark, sf, "lineitem"), dir, "lineitem", "l_orderkey", 4)
+    // one file per bucket (repartition aligned with bucketBy hashing)
+    val files = new java.io.File(s"$dir/lineitem_b")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 bucket files, got $files")
+
+    def h18Core(ord: org.apache.spark.sql.DataFrame,
+        li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+
+    val plain = h18Core(Tables.t(spark, sf, "orders"),
+      Tables.t(spark, sf, "lineitem"))
+      .collect().sortBy(_.getLong(0))
+
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.graft.bucketedDir", dir)
+      val li = Tables.t(spark, sf, "lineitem")
+      // the redirect serves the catalog table, not the flat parquet file
+      assert(li.queryExecution.logical.toString.contains("graft_bucketed_lineitem"),
+        li.queryExecution.logical.toString.take(300))
+      val q = h18Core(Tables.t(spark, sf, "orders"), li)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed h18 shape must plan join AND aggregate exchange-free:\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      val bucketed = q.collect().sortBy(_.getLong(0))
+      assert(bucketed.sameElements(plain))
+    } finally {
+      spark.conf.unset("spark.graft.bucketedDir")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }

@@ -90,4 +90,30 @@ class WarcSpec extends AnyFunSuite {
     assert(r.headers("Content-Length").toInt == body.getBytes("UTF-8").length)
     assert(new String(r.body, "UTF-8") == body)
   }
+
+  test("Warc.read ingests .warc and multi-member .warc.gz files from disk") {
+    import TestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcfiles")
+    // two plain .warc files and one multi-member .warc.gz
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      rec(1, "alpha") ++ rec(2, "beta"))
+    java.nio.file.Files.write(dir.resolve("b.warc"), rec(3, "gamma"))
+    java.nio.file.Files.write(dir.resolve("c.warc.gz"),
+      Warc.gzipMember(rec(4, "delta")) ++ Warc.gzipMember(rec(5, "epsilon")))
+
+    val rows = Warc.read(spark, dir.toString + "/*")
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1),
+        r.getMap[String, String](2)("WARC-Record-ID"),
+        new String(r.getAs[Array[Byte]](3), "UTF-8")))
+      .sortBy(_._3)
+    assert(rows.length == 5)
+    assert(rows.map(_._4).toSeq ==
+      Seq("alpha", "beta", "gamma", "delta", "epsilon"))
+    // record_index counts WITHIN each file, gz members split correctly
+    assert(rows.collect { case (f, i, _, b) if f == "a.warc" => (i, b) }.toSeq
+      == Seq((0, "alpha"), (1, "beta")))
+    assert(rows.collect { case (f, i, _, b) if f == "c.warc.gz" => (i, b) }.toSeq
+      == Seq((0, "delta"), (1, "epsilon")))
+  }
 }
