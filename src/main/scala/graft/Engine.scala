@@ -479,6 +479,14 @@ class Engine(parent: SparkSession) {
         else if (isTt(c)) { changed = true; graft.functions.TtzToTimestamp(c) }
         else c))
     val fixed = analyzed.transformAllExpressions {
+      // ── IPADDRESS (functions/IpAddress.scala) ──
+      // struct-tagged ip → varbinary is the raw 16 bytes (Spark refuses
+      // struct→binary casts at analysis, so the rewrite lives on this
+      // retry path)
+      case Cast(child, org.apache.spark.sql.types.BinaryType, _, _)
+          if child.resolved && graft.functions.IpAddr.isIp(child.dataType) =>
+        changed = true
+        graft.functions.IpAddr.bytes(child)
       // ── TIME WITH TIME ZONE (functions/Ttz.scala) ──
       // ttz − ttz → interval day-time on millisUtc
       case Subtract(l, r, _) if isTt(l) && isTt(r) =>
@@ -1440,6 +1448,16 @@ class Engine(parent: SparkSession) {
                 child.dataType.isInstanceOf[org.apache.spark.sql.types.TimeType] =>
             changed = true
             graft.functions.TimeToString(child)
+          // ipaddress renders RFC 5952 canonical text; → varbinary is the
+          // raw 16 bytes (IpAddressOperators casts)
+          case c @ Cast(child, StringType, _, _)
+              if child.resolved && graft.functions.IpAddr.isIp(child.dataType) =>
+            changed = true
+            graft.functions.IpToString(child)
+          case c @ Cast(child, org.apache.spark.sql.types.BinaryType, _, _)
+              if child.resolved && graft.functions.IpAddr.isIp(child.dataType) =>
+            changed = true
+            graft.functions.IpAddr.bytes(child)
           // instants only, including tstz NESTED in rows/arrays
           // (RowOperators compares fields with the type's own operator)
           case cmp: BinaryComparison

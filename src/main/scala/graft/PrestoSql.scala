@@ -339,7 +339,7 @@ object PrestoSql {
   private def typedLiterals(sql: String): String = {
     val mask = maskLiterals(sql)
     val m = java.util.regex.Pattern.compile(
-      "(?i)\\b(SMALLINT|TINYINT|BIGINT|INTEGER|INT|REAL|DOUBLE|BOOLEAN|VARCHAR|CHAR|JSON)\\s*'")
+      "(?i)\\b(SMALLINT|TINYINT|BIGINT|INTEGER|INT|REAL|DOUBLE|BOOLEAN|VARCHAR|CHAR|JSON|IPADDRESS)\\s*'")
       .matcher(mask)
     if (!m.find()) return sql
     var i = m.end() // first char after the opening quote (blanked on mask)
@@ -348,6 +348,7 @@ object PrestoSql {
     val t = m.group(1).toUpperCase(java.util.Locale.ROOT)
     val repl = t match {
       case "JSON" => s"json_parse($lit)"
+      case "IPADDRESS" => s"graft_to_ipaddress($lit)"
       // CHAR 'x  ' is char(n) of the literal's length — the written text IS
       // the padded representation; mark it so comparisons trim (Chars.java)
       case "CHAR" => s"graft_char_mark(CAST($lit AS STRING))"
@@ -680,6 +681,55 @@ object PrestoSql {
     val inner = s"graft_to_ttz($body)"
     val repl = if (kw == "TRY_CAST") s"try($inner)" else inner
     castTtz(sql.substring(0, ws) + repl + sql.substring(m.end()))
+  }
+
+  /** Presto spells the binary type VARBINARY (SqlBase.g4 baseType); Spark
+    * spells it BINARY — map the bare type name outside literals. */
+  private def varbinaryType(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bVARBINARY\\b").matcher(mask)
+    val out = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      out.append(sql.substring(last, m.start())).append("BINARY")
+      last = m.end()
+    }
+    out.append(sql.substring(last)).toString
+  }
+
+  /** `CAST(x AS IPADDRESS)` → graft_to_ipaddress(x) (same paren-walk as
+    * castTtz; functions/IpAddress.scala). */
+  private def castIpAddress(sql: String): String = {
+    val mask = maskLiterals(sql)
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bAS\\s+IPADDRESS\\s*\\)").matcher(mask)
+    if (!m.find()) return sql
+    var depth = 0
+    var p = m.start() - 1
+    var open = -1
+    while (p >= 0 && open < 0) {
+      mask(p) match {
+        case ')' => depth += 1
+        case '(' => if (depth == 0) open = p else depth -= 1
+        case _ =>
+      }
+      p -= 1
+    }
+    if (open < 0) return sql
+    var w = open
+    while (w > 0 && mask(w - 1).isWhitespace) w -= 1
+    val ws = {
+      var k = w
+      while (k > 0 && (mask(k - 1).isLetterOrDigit || mask(k - 1) == '_')) k -= 1
+      k
+    }
+    val kw = mask.substring(ws, w).toUpperCase(java.util.Locale.ROOT)
+    if (kw != "CAST" && kw != "TRY_CAST") return sql
+    val body = sql.substring(open + 1, m.start())
+    val inner = s"graft_to_ipaddress($body)"
+    val repl = if (kw == "TRY_CAST") s"try($inner)" else inner
+    castIpAddress(sql.substring(0, ws) + repl + sql.substring(m.end()))
   }
 
   /** `X AT TIME ZONE Z` (SqlBase.g4 AT timeZoneSpecifier;
@@ -2204,9 +2254,9 @@ object PrestoSql {
 
   def rewrite(sql0: String): String = {
     val sql = likeNoEscape(escapeNull(defaultNullOrdering(dynamicFrames(dynamicWindowArgs(stripNeutralFrames(minMaxDistinct(extractFields(groupByForms(orderedAggs(
-      quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(castTstz(castTtz(atTimeZone(tstzLiterals(ttzLiterals(typedLiterals(
+      quantifiedCmp(countStar(tablesample(inValues(castChar(castJson(castIpAddress(varbinaryType(castTstz(castTtz(atTimeZone(tstzLiterals(ttzLiterals(typedLiterals(
         dateAddUnit(normalizeForms(substringFrom(unwrapLateralParens(unnest(rowTypes(niladicSpecials(sql0)),
-          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))))))))))
+          new java.util.concurrent.atomic.AtomicLong(0))))))))))))))))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     // positions (in `out`) of '[' brackets opened: true = converted ARRAY[
     var stack = List.empty[Boolean]

@@ -471,6 +471,7 @@ object PrestoFunctions {
     "graft_to_tstz" -> (e => GraftToTstz(e.head)),
     // TIME WITH TIME ZONE (functions/Ttz.scala): literals + CAST routing
     "graft_to_ttz" -> (e => TtzCast(e.head)),
+    "graft_to_ipaddress" -> (e => IpCast(e.head)),
     "graft_at_timezone" -> (e => GraftAtTimezone(e(0), e(1))),
     "with_timezone" -> (e => GraftWithTimezone(e(0), e(1))),
     // Presto date_add('unit', n, ts) / date_diff('unit', from, to): Spark's
@@ -547,29 +548,55 @@ object PrestoFunctions {
         Seq(StringType, LongType), propagateNull = true,
         returnNullable = true)),
     // --- regex (JoniRegexpFunctions.java) ---
-    "regexp_like" -> (e => RLike(e(0), e(1))),
+    // spark.graft.regex.maxSteps > 0 (read at resolution) routes the
+    // family through steps-bounded evaluators (functions/SafeRegex.scala)
+    // — the reference's FeaturesConfig RegexLibrary defense re-expressed;
+    // 0 (default) keeps Spark's codegen'd builtins on the hot path.
+    "regexp_like" -> (e => {
+      val st = SafeRegex.confSteps
+      if (st > 0) BoundedRegexpLike(e(0), e(1), st) else RLike(e(0), e(1))
+    }),
     // regex semantics — must NOT route through the literal-split shim
     // (fn("split") would resolve to the shadowing temp registration).
-    "regexp_split" -> (e =>
-      StringSplit(e(0), e(1), if (e.length > 2) e(2) else lit(-1))),
+    "regexp_split" -> (e => {
+      val st = SafeRegex.confSteps
+      val lim = if (e.length > 2) e(2) else lit(-1)
+      if (st > 0) BoundedRegexpSplit(e(0), e(1), lim, st)
+      else StringSplit(e(0), e(1), lim)
+    }),
     // 2-arg form strips matches; 3-arg with a lambda replaces each match by
     // the lambda of its capture groups (JoniRegexpFunctions.java). RegExp
     // Replace constructed directly — the builtin name is shadowed by this
-    // very entry.
-    "regexp_replace" -> (e =>
-      if (e.length == 2) RegExpReplace(e(0), e(1), Literal(""))
+    // very entry. (The lambda variant stays unbounded — its per-match
+    // lambda already bounds work per match.)
+    "regexp_replace" -> (e => {
+      val st = SafeRegex.confSteps
+      if (e.length == 2)
+        if (st > 0) BoundedRegexpReplace(e(0), e(1), Literal(""), st)
+        else RegExpReplace(e(0), e(1), Literal(""))
       else e(2) match {
         case _: LambdaFunction => RegexpReplaceLambda(e(0), e(1), e(2))
-        case repl => RegExpReplace(e(0), e(1), repl)
-      }),
+        case repl =>
+          if (st > 0) BoundedRegexpReplace(e(0), e(1), repl, st)
+          else RegExpReplace(e(0), e(1), repl)
+      }
+    }),
     // Presto's 2-arg form returns the WHOLE match (group 0) and NULL when
     // nothing matches (JoniRegexpFunctions regexpExtract); Spark defaults
     // to group 1 and returns '' on no match.
-    "regexp_extract" -> (e => If(RLike(e(0), e(1)),
-      RegExpExtract(e(0), e(1), if (e.length > 2) e(2) else lit(0)),
-      Literal(null, StringType))),
-    "regexp_extract_all" -> (e =>
-      RegExpExtractAll(e(0), e(1), if (e.length > 2) e(2) else lit(0))),
+    "regexp_extract" -> (e => {
+      val st = SafeRegex.confSteps
+      val g = if (e.length > 2) e(2) else lit(0)
+      if (st > 0) BoundedRegexpExtract(e(0), e(1), g, st)
+      else If(RLike(e(0), e(1)), RegExpExtract(e(0), e(1), g),
+        Literal(null, StringType))
+    }),
+    "regexp_extract_all" -> (e => {
+      val st = SafeRegex.confSteps
+      val g = if (e.length > 2) e(2) else lit(0)
+      if (st > 0) BoundedRegexpExtractAll(e(0), e(1), g, st)
+      else RegExpExtractAll(e(0), e(1), g)
+    }),
     "zip" -> (e => fn("arrays_zip", e)),
     // --- binary/hash (VarbinaryFunctions.java) ---
     "to_hex" -> (e => fn("hex", e)),

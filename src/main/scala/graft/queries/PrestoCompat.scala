@@ -164,6 +164,47 @@ object PrestoCompat {
           round(quantile_cont(l_extendedprice, 0.25), 6) AS wq25
         FROM expanded GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // IPADDRESS type surface (SPI/type/IpAddressType.java,
+    // MAIN/type/IpAddressOperators.java): varchar/varbinary casts both
+    // ways, RFC 5952 canonical rendering (IPv4 stored ::ffff-mapped in 16
+    // bytes, uppercase-hex input lowered, longest zero run compressed),
+    // bytewise-unsigned comparisons, and the IPADDRESS 'x' typed literal.
+    // This DuckDB has no INET extension — the oracle replays the
+    // canonical text and the 16-byte hex image closed-form.
+    "p15_ipaddress" -> Q(
+      presto("""
+        WITH ips AS (
+          SELECT doc_id,
+            '10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
+              CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+              CAST(doc_id % 256 AS VARCHAR) AS v4,
+            '2001:DB8:0:0:0:0:0:' || to_base(doc_id % 65000 + 2, 16) AS v6
+          FROM documents)
+        SELECT doc_id,
+          CAST(CAST(v4 AS IPADDRESS) AS VARCHAR) AS v4_canon,
+          CAST(CAST(v6 AS IPADDRESS) AS VARCHAR) AS v6_canon,
+          to_hex(CAST(CAST(v4 AS IPADDRESS) AS VARBINARY)) AS v4_hex,
+          to_hex(CAST(CAST(v6 AS IPADDRESS) AS VARBINARY)) AS v6_hex,
+          CAST('::ffff:' || v4 AS IPADDRESS) = CAST(v4 AS IPADDRESS) AS mapped_eq,
+          CAST(v6 AS IPADDRESS) > CAST(v4 AS IPADDRESS) AS v6_gt_v4,
+          IPADDRESS '2001:db8::80' < CAST(v6 AS IPADDRESS) AS lit_lt
+        FROM ips ORDER BY doc_id"""),
+      Some("""
+        SELECT doc_id,
+          '10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
+            CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+            CAST(doc_id % 256 AS VARCHAR) AS v4_canon,
+          '2001:db8::' || to_hex(doc_id % 65000 + 2) AS v6_canon,
+          '00000000000000000000FFFF0A' ||
+            upper(lpad(to_hex(doc_id % 200), 2, '0')) ||
+            upper(lpad(to_hex((doc_id * 7) % 256), 2, '0')) ||
+            upper(lpad(to_hex(doc_id % 256), 2, '0')) AS v4_hex,
+          '20010DB8' || repeat('0', 20) ||
+            upper(lpad(to_hex(doc_id % 65000 + 2), 4, '0')) AS v6_hex,
+          TRUE AS mapped_eq, TRUE AS v6_gt_v4,
+          doc_id % 65000 + 2 > 128 AS lit_lt
+        FROM documents ORDER BY doc_id""")),
+
     // HLL sketch family end-to-end (approx_set → merge → cardinality):
     // partial sketches per nation merged to a region rollup — estimate-based
     // (no hash oracle); ScalaTest asserts the relative-error bound.

@@ -4,8 +4,10 @@ import graft._
 /** Interleaved on/off A/B of a session-toggleable conf key on one query, in
   * ONE JVM (same JIT/page-cache state for both arms — sequential pairs lie
   * under co-tenant load). Usage:
-  *   ABInterleave <dir> <query> <confKey> [nPairs=4]
-  * Prewarms both arms, then runs nPairs pairs with the arm order flipped on
+  *   ABInterleave <dir> <query> <confKey> [nPairs=4] [onValue offValue]
+  * onValue/offValue default to true/false (boolean rule toggles); pass
+  * explicit values for threshold-style confs ("__unset__" restores the
+  * session default for that arm). Prewarms both arms, then runs nPairs pairs with the arm order flipped on
   * every other pair (ON/OFF, OFF/ON, …) so any monotone warm-up or co-tenant
   * trend cancels across pairs instead of favoring one arm; prints one JSON
   * line with per-run seconds and the 1-minute load average sampled at each
@@ -14,12 +16,15 @@ object ABInterleave {
   def main(args: Array[String]): Unit = {
     val dir = args(0); val name = args(1); val key = args(2)
     val nPairs = if (args.length > 3) args(3).toInt else 4
+    val (onV, offV) =
+      if (args.length > 5) (args(4), args(5)) else ("true", "false")
     val spark = GraftSession.local(32)
     val q = SparkEntry.all(name)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def load: Double = os.getSystemLoadAverage
     def run(on: Boolean): (Double, Double) = {
-      spark.conf.set(key, on.toString)
+      val v = if (on) onV else offV
+      if (v == "__unset__") spark.conf.unset(key) else spark.conf.set(key, v)
       val l = load
       val t0 = System.nanoTime(); q.fn(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, l)

@@ -225,4 +225,32 @@ class DedupSpec extends AnyFunSuite {
       .count()
     assert(capped == 0)
   }
+
+  test("winnow hot-fingerprint cap in its binding regime: boilerplate " +
+      "postings dropped, rare fingerprints still pair") {
+    import spark.implicits._
+    // 30 docs share one boilerplate prefix: its fingerprints land at the
+    // same positions in every doc, so each accumulates 30 postings and
+    // crosses maxPostings=10. Docs 100/101 share a DIFFERENT passage whose
+    // fingerprints have exactly 2 postings.
+    val boiler = (0L until 30L).map(i =>
+      (i, s"commonboilerplatefooternoticetext unique$i trailer"))
+    val rare = Seq(
+      (100L, "rare shared passage appearing twice only plus alpha"),
+      (101L, "rare shared passage appearing twice only plus omega"))
+    val df = (boiler ++ rare).toDF("doc_id", "text")
+
+    val capped = Dedup.winnowOverlapPairs(df, "doc_id", "text",
+        minShared = 1, maxPostings = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall semantics: a pair supported ONLY by over-hot fingerprints is
+    // LOST (the boilerplate cluster); pairs with any sub-cap fingerprint
+    // survive — same contract as the LSH hot-bucket guard
+    assert(capped == Set((100L, 101L)), s"got $capped")
+
+    // uncapped control: the boilerplate cluster floods C(30,2) = 435 pairs
+    val uncapped = Dedup.winnowOverlapPairs(df, "doc_id", "text",
+        minShared = 1, maxPostings = 100000).count()
+    assert(uncapped >= 435 + 1, s"got $uncapped")
+  }
 }
