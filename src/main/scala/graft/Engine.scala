@@ -337,6 +337,51 @@ class Engine(parent: SparkSession) {
     registerTable(name, path, format)
   }
 
+  /** Presto CTAS with table properties (SqlBase.g4 #createTableAsSelect
+    * WITH properties; presto-hive HiveTableProperties.java:47-48):
+    * `CREATE TABLE t WITH (bucketed_by = ARRAY['k'], bucket_count = N
+    * [, external_location = '...'] [, format = '...']) AS SELECT ...` —
+    * the reference's user-facing entry to bucketed (grouped-execution)
+    * storage. Bucketed tables persist through
+    * operators/Bucketing.persistBucketed (one sorted file per bucket +
+    * the re-registration marker), so joins/aggregates keyed on the
+    * bucket columns plan exchange-free. Returns the reference's CTAS
+    * result shape: one `rows` column with the written count. */
+  private def ctasWithProperties(name: String, propsText: String,
+      select: String): DataFrame = {
+    val props = splitTopLevel(propsText).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k.trim.toLowerCase(java.util.Locale.ROOT) -> v.trim)
+        case _ => None
+      }
+    }.toMap
+    def arrayNames(v: String): Seq[String] =
+      "'([^']*)'".r.findAllMatchIn(v).map(_.group(1)).toSeq
+    val bucketCols = props.get("bucketed_by").map(arrayNames).getOrElse(Nil)
+    val location = props.get("external_location")
+      .map(_.stripPrefix("'").stripSuffix("'"))
+      .getOrElse(java.nio.file.Files
+        .createTempDirectory(s"graft-ctas-$name").toString)
+    val format = props.get("format")
+      .map(_.stripPrefix("'").stripSuffix("'").toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("parquet")
+    val df = this.sql(select)
+    if (bucketCols.nonEmpty) {
+      val buckets = props.getOrElse("bucket_count", sys.error(
+        "bucket_count must be specified when bucketed_by is set")).toInt
+      graft.operators.Bucketing.persistBucketed(
+        spark, df, location, name, bucketCols.mkString(","), buckets)
+      val tbl = graft.operators.Bucketing
+        .registerBucketed(spark, location, name).get
+      spark.table(tbl).createOrReplaceTempView(name)
+      tablePaths(name) = (s"$location/${name}_b", format)
+    } else {
+      ctas(name, select, location, format)
+    }
+    import spark.implicits._
+    Seq(spark.table(name).count()).toDF("rows")
+  }
+
   /** Session access control (GRANT/REVOKE/SHOW GRANTS + enforcement —
     * see graft.AccessControl). Allow-all until enabled, like the
     * reference's AllowAllAccessControl default. */
@@ -1628,7 +1673,12 @@ class Engine(parent: SparkSession) {
       case _ => None
     }
     val ExpDdl = "(?is)^EXPLAIN\\s+(.+)$".r
+    val CtasW = ("(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s+WITH\\s*\\((.+?)\\)\\s+AS\\s+(.+)$").r
     t match {
+      case CtasW(name, props, select) =>
+        accessControl.check(spark, select)
+        Some(ctasWithProperties(name, props, select))
       case Tx(_) => startTransaction(); Some(oneWordDf("START TRANSACTION"))
       case Cm(_) => commit(); Some(oneWordDf("COMMIT"))
       case Rb(_) => rollback(); Some(oneWordDf("ROLLBACK"))

@@ -36,25 +36,28 @@ object Bucketing {
   private val MARKER = "_graft_bucketspec"
 
   /** Persist `df` as an external bucketed layout at `layoutDir/name_b`.
-    * `repartition(buckets, key)` first so each task holds exactly one
+    * `key` may be a comma-separated multi-column key.
+    * `repartition(buckets, keys…)` first so each task holds exactly one
     * bucket (repartition and bucketBy share murmur3-pmod hashing):
     * one file per bucket, which also makes the sorted output ordering
     * usable by the scan. */
   def persistBucketed(spark: SparkSession, df: DataFrame, layoutDir: String,
       name: String, key: String, buckets: Int): Unit = {
+    val keys = key.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val loc = s"$layoutDir/${name}_b"
     val stage = s"graft_stage_${name}_b"
     spark.sql(s"DROP TABLE IF EXISTS $stage")
-    df.repartition(buckets, col(key))
+    df.repartition(buckets, keys.map(col): _*)
       .write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", loc)
       .format("parquet")
       .saveAsTable(stage)
     spark.sql(s"DROP TABLE $stage") // external: files stay
     val marker = java.nio.file.Paths.get(loc, MARKER)
     java.nio.file.Files.write(marker,
-      s"key=$key\nbuckets=$buckets\n".getBytes("UTF-8"))
+      s"key=${keys.mkString(",")}\nbuckets=$buckets\n".getBytes("UTF-8"))
   }
 
   /** Re-register a persisted bucketed layout in THIS session's catalog
@@ -75,7 +78,7 @@ object Bucketing {
       val schema = spark.read.parquet(loc).schema.toDDL
       spark.sql(s"""CREATE TABLE IF NOT EXISTS $tbl ($schema) USING parquet
         CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-        LOCATION '$loc'""")
+        LOCATION '$loc'""") // key may be a comma-joined multi-column list
     }
     Some(tbl)
   }

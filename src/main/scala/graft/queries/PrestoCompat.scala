@@ -194,7 +194,7 @@ object PrestoCompat {
           '10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
             CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
             CAST(doc_id % 256 AS VARCHAR) AS v4_canon,
-          '2001:db8::' || to_hex(doc_id % 65000 + 2) AS v6_canon,
+          '2001:db8::' || lower(to_hex(doc_id % 65000 + 2)) AS v6_canon,
           '00000000000000000000FFFF0A' ||
             upper(lpad(to_hex(doc_id % 200), 2, '0')) ||
             upper(lpad(to_hex((doc_id * 7) % 256), 2, '0')) ||

@@ -37,6 +37,33 @@ class BucketingSpec extends AnyFunSuite {
     assert(bucketed.sameElements(plain))
   }
 
+  test("Presto CTAS WITH (bucketed_by, bucket_count) creates an " +
+      "exchange-free bucketed table") {
+    val e = Engine(spark).loadCatalog(sf)
+    val res = e.sql("CREATE TABLE orders_bb WITH (" +
+      "bucketed_by = ARRAY['o_custkey'], bucket_count = 4) " +
+      "AS SELECT * FROM orders")
+    assert(res.columns.toSeq == Seq("rows"))
+    val n = res.collect()(0).getLong(0)
+    assert(n == e.sql("SELECT count(*) FROM orders").head.getLong(0) && n > 0)
+    val prevT = e.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = e.spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      e.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      e.spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = e.spark.table("orders_bb").as("a")
+        .join(e.spark.table("orders_bb").as("b"),
+          col("a.o_custkey") === col("b.o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed CTAS self-join must not shuffle:\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally {
+      e.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      e.spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("persisted layout: redirect serves bucketed tables; h18 shape plans " +
       "with zero Exchange and identical results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketlayout").toString
