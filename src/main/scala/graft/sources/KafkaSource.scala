@@ -20,14 +20,313 @@ import org.apache.spark.sql.types._
   * range), which is exactly the reference's split model
   * (KafkaSplitManager.java: one split per partition segment).
   *
-  * Gating: the broker list comes from `spark.graft.kafka.bootstrapServers`
-  * — absent, the path fails fast with a clear message instead of a
-  * ClassNotFound deep in DataSource resolution. THIS SANDBOX HAS NO BROKER
-  * AND NO spark-sql-kafka JAR, so the live `.load()` path is untested here;
-  * the decode plumbing below it (wire schema → typed columns, internal
-  * column mapping) is spec-verified offline on the connector's documented
-  * output schema (KafkaSourceSpec).
+  * Two live paths:
+  *  - `table`/`stream` ride the spark-sql-kafka connector when a
+  *    deployment ships it (gated on `spark.graft.kafka.bootstrapServers`
+  *    with a clear fail-fast message — this sandbox has neither the jar
+  *    nor a broker);
+  *  - `tableDirect` needs NEITHER: it speaks the public Kafka wire
+  *    protocol itself ([[KafkaWire]]/[[KafkaWireClient]] — Metadata v0,
+  *    ListOffsets v1, Fetch v4, RecordBatch v2 with CRC32C
+  *    verification), one task per partition. KafkaSourceSpec drives it
+  *    end-to-end against an in-process wire-protocol broker and pins the
+  *    batch decoder against a spec-transcribed golden byte vector.
   */
+/** First-principles Kafka wire protocol (public Kafka protocol guide) —
+  * enough to read a topic without the spark-sql-kafka connector or a
+  * client jar: Metadata v0 (partition discovery), ListOffsets v1 (end
+  * offsets), Fetch v4 (record sets), and the RecordBatch v2 on-disk/wire
+  * format (varint-framed records, CRC32C over attributes..end). Only
+  * uncompressed batches (attributes codec bits = 0) are supported —
+  * compressed topics raise a clear error naming the limitation. */
+object KafkaWire {
+  import java.nio.ByteBuffer
+
+  final case class WireRecord(offset: Long, timestampMs: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  // ── varint/zigzag (protobuf encoding, as the Kafka record format uses) ──
+  def writeVarLong(b: ByteBuffer, v0: Long): Unit = {
+    var v = (v0 << 1) ^ (v0 >> 63) // zigzag
+    while ((v & ~0x7fL) != 0) {
+      b.put(((v & 0x7f) | 0x80).toByte)
+      v >>>= 7
+    }
+    b.put(v.toByte)
+  }
+  def readVarLong(b: ByteBuffer): Long = {
+    var v = 0L
+    var shift = 0
+    var cur = 0L
+    do {
+      cur = b.get() & 0xffL
+      v |= (cur & 0x7f) << shift
+      shift += 7
+    } while ((cur & 0x80) != 0)
+    (v >>> 1) ^ -(v & 1) // un-zigzag
+  }
+
+  /** Decode a Fetch record_set: zero or more RecordBatch v2 frames. */
+  def decodeRecordBatches(bytes: Array[Byte]): Seq[WireRecord] = {
+    val out = Seq.newBuilder[WireRecord]
+    val b = ByteBuffer.wrap(bytes)
+    while (b.remaining() >= 61) { // v2 batch header size
+      val baseOffset = b.getLong
+      val batchLength = b.getInt
+      if (b.remaining() < batchLength) return out.result() // partial tail
+      val batchEnd = b.position() + batchLength
+      b.getInt // partitionLeaderEpoch
+      val magic = b.get()
+      require(magic == 2, s"unsupported record batch magic $magic")
+      val crcStored = b.getInt
+      val crcStart = b.position()
+      val crc = new java.util.zip.CRC32C
+      crc.update(bytes, crcStart, batchEnd - crcStart)
+      require(crc.getValue.toInt == crcStored,
+        s"RecordBatch CRC32C mismatch at offset $baseOffset")
+      val attributes = b.getShort
+      require((attributes & 0x7) == 0,
+        "compressed record batches are not supported by the direct reader")
+      b.getInt // lastOffsetDelta
+      val firstTimestamp = b.getLong
+      b.getLong // maxTimestamp
+      b.getLong // producerId
+      b.getShort // producerEpoch
+      b.getInt // baseSequence
+      val numRecords = b.getInt
+      var i = 0
+      while (i < numRecords) {
+        val recLen = readVarLong(b).toInt
+        val recEnd = b.position() + recLen
+        b.get() // record attributes
+        val tsDelta = readVarLong(b)
+        val offDelta = readVarLong(b)
+        def sized(): Array[Byte] = {
+          val n = readVarLong(b).toInt
+          if (n < 0) null
+          else {
+            val a = new Array[Byte](n)
+            b.get(a)
+            a
+          }
+        }
+        val key = sized()
+        val value = sized()
+        b.position(recEnd) // skip headers
+        out += WireRecord(baseOffset + offDelta, firstTimestamp + tsDelta,
+          key, value)
+        i += 1
+      }
+      b.position(batchEnd)
+    }
+    out.result()
+  }
+
+  /** Encode one uncompressed RecordBatch v2 (the test broker's muxer and
+    * any writer-side use). */
+  def encodeRecordBatch(baseOffset: Long, firstTimestampMs: Long,
+      records: Seq[(Array[Byte], Array[Byte])]): Array[Byte] = {
+    val recBuf = ByteBuffer.allocate(records.map {
+      case (k, v) =>
+        32 + (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length)
+    }.sum + 64)
+    records.zipWithIndex.foreach { case ((k, v), i) =>
+      val one = ByteBuffer.allocate(
+        24 + (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length))
+      one.put(0.toByte) // record attributes
+      writeVarLong(one, 0L) // timestampDelta
+      writeVarLong(one, i.toLong) // offsetDelta
+      def put(a: Array[Byte]): Unit =
+        if (a == null) writeVarLong(one, -1L)
+        else { writeVarLong(one, a.length.toLong); one.put(a) }
+      put(k); put(v)
+      writeVarLong(one, 0L) // headers
+      one.flip()
+      writeVarLong(recBuf, one.remaining().toLong)
+      recBuf.put(one)
+    }
+    recBuf.flip()
+    val body = ByteBuffer.allocate(49 + recBuf.remaining()) // attributes..records
+    body.putShort(0) // attributes: no codec, create-time
+    body.putInt(records.size - 1) // lastOffsetDelta
+    body.putLong(firstTimestampMs)
+    body.putLong(firstTimestampMs)
+    body.putLong(-1L) // producerId
+    body.putShort(-1) // producerEpoch
+    body.putInt(-1) // baseSequence
+    body.putInt(records.size)
+    body.put(recBuf)
+    body.flip()
+    val crc = new java.util.zip.CRC32C
+    val bodyArr = new Array[Byte](body.remaining())
+    body.get(bodyArr)
+    crc.update(bodyArr)
+    val batch = ByteBuffer.allocate(8 + 4 + 4 + 1 + 4 + bodyArr.length)
+    batch.putLong(baseOffset)
+    batch.putInt(4 + 1 + 4 + bodyArr.length) // batchLength: epoch..end
+    batch.putInt(0) // partitionLeaderEpoch
+    batch.put(2.toByte) // magic
+    batch.putInt(crc.getValue.toInt)
+    batch.put(bodyArr)
+    batch.array()
+  }
+
+  // ── primitive writers/readers for the classic (non-compact) protocol ──
+  def putString(b: ByteBuffer, s: String): Unit = {
+    val a = s.getBytes("UTF-8")
+    b.putShort(a.length.toShort)
+    b.put(a)
+  }
+  def getString(b: ByteBuffer): String = {
+    val n = b.getShort
+    if (n < 0) null
+    else {
+      val a = new Array[Byte](n)
+      b.get(a)
+      new String(a, "UTF-8")
+    }
+  }
+  def getBytes(b: ByteBuffer): Array[Byte] = {
+    val n = b.getInt
+    if (n < 0) null
+    else {
+      val a = new Array[Byte](n)
+      b.get(a)
+      a
+    }
+  }
+}
+
+/** One broker connection; synchronous request/reply with the classic
+  * 4-byte-length framing and request header v1. */
+final class KafkaWireClient(host: String, port: Int) extends AutoCloseable {
+  import java.nio.ByteBuffer
+  import KafkaWire._
+
+  private val socket = new java.net.Socket(host, port)
+  socket.setTcpNoDelay(true)
+  private val out = new java.io.DataOutputStream(
+    new java.io.BufferedOutputStream(socket.getOutputStream))
+  private val in = new java.io.DataInputStream(
+    new java.io.BufferedInputStream(socket.getInputStream))
+  private var correlation = 0
+
+  private def roundTrip(apiKey: Short, apiVersion: Short,
+      body: ByteBuffer): ByteBuffer = {
+    correlation += 1
+    val header = ByteBuffer.allocate(16 + 32)
+    header.putShort(apiKey)
+    header.putShort(apiVersion)
+    header.putInt(correlation)
+    putString(header, "graft") // client_id
+    header.flip()
+    out.writeInt(header.remaining() + body.remaining())
+    out.write(header.array(), 0, header.remaining())
+    out.write(body.array(), body.position(), body.remaining())
+    out.flush()
+    val size = in.readInt()
+    val resp = new Array[Byte](size)
+    in.readFully(resp)
+    val rb = ByteBuffer.wrap(resp)
+    require(rb.getInt == correlation, "correlation id mismatch")
+    rb
+  }
+
+  /** Metadata v0 → partition ids of `topic`. */
+  def partitions(topic: String): Seq[Int] = {
+    val body = ByteBuffer.allocate(8 + topic.length + 8)
+    body.putInt(1)
+    putString(body, topic)
+    body.flip()
+    val r = roundTrip(3, 0, body)
+    val nBrokers = r.getInt
+    (1 to nBrokers).foreach { _ => r.getInt; getString(r); r.getInt }
+    val nTopics = r.getInt
+    val ids = Seq.newBuilder[Int]
+    (1 to nTopics).foreach { _ =>
+      val err = r.getShort
+      val name = getString(r)
+      val nParts = r.getInt
+      (1 to nParts).foreach { _ =>
+        r.getShort // partition error
+        val pid = r.getInt
+        r.getInt // leader
+        (1 to r.getInt).foreach(_ => r.getInt) // replicas
+        (1 to r.getInt).foreach(_ => r.getInt) // isr
+        if (err == 0 && name == topic) ids += pid
+      }
+    }
+    ids.result()
+  }
+
+  /** ListOffsets v1, timestamp −1 (LATEST) → end offset. */
+  def endOffset(topic: String, partition: Int): Long = {
+    val body = ByteBuffer.allocate(32 + topic.length)
+    body.putInt(-1) // replica_id
+    body.putInt(1) // one topic
+    putString(body, topic)
+    body.putInt(1) // one partition
+    body.putInt(partition)
+    body.putLong(-1L) // LATEST
+    body.flip()
+    val r = roundTrip(2, 1, body)
+    val nTopics = r.getInt
+    var result = 0L
+    (1 to nTopics).foreach { _ =>
+      getString(r)
+      (1 to r.getInt).foreach { _ =>
+        r.getInt // partition
+        val err = r.getShort
+        require(err == 0, s"ListOffsets error $err")
+        r.getLong // timestamp
+        result = r.getLong
+      }
+    }
+    result
+  }
+
+  /** Fetch v4 from `offset` → (records, highWatermark). */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20): (Seq[KafkaWire.WireRecord], Long) = {
+    val body = ByteBuffer.allocate(64 + topic.length)
+    body.putInt(-1) // replica_id
+    body.putInt(100) // max_wait_ms
+    body.putInt(1) // min_bytes
+    body.putInt(maxBytes)
+    body.put(0.toByte) // isolation_level READ_UNCOMMITTED
+    body.putInt(1)
+    putString(body, topic)
+    body.putInt(1)
+    body.putInt(partition)
+    body.putLong(offset)
+    body.putInt(maxBytes)
+    body.flip()
+    val r = roundTrip(1, 4, body)
+    r.getInt // throttle_time
+    var records = Seq.empty[KafkaWire.WireRecord]
+    var hw = 0L
+    (1 to r.getInt).foreach { _ =>
+      getString(r)
+      (1 to r.getInt).foreach { _ =>
+        r.getInt // partition
+        val err = r.getShort
+        require(err == 0, s"Fetch error $err")
+        hw = r.getLong
+        r.getLong // last_stable_offset
+        val nAborted = r.getInt
+        (1 to math.max(0, nAborted)).foreach(_ => { r.getLong; r.getLong })
+        val set = KafkaWire.getBytes(r)
+        if (set != null)
+          records = KafkaWire.decodeRecordBatches(set)
+            .filter(_.offset >= offset)
+      }
+    }
+    (records, hw)
+  }
+
+  override def close(): Unit = socket.close()
+}
+
 object KafkaSource {
   val BROKERS_KEY = "spark.graft.kafka.bootstrapServers"
 
@@ -60,6 +359,45 @@ object KafkaSource {
   def table(spark: SparkSession, topic: String, schema: StructType,
       format: String = "json", csvDelimiter: String = ","): DataFrame =
     decode(reader(spark, topic).load(), schema, format, csvDelimiter)
+
+  /** Bounded topic-as-table read over the first-principles wire client
+    * ([[KafkaWireClient]]) — no connector jar, no client library:
+    * Metadata discovers partitions (one Spark task per partition, the
+    * reference's split model — KafkaSplitManager.java), ListOffsets
+    * bounds the scan, and each task Fetch-loops its own partition to the
+    * end offset on its own connection. The values never funnel through
+    * the driver. */
+  def tableDirect(spark: SparkSession, host: String, port: Int,
+      topic: String, schema: StructType, format: String = "json",
+      csvDelimiter: String = ","): DataFrame = {
+    val meta = {
+      val c = new KafkaWireClient(host, port)
+      try c.partitions(topic).map(p => (p, c.endOffset(topic, p)))
+      finally c.close()
+    }
+    val rows = spark.sparkContext
+      .parallelize(meta, math.max(1, meta.size))
+      .flatMap { case (pid, end) =>
+        val c = new KafkaWireClient(host, port)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        try {
+          var off = 0L
+          while (off < end) {
+            val (recs, _) = c.fetch(topic, pid, off)
+            require(recs.nonEmpty, s"Fetch returned no records at $off < $end")
+            recs.foreach { r =>
+              buf += org.apache.spark.sql.Row(r.key, r.value, topic, pid,
+                r.offset, new java.sql.Timestamp(r.timestampMs), 0)
+            }
+            off = recs.map(_.offset).max + 1
+          }
+        } finally c.close()
+        buf
+      }
+    decode(spark.createDataFrame(rows, wireSchema), schema, format,
+      csvDelimiter)
+  }
 
   /** Unbounded (Structured Streaming) variant of [[table]]. */
   def stream(spark: SparkSession, topic: String, schema: StructType,

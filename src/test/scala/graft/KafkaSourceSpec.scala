@@ -110,4 +110,204 @@ class KafkaSourceSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("avro"))
   }
+
+  test("RecordBatch v2 decoder conformance: spec-transcribed golden bytes") {
+    import graft.sources.KafkaWire
+    // bytes laid out FIELD BY FIELD per the public record-batch spec —
+    // independent of encodeRecordBatch, so an encoder/decoder pair that
+    // is wrong the same way cannot pass. One record: key "k", value
+    // "v7", timestampDelta 5, offsetDelta 0, baseOffset 42.
+    val rec = java.nio.ByteBuffer.allocate(64)
+    rec.put(0.toByte) // record attributes
+    rec.put(Array[Byte](0x0a)) // varint zigzag(5) = 10
+    rec.put(Array[Byte](0x00)) // varint zigzag(0)
+    rec.put(Array[Byte](0x02)) // keyLen zigzag(1) = 2
+    rec.put('k'.toByte)
+    rec.put(Array[Byte](0x04)) // valueLen zigzag(2) = 4
+    rec.put("v7".getBytes("US-ASCII"))
+    rec.put(Array[Byte](0x00)) // headers count 0
+    rec.flip()
+    val body = java.nio.ByteBuffer.allocate(128)
+    body.putShort(0) // attributes
+    body.putInt(0) // lastOffsetDelta
+    body.putLong(1000L) // firstTimestamp
+    body.putLong(1005L) // maxTimestamp
+    body.putLong(-1L) // producerId
+    body.putShort(-1) // producerEpoch
+    body.putInt(-1) // baseSequence
+    body.putInt(1) // numRecords
+    body.put(Array[Byte]((rec.remaining() * 2).toByte)) // record length varint
+    body.put(rec)
+    body.flip()
+    val bodyArr = new Array[Byte](body.remaining())
+    body.get(bodyArr)
+    val crc = new java.util.zip.CRC32C
+    crc.update(bodyArr) // the JDK's CRC32C — independent of our code
+    val batch = java.nio.ByteBuffer.allocate(61 + bodyArr.length)
+    batch.putLong(42L) // baseOffset
+    batch.putInt(4 + 1 + 4 + bodyArr.length) // batchLength
+    batch.putInt(0) // partitionLeaderEpoch
+    batch.put(2.toByte) // magic
+    batch.putInt(crc.getValue.toInt)
+    batch.put(bodyArr)
+    val decoded = KafkaWire.decodeRecordBatches(
+      java.util.Arrays.copyOf(batch.array(), batch.position()))
+    assert(decoded.length == 1)
+    assert(decoded.head.offset == 42L)
+    assert(decoded.head.timestampMs == 1005L)
+    assert(new String(decoded.head.key, "US-ASCII") == "k")
+    assert(new String(decoded.head.value, "US-ASCII") == "v7")
+    // a flipped CRC byte must be rejected
+    val bad = java.util.Arrays.copyOf(batch.array(), batch.position())
+    bad(17) = (bad(17) ^ 0x5a).toByte // crc field
+    assertThrows[IllegalArgumentException](KafkaWire.decodeRecordBatches(bad))
+  }
+
+  test("encode/decode round trip incl. null keys and multi-record batches") {
+    import graft.sources.KafkaWire
+    val batch = KafkaWire.encodeRecordBatch(100L, 5000L, Seq(
+      (null, """{"id":1}""".getBytes("UTF-8")),
+      ("k1".getBytes("UTF-8"), """{"id":2}""".getBytes("UTF-8")),
+      ("k2".getBytes("UTF-8"), null)))
+    val out = KafkaWire.decodeRecordBatches(batch)
+    assert(out.map(_.offset) == Seq(100L, 101L, 102L))
+    assert(out.head.key == null && out(2).value == null)
+    assert(new String(out(1).value, "UTF-8") == """{"id":2}""")
+  }
+
+  test("tableDirect: live wire-protocol read against an in-process broker, " +
+      "one task per partition") {
+    import graft.sources.KafkaWire
+    def b(base: Long, vals: String*): Array[Byte] =
+      KafkaWire.encodeRecordBatch(base, 1700000000000L + base,
+        vals.map(v => (s"key$base".getBytes("UTF-8"), v.getBytes("UTF-8"))))
+    val broker = new MiniKafka("events", Map(
+      0 -> Seq(b(0, """{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""),
+        b(2, """{"id":3,"v":"c"}""")),
+      1 -> Seq(b(0, """{"id":10,"v":"x"}"""))))
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType)))
+      val out = KafkaSource.tableDirect(spark, "localhost", broker.port,
+        "events", schema, "json")
+      val rows = out.orderBy("id").collect()
+      assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L, 10L))
+      assert(rows.map(_.getAs[String]("v")).toSeq == Seq("a", "b", "c", "x"))
+      assert(rows.map(r => (r.getAs[Int]("_partition_id"),
+        r.getAs[Long]("_partition_offset"))).toSeq ==
+        Seq((0, 0L), (0, 1L), (0, 2L), (1, 0L)))
+      assert(rows.forall(_.getAs[java.sql.Timestamp]("_timestamp") != null))
+    } finally broker.close()
+  }
+}
+
+/** In-process broker speaking the public Kafka wire protocol — Metadata
+  * v0, ListOffsets v1, Fetch v4 — over real RecordBatch v2 bytes, so
+  * `KafkaSource.tableDirect` runs END-TO-END with no broker install and
+  * no client jar. One thread per connection; ephemeral 127.0.0.1 port. */
+final class MiniKafka(topic: String,
+    data: Map[Int, Seq[Array[Byte]]]) extends AutoCloseable {
+  import java.nio.ByteBuffer
+  import graft.sources.KafkaWire._
+
+  private val server = new java.net.ServerSocket(
+    0, 16, java.net.InetAddress.getByName("127.0.0.1"))
+  def port: Int = server.getLocalPort
+  @volatile private var running = true
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => serve(s))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => }
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def endOffset(pid: Int): Long =
+    data.getOrElse(pid, Nil).map(b => decodeRecordBatches(b).size.toLong).sum
+
+  private def serve(sock: java.net.Socket): Unit = {
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      while (true) {
+        val size = in.readInt()
+        val req = new Array[Byte](size)
+        in.readFully(req)
+        val b = ByteBuffer.wrap(req)
+        val apiKey = b.getShort
+        b.getShort // apiVersion
+        val correlation = b.getInt
+        getString(b) // client_id
+        val body = ByteBuffer.allocate(1 << 16)
+        apiKey match {
+          case 3 => // Metadata v0
+            body.putInt(1) // brokers
+            body.putInt(0)
+            putString(body, "127.0.0.1")
+            body.putInt(port)
+            body.putInt(1) // topics
+            body.putShort(0)
+            putString(body, topic)
+            body.putInt(data.size)
+            data.keys.toSeq.sorted.foreach { pid =>
+              body.putShort(0)
+              body.putInt(pid)
+              body.putInt(0) // leader
+              body.putInt(1); body.putInt(0) // replicas
+              body.putInt(1); body.putInt(0) // isr
+            }
+          case 2 => // ListOffsets v1
+            b.getInt // replica_id
+            b.getInt // topics = 1
+            getString(b)
+            b.getInt // partitions = 1
+            val pid = b.getInt
+            b.getLong // timestamp (-1)
+            body.putInt(1)
+            putString(body, topic)
+            body.putInt(1)
+            body.putInt(pid)
+            body.putShort(0)
+            body.putLong(-1L)
+            body.putLong(endOffset(pid))
+          case 1 => // Fetch v4
+            b.getInt; b.getInt; b.getInt; b.getInt; b.get() // replica..isolation
+            b.getInt // topics = 1
+            getString(b)
+            b.getInt // partitions = 1
+            val pid = b.getInt
+            b.getLong // fetch_offset (serve all; client filters)
+            b.getInt // partition_max_bytes
+            val set = data.getOrElse(pid, Nil).toArray.flatten
+            body.putInt(0) // throttle
+            body.putInt(1)
+            putString(body, topic)
+            body.putInt(1)
+            body.putInt(pid)
+            body.putShort(0)
+            body.putLong(endOffset(pid)) // high watermark
+            body.putLong(endOffset(pid)) // last stable offset
+            body.putInt(0) // aborted transactions
+            body.putInt(set.length)
+            body.put(set)
+          case other =>
+            sys.error(s"MiniKafka: unsupported api key $other")
+        }
+        body.flip()
+        out.writeInt(4 + body.remaining())
+        out.writeInt(correlation)
+        out.write(body.array(), 0, body.remaining())
+        out.flush()
+      }
+    } catch { case _: Exception => } finally sock.close()
+  }
+
+  override def close(): Unit = { running = false; server.close() }
 }
