@@ -36,9 +36,9 @@ import org.apache.spark.sql.types._
   * enough to read a topic without the spark-sql-kafka connector or a
   * client jar: Metadata v0 (partition discovery), ListOffsets v1 (end
   * offsets), Fetch v4 (record sets), and the RecordBatch v2 on-disk/wire
-  * format (varint-framed records, CRC32C over attributes..end). Only
-  * uncompressed batches (attributes codec bits = 0) are supported —
-  * compressed topics raise a clear error naming the limitation. */
+  * format (varint-framed records, CRC32C over attributes..end). All four
+  * compression codecs decode (gzip via the JDK; snappy/lz4/zstd via the
+  * libraries Spark itself ships). */
 object KafkaWire {
   import java.nio.ByteBuffer
 
@@ -85,8 +85,6 @@ object KafkaWire {
       require(crc.getValue.toInt == crcStored,
         s"RecordBatch CRC32C mismatch at offset $baseOffset")
       val attributes = b.getShort
-      require((attributes & 0x7) == 0,
-        "compressed record batches are not supported by the direct reader")
       b.getInt // lastOffsetDelta
       val firstTimestamp = b.getLong
       b.getLong // maxTimestamp
@@ -94,25 +92,30 @@ object KafkaWire {
       b.getShort // producerEpoch
       b.getInt // baseSequence
       val numRecords = b.getInt
+      // the records section (after the count) is what the codec bits
+      // compress (public record-batch spec); the header stays plain
+      val recBytes = new Array[Byte](batchEnd - b.position())
+      b.get(recBytes)
+      val r = ByteBuffer.wrap(decompress(attributes & 0x7, recBytes))
       var i = 0
       while (i < numRecords) {
-        val recLen = readVarLong(b).toInt
-        val recEnd = b.position() + recLen
-        b.get() // record attributes
-        val tsDelta = readVarLong(b)
-        val offDelta = readVarLong(b)
+        val recLen = readVarLong(r).toInt
+        val recEnd = r.position() + recLen
+        r.get() // record attributes
+        val tsDelta = readVarLong(r)
+        val offDelta = readVarLong(r)
         def sized(): Array[Byte] = {
-          val n = readVarLong(b).toInt
+          val n = readVarLong(r).toInt
           if (n < 0) null
           else {
             val a = new Array[Byte](n)
-            b.get(a)
+            r.get(a)
             a
           }
         }
         val key = sized()
         val value = sized()
-        b.position(recEnd) // skip headers
+        r.position(recEnd) // skip headers
         out += WireRecord(baseOffset + offDelta, firstTimestamp + tsDelta,
           key, value)
         i += 1
@@ -122,10 +125,56 @@ object KafkaWire {
     out.result()
   }
 
-  /** Encode one uncompressed RecordBatch v2 (the test broker's muxer and
-    * any writer-side use). */
+  /** Codec ids from the batch attributes' low bits (public protocol):
+    * 0 none, 1 gzip, 2 snappy (xerial stream framing), 3 lz4 (frame
+    * format), 4 zstd — all four libraries ship with Spark. */
+  private def codecStream(codec: Int, in: java.io.InputStream): java.io.InputStream =
+    codec match {
+      case 1 => new java.util.zip.GZIPInputStream(in)
+      case 2 => new org.xerial.snappy.SnappyInputStream(in)
+      case 3 => new net.jpountz.lz4.LZ4FrameInputStream(in)
+      case 4 => new com.github.luben.zstd.ZstdInputStream(in)
+      case other => throw new IllegalArgumentException(
+        s"unknown record batch compression codec $other")
+    }
+
+  private def decompress(codec: Int, bytes: Array[Byte]): Array[Byte] =
+    if (codec == 0) bytes
+    else {
+      val in = codecStream(codec, new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      out.toByteArray
+    }
+
+  private def compress(codec: Int, bytes: Array[Byte]): Array[Byte] =
+    if (codec == 0) bytes
+    else {
+      val bos = new java.io.ByteArrayOutputStream(bytes.length)
+      val out: java.io.OutputStream = codec match {
+        case 1 => new java.util.zip.GZIPOutputStream(bos)
+        case 2 => new org.xerial.snappy.SnappyOutputStream(bos)
+        case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        case 4 => new com.github.luben.zstd.ZstdOutputStream(bos)
+        case other => throw new IllegalArgumentException(
+          s"unknown record batch compression codec $other")
+      }
+      out.write(bytes)
+      out.close()
+      bos.toByteArray
+    }
+
+  /** Encode one RecordBatch v2 (the test broker's muxer and any
+    * writer-side use); `codec` compresses the records section per the
+    * public spec (header and CRC stay plain). */
   def encodeRecordBatch(baseOffset: Long, firstTimestampMs: Long,
-      records: Seq[(Array[Byte], Array[Byte])]): Array[Byte] = {
+      records: Seq[(Array[Byte], Array[Byte])], codec: Int = 0): Array[Byte] = {
     val recBuf = ByteBuffer.allocate(records.map {
       case (k, v) =>
         32 + (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length)
@@ -146,8 +195,11 @@ object KafkaWire {
       recBuf.put(one)
     }
     recBuf.flip()
-    val body = ByteBuffer.allocate(49 + recBuf.remaining()) // attributes..records
-    body.putShort(0) // attributes: no codec, create-time
+    val recArr = new Array[Byte](recBuf.remaining())
+    recBuf.get(recArr)
+    val recOut = compress(codec, recArr)
+    val body = ByteBuffer.allocate(49 + recOut.length) // attributes..records
+    body.putShort(codec.toShort) // attributes: codec bits, create-time
     body.putInt(records.size - 1) // lastOffsetDelta
     body.putLong(firstTimestampMs)
     body.putLong(firstTimestampMs)
@@ -155,7 +207,7 @@ object KafkaWire {
     body.putShort(-1) // producerEpoch
     body.putInt(-1) // baseSequence
     body.putInt(records.size)
-    body.put(recBuf)
+    body.put(recOut)
     body.flip()
     val crc = new java.util.zip.CRC32C
     val bodyArr = new Array[Byte](body.remaining())

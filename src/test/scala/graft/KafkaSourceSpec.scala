@@ -175,6 +175,21 @@ class KafkaSourceSpec extends AnyFunSuite {
     assert(new String(out(1).value, "UTF-8") == """{"id":2}""")
   }
 
+  test("all four batch compression codecs round trip (gzip/snappy/lz4/zstd)") {
+    import graft.sources.KafkaWire
+    val payloads = (1 to 20).map(i =>
+      (s"key$i".getBytes("UTF-8"),
+        (s"""{"id":$i,"body":"""" + "x" * 100 + "\"}").getBytes("UTF-8")))
+    for (codec <- 1 to 4) {
+      val batch = KafkaWire.encodeRecordBatch(0L, 1000L, payloads, codec)
+      val out = KafkaWire.decodeRecordBatches(batch)
+      assert(out.length == 20, s"codec $codec")
+      assert(out.map(_.offset) == (0L until 20L), s"codec $codec")
+      assert(new String(out(7).value, "UTF-8").contains("\"id\":8"),
+        s"codec $codec")
+    }
+  }
+
   test("tableDirect: live wire-protocol read against an in-process broker, " +
       "one task per partition") {
     import graft.sources.KafkaWire
