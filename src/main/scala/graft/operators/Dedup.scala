@@ -196,6 +196,46 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — semantic
+    * deduplication for web-scale training data): k-means clusters the
+    * embedding space, then near-duplicate detection runs WITHIN each
+    * cluster only — the move that turns an O(n²) all-pairs cosine into
+    * Σ|cluster|², bounded by making k grow with the corpus (the paper
+    * uses k ≈ √n; candidates never leave their cluster). Pairs at
+    * cosine ≥ tau connect into duplicate groups (connected components)
+    * and each group keeps its min-id representative.
+    *
+    * Scale: centroid training is [[Similarity.kmeansFit]] (k×dim-bounded
+    * shuffles), assignment is one broadcast pass, the pair join is
+    * cluster-partitioned (shuffle keyed on centroid_id — never a global
+    * all-pairs), and component propagation is edge-list-bounded
+    * ([[connectedComponents]]).
+    *
+    * Returns (id, centroid_id, rep, keep): rep = min id of the duplicate
+    * group (itself when unpaired), keep = (rep == id). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      init: DataFrame, iters: Int, tau: Double): DataFrame = {
+    val cents = Similarity.kmeansFit(corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, init, iters)
+    val assigned = Similarity.ivfAssign(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .localCheckpoint(true)
+    val l = assigned.select(col("centroid_id"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = assigned.select(col("centroid_id").as("c_r"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val pairs = l.join(r,
+        col("centroid_id") === col("c_r") && col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= tau)
+      .select("id_a", "id_b")
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    assigned
+      .join(cc, col(idCol) === cc("node"), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(col("label"), col(idCol)).as("rep"),
+        (coalesce(col("label"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
   /** Eval-set DECONTAMINATION: flag corpus documents that share any
     * word-level n-gram with a benchmark/eval set — the train/test overlap
     * check of large-scale LM data pipelines (13-gram overlap in GPT-3's
@@ -367,6 +407,74 @@ object Dedup {
     // fingerprints (hot-fingerprint cap 200 — verified non-binding at
     // this SF by the oracle's own posting counts, so the cap clause is
     // exercised as a no-op and the pair set is exact).
+    // SemDeDup end-to-end: 1 k-means iteration from 4 seed centroids,
+    // final assignment, within-cluster cosine >= 0.35 pairs, connected
+    // components, min-id representative per duplicate group. Every stage
+    // is deterministic arithmetic, so the oracle retrains the identical
+    // centroids (the s07 unrolled-Lloyd pattern), replays the
+    // cluster-bounded pair join, and closes the components with a
+    // recursive CTE — a wrong assignment tie-break, threshold edge, or
+    // component label hash-fails.
+    "d16_semdedup" -> Q(
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings")
+        val init = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            col("embedding").as("centroid"))
+        semDedup(e, "vec_id", "embedding", init, iters = 1, tau = 0.35)
+          .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"),
+            col("rep"), col("keep"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, v AS c
+               FROM e WHERE vec_id < 4),
+        a1 AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c0.centroid_id,
+              list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * c0.c[i])) /
+                sqrt(list_sum(list_transform(c0.c, x -> x*x))) AS cs
+            FROM e CROSS JOIN c0)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1),
+        c1 AS (
+          SELECT centroid_id, list(m ORDER BY i) AS c FROM (
+            SELECT a1.centroid_id AS centroid_id, t.i AS i, avg(e.v[t.i]) AS m
+            FROM a1 JOIN e USING (vec_id), unnest(range(1, len(e.v)+1)) AS t(i)
+            GROUP BY a1.centroid_id, t.i)
+          GROUP BY centroid_id),
+        a2 AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c1.centroid_id,
+              list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * c1.c[i])) /
+                sqrt(list_sum(list_transform(c1.c, x -> x*x))) AS cs
+            FROM e CROSS JOIN c1)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1),
+        av AS MATERIALIZED (
+          SELECT a2.vec_id, a2.centroid_id, e.v FROM a2 JOIN e USING (vec_id)),
+        pairs AS MATERIALIZED (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM av a JOIN av b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])) /
+              (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(n, m) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON r.m = e2.src),
+        comp AS (SELECT n, min(m) AS rep FROM reach GROUP BY n)
+        SELECT av.vec_id, CAST(av.centroid_id AS INT) AS centroid_id,
+          COALESCE(comp.rep, av.vec_id) AS rep,
+          COALESCE(comp.rep, av.vec_id) = av.vec_id AS keep
+        FROM av LEFT JOIN comp ON av.vec_id = comp.n
+        ORDER BY av.vec_id""")),
+
     "d15_winnow_overlap" -> Q(
       (s, d) => winnowOverlapPairs(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b"),

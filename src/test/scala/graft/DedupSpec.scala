@@ -226,6 +226,32 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == 0)
   }
 
+  test("semDedup: duplicates group within clusters, representatives kept, " +
+      "cross-cluster lookalikes never pair") {
+    import spark.implicits._
+    // two well-separated directions; ids 1/2/3 are near-identical copies
+    // on axis A, 10/11 near-identical on axis B, 20 is isolated
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 8).map(i =>
+        (if (i == axis) 1.0 + jitter else jitter * (i % 3)).toFloat)
+    val df = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.01)), (3L, v(0, 0.02)),
+      (10L, v(4, 0.00)), (11L, v(4, 0.015)),
+      (20L, (0 until 8).map(i => (if (i % 2 == 0) 1.0 else -1.0).toFloat))
+    ).toDF("vec_id", "embedding")
+    val init = df.filter(col("vec_id") === 1L || col("vec_id") === 10L)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val out = Dedup.semDedup(df, "vec_id", "embedding", init,
+        iters = 1, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)))
+    assert(out.map(_._3).toSeq ==
+      Seq(true, false, false, true, false, true))
+  }
+
   test("winnow hot-fingerprint cap in its binding regime: boilerplate " +
       "postings dropped, rare fingerprints still pair") {
     import spark.implicits._
