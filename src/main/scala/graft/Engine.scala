@@ -1906,7 +1906,22 @@ class Engine(parent: SparkSession) {
     val cols = spark.table(name).schema.fields
       .map(f => s"   ${f.name} ${f.dataType.sql}").mkString(",\n")
     val storage = tablePaths.get(name)
-      .map { case (p, fmt) => s"\nUSING $fmt\nLOCATION '$p'" }
+      .map { case (p, fmt) =>
+        // bucketed layouts render their table properties the way the
+        // reference's ShowCreate does (HiveTableProperties spelling)
+        val marker = java.nio.file.Paths.get(p, "_graft_bucketspec")
+        val props =
+          if (java.nio.file.Files.isRegularFile(marker)) {
+            val kv = new String(java.nio.file.Files.readAllBytes(marker),
+              "UTF-8").linesIterator.map(_.split("=", 2))
+              .collect { case Array(k, v) => k -> v }.toMap
+            val keys = kv("key").split(",")
+              .map(k => s"'$k'").mkString(", ")
+            s"\nWITH (\n   bucketed_by = ARRAY[$keys],\n" +
+              s"   bucket_count = ${kv("buckets")}\n)"
+          } else ""
+        s"\nUSING $fmt\nLOCATION '$p'$props"
+      }
       .getOrElse("")
     s"CREATE TABLE $name (\n$cols\n)$storage"
   }

@@ -62,6 +62,10 @@ class BucketingSpec extends AnyFunSuite {
       e.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       e.spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+    // SHOW CREATE TABLE renders the reference's table-properties spelling
+    val ddl = e.sql("SHOW CREATE TABLE orders_bb").collect().head.getString(0)
+    assert(ddl.contains("bucketed_by = ARRAY['o_custkey']"), ddl)
+    assert(ddl.contains("bucket_count = 4"), ddl)
   }
 
   test("persisted layout: redirect serves bucketed tables; h18 shape plans " +
