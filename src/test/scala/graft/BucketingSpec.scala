@@ -66,6 +66,10 @@ class BucketingSpec extends AnyFunSuite {
     val ddl = e.sql("SHOW CREATE TABLE orders_bb").collect().head.getString(0)
     assert(ddl.contains("bucketed_by = ARRAY['o_custkey']"), ddl)
     assert(ddl.contains("bucket_count = 4"), ddl)
+    // the Engine runs on a child session, but catalog (non-temp) tables
+    // are shared with the parent — drop so other suites' catalog
+    // assertions stay clean
+    e.spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders_bb")
   }
 
   test("persisted layout: redirect serves bucketed tables; h18 shape plans " +
@@ -111,6 +115,11 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.bucketedDir")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // registered catalog tables are session-global — drop so other
+      // suites' catalog assertions (information_schema widest-table)
+      // stay clean
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
     }
   }
 }
