@@ -93,7 +93,22 @@ object Bucketing {
       try spark.conf.get("spark.graft.bucketedDir", "")
       catch { case _: Exception => "" }
     if (layout.isEmpty) None
-    else registerBucketed(spark, layout, name).map(spark.table)
+    else registerBucketed(spark, layout, name).map { tbl =>
+      // Opt-in sorted-bucket scans (spark.graft.bucketedSortedScan):
+      // graft layouts guarantee exactly ONE sorted file per bucket
+      // (persistBucketed's hash-aligned repartition), which is the
+      // regime where the legacy output-ordering conf is sound — the
+      // scan then reports its sort order and the SMJ Sorts above
+      // bucketed joins vanish (measured: h21 4.68→4.13 s at sf30).
+      // Session-global, so it stays default-OFF: enable only when every
+      // bucketed table in the session is a graft layout.
+      val sorted =
+        try spark.conf.get("spark.graft.bucketedSortedScan", "false").toBoolean
+        catch { case _: Exception => false }
+      if (sorted) spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      spark.table(tbl)
+    }
   }
 
   /** Stage orders+lineitem as co-bucketed tables (idempotent per session). */

@@ -122,4 +122,48 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
     }
   }
+
+  test("opt-in sorted-bucket scan: the SMJ Sorts above a bucketed join " +
+      "vanish (one sorted file per bucket makes the legacy conf sound)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketsorted").toString
+    Bucketing.persistBucketed(spark,
+      Tables.t(spark, sf, "orders"), dir, "orders", "o_orderkey", 4)
+    Bucketing.persistBucketed(spark,
+      Tables.t(spark, sf, "lineitem"), dir, "lineitem", "l_orderkey", 4)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.graft.bucketedDir", dir)
+      spark.conf.set("spark.graft.bucketedSortedScan", "true")
+      val q = Tables.t(spark, sf, "orders")
+        .join(Tables.t(spark, sf, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_quantity"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(!plan.contains("Sort ["),
+        "sorted-bucket scan must eliminate the SMJ Sorts:\n" +
+          plan.linesIterator.filter(_.contains("Sort")).mkString("\n"))
+      // results identical to the flat path
+      spark.conf.unset("spark.graft.bucketedDir")
+      val expect = Tables.t(spark, sf, "orders")
+        .join(Tables.t(spark, sf, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .count()
+      assert(q.count() == expect)
+    } finally {
+      spark.conf.unset("spark.graft.bucketedDir")
+      spark.conf.unset("spark.graft.bucketedSortedScan")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
+    }
+  }
 }
