@@ -302,25 +302,8 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize,
       hashFn: (Int, Column) => Column = (i, sh) => xxhash64(lit(i), sh)): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    // Signature layout is DELIBERATELY explode+groupBy, not K map-only
-    // array_min(transform(...)) folds: higher-order functions evaluate
-    // interpreted (outside codegen) and, when the shingle column is an
-    // inline expression, CollapseProject additionally re-runs the O(n·k)
-    // shingle construction K times per doc (measured 17x slower at sf0.1;
-    // the fold form re-measured 1.4x slower even against a materialized
-    // shingle column). The exploded form hashes each shingle exactly once
-    // per hash function inside whole-stage codegen and pays one
-    // map-side-combined shuffle of (doc, K mins) partials.
-    val shingled = df.select(col(idCol), explode(col(shingleCol)).as("sh"))
-    val hashed = shingled.select(col(idCol) +:
-      (0 until numHashes).map(i => hashFn(i, col("sh")).as(s"h$i")): _*)
-    val sig = hashed.groupBy(idCol)
-      .agg(min(col("h0")).as("h0"),
-        (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-    val allBands = sig.select(col(idCol),
-      posexplode(array((0 until numHashes / bandSize).map(b =>
-        concat_ws(",", (0 until bandSize).map(j =>
-          col(s"h${b * bandSize + j}")): _*)): _*)).as(Seq("band", "bh")))
+    val allBands = lshBandTable(df, idCol, shingleCol, numHashes,
+      bandSize, hashFn)
     val banded =
       if (maxBucketSize == Int.MaxValue) allBands
       else {
@@ -336,6 +319,84 @@ object Dedup {
     l.join(r, col("band") === col("band_r") && col("bh") === col("bh_r") &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** (id, band, bh) LSH band table — the shared signature pipeline.
+    * Layout is DELIBERATELY explode+groupBy, not K map-only
+    * array_min(transform(...)) folds: higher-order functions evaluate
+    * interpreted (outside codegen) and, when the shingle column is an
+    * inline expression, CollapseProject additionally re-runs the O(n·k)
+    * shingle construction K times per doc (measured 17x slower at sf0.1;
+    * the fold form re-measured 1.4x slower even against a materialized
+    * shingle column). The exploded form hashes each shingle exactly once
+    * per hash function inside whole-stage codegen and pays one
+    * map-side-combined shuffle of (doc, K mins) partials. */
+  private def lshBandTable(df: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int, bandSize: Int,
+      hashFn: (Int, Column) => Column): DataFrame = {
+    val shingled = df.select(col(idCol), explode(col(shingleCol)).as("sh"))
+    val hashed = shingled.select(col(idCol) +:
+      (0 until numHashes).map(i => hashFn(i, col("sh")).as(s"h$i")): _*)
+    val sig = hashed.groupBy(idCol)
+      .agg(min(col("h0")).as("h0"),
+        (1 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+    sig.select(col(idCol),
+      posexplode(array((0 until numHashes / bandSize).map(b =>
+        concat_ws(",", (0 until bandSize).map(j =>
+          col(s"h${b * bandSize + j}")): _*)): _*)).as(Seq("band", "bh")))
+  }
+
+  /** Incremental (cross-corpus) near-dup detection — the nightly-crawl
+    * ingestion gate: flag INCOMING documents that near-duplicate any
+    * REFERENCE document, without ever self-joining either side. Band
+    * buckets join reference×incoming only (within-side pairs never
+    * form), candidates verify by exact Jaccard on hashed shingles, and
+    * the hot-bucket cap bounds any boilerplate bucket's cross product
+    * (combined postings ≤ maxBucketSize, the self-join guard's
+    * contract). At 100 TB the reference side's band table is computed
+    * once per ingest wave and is tiny next to the corpus (K×8-byte mins
+    * per doc); only the delta re-shingles.
+    *
+    * Returns (new_id, ref_id, j) with j ≥ minJaccard. */
+  def lshDedupAgainst(reference: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3, numHashes: Int = 8,
+      bandSize: Int = 2, minJaccard: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= shingleK)
+      .select(col(idCol),
+        array_distinct(shinglesOf(col("t"), shingleK)).as("sh"))
+      .localCheckpoint(true)
+    val refSh = shingled(reference)
+    val newSh = shingled(incoming)
+    val refB = lshBandTable(refSh, idCol, "sh", numHashes, bandSize,
+        (i, sh) => xxhash64(lit(i), sh))
+      .select(col("band"), col("bh"), col(idCol).as("ref_id"))
+    val newB = lshBandTable(newSh, idCol, "sh", numHashes, bandSize,
+        (i, sh) => xxhash64(lit(i), sh))
+      .select(col("band"), col("bh"), col(idCol).as("new_id"))
+    val cool = refB.select("band", "bh").union(newB.select("band", "bh"))
+      .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucketSize)
+      .select("band", "bh")
+    val cand = refB.join(cool, Seq("band", "bh"))
+      .join(newB, Seq("band", "bh"))
+      .select("new_id", "ref_id").distinct()
+    def hashedSh(df: DataFrame): DataFrame = df.select(col(idCol),
+      array_distinct(transform(col("sh"), sh => xxhash64(sh))).as("shh"))
+    cand
+      .join(hashedSh(refSh).select(col(idCol).as("ref_id"),
+        col("shh").as("sha")), "ref_id")
+      .join(hashedSh(newSh).select(col(idCol).as("new_id"),
+        col("shh").as("shb")), "new_id")
+      .select(col("new_id"), col("ref_id"),
+        size(array_intersect(col("sha"), col("shb"))).as("i"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .select(col("new_id"), col("ref_id"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
+      .filter(col("j") >= minJaccard)
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
@@ -697,6 +758,43 @@ object Dedup {
     // ≥0.8 pair set exhaustively (with the |A|/|B| ≥ 0.8 size bound as a
     // pushdown prefilter — implied by jaccard ≥ 0.8, so still exact), which
     // doubles as an LSH recall check: a missed true pair would hash-mismatch.
+    // Incremental cross-corpus dedup: the even-doc_id half plays the
+    // existing corpus, the odd half the incoming crawl; LSH bands join
+    // reference×incoming only and exact Jaccard verifies. The oracle is
+    // the EXHAUSTIVE exact cross-pair set (length-prefiltered) — LSH
+    // recall at this threshold must be total or the hash fails (the d04
+    // contract, cross-corpus form).
+    "d17_dedup_against" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        lshDedupAgainst(
+          dd.filter(col("doc_id") % 2 === 0),
+          dd.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+          .select(col("new_id"), col("ref_id"), round(col("j"), 4).as("jaccard"))
+          .orderBy("new_id", "ref_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 2 + 1),
+              i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+          FROM t WHERE len(toks) >= 3)
+        SELECT i.doc_id AS new_id, r.doc_id AS ref_id,
+          round(CAST(len(list_intersect(i.shingles, r.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(i.shingles, r.shingles))), 4) AS jaccard
+        FROM sh i JOIN sh r
+          ON i.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+          AND len(i.shingles) >= 0.8 * len(r.shingles)
+          AND len(r.shingles) >= 0.8 * len(i.shingles)
+        WHERE CAST(len(list_intersect(i.shingles, r.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(i.shingles, r.shingles))) >= 0.8
+        ORDER BY new_id, ref_id""")),
+
     "d04_minhash_lsh_pairs" -> Q(
       (s, d) => lshVerifiedPairs(docs(s, d))
         .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
