@@ -226,6 +226,26 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == 0)
   }
 
+  test("lshDedupAgainst: incoming docs pair with reference near-dups only " +
+      "— within-side duplicates never form pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val reference = Seq(
+      (2L, base), // near-dup target
+      (4L, "completely different reference content about engines at scale"),
+      (6L, base)  // reference-side duplicate of 2 — must NOT pair with it
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, base + " extra"), // near-dups 2 and 6
+      (3L, base + " extra"), // incoming-side duplicate of 1 — must not pair with 1
+      (5L, "entirely novel incoming text with no reference overlap at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.lshDedupAgainst(reference, incoming, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 6L), (3L, 2L), (3L, 6L)), s"got $pairs")
+  }
+
   test("semDedup: duplicates group within clusters, representatives kept, " +
       "cross-cluster lookalikes never pair") {
     import spark.implicits._
