@@ -47,10 +47,18 @@ object SafeRegex {
     override def toString: String = s
   }
 
+  /** Compiled-pattern cache. Bounded: with per-row (non-literal) pattern
+    * columns an unbounded map grows without limit on long-lived executors,
+    * so past `MaxCachedPatterns` distinct patterns the cache is cleared —
+    * recompilation is cheap relative to evaluation, and the common case
+    * (a literal pattern) stays a single entry.
+    */
+  private val MaxCachedPatterns = 1024
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
 
   def matcher(pattern: String, input: String, maxSteps: Long): java.util.regex.Matcher = {
+    if (cache.size > MaxCachedPatterns) cache.clear()
     val p = cache.computeIfAbsent(pattern, java.util.regex.Pattern.compile)
     p.matcher(if (maxSteps > 0) new Bounded(input, maxSteps) else input)
   }
@@ -139,16 +147,16 @@ case class BoundedRegexpSplit(subject: Expression, pattern: Expression,
   override def third: Expression = limit
   override def dataType: DataType = ArrayType(StringType)
   override protected def nullSafeEval(s: Any, p: Any, l: Any): Any = {
+    // UTF8String.split runs the UNBOUNDED java.util.regex matcher, so the
+    // guard scan must run FIRST — a catastrophic pattern throws here,
+    // before the unbounded split call can wedge the executor.
+    if (maxSteps > 0) {
+      val m = SafeRegex.matcher(p.toString, s.toString, maxSteps)
+      while (m.find()) {}
+    }
     val parts = UTF8String.fromString(s.toString)
       .split(UTF8String.fromString(p.toString), l.asInstanceOf[Int])
-    // UTF8String.split is Spark's own contract, but it runs the unbounded
-    // matcher — re-split bounded when a guard is active
-    if (maxSteps <= 0) new GenericArrayData(parts.toSeq)
-    else {
-      val m = SafeRegex.matcher(p.toString, s.toString, maxSteps)
-      while (m.find()) {} // bounded scan: throws on runaway before split
-      new GenericArrayData(parts.toSeq)
-    }
+    new GenericArrayData(parts.toSeq)
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression) = copy(subject = a, pattern = b, limit = c)

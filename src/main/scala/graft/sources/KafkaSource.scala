@@ -92,6 +92,11 @@ object KafkaWire {
       b.getShort // producerEpoch
       b.getInt // baseSequence
       val numRecords = b.getInt
+      // Control batches (attributes bit 5) carry transaction commit/abort
+      // markers, not user data — a real broker with transactional
+      // producers interleaves them into the log; skip the whole batch.
+      if ((attributes & 0x20) != 0) { b.position(batchEnd) }
+      else {
       // the records section (after the count) is what the codec bits
       // compress (public record-batch spec); the header stays plain
       val recBytes = new Array[Byte](batchEnd - b.position())
@@ -121,8 +126,34 @@ object KafkaWire {
         i += 1
       }
       b.position(batchEnd)
+      }
     }
     out.result()
+  }
+
+  /** Exclusive next offset after the batches in a Fetch record_set —
+    * baseOffset + lastOffsetDelta + 1 of the LAST complete batch, or
+    * `from` when the set holds none. On compacted or transactional
+    * topics this advances past gaps (compacted-away records, control
+    * markers) that yield zero user records, where counting decoded
+    * records would stall the scan. */
+  def nextOffsetAfter(bytes: Array[Byte], from: Long): Long = {
+    var next = from
+    val b = ByteBuffer.wrap(bytes)
+    while (b.remaining() >= 61) {
+      val baseOffset = b.getLong
+      val batchLength = b.getInt
+      if (b.remaining() < batchLength) return next // partial tail
+      val batchEnd = b.position() + batchLength
+      b.getInt // partitionLeaderEpoch
+      b.get() // magic
+      b.getInt // crc
+      b.getShort // attributes
+      val lastOffsetDelta = b.getInt
+      next = baseOffset + lastOffsetDelta + 1
+      b.position(batchEnd)
+    }
+    next
   }
 
   /** Codec ids from the batch attributes' low bits (public protocol):
@@ -338,8 +369,14 @@ final class KafkaWireClient(host: String, port: Int) extends AutoCloseable {
   }
 
   /** Fetch v4 from `offset` → (records, highWatermark). */
+  /** One Fetch round-trip. Returns (decoded user records at >= offset,
+    * high watermark, next offset to fetch). The next offset comes from
+    * the last complete batch's lastOffsetDelta, NOT from the decoded
+    * records — on compacted or transactional topics a Fetch below the
+    * end offset can legitimately decode zero user records (compacted-away
+    * keys, control markers) and the scan must still advance. */
   def fetch(topic: String, partition: Int, offset: Long,
-      maxBytes: Int = 1 << 20): (Seq[KafkaWire.WireRecord], Long) = {
+      maxBytes: Int = 1 << 20): (Seq[KafkaWire.WireRecord], Long, Long) = {
     val body = ByteBuffer.allocate(64 + topic.length)
     body.putInt(-1) // replica_id
     body.putInt(100) // max_wait_ms
@@ -357,6 +394,7 @@ final class KafkaWireClient(host: String, port: Int) extends AutoCloseable {
     r.getInt // throttle_time
     var records = Seq.empty[KafkaWire.WireRecord]
     var hw = 0L
+    var next = offset
     (1 to r.getInt).foreach { _ =>
       getString(r)
       (1 to r.getInt).foreach { _ =>
@@ -368,12 +406,14 @@ final class KafkaWireClient(host: String, port: Int) extends AutoCloseable {
         val nAborted = r.getInt
         (1 to math.max(0, nAborted)).foreach(_ => { r.getLong; r.getLong })
         val set = KafkaWire.getBytes(r)
-        if (set != null)
+        if (set != null) {
           records = KafkaWire.decodeRecordBatches(set)
             .filter(_.offset >= offset)
+          next = math.max(next, KafkaWire.nextOffsetAfter(set, offset))
+        }
       }
     }
-    (records, hw)
+    (records, hw, next)
   }
 
   override def close(): Unit = socket.close()
@@ -436,13 +476,16 @@ object KafkaSource {
         try {
           var off = 0L
           while (off < end) {
-            val (recs, _) = c.fetch(topic, pid, off)
-            require(recs.nonEmpty, s"Fetch returned no records at $off < $end")
+            val (recs, _, next) = c.fetch(topic, pid, off)
             recs.foreach { r =>
               buf += org.apache.spark.sql.Row(r.key, r.value, topic, pid,
                 r.offset, new java.sql.Timestamp(r.timestampMs), 0)
             }
-            off = recs.map(_.offset).max + 1
+            // Advance by the batch header's lastOffsetDelta: a compacted
+            // or transactional topic can return zero user records below
+            // the end offset, and the scan must not stall there.
+            require(next > off, s"Fetch did not advance at $off < $end")
+            off = next
           }
         } finally c.close()
         buf

@@ -190,6 +190,52 @@ class KafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  /** Flip the control flag (attributes bit 5) on an encoded batch and
+    * re-seal the CRC — the shape a transactional producer's commit/abort
+    * marker has on the wire. */
+  private def asControl(batch: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(batch, batch.length)
+    // layout: baseOffset(8) batchLength(4) leaderEpoch(4) magic(1) crc(4)
+    // attributes(2) ... — attributes short at 21, CRC over [21, end)
+    out(22) = (out(22) | 0x20).toByte
+    val crc = new java.util.zip.CRC32C
+    crc.update(out, 21, out.length - 21)
+    java.nio.ByteBuffer.wrap(out).putInt(17, crc.getValue.toInt)
+    out
+  }
+
+  test("control batches (attributes bit 5) decode to zero user records") {
+    import graft.sources.KafkaWire
+    val data = KafkaWire.encodeRecordBatch(7L, 1000L,
+      Seq(("k".getBytes("UTF-8"), "v".getBytes("UTF-8"))))
+    val marker = asControl(KafkaWire.encodeRecordBatch(8L, 1001L,
+      Seq((Array[Byte](0, 0, 0, 0), Array[Byte](0, 0, 0, 0, 0, 0)))))
+    val decoded = KafkaWire.decodeRecordBatches(data ++ marker)
+    assert(decoded.map(_.offset) == Seq(7L)) // marker skipped, not garbage
+    // ...but the scan cursor still advances past the marker's offsets
+    assert(KafkaWire.nextOffsetAfter(data ++ marker, 7L) == 9L)
+  }
+
+  test("tableDirect terminates on a log whose tail is a transaction marker " +
+      "(zero user records below the end offset)") {
+    import graft.sources.KafkaWire
+    val payload = KafkaWire.encodeRecordBatch(0L, 1700000000000L, Seq(
+      ("k".getBytes("UTF-8"), """{"id":1,"v":"a"}""".getBytes("UTF-8")),
+      ("k".getBytes("UTF-8"), """{"id":2,"v":"b"}""".getBytes("UTF-8"))))
+    val marker = asControl(KafkaWire.encodeRecordBatch(2L, 1700000000002L,
+      Seq((Array[Byte](0, 0, 0, 0), Array[Byte](0, 0, 0, 0, 0, 0)))))
+    val broker = new MiniKafka("txn", Map(0 -> Seq(payload, marker)))
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType)))
+      // end offset is 3 (past the marker); the fetch loop must advance by
+      // lastOffsetDelta — requiring decoded records here would stall/abort
+      val rows = KafkaSource.tableDirect(spark, "localhost", broker.port,
+        "txn", schema, "json").orderBy("id").collect()
+      assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    } finally broker.close()
+  }
+
   test("tableDirect: live wire-protocol read against an in-process broker, " +
       "one task per partition") {
     import graft.sources.KafkaWire
@@ -242,8 +288,11 @@ final class MiniKafka(topic: String,
   acceptor.setDaemon(true)
   acceptor.start()
 
+  // Log end offset from the batch headers (lastOffsetDelta), like a real
+  // broker — includes control/compacted offsets that decode to no user
+  // records.
   private def endOffset(pid: Int): Long =
-    data.getOrElse(pid, Nil).map(b => decodeRecordBatches(b).size.toLong).sum
+    nextOffsetAfter(data.getOrElse(pid, Nil).toArray.flatten, 0L)
 
   private def serve(sock: java.net.Socket): Unit = {
     try {

@@ -37,6 +37,24 @@ class SafeRegexSpec extends AnyFunSuite {
     assert(wallMs < 60000, s"guard took ${wallMs}ms — not bounding")
   }
 
+  test("regexp_split fails fast too (guard scan runs BEFORE the split call)") {
+    // Regression: the guard scan must run before UTF8String.split (which
+    // uses the unbounded matcher) — otherwise a catastrophic pattern
+    // wedges inside the split call and the bound never fires.
+    val subject = "," * 35
+    val t0 = System.nanoTime()
+    val ex = intercept[Exception](withGuard(1000000L) {
+      e.sql(s"SELECT regexp_split('$subject', '^(.*,){11}P')").collect()
+    })
+    val wallMs = (System.nanoTime() - t0) / 1e6
+    def rootMessages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ rootMessages(t.getCause)
+    assert(rootMessages(ex).exists(_.contains("exceeded 1000000 steps")),
+      rootMessages(ex).mkString(" | "))
+    assert(wallMs < 15000, s"split guard took ${wallMs}ms — unbounded split ran first")
+  }
+
   test("bounded evaluators agree with the unguarded registry on normal patterns") {
     val probes = Seq(
       "regexp_like('hello world', 'w.rld')",
