@@ -53,6 +53,12 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // rule so it sees the single-stage Complete shape
     ext.injectQueryStagePrepRule(session =>
       new plans.SortSharedAggregate(session))
+    // a hash aggregate whose child already delivers the grouping keys as
+    // a sorted prefix (graft bucketed sorted layouts) becomes a CODEGEN'd
+    // streaming aggregate — no hash table, no sort; the reference's
+    // StreamingAggregationOperator as AccumulatorCompiler compiles it
+    ext.injectQueryStagePrepRule(session =>
+      new plans.StreamingSortedAggregate(session))
   }
 }
 
