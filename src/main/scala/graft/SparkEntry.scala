@@ -58,7 +58,8 @@ object SparkEntry {
     "e06_interval_join",
     "ds01_star_rollup", "ds02_moving_rank", "ds03_channel_union",
     "ds04_yoy_growth", "ds05_gsets_rank", "ds06_bucket_counts",
-    "ds07_rollup_topk")
+    "ds07_rollup_topk",
+    "ds08_channel_fanout", "ds11_intersect_customers", "ds14_basket_overlap")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

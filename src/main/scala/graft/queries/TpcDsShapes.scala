@@ -146,6 +146,298 @@ object TpcDsShapes {
       FROM agg) t
     WHERE rnk <= 3"""
 
+  // ---- round-13 breadth: one entry per remaining distinct DS shape ----
+  // (reference inventory: presto-tpcds/.../TpcdsMetadata.java, benchmark
+  // protocol presto-benchto-benchmarks/.../tpcds.yaml:17-44). Channels are
+  // simulated with l_returnflag / priority classes on the fixture's star.
+
+  // DS q4/q11 shape: one multi-channel per-customer-year CTE referenced
+  // FOUR times — growth in one channel must beat growth in the other.
+  private val DS08 = """
+    WITH yt AS (
+      SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
+        l_returnflag AS channel,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag IN ('R', 'A')
+      GROUP BY 1, 2, 3)
+    SELECT r1.ck AS custkey, r1.yr AS yr1,
+      round(CAST(r2.total AS DOUBLE) / CAST(r1.total AS DOUBLE), 6) AS r_growth,
+      round(CAST(a2.total AS DOUBLE) / CAST(a1.total AS DOUBLE), 6) AS a_growth
+    FROM yt r1
+    JOIN yt r2 ON r1.ck = r2.ck AND r2.yr = r1.yr + 1
+      AND r1.channel = 'R' AND r2.channel = 'R'
+    JOIN yt a1 ON a1.ck = r1.ck AND a1.yr = r1.yr AND a1.channel = 'A'
+    JOIN yt a2 ON a2.ck = r1.ck AND a2.yr = r2.yr AND a2.channel = 'A'
+    WHERE CAST(a2.total AS DOUBLE) / CAST(a1.total AS DOUBLE)
+        > CAST(r2.total AS DOUBLE) / CAST(r1.total AS DOUBLE)"""
+
+  // DS q10/q35 shape: EXISTS chain (two positive, one negative) over the
+  // "date-dim filtered" activity tables, then demographic group counts.
+  private val DS09 = """
+    SELECT c_mktsegment, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND year(o_orderdate) <= 1997)
+      AND EXISTS (
+        SELECT 1 FROM orders o JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o.o_custkey = c_custkey AND l_returnflag = 'R')
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment"""
+
+  // DS q51 shape: two channels' monthly revenue FULL OUTER JOINed, running
+  // cumulative sums compared — window over the union of the channels.
+  private val DS10 = """
+    WITH s AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        CAST(month(l_shipdate) AS INT) AS mon,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2),
+    w AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        CAST(month(l_shipdate) AS INT) AS mon,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2)
+    SELECT yr, mon, s_cum, w_cum FROM (
+      SELECT COALESCE(s.yr, w.yr) AS yr, COALESCE(s.mon, w.mon) AS mon,
+        CAST(sum(COALESCE(s.rev, 0)) OVER (
+          ORDER BY COALESCE(s.yr, w.yr), COALESCE(s.mon, w.mon)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS s_cum,
+        CAST(sum(COALESCE(w.rev, 0)) OVER (
+          ORDER BY COALESCE(s.yr, w.yr), COALESCE(s.mon, w.mon)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS w_cum
+      FROM s FULL OUTER JOIN w ON s.yr = w.yr AND s.mon = w.mon) t
+    WHERE w_cum > s_cum"""
+
+  // DS q38/q14 shape: INTERSECT of three channels' distinct customer sets.
+  private val DS11 = """
+    SELECT count(*) AS common_customers FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM') t"""
+
+  // DS q6 shape: correlated average subquery (items priced 5% above
+  // their brand's average).
+  private val DS12 = """
+    SELECT p_brand, count(*) AS pricey_parts
+    FROM part p1
+    WHERE p_retailprice > 1.05 * (
+      SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p1.p_brand)
+    GROUP BY p_brand"""
+
+  // DS q2 shape: per-year revenue pivoted into quarter columns (FILTER
+  // clause), self-joined year against year+1 for per-quarter ratios.
+  private val DS13 = """
+    WITH q AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE quarter(o_orderdate) = 1) AS DECIMAL(38,2)) AS q1,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE quarter(o_orderdate) = 2) AS DECIMAL(38,2)) AS q2,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE quarter(o_orderdate) = 3) AS DECIMAL(38,2)) AS q3,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE quarter(o_orderdate) = 4) AS DECIMAL(38,2)) AS q4
+      FROM orders GROUP BY 1)
+    SELECT a.yr AS yr,
+      round(CAST(b.q1 AS DOUBLE) / CAST(a.q1 AS DOUBLE), 6) AS r1,
+      round(CAST(b.q2 AS DOUBLE) / CAST(a.q2 AS DOUBLE), 6) AS r2,
+      round(CAST(b.q3 AS DOUBLE) / CAST(a.q3 AS DOUBLE), 6) AS r3,
+      round(CAST(b.q4 AS DOUBLE) / CAST(a.q4 AS DOUBLE), 6) AS r4
+    FROM q a JOIN q b ON b.yr = a.yr + 1"""
+
+  // DS q97 shape: FULL OUTER JOIN of two halves' distinct (customer, part)
+  // baskets — exclusive/overlap counts.
+  private val DS14 = """
+    WITH h1 AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE month(o_orderdate) <= 6),
+    h2 AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE month(o_orderdate) > 6)
+    SELECT
+      CAST(sum(CASE WHEN h1.ck IS NOT NULL AND h2.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS first_only,
+      CAST(sum(CASE WHEN h1.ck IS NULL AND h2.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS second_only,
+      CAST(sum(CASE WHEN h1.ck IS NOT NULL AND h2.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_halves
+    FROM h1 FULL OUTER JOIN h2 ON h1.ck = h2.ck AND h1.pk = h2.pk"""
+
+  // DS q49 shape: per-part return ratio ranked, worst offenders kept.
+  private val DS15 = """
+    SELECT pk, ratio, rnk FROM (
+      SELECT pk, round(ret_qty / qty, 6) AS ratio,
+        CAST(rank() OVER (ORDER BY ret_qty / qty DESC, pk) AS INT) AS rnk
+      FROM (
+        SELECT l_partkey AS pk,
+          CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS DOUBLE) AS ret_qty,
+          CAST(sum(l_quantity) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1) r
+      WHERE qty > 0) t
+    WHERE rnk <= 20"""
+
+  // DS q90 shape: the ratio of two scalar-subquery counts (one row out).
+  private val DS16 = """
+    SELECT round(CAST(am.c AS DOUBLE) / CAST(pm.c AS DOUBLE), 6) AS am_pm_ratio
+    FROM (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) <= 6) am,
+         (SELECT count(*) AS c FROM lineitem WHERE month(l_shipdate) > 6) pm"""
+
+  // DS q47/q57 shape: monthly aggregate vs its year average, lag/lead
+  // months attached, deviant months kept.
+  private val DS17 = """
+    SELECT rf, yr, mon, qty, yr_avg, prev_qty, next_qty FROM (
+      SELECT rf, yr, mon, qty,
+        round(avg(CAST(qty AS DOUBLE)) OVER (PARTITION BY rf, yr), 6) AS yr_avg,
+        CAST(lag(qty) OVER (PARTITION BY rf ORDER BY yr, mon) AS DECIMAL(38,2)) AS prev_qty,
+        CAST(lead(qty) OVER (PARTITION BY rf ORDER BY yr, mon) AS DECIMAL(38,2)) AS next_qty
+      FROM (
+        SELECT l_returnflag AS rf, CAST(year(l_shipdate) AS INT) AS yr,
+          CAST(month(l_shipdate) AS INT) AS mon,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        FROM lineitem GROUP BY 1, 2, 3) m) d
+    WHERE yr_avg > 0 AND abs(CAST(qty AS DOUBLE) - yr_avg) / yr_avg > 0.1"""
+
+  // DS q16/q95 shape: orders served by MORE THAN ONE supplier (EXISTS over
+  // a self-join) with no returned line (NOT EXISTS).
+  private val DS18 = """
+    SELECT count(DISTINCT o_orderkey) AS order_count,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        WHERE l1.l_orderkey = o_orderkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = o_orderkey AND l3.l_returnflag = 'R')"""
+
+  // DS q9 shape: CASE WHEN over scalar-subquery counts picking between
+  // scalar-subquery averages, five quantity buckets, one row out.
+  private val DS19 = """
+    SELECT
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 1000
+           THEN (SELECT round(avg(l_quantity), 6) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+           ELSE (SELECT round(avg(CAST(l_linenumber AS DOUBLE)), 6) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS b1,
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 1000
+           THEN (SELECT round(avg(l_quantity), 6) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+           ELSE (SELECT round(avg(CAST(l_linenumber AS DOUBLE)), 6) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS b2,
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 1000
+           THEN (SELECT round(avg(l_quantity), 6) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+           ELSE (SELECT round(avg(CAST(l_linenumber AS DOUBLE)), 6) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END AS b3,
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 1000
+           THEN (SELECT round(avg(l_quantity), 6) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+           ELSE (SELECT round(avg(CAST(l_linenumber AS DOUBLE)), 6) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END AS b4,
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 1000
+           THEN (SELECT round(avg(l_quantity), 6) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+           ELSE (SELECT round(avg(CAST(l_linenumber AS DOUBLE)), 6) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS b5"""
+
+  // DS q83 shape: a part's returned quantity in three date ranges joined,
+  // each range's share of the combined total.
+  private val DS20 = """
+    WITH r1 AS (
+      SELECT l_partkey AS pk,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
+      FROM lineitem WHERE l_returnflag = 'R' AND month(l_shipdate) IN (1, 2, 3)
+      GROUP BY 1),
+    r2 AS (
+      SELECT l_partkey AS pk,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
+      FROM lineitem WHERE l_returnflag = 'R' AND month(l_shipdate) IN (4, 5, 6)
+      GROUP BY 1),
+    r3 AS (
+      SELECT l_partkey AS pk,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
+      FROM lineitem WHERE l_returnflag = 'R' AND month(l_shipdate) IN (7, 8, 9)
+      GROUP BY 1)
+    SELECT r1.pk AS pk, r1.q AS q1, r2.q AS q2, r3.q AS q3,
+      round(CAST(r1.q AS DOUBLE) / CAST(r1.q + r2.q + r3.q AS DOUBLE) * 3, 6) AS share1,
+      round(CAST(r2.q AS DOUBLE) / CAST(r1.q + r2.q + r3.q AS DOUBLE) * 3, 6) AS share2,
+      round(CAST(r3.q AS DOUBLE) / CAST(r1.q + r2.q + r3.q AS DOUBLE) * 3, 6) AS share3
+    FROM r1 JOIN r2 ON r1.pk = r2.pk JOIN r3 ON r1.pk = r3.pk"""
+
+  // DS q75 shape: per-(year, brand) volume vs prior year, decreases kept.
+  private val DS21 = """
+    WITH s AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr, p_brand AS brand,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag IN ('A', 'N')
+      GROUP BY 1, 2)
+    SELECT cur.brand AS brand, prev.yr AS prev_yr, cur.yr AS cur_yr,
+      prev.qty AS prev_qty, cur.qty AS cur_qty
+    FROM s cur JOIN s prev ON cur.brand = prev.brand AND cur.yr = prev.yr + 1
+    WHERE cur.qty < prev.qty"""
+
+  // DS q54 shape: per-customer lifetime spend bucketed into revenue bands.
+  private val DS22 = """
+    WITH spend AS (
+      SELECT o_custkey AS ck,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      FROM orders GROUP BY 1)
+    SELECT CAST(floor(CAST(total AS DOUBLE) / 50000) AS INT) AS bucket,
+      count(*) AS customers
+    FROM spend GROUP BY 1"""
+
+  // DS q44 shape: best and worst performers by two opposite-direction
+  // ranks over one aggregate, joined on rank position.
+  private val DS23 = """
+    WITH perf AS (
+      SELECT l_partkey AS pk, round(avg(l_quantity), 6) AS aq
+      FROM lineitem GROUP BY 1),
+    best AS (
+      SELECT pk, aq, CAST(rank() OVER (ORDER BY aq DESC, pk) AS INT) AS rnk
+      FROM perf),
+    worst AS (
+      SELECT pk, aq, CAST(rank() OVER (ORDER BY aq ASC, pk) AS INT) AS rnk
+      FROM perf)
+    SELECT b.rnk AS rnk, b.pk AS best_pk, b.aq AS best_aq,
+      w.pk AS worst_pk, w.aq AS worst_aq
+    FROM best b JOIN worst w ON b.rnk = w.rnk
+    WHERE b.rnk <= 10"""
+
+  // DS q95/q41 shape: multi-supplier orders via a distinct-pair self-join,
+  // then a CORRELATED COUNT subquery per qualifying order.
+  private val DS24 = """
+    WITH multi AS (
+      SELECT l1.l_orderkey AS ok
+      FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+      GROUP BY 1)
+    SELECT count(*) AS multi_supplier_orders, CAST(sum(c) AS BIGINT) AS total_lines
+    FROM (
+      SELECT ok, (SELECT count(*) FROM lineitem WHERE l_orderkey = ok) AS c
+      FROM multi) t"""
+
+  // DS q31 shape: quarter-over-quarter growth per nation compared across
+  // two channels (one channel must outgrow the other).
+  private val DS25 = """
+    WITH cn AS (
+      SELECT n_name, CAST(quarter(o_orderdate) AS INT) AS qtr,
+        l_returnflag AS channel,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE year(o_orderdate) = 1997 AND l_returnflag IN ('R', 'A')
+      GROUP BY 1, 2, 3)
+    SELECT r1.n_name AS nation, r1.qtr AS qtr,
+      round(CAST(r2.rev AS DOUBLE) / CAST(r1.rev AS DOUBLE), 6) AS r_growth,
+      round(CAST(a2.rev AS DOUBLE) / CAST(a1.rev AS DOUBLE), 6) AS a_growth
+    FROM cn r1
+    JOIN cn r2 ON r1.n_name = r2.n_name AND r2.qtr = r1.qtr + 1
+      AND r1.channel = 'R' AND r2.channel = 'R'
+    JOIN cn a1 ON a1.n_name = r1.n_name AND a1.qtr = r1.qtr AND a1.channel = 'A'
+    JOIN cn a2 ON a2.n_name = r1.n_name AND a2.qtr = r2.qtr AND a2.channel = 'A'
+    WHERE CAST(a2.rev AS DOUBLE) / CAST(a1.rev AS DOUBLE)
+        > CAST(r2.rev AS DOUBLE) / CAST(r1.rev AS DOUBLE)"""
+
   val queries: Map[String, Q] = Map(
     "ds01_star_rollup" -> entry(DS01),
     "ds02_moving_rank" -> entry(DS02),
@@ -153,5 +445,23 @@ object TpcDsShapes {
     "ds04_yoy_growth" -> entry(DS04),
     "ds05_gsets_rank" -> entry(DS05),
     "ds06_bucket_counts" -> entry(DS06),
-    "ds07_rollup_topk" -> entry(DS07))
+    "ds07_rollup_topk" -> entry(DS07),
+    "ds08_channel_fanout" -> entry(DS08),
+    "ds09_exists_chain" -> entry(DS09),
+    "ds10_cumulative_compare" -> entry(DS10),
+    "ds11_intersect_customers" -> entry(DS11),
+    "ds12_correlated_avg" -> entry(DS12),
+    "ds13_quarter_pivot" -> entry(DS13),
+    "ds14_basket_overlap" -> entry(DS14),
+    "ds15_return_ratio_rank" -> entry(DS15),
+    "ds16_ratio_scalars" -> entry(DS16),
+    "ds17_moving_deviation" -> entry(DS17),
+    "ds18_exists_multisupplier" -> entry(DS18),
+    "ds19_case_buckets" -> entry(DS19),
+    "ds20_range_shares" -> entry(DS20),
+    "ds21_prior_year_brand" -> entry(DS21),
+    "ds22_spend_buckets" -> entry(DS22),
+    "ds23_best_worst" -> entry(DS23),
+    "ds24_correlated_count" -> entry(DS24),
+    "ds25_channel_growth" -> entry(DS25))
 }
