@@ -523,7 +523,12 @@ class Engine(parent: SparkSession) {
         if (isT(c)) { changed = true; Tstz.wall(c) }
         else if (isTt(c)) { changed = true; graft.functions.TtzToTimestamp(c) }
         else c))
-    val fixed = analyzed.transformAllExpressions {
+    // the retry runs in a catch block where the PARENT session may be
+    // active — Tstz.wall/unwall capture the session zone via SQLConf.get,
+    // so the rewrite must see THIS engine's session conf
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val fixed = try analyzed.transformAllExpressions {
       // ── IPADDRESS (functions/IpAddress.scala) ──
       // struct-tagged ip → varbinary is the raw 16 bytes (Spark refuses
       // struct→binary casts at analysis, so the rewrite lives on this
@@ -579,7 +584,7 @@ class Engine(parent: SparkSession) {
       case TruncTimestamp(fmt, ts, tz) if isT(ts) =>
         changed = true
         Tstz.make(
-          ToUTCTimestamp(TruncTimestamp(fmt, Tstz.wall(ts), tz), Tstz.zone(ts)),
+          Tstz.unwall(TruncTimestamp(fmt, Tstz.wall(ts), tz), Tstz.zone(ts)),
           Tstz.zone(ts))
       // date_add keeps the TYPE and the zone (the reference's
       // addFieldValueTimestampWithTimeZone shifts via the zone's
@@ -594,7 +599,7 @@ class Engine(parent: SparkSession) {
           Tstz.make(ta.copy(timestamp = Tstz.instant(ta.timestamp)), z)
         else
           Tstz.make(
-            ToUTCTimestamp(ta.copy(timestamp = Tstz.wall(ta.timestamp)), z), z)
+            Tstz.unwall(ta.copy(timestamp = Tstz.wall(ta.timestamp)), z), z)
       // date_diff over tstz: time units diff instants; calendar units
       // count in the first tstz operand's zone calendar (the reference
       // diffs through getChronology(leftZoneKey))
@@ -614,7 +619,7 @@ class Engine(parent: SparkSession) {
             if (isT(td.startTimestamp)) Tstz.zone(td.startTimestamp)
             else Tstz.zone(td.endTimestamp)
           def wallIn(e: Expression): Expression =
-            if (isT(e)) Tstz.wall(e) else FromUTCTimestamp(e, z)
+            if (isT(e)) Tstz.wall(e) else Tstz.wallAt(e, z)
           td.copy(startTimestamp = wallIn(td.startTimestamp),
             endTimestamp = wallIn(td.endTimestamp))
         }
@@ -630,6 +635,8 @@ class Engine(parent: SparkSession) {
         // epoch is zone-independent: the instant view
         e.withNewChildren(e.children.map(c =>
           if (isT(c)) { changed = true; Tstz.instant(c) } else c))
+    } finally {
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
     }
     if (!changed) throw orig
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
@@ -1634,6 +1641,7 @@ class Engine(parent: SparkSession) {
     val ShowCreV = "(?is)^SHOW\\s+CREATE\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_.]*)$".r
     val ShowCat = "(?is)^SHOW\\s+CATALOGS(?:\\s+LIKE\\s+'([^']*)')?$".r
     val SetPath = "(?is)^SET\\s+PATH\\s+(.+)$".r
+    val SetTz = "(?is)^SET\\s+TIME\\s+ZONE\\s+(?:'([^']+)'|(LOCAL))$".r
     val DescIn = "(?is)^DESCRIBE\\s+INPUT\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     val DescOut = "(?is)^DESCRIBE\\s+OUTPUT\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
     val Tx = "(?is)^START\\s+TRANSACTION(\\s+.*)?$".r
@@ -1779,6 +1787,19 @@ class Engine(parent: SparkSession) {
       case SetPath(spec) =>
         sessionPath = Some(spec.trim)
         Some(oneWordDf("SET PATH"))
+      // SET TIME ZONE '<id>' / SET TIME ZONE LOCAL (the session zone the
+      // reference carries as TimeZoneKey on its Session): maps onto
+      // spark.sql.session.timeZone, which every zone-dependent piece —
+      // Spark's own timestamp parse/extract/render AND the tstz/ttz
+      // struct machinery (Tstz.sessionZone) — reads. LOCAL restores the
+      // engine default (UTC).
+      case SetTz(zone, local) =>
+        val z = if (local != null) "UTC" else {
+          java.time.ZoneId.of(zone, java.time.ZoneId.SHORT_IDS) // validate
+          zone
+        }
+        spark.conf.set("spark.sql.session.timeZone", z)
+        Some(oneWordDf("SET TIME ZONE"))
       case DescIn(name) =>
         import spark.implicits._
         Some(describeInput(name).toDF("Position", "Type"))
@@ -1804,11 +1825,16 @@ class Engine(parent: SparkSession) {
         if (k.equalsIgnoreCase("resource_group"))
           spark.sparkContext.setLocalProperty("spark.scheduler.pool",
             if (stored.isEmpty) null else stored)
+        // session zone as a property spelling (SET SESSION timezone=...)
+        if (k.equalsIgnoreCase("timezone") || k.equalsIgnoreCase("time_zone"))
+          spark.conf.set("spark.sql.session.timeZone", stored)
         Some(oneWordDf("SET SESSION"))
       case ResetS(k) =>
         sessionProps.remove(k.toLowerCase)
         if (k.equalsIgnoreCase("resource_group"))
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        if (k.equalsIgnoreCase("timezone") || k.equalsIgnoreCase("time_zone"))
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
         Some(oneWordDf("RESET SESSION"))
       case s if s.toUpperCase == "SHOW SESSION" => Some(showSession())
       case _ => None

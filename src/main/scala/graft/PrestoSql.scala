@@ -1967,9 +1967,9 @@ object PrestoSql {
     * Spark's DOW is Sunday-based — DOW_ISO matches); YOW/YEAR_OF_WEEK,
     * DAY_OF_MONTH, DAY_OF_YEAR need Spark's spellings; SECOND is the
     * integer second-of-minute (Spark returns a fractional DECIMAL);
-    * TIMEZONE_HOUR/TIMEZONE_MINUTE are 0 in this engine's fixed-UTC
-    * session model (zone-preserving timestamps are a documented
-    * divergence). */
+    * TIMEZONE_HOUR/TIMEZONE_MINUTE route to timezone_hour/minute — the
+    * session zone's offset at the instant (0 under the UTC default), or
+    * the VALUE's zone for zone-carrying types. */
   private def extractFields(sql0: String): String = {
     val mask = maskLiterals(sql0)
     val m = java.util.regex.Pattern
@@ -1999,7 +1999,17 @@ object PrestoSql {
           if (field == "SECOND")
             "CAST(FLOOR(EXTRACT(SECS " +
               sql0.substring(fe, close) + ")) AS BIGINT)"
-          else "CAST(0 AS BIGINT)"
+          else {
+            // session-zone offset at the value's instant (0 under the UTC
+            // default; ±h/±m after SET TIME ZONE) — routes to the same
+            // timezone_hour/minute functions, which are tstz/ttz-aware
+            val expr = sql0.substring(fe, close)
+              .replaceFirst("(?is)^\\s*FROM\\b", "")
+            val f =
+              if (field == "TIMEZONE_HOUR") "timezone_hour"
+              else "timezone_minute"
+            s"$f($expr)"
+          }
         return extractFields(
           sql0.substring(0, m.start()) + repl + sql0.substring(close + 1))
       }

@@ -53,6 +53,13 @@ object Tstz {
   val I = "__tstz_i"
   val Z = "__tstz_z"
 
+  /** The session's zone (spark.sql.session.timeZone — Engine sessions
+    * default UTC, changeable via SET TIME ZONE / SET SESSION timezone).
+    * Readable at analysis time on the driver AND at eval time in tasks
+    * (Spark propagates SQL confs into TaskContext). */
+  def sessionZone: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   val dataType: StructType = StructType(Seq(
     StructField(I, TimestampType, nullable = true),
     StructField(Z, StringType, nullable = true)))
@@ -65,9 +72,23 @@ object Tstz {
 
   def instant(e: Expression): Expression = GetStructField(e, 0, Some(I))
   def zone(e: Expression): Expression = GetStructField(e, 1, Some(Z))
+
+  /** An instant, viewed as the wall clock of zone `z`, as a zone-less
+    * TIMESTAMP whose SESSION rendering/extraction shows that wall time:
+    * shift by the value zone's offset, unshift by the session's.
+    * Under the UTC default the second hop is the identity, so this is
+    * exactly the old FromUTCTimestamp view. */
+  def wallAt(instantExpr: Expression, z: Expression): Expression =
+    ToUTCTimestamp(FromUTCTimestamp(instantExpr, z), Literal(sessionZone))
+
   /** Wall-clock view in the value's zone (as a zone-less TIMESTAMP). */
-  def wall(e: Expression): Expression =
-    FromUTCTimestamp(instant(e), zone(e))
+  def wall(e: Expression): Expression = wallAt(instant(e), zone(e))
+
+  /** Inverse of [[wallAt]]: a session-rendered wall TIMESTAMP interpreted
+    * as the wall clock of zone `z` → the instant. */
+  def unwall(w: Expression, z: Expression): Expression =
+    ToUTCTimestamp(FromUTCTimestamp(w, Literal(sessionZone)), z)
+
   def make(i: Expression, z: Expression): Expression =
     CreateNamedStruct(Seq(Literal(I), i, Literal(Z), z))
 
@@ -189,23 +210,24 @@ case class GraftAtTimezone(left: Expression, right: Expression)
 case class GraftWithTimezone(left: Expression, right: Expression)
     extends RuntimeReplaceable with BinaryLike[Expression] {
   override lazy val replacement: Expression =
-    Tstz.make(ToUTCTimestamp(left, right), right)
+    Tstz.make(Tstz.unwall(left, right), right)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): GraftWithTimezone =
     copy(left = l, right = r)
 }
 
 /** CAST(x AS TIMESTAMP WITH TIME ZONE): tstz identity; timestamp tags the
-  * session zone (UTC); a string parses wall time + optional trailing zone
-  * (util/DateTimeUtils.java parseTimestampWithTimeZone — zone defaults to
-  * the session's when absent). */
+  * session zone (Spark's LTZ timestamp is already the instant, so only the
+  * display-zone tag moves); a string parses wall time + optional trailing
+  * zone (util/DateTimeUtils.java parseTimestampWithTimeZone — zone
+  * defaults to the session's when absent). */
 case class GraftToTstz(child: Expression)
     extends RuntimeReplaceable with UnaryLike[Expression] {
   override lazy val replacement: Expression = child.dataType match {
     case dt if Tstz.isTstz(dt) => child
     case dt if Ttz.isTtz(dt) => TtzToTstz(child)
     case StringType => TstzParse(child)
-    case _ => Tstz.make(Cast(child, TimestampType), Literal("UTC"))
+    case _ => Tstz.make(Cast(child, TimestampType), Literal(Tstz.sessionZone))
   }
   override protected def withNewChildInternal(c: Expression): GraftToTstz =
     copy(child = c)
@@ -246,7 +268,7 @@ object TstzParse {
       else {
         val m0 = noZone.matcher(s)
         if (!m0.matches()) return None
-        (m0.group(1), Option(m0.group(3)), "UTC")
+        (m0.group(1), Option(m0.group(3)), Tstz.sessionZone)
       }
     try {
       val ld = java.time.LocalDate.parse(datePart,

@@ -59,12 +59,12 @@ object Ttz {
     if (w < 0) w + 86400000L else w
   }
 
-  /** Parse 'H:m[:s[.fff]][ zone]' (offset or region id; absent → UTC, the
+  /** Parse 'H:m[:s[.fff]][ zone]' (offset or region id; absent → the
     * session zone) → (utcMillis, zone). */
   def parse(s: String): Option[(Long, String)] = {
     val m = TtzParse.pattern.matcher(s.trim)
     if (!m.matches()) return None
-    val zonePart = Option(m.group(6)).getOrElse("UTC")
+    val zonePart = Option(m.group(6)).getOrElse(Tstz.sessionZone)
     if (!TstzParse.isZone(zonePart)) return None
     try {
       val lt = java.time.LocalTime.parse(m.group(1),
@@ -153,27 +153,44 @@ case class TtzCast(child: Expression)
     copy(child = c)
 }
 
-/** Spark TIME (nanos-of-day) → ttz at the session zone (UTC Engine
-  * sessions — wall == utc millis). */
+/** Spark TIME (nanos-of-day, session-zone wall clock) → ttz at the
+  * session zone: utcMillis re-derived at the 1970-01-01 frame (the
+  * reference's TimeWithTimeZone storage), so under UTC wall == utc. */
 case class TimeToTtz(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = Ttz.dataType
   override def nullable: Boolean = true
-  override protected def nullSafeEval(v: Any): Any =
-    InternalRow(v.asInstanceOf[Long] / 1000000L, UTF8String.fromString("UTC"))
+  override protected def nullSafeEval(v: Any): Any = {
+    val z = Tstz.sessionZone
+    val lt = java.time.LocalTime.ofNanoOfDay(
+      (v.asInstanceOf[Long] / 1000000L) * 1000000L) // ms precision
+    val utc = java.time.ZonedDateTime
+      .of(java.time.LocalDate.EPOCH, lt,
+        java.time.ZoneId.of(z, java.time.ZoneId.SHORT_IDS))
+      .toInstant.toEpochMilli
+    InternalRow(utc, UTF8String.fromString(z))
+  }
   override protected def withNewChildInternal(c: Expression): TimeToTtz =
     copy(child = c)
 }
 
-/** Zone-less timestamp (micros) → ttz: its time-of-day at UTC. */
+/** Zone-less timestamp (LTZ micros — an instant) → ttz: its wall
+  * time-of-day AT the session zone, tagged with that zone. */
 case class TimestampToTtz(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = Ttz.dataType
   override def nullable: Boolean = true
   override protected def nullSafeEval(v: Any): Any = {
+    val z = Tstz.sessionZone
+    val zid = java.time.ZoneId.of(z, java.time.ZoneId.SHORT_IDS)
     val micros = v.asInstanceOf[Long]
-    val inDay = ((micros % 86400000000L) + 86400000000L) % 86400000000L
-    InternalRow(inDay / 1000L, UTF8String.fromString("UTC"))
+    val lt = java.time.Instant.EPOCH
+      .plus(micros, java.time.temporal.ChronoUnit.MICROS)
+      .atZone(zid).toLocalTime
+    val ms = java.time.LocalTime.ofNanoOfDay((lt.toNanoOfDay / 1000000L) * 1000000L)
+    val utc = java.time.ZonedDateTime
+      .of(java.time.LocalDate.EPOCH, ms, zid).toInstant.toEpochMilli
+    InternalRow(utc, UTF8String.fromString(z))
   }
   override protected def withNewChildInternal(c: Expression): TimestampToTtz =
     copy(child = c)
