@@ -213,19 +213,39 @@ object Dedup {
     *
     * Returns (id, centroid_id, rep, keep): rep = min id of the duplicate
     * group (itself when unpaired), keep = (rep == id). */
+  /** `maxClusterSize` is the mega-cluster guard (the d15 cap pattern, in
+    * its binding regime): a MIS-CHOSEN k (too small for the corpus) can
+    * hand one cluster most of the points, and Σ|cluster|² then degrades
+    * to ~n². Clusters above the cap are salted into ceil(|c|/cap)
+    * deterministic cells (xxhash64 of the id) and candidates only form
+    * within a (cluster, cell) — cost is re-bounded at cap·|c| per
+    * cluster. CONTRACT when binding: near-dup pairs split across cells
+    * are NOT candidates, so some duplicates survive as kept rows (recall
+    * trades for a hard cost bound; pick k so the cap never binds — k
+    * grows with the corpus — and the default 1M cap only catches the
+    * mis-configuration). */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      init: DataFrame, iters: Int, tau: Double): DataFrame = {
+      init: DataFrame, iters: Int, tau: Double,
+      maxClusterSize: Int = 1 << 20): DataFrame = {
     val cents = Similarity.kmeansFit(corpus.select(col(idCol), col(vecCol)),
       idCol, vecCol, init, iters)
-    val assigned = Similarity.ivfAssign(
+    val assigned0 = Similarity.ivfAssign(
         corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
       .localCheckpoint(true)
-    val l = assigned.select(col("centroid_id"),
+    // k rows — broadcast by size
+    val sizes = assigned0.groupBy("centroid_id").agg(count(lit(1)).as("csz"))
+    val assigned = assigned0.join(broadcast(sizes), "centroid_id")
+      .withColumn("cell",
+        when(col("csz") <= maxClusterSize, lit(0L)).otherwise(
+          pmod(xxhash64(col(idCol)),
+            ceil(col("csz").cast("double") / maxClusterSize).cast("long"))))
+    val l = assigned.select(col("centroid_id"), col("cell"),
       col(idCol).as("id_a"), col(vecCol).as("va"))
     val r = assigned.select(col("centroid_id").as("c_r"),
-      col(idCol).as("id_b"), col(vecCol).as("vb"))
+      col("cell").as("cell_r"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     val pairs = l.join(r,
-        col("centroid_id") === col("c_r") && col("id_a") < col("id_b"))
+        col("centroid_id") === col("c_r") && col("cell") === col("cell_r") &&
+          col("id_a") < col("id_b"))
       .filter(Similarity.cosine(col("va"), col("vb")) >= tau)
       .select("id_a", "id_b")
     val cc = connectedComponents(pairs, "id_a", "id_b")

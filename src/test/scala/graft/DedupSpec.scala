@@ -272,6 +272,75 @@ class DedupSpec extends AnyFunSuite {
       Seq(true, false, false, true, false, true))
   }
 
+  test("semDedup mega-cluster cap in its binding regime: a mis-chosen k " +
+      "stays cap-bounded, recall trades for the cost bound") {
+    import spark.implicits._
+    // 40 near-identical vectors, ONE centroid (k=1 deliberately wrong for
+    // the corpus): uncapped pairs are C(40,2); the cap salts the cluster
+    // into ceil(40/10)=4 cells and candidates stay within cells
+    def v(j: Double): Seq[Float] =
+      (0 until 8).map(i => (if (i == 0) 1.0 + j else j * (i % 3)).toFloat)
+    val df = (1L to 40L).map(i => (i, v(i * 0.0005))).toDF("vec_id", "embedding")
+    val init = df.filter(col("vec_id") === 1L)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid"))
+
+    // non-binding (default cap): one component, one representative
+    val keepsUncapped = Dedup.semDedup(df, "vec_id", "embedding", init,
+      iters = 1, tau = 0.95).filter(col("keep")).count()
+    assert(keepsUncapped == 1L)
+
+    // binding: one representative PER NON-EMPTY CELL — the documented
+    // recall trade (cross-cell duplicates survive as kept rows) for a
+    // hard cap·|c| cost bound
+    val capped = Dedup.semDedup(df, "vec_id", "embedding", init,
+      iters = 1, tau = 0.95, maxClusterSize = 10)
+    val keepsCapped = capped.filter(col("keep")).count()
+    val cells = df.select(pmod(xxhash64(col("vec_id")), lit(4L)))
+      .distinct().count()
+    assert(keepsCapped == cells, s"keeps=$keepsCapped cells=$cells")
+    assert(keepsCapped > 1 && keepsCapped <= 4)
+    // every row still classified, reps are cluster members
+    assert(capped.count() == 40L)
+  }
+
+  test("lshDedupAgainst under a 100x-duplicated incoming wave (the d11 " +
+      "lesson, cross-corpus form): exact-dedup first restores recall " +
+      "the hot-bucket cap takes away") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val reference = Seq((1000L, base)).toDF("doc_id", "text")
+    val incoming = (1L to 100L).map(i => (i, base + " extra"))
+      .toDF("doc_id", "text")
+
+    // adequate cap: all 100 duplicates match the one reference doc
+    val full = Dedup.lshDedupAgainst(reference, incoming, "doc_id", "text",
+      minJaccard = 0.5)
+    assert(full.count() == 100L)
+
+    // binding cap: the wave floods every band bucket past the cap and the
+    // REAL reference match is lost with it — the cap's documented contract
+    val starved = Dedup.lshDedupAgainst(reference, incoming, "doc_id",
+      "text", minJaccard = 0.5, maxBucketSize = 20)
+    assert(starved.count() == 0L)
+
+    // the production order (d11): exact-dedup the wave FIRST — one
+    // survivor carries the multiplicity, the cap never binds, and the
+    // match expands back to all 100 incoming ids
+    val survivors = Dedup.exactDedup(incoming, "doc_id", "text")
+    val surviving = incoming.join(survivors, "doc_id")
+    val matches = Dedup.lshDedupAgainst(reference, surviving, "doc_id",
+      "text", minJaccard = 0.5, maxBucketSize = 20)
+    assert(matches.count() == 1L)
+    // expansion via the exact fingerprint groups: every wave member maps
+    // to its surviving representative's verdict
+    val byFp = incoming.groupBy(expr("xxhash64(text)").as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
+    val total = matches.join(byFp,
+      matches("new_id") === byFp("rep_id")).agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 100L)
+  }
+
   test("winnow hot-fingerprint cap in its binding regime: boilerplate " +
       "postings dropped, rare fingerprints still pair") {
     import spark.implicits._
