@@ -41,23 +41,35 @@ object Bucketing {
     * bucket (repartition and bucketBy share murmur3-pmod hashing):
     * one file per bucket, which also makes the sorted output ordering
     * usable by the scan. */
+  /** `sortKey` (optional, defaults to the bucket key) orders files WITHIN
+    * each bucket on a longer key list — the bucket key must stay a PREFIX
+    * so the sorted-scan contract (and every bucket-keyed join) still
+    * holds; the extra sort columns let sorted-input aggregates on wider
+    * grouping keys (e.g. (l_orderkey, l_suppkey)) stream too. */
   def persistBucketed(spark: SparkSession, df: DataFrame, layoutDir: String,
-      name: String, key: String, buckets: Int): Unit = {
+      name: String, key: String, buckets: Int, sortKey: String = ""): Unit = {
     val keys = key.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val sortKeys = {
+      val s = sortKey.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (s.isEmpty) keys else s
+    }
+    require(sortKeys.startsWith(keys),
+      s"sort keys $sortKeys must extend the bucket keys $keys as a prefix")
     val loc = s"$layoutDir/${name}_b"
     val stage = s"graft_stage_${name}_b"
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     df.repartition(buckets, keys.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      .sortBy(sortKeys.head, sortKeys.tail: _*)
       .option("path", loc)
       .format("parquet")
       .saveAsTable(stage)
     spark.sql(s"DROP TABLE $stage") // external: files stay
     val marker = java.nio.file.Paths.get(loc, MARKER)
     java.nio.file.Files.write(marker,
-      s"key=${keys.mkString(",")}\nbuckets=$buckets\n".getBytes("UTF-8"))
+      (s"key=${keys.mkString(",")}\nbuckets=$buckets\n" +
+        s"sort=${sortKeys.mkString(",")}\n").getBytes("UTF-8"))
   }
 
   /** Re-register a persisted bucketed layout in THIS session's catalog
@@ -73,11 +85,22 @@ object Bucketing {
         case Array(k, v) => k -> v
       }.toMap
     val (key, buckets) = (props("key"), props("buckets").toInt)
+    val sortCols = props.getOrElse("sort", key) // pre-round-13 markers: = key
     val tbl = s"graft_bucketed_$name"
+    // idempotent PER LOCATION: a session that switches spark.graft
+    // .bucketedDir (layout A/Bs, multi-layout deployments) must not keep
+    // serving the first layout under the same catalog name
+    val existingLoc =
+      if (!spark.catalog.tableExists(tbl)) None
+      else try Some(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.getPath)
+      catch { case _: Exception => None }
+    val wantLoc = java.nio.file.Paths.get(loc).toAbsolutePath.toString
+    if (existingLoc.exists(_ != wantLoc)) spark.sql(s"DROP TABLE $tbl")
     if (!spark.catalog.tableExists(tbl)) {
       val schema = spark.read.parquet(loc).schema.toDDL
       spark.sql(s"""CREATE TABLE IF NOT EXISTS $tbl ($schema) USING parquet
-        CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+        CLUSTERED BY ($key) SORTED BY ($sortCols) INTO $buckets BUCKETS
         LOCATION '$loc'""") // key may be a comma-joined multi-column list
     }
     Some(tbl)

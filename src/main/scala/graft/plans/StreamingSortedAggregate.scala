@@ -101,17 +101,22 @@ case class StreamingSortedAggregateExec(
       case None => UnspecifiedDistribution :: Nil
     }
 
-  // the exact child ordering the rewrite matched (direction included), so
-  // a later EnsureRequirements pass never inserts a sort here
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(keyOrdering)
+  // `keyOrdering` records the ordering the rewrite matched (it may exceed
+  // what the child REPORTS — SortMergeJoin under-reports to its join keys
+  // though it preserves the streamed side's full order). Declare NO
+  // ordering requirement: the rewrite rule is the guarantee, and a
+  // declared requirement the child under-reports would make a later
+  // EnsureRequirements pass insert a useless sort.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(Nil)
 
   override def outputPartitioning = child.outputPartitioning
 
   /** Groups are emitted in input-key order; the ordering survives for any
-    * ordering prefix whose attributes pass through to the output. */
+    * matched-ordering prefix whose attributes pass through to the output
+    * (downstream windows/SMJs on the keys then need no sort). */
   override def outputOrdering: Seq[SortOrder] = {
     val outIds = output.map(_.exprId).toSet
-    child.outputOrdering.takeWhile {
+    keyOrdering.takeWhile {
       case SortOrder(a: Attribute, _, _, _) => outIds.contains(a.exprId)
       case _ => false
     }
@@ -418,10 +423,37 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
     case _ => None
   }
 
+  /** The child's EFFECTIVE local ordering — what the rows actually arrive
+    * in, which can exceed what the operator reports: a sort-merge join
+    * streams its left side in that side's FULL file order (inner /
+    * left-outer / left-semi / left-anti all iterate the streamed side in
+    * order and only drop or pad rows), but SortMergeJoinExec reports just
+    * the join keys. Projections and filters pass order through for
+    * attributes they forward unchanged. */
+  private def effectiveOrdering(p: SparkPlan): Seq[SortOrder] = p match {
+    case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if smj.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+          smj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter ||
+          smj.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+          smj.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+      val lo = effectiveOrdering(smj.left)
+      if (lo.length > smj.outputOrdering.length) lo else smj.outputOrdering
+    case proj: org.apache.spark.sql.execution.ProjectExec =>
+      val outIds = proj.output.map(_.exprId).toSet
+      val co = effectiveOrdering(proj.child).takeWhile {
+        case SortOrder(a: Attribute, _, _, _) => outIds.contains(a.exprId)
+        case _ => false
+      }
+      if (co.length > proj.outputOrdering.length) co else proj.outputOrdering
+    case f: org.apache.spark.sql.execution.FilterExec =>
+      effectiveOrdering(f.child)
+    case _ => p.outputOrdering
+  }
+
   /** The child ordering prefix covering all grouping keys, if one exists. */
   private def sortedPrefix(agg: BaseAggregateExec): Option[Seq[SortOrder]] = {
     val n = agg.groupingExpressions.length
-    val prefix = agg.child.outputOrdering.take(n)
+    val prefix = effectiveOrdering(agg.child).take(n)
     if (prefix.length != n) return None
     val prefixIds = prefix.map(_.child).collect {
       case a: Attribute => a.exprId
@@ -462,9 +494,24 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
       case None => agg
     }
 
+  /** The plan's effective ordering at `p`, looking through projections to
+    * a converted streaming aggregate (whose emitted order the planner
+    * could not know when it inserted sorts). */
+  private def orderedBelow(p: SparkPlan): Seq[SortOrder] = p match {
+    case s: StreamingSortedAggregateExec => s.outputOrdering
+    case proj: org.apache.spark.sql.execution.ProjectExec =>
+      val outIds = proj.output.map(_.exprId).toSet
+      orderedBelow(proj.child).takeWhile {
+        case SortOrder(a: Attribute, _, _, _) => outIds.contains(a.exprId)
+        case _ => false
+      }
+    case f: org.apache.spark.sql.execution.FilterExec => orderedBelow(f.child)
+    case _ => Nil
+  }
+
   override def apply(plan: SparkPlan): SparkPlan = {
     if (!enabled) return plan
-    plan.transformUp {
+    val converted = plan.transformUp {
       // hash aggregate whose input happens to arrive sorted (graft
       // bucketed sorted layouts): drop the thrashing hash table
       case agg: HashAggregateExec if fires(agg) => rewrite(agg)
@@ -473,6 +520,14 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
       // but OURS runs inside whole-stage codegen — SortAggregateExec
       // with grouping keys does not
       case agg: SortAggregateExec if fires(agg) => rewrite(agg)
+    }
+    // a LOCAL sort the planner placed above what is now a streaming
+    // aggregate (e.g. a window's partition sort) is redundant when the
+    // aggregate's emitted order already satisfies it
+    converted.transformUp {
+      case s: org.apache.spark.sql.execution.SortExec if !s.global &&
+          SortOrder.orderingSatisfies(orderedBelow(s.child), s.sortOrder) =>
+        s.child
     }
   }
 }

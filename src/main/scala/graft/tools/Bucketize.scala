@@ -22,18 +22,25 @@ object Bucketize {
     val srcDir = args(0)
     val layoutDir = args(1)
     val buckets = args(2).toInt
+    // spec: table:bucketKey[:sortCols] — sortCols (comma list) must extend
+    // the bucket key as a prefix; default = bucket key
     val specs =
       if (args.length > 3) args.drop(3).toSeq.map { s =>
-        val Array(t, k) = s.split(":", 2); (t, k)
+        s.split(":", 3) match {
+          case Array(t, k) => (t, k, "")
+          case Array(t, k, srt) => (t, k, srt)
+        }
       }
-      else Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
+      else Seq(("orders", "o_orderkey", ""),
+        ("lineitem", "l_orderkey", ""))
     val spark = GraftSession.local(32)
-    specs.foreach { case (table, key) =>
+    specs.foreach { case (table, key, srt) =>
       val t0 = System.nanoTime()
       Bucketing.persistBucketed(spark,
-        Tables.t(spark, srcDir, table), layoutDir, table, key, buckets)
-      println(f"bucketized $table on $key into $buckets buckets: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        Tables.t(spark, srcDir, table), layoutDir, table, key, buckets, srt)
+      println(f"bucketized $table on $key" +
+        (if (srt.nonEmpty) f" sorted by $srt" else "") +
+        f" into $buckets buckets: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()
   }

@@ -166,4 +166,59 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
     }
   }
+
+  test("switching spark.graft.bucketedDir re-registers the catalog table " +
+      "at the new location (layout A/Bs must not compare a layout to itself)") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-layoutA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-layoutB").toString
+    val orders = Tables.t(spark, sf, "orders")
+    Bucketing.persistBucketed(spark, orders.limit(100), dirA, "orders",
+      "o_orderkey", 2)
+    Bucketing.persistBucketed(spark, orders.limit(300), dirB, "orders",
+      "o_orderkey", 2)
+    try {
+      spark.conf.set("spark.graft.bucketedDir", dirA)
+      assert(Tables.t(spark, sf, "orders").count() == 100)
+      spark.conf.set("spark.graft.bucketedDir", dirB)
+      assert(Tables.t(spark, sf, "orders").count() == 300)
+      spark.conf.set("spark.graft.bucketedDir", dirA)
+      assert(Tables.t(spark, sf, "orders").count() == 100)
+    } finally {
+      spark.conf.unset("spark.graft.bucketedDir")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+    }
+  }
+
+  test("extended-sort layout (bucket by orderkey, sort by orderkey+suppkey): " +
+      "the wider grouping streams through StreamingSortedAggregate, " +
+      "result-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketsort2").toString
+    // bucket key stays l_orderkey (joins/co-location unchanged); files
+    // sorted on the longer key so the h21-shape group-by streams
+    Bucketing.persistBucketed(spark, Tables.t(spark, sf, "lineitem"),
+      dir, "lineitem", "l_orderkey", 4, sortKey = "l_orderkey,l_suppkey")
+    def agg(li: org.apache.spark.sql.DataFrame) = li
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
+    val plain = agg(Tables.t(spark, sf, "lineitem"))
+      .collect().map(_.toString).sorted.toSeq
+    try {
+      spark.conf.set("spark.graft.bucketedDir", dir)
+      spark.conf.set("spark.graft.bucketedSortedScan", "true")
+      val q = agg(Tables.t(spark, sf, "lineitem"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("StreamingSortedAggregate"),
+        plan.linesIterator.take(25).mkString("\n"))
+      assert(!plan.contains("Exchange"), plan.take(800))
+      val got = agg(Tables.t(spark, sf, "lineitem"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == plain)
+    } finally {
+      spark.conf.unset("spark.graft.bucketedDir")
+      spark.conf.unset("spark.graft.bucketedSortedScan")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
+    }
+  }
 }

@@ -24,12 +24,17 @@ class SortSharedAggregateSpec extends AnyFunSuite {
       SparkEntry.all("h21_waiting_supplier").fn(spark, sf)
         .queryExecution.executedPlan.toString
     }
-    assert(plan.contains("SortAggregate"), plan)
+    // round 13: StreamingSortedAggregate upgrades the shared-sort
+    // SortAggregate IN PLACE to the codegen'd streaming form — either
+    // spelling proves the rewrite fired
+    assert(plan.contains("SortAggregate") ||
+      plan.contains("StreamingSortedAggregate"), plan)
     // the window-side sort is gone: the only Sort in the window region
     // sits UNDER the SortAggregate (plan prints top-down, so Window
     // appears before SortAggregate, and no Sort between them)
     val winAt = plan.indexOf("Window")
-    val aggAt = plan.indexOf("SortAggregate")
+    val aggAt = plan.indexOf("SortAggregate").max(
+      plan.indexOf("StreamingSortedAggregate"))
     assert(winAt >= 0 && aggAt > winAt)
     assert(!plan.substring(winAt, aggAt).contains("Sort("),
       plan.substring(winAt, aggAt))
@@ -86,7 +91,8 @@ class SortSharedAggregateSpec extends AnyFunSuite {
     spark.conf.set(plans.SortSharedAggregate.IN_PLACE_KEY, "true")
     try {
       val onPlan = q.queryExecution.executedPlan.toString
-      assert(onPlan.contains("SortAggregate"), onPlan)
+      assert(onPlan.contains("SortAggregate") ||
+        onPlan.contains("StreamingSortedAggregate"), onPlan)
       assert(q.collect().map(_.toSeq).toSet == defRows)
     } finally spark.conf.unset(plans.SortSharedAggregate.IN_PLACE_KEY)
   }
@@ -101,7 +107,8 @@ class SortSharedAggregateSpec extends AnyFunSuite {
     val on = withConf(on = true) {
       val df = base
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("SortAggregate"), plan)
+      assert(plan.contains("SortAggregate") ||
+        plan.contains("StreamingSortedAggregate"), plan)
       df.collect().map(_.toSeq).toSet
     }
     val off = withConf(on = false) {
