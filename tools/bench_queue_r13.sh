@@ -15,10 +15,13 @@ SF100=/tmp/graft_sf100
 L30=/tmp/graft_sf30_bucketed2
 L100=/tmp/graft_sf100_bucketed2
 
-clean_tmpfs() {
-  pgrep -f 'graft.tools.(BenchSubset|ABInterleave)' >/dev/null ||
-    rm -rf /dev/shm/graft-shuffle/* 2>/dev/null
-}
+# unconditional between sequential steps: the r13 incident repeated r12's
+# (a killed JVM leaked 105 GB into /dev/shm, the tmpfs pressure OOM-killed
+# the sf100 layout build and inflated the whole first sf100 pair) — the
+# old "skip if a bench java is running" guard skipped exactly when it
+# mattered. This queue is sequential; nothing graft-owned runs between
+# steps.
+clean_tmpfs() { rm -rf /dev/shm/graft-shuffle/* 2>/dev/null; }
 
 # reclaim space for the second sf100 layout (r12 probe layout: conclusions
 # recorded in SCALE.md, rebuildable in one command)
