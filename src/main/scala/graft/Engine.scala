@@ -581,11 +581,18 @@ class Engine(parent: SparkSession) {
       // date_trunc keeps the TYPE: truncate the wall time in the value's
       // zone, reinterpret there, keep the zone (the reference's
       // truncateTimestampWithTimeZone returns timestamp with time zone)
-      case TruncTimestamp(fmt, ts, tz) if isT(ts) =>
+      case TruncTimestamp(fmt, ts, _) if isT(ts) =>
         changed = true
+        // UTC-pinned round trip (TruncTimestamp is not NTZ-native — an NTZ
+        // input would coerce back through the session zone's wall clock,
+        // the DST-gap bug this path avoids): truncate the UTC-rendered
+        // value-zone wall, reinterpret in the value's zone, keep the zone
+        val z = Tstz.zone(ts)
         Tstz.make(
-          Tstz.unwall(TruncTimestamp(fmt, Tstz.wall(ts), tz), Tstz.zone(ts)),
-          Tstz.zone(ts))
+          ToUTCTimestamp(
+            TruncTimestamp(fmt, Tstz.utcWall(Tstz.instant(ts), z), Some("UTC")),
+            z),
+          z)
       // date_add keeps the TYPE and the zone (the reference's
       // addFieldValueTimestampWithTimeZone shifts via the zone's
       // chronology and repacks the same zone key —
@@ -623,8 +630,17 @@ class Engine(parent: SparkSession) {
           td.copy(startTimestamp = wallIn(td.startTimestamp),
             endTimestamp = wallIn(td.endTimestamp))
         }
+      // date_format over tstz: format the UTC-rendered value-zone wall with
+      // the formatter PINNED to UTC (DateFormatClass is not NTZ-native — an
+      // NTZ wall would coerce back through the session zone's wall clock)
+      case DateFormatClass(ts, fmt, _) if isT(ts) =>
+        changed = true
+        DateFormatClass(
+          Tstz.utcWall(Tstz.instant(ts), Tstz.zone(ts)), fmt, Some("UTC"))
       // field extractors / formatters: the wall-time view in the value's
-      // zone (whitelist — conditional/struct expressions must NOT unwrap)
+      // zone (whitelist — conditional/struct expressions must NOT unwrap).
+      // The tstz wall view is a TIMESTAMP_NTZ: hour/minute/second are
+      // NTZ-native, the date-field family casts NTZ→DATE zone-free.
       case e @ (_: Hour | _: Minute | _: Second | _: DayOfMonth |
                 _: DayOfWeek | _: WeekDay | _: DayOfYear | _: Month |
                 _: Year | _: Quarter | _: WeekOfYear |
@@ -636,7 +652,13 @@ class Engine(parent: SparkSession) {
         e.withNewChildren(e.children.map(c =>
           if (isT(c)) { changed = true; Tstz.instant(c) } else c))
     } finally {
-      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      // restore EXACTLY the pre-retry state: when no session was active,
+      // clear — leaving the engine's session active would leak it to
+      // unrelated code on this thread
+      prevActive match {
+        case Some(s) => org.apache.spark.sql.SparkSession.setActiveSession(s)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
     }
     if (!changed) throw orig
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, fixed)
@@ -1825,9 +1847,14 @@ class Engine(parent: SparkSession) {
         if (k.equalsIgnoreCase("resource_group"))
           spark.sparkContext.setLocalProperty("spark.scheduler.pool",
             if (stored.isEmpty) null else stored)
-        // session zone as a property spelling (SET SESSION timezone=...)
-        if (k.equalsIgnoreCase("timezone") || k.equalsIgnoreCase("time_zone"))
+        // session zone as a property spelling (SET SESSION timezone=...);
+        // same ZoneId validation as the SET TIME ZONE statement — an
+        // invalid id must fail HERE, not poison every later query with a
+        // confusing Spark conf error
+        if (k.equalsIgnoreCase("timezone") || k.equalsIgnoreCase("time_zone")) {
+          java.time.ZoneId.of(stored, java.time.ZoneId.SHORT_IDS) // validate
           spark.conf.set("spark.sql.session.timeZone", stored)
+        }
         Some(oneWordDf("SET SESSION"))
       case ResetS(k) =>
         sessionProps.remove(k.toLowerCase)

@@ -423,13 +423,13 @@ object PrestoFunctions {
     // date_format shadows the builtin name → construct the Catalyst class
     // directly (delegating via UnresolvedFunction would recurse into us).
     "date_format" -> { e =>
-      val src = TstzWall(e(0))
       e(1) match {
         case Literal(s, StringType) if s != null && s.toString.contains("%") =>
           val p = s.toString
-          if (p.contains("%v") || p.contains("%x")) mysqlFormatWithWeek(src, p)
-          else DateFormatClass(src, translatedPattern(e(1)))
-        case _ => DateFormatClass(src, e(1))
+          if (p.contains("%v") || p.contains("%x"))
+            mysqlFormatWithWeek(TstzWall(e(0)), p)
+          else TstzWallFormat(e(0), translatedPattern(e(1)))
+        case _ => TstzWallFormat(e(0), e(1))
       }
     },
     // Joda-pattern pair (format_datetime/parse_datetime): Joda and java.time
@@ -466,7 +466,7 @@ object PrestoFunctions {
     // no 'millisecond'/'microsecond' extract field in Spark — derive
     // ms-of-second from the 'SSS' format pattern.
     "millisecond" -> (e =>
-      Cast(DateFormatClass(TstzWall(e(0)), lit("SSS")), IntegerType)),
+      Cast(TstzWallFormat(e(0), lit("SSS")), IntegerType)),
     // --- timestamp with time zone (TimestampWithTimeZoneType.java) ---
     "graft_to_tstz" -> (e => GraftToTstz(e.head)),
     // TIME WITH TIME ZONE (functions/Ttz.scala): literals + CAST routing

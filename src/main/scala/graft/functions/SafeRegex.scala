@@ -58,8 +58,16 @@ object SafeRegex {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
 
   def matcher(pattern: String, input: String, maxSteps: Long): java.util.regex.Matcher = {
-    if (cache.size > MaxCachedPatterns) cache.clear()
-    val p = cache.computeIfAbsent(pattern, java.util.regex.Pattern.compile)
+    // At the cap, compile WITHOUT inserting (instead of clearing): resident
+    // hot entries — the literal patterns every row reuses — survive a flood
+    // of per-row patterns, and concurrent floods can't churn-recompile the
+    // whole working set via repeated clears.
+    val p = {
+      val hit = cache.get(pattern)
+      if (hit != null) hit
+      else if (cache.size >= MaxCachedPatterns) java.util.regex.Pattern.compile(pattern)
+      else cache.computeIfAbsent(pattern, java.util.regex.Pattern.compile)
+    }
     p.matcher(if (maxSteps > 0) new Bounded(input, maxSteps) else input)
   }
 }

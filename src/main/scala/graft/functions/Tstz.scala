@@ -73,21 +73,40 @@ object Tstz {
   def instant(e: Expression): Expression = GetStructField(e, 0, Some(I))
   def zone(e: Expression): Expression = GetStructField(e, 1, Some(Z))
 
-  /** An instant, viewed as the wall clock of zone `z`, as a zone-less
-    * TIMESTAMP whose SESSION rendering/extraction shows that wall time:
-    * shift by the value zone's offset, unshift by the session's.
-    * Under the UTC default the second hop is the identity, so this is
-    * exactly the old FromUTCTimestamp view. */
-  def wallAt(instantExpr: Expression, z: Expression): Expression =
-    ToUTCTimestamp(FromUTCTimestamp(instantExpr, z), Literal(sessionZone))
+  /** An instant shifted so its UTC rendering shows the wall clock of zone
+    * `z` (a zone-less TIMESTAMP for UTC-pinned consumers — date_trunc,
+    * date_format with an explicit Some("UTC") timeZoneId). */
+  def utcWall(instantExpr: Expression, z: Expression): Expression =
+    FromUTCTimestamp(instantExpr, z)
 
-  /** Wall-clock view in the value's zone (as a zone-less TIMESTAMP). */
+  /** An instant, viewed as the wall clock of zone `z`, as a
+    * TIMESTAMP_NTZ — the wall time itself, no display zone. Encoded
+    * through the UTC rendering (FromUTCTimestamp then a UTC-pinned cast),
+    * which is BIJECTIVE: the previous encoding re-entered the SESSION
+    * zone's wall clock (ToUTCTimestamp(…, sessionZone)), and a value-zone
+    * wall landing in a session-zone DST gap (e.g. session
+    * America/New_York, a Tokyo wall in the 02:00–03:00 spring-forward
+    * hole) shifted by the gap, corrupting hour()/trunc/add results.
+    * Spark's field extractors (hour/day/year/…) and timestampadd/diff are
+    * NTZ-native and zone-free, so the wall view feeds them directly. */
+  def wallAt(instantExpr: Expression, z: Expression): Expression =
+    Cast(utcWall(instantExpr, z), TimestampNTZType, Some("UTC"))
+
+  /** Wall-clock view in the value's zone (as a TIMESTAMP_NTZ). */
   def wall(e: Expression): Expression = wallAt(instant(e), zone(e))
 
-  /** Inverse of [[wallAt]]: a session-rendered wall TIMESTAMP interpreted
-    * as the wall clock of zone `z` → the instant. */
-  def unwall(w: Expression, z: Expression): Expression =
-    ToUTCTimestamp(FromUTCTimestamp(w, Literal(sessionZone)), z)
+  /** Inverse of [[wallAt]]: a wall TIMESTAMP interpreted as the wall clock
+    * of zone `z` → the instant. An NTZ wall reads back through UTC (the
+    * bijective leg of [[wallAt]]); a zone-less TIMESTAMP (with_timezone's
+    * session-rendered input) reads its SESSION wall — reading a rendering
+    * is total, only ENCODING into a foreign wall clock can hit a gap. */
+  def unwall(w: Expression, z: Expression): Expression = {
+    val asUtcWall =
+      if (w.resolved && w.dataType == TimestampNTZType)
+        Cast(w, TimestampType, Some("UTC"))
+      else FromUTCTimestamp(w, Literal(sessionZone))
+    ToUTCTimestamp(asUtcWall, z)
+  }
 
   def make(i: Expression, z: Expression): Expression =
     CreateNamedStruct(Seq(Literal(I), i, Literal(Z), z))
@@ -182,6 +201,37 @@ case class TstzWall(child: Expression)
     else child
   override protected def withNewChildInternal(c: Expression): TstzWall =
     copy(child = c)
+}
+
+/** date_format whose tstz input formats the WALL time in the value's zone,
+  * gap-safe: the formatter runs PINNED to UTC over the UTC-rendered wall
+  * (DateFormatClass is not NTZ-native, so feeding it the NTZ wall view
+  * would coerce back through the session zone's possibly non-bijective
+  * wall clock). Every other datetime type keeps session-zone semantics. */
+case class TstzWallFormat(child: Expression, pattern: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override lazy val replacement: Expression =
+    if (Tstz.isTstz(child.dataType))
+      DateFormatClass(
+        Tstz.utcWall(Tstz.instant(child), Tstz.zone(child)), pattern,
+        Some("UTC"))
+    else if (Ttz.isTtz(child.dataType))
+      DateFormatClass(TtzToTimestamp(child), pattern, Some(Tstz.sessionZone))
+    else if (child.dataType == TimestampType)
+      DateFormatClass(child, pattern, Some(Tstz.sessionZone))
+    else
+      // a replacement must resolve as-is — ResolveTimeZone does not
+      // descend into replacements, so BOTH the implicit date/string →
+      // timestamp coercion and the formatter zone become explicit
+      // session-zone forms here
+      DateFormatClass(
+        Cast(child, TimestampType, Some(Tstz.sessionZone)), pattern,
+        Some(Tstz.sessionZone))
+  override def left: Expression = child
+  override def right: Expression = pattern
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TstzWallFormat =
+    copy(child = l, pattern = r)
 }
 
 /** The instant view: tstz → UTC instant; anything else passes through. */

@@ -74,6 +74,11 @@ object KafkaWire {
       val baseOffset = b.getLong
       val batchLength = b.getInt
       if (b.remaining() < batchLength) return out.result() // partial tail
+      // corrupt/hostile length smaller than the mandatory v2 header
+      // remainder would move the cursor BACKWARDS at b.position(batchEnd)
+      // and loop forever on the same bytes — fail loudly instead
+      require(batchLength >= 49,
+        s"corrupt record batch: length $batchLength < v2 header size 49")
       val batchEnd = b.position() + batchLength
       b.getInt // partitionLeaderEpoch
       val magic = b.get()
@@ -144,6 +149,7 @@ object KafkaWire {
       val baseOffset = b.getLong
       val batchLength = b.getInt
       if (b.remaining() < batchLength) return next // partial tail
+      if (batchLength < 49) return next // corrupt length: never step backwards
       val batchEnd = b.position() + batchLength
       b.getInt // partitionLeaderEpoch
       b.get() // magic

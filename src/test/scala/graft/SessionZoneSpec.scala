@@ -127,6 +127,35 @@ class SessionZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("value-zone wall in a session-zone DST gap stays exact (the wall " +
+      "view is encoded through UTC, never the session's wall clock)") {
+    // Session America/New_York: 2026-03-08 02:00–03:00 EST wall times do
+    // not exist (spring forward). A Tokyo tstz whose WALL lands at 02:30
+    // must still extract hour()=2, truncate to 02:00, and add days on the
+    // 02:30 wall — the old session-wall round-trip shifted all of these
+    // by the gap.
+    val e = Engine(spark)
+    e.sql("SET TIME ZONE 'America/New_York'")
+    try {
+      val t = "TIMESTAMP '2026-03-08 02:30:45.123 Asia/Tokyo'"
+      assert(one(e, s"hour($t)") == 2L)
+      assert(one(e, s"minute($t)") == 30L)
+      assert(one(e, s"day($t)") == 8L)
+      assert(one(e, s"millisecond($t)") == 123)
+      assert(one(e, s"CAST(date_trunc('hour', $t) AS VARCHAR)") ==
+        "2026-03-08 02:00:00.000 Asia/Tokyo")
+      assert(one(e, s"CAST(date_add('day', 1, $t) AS VARCHAR)") ==
+        "2026-03-09 02:30:45.123 Asia/Tokyo")
+      assert(one(e, s"date_format($t, '%H:%i:%s')") == "02:30:45")
+      assert(one(e, s"CAST($t AS DATE)").toString == "2026-03-08")
+      // and the session zone's OWN gap math is untouched: epoch of the
+      // instant is zone-independent
+      assert(one(e, s"to_unixtime($t)") ==
+        java.time.ZonedDateTime.of(2026, 3, 8, 2, 30, 45, 0,
+          java.time.ZoneId.of("Asia/Tokyo")).toEpochSecond.toDouble)
+    } finally e.sql("SET TIME ZONE LOCAL")
+  }
+
   test("the UTC default is unchanged: all of the above collapse to the " +
       "fixed-UTC behavior without SET TIME ZONE") {
     val e = Engine(spark)
