@@ -21,6 +21,13 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // .GraftOptimizations; the reference does this class of work in its
     // optimizer: PickTableLayout/TupleDomain narrowing, PredicatePushDown
     // equality inference, DecimalSumAggregation long state)
+    // layout-aware inner-join reordering: when a persisted co-bucketed
+    // layout serves some join edge exchange-free but the textual order
+    // executes a different join first, rebuild the chain layout-edge-first
+    // (the reference's join-graph reorder + PickTableLayout, done for the
+    // layout-driven case) — runs BEFORE the probe rule so probes see the
+    // final shape
+    ext.injectOptimizerRule(session => new plans.LayoutJoinReorder(session))
     ext.injectOptimizerRule(session => new plans.DynamicSemiJoinPrune(session))
     ext.injectOptimizerRule(_ => plans.ScaledLongSum)
     // full-partition window arrays (the dynamic-frame lowering) evaluate
