@@ -28,6 +28,11 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // layout-driven case) — runs BEFORE the probe rule so probes see the
     // final shape
     ext.injectOptimizerRule(session => new plans.LayoutJoinReorder(session))
+    // per-query layout selection over MULTIPLE persisted layouts of one
+    // table (spark.graft.bucketedDir=dirA,dirB): swap a scan to the
+    // sibling layout whose bucket key matches the join keys when that
+    // makes the join co-located — the reference's PickTableLayout
+    ext.injectOptimizerRule(session => new plans.PickTableLayout(session))
     ext.injectOptimizerRule(session => new plans.DynamicSemiJoinPrune(session))
     ext.injectOptimizerRule(_ => plans.ScaledLongSum)
     // full-partition window arrays (the dynamic-frame lowering) evaluate

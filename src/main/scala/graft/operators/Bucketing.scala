@@ -72,11 +72,48 @@ object Bucketing {
         s"sort=${sortKeys.mkString(",")}\n").getBytes("UTF-8"))
   }
 
+  /** One registered persisted layout of a base table: catalog table name,
+    * absolute location, bucket key columns, bucket count. */
+  final case class LayoutInfo(base: String, table: String, location: String,
+      keys: Seq[String], buckets: Int)
+
+  /** Per-session registry of EVERY layout registered for a base table —
+    * the catalog-metadata analogue of the reference's per-table layout
+    * list (SPI ConnectorTableLayout; MAIN/sql/planner/iterative/rule/
+    * PickTableLayout.java picks one per query). Populated by [[redirect]];
+    * read by plans.PickTableLayout to swap a scan to the sibling layout
+    * whose bucket key matches the query's join keys. */
+  private val layoutRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[LayoutInfo]]()
+
+  /** location → all sibling layouts of the same base table registered in
+    * this session. Empty unless SOME base has ≥ 2 layouts (the only case
+    * the pick rule has a decision to make) — single-layout tables are
+    * still listed then, because they can be the co-location PARTNER of a
+    * swapped side. */
+  def alternateLayouts(spark: SparkSession): Map[String, Seq[LayoutInfo]] = {
+    var hasChoice = false
+    val out = Map.newBuilder[String, Seq[LayoutInfo]]
+    layoutRegistry.forEach { (k, infos) =>
+      if (k._1 == spark) {
+        if (infos.length >= 2) hasChoice = true
+        infos.foreach(i => out += i.location -> infos)
+      }
+    }
+    if (hasChoice) out.result() else Map.empty
+  }
+
   /** Re-register a persisted bucketed layout in THIS session's catalog
     * (idempotent; schema read from the parquet footers). Returns the
     * catalog table name, or None when no layout exists for `name`. */
   def registerBucketed(spark: SparkSession, layoutDir: String,
-      name: String): Option[String] = {
+      name: String): Option[String] =
+    registerBucketedAs(spark, layoutDir, name, "").map(_.table)
+
+  /** As [[registerBucketed]], under a suffixed catalog name (so several
+    * layouts of the same base table coexist in one session's catalog). */
+  def registerBucketedAs(spark: SparkSession, layoutDir: String,
+      name: String, suffix: String): Option[LayoutInfo] = {
     val loc = s"$layoutDir/${name}_b"
     val marker = java.nio.file.Paths.get(loc, MARKER)
     if (!java.nio.file.Files.isRegularFile(marker)) return None
@@ -86,7 +123,7 @@ object Bucketing {
       }.toMap
     val (key, buckets) = (props("key"), props("buckets").toInt)
     val sortCols = props.getOrElse("sort", key) // pre-round-13 markers: = key
-    val tbl = s"graft_bucketed_$name"
+    val tbl = s"graft_bucketed_$name$suffix"
     // idempotent PER LOCATION: a session that switches spark.graft
     // .bucketedDir (layout A/Bs, multi-layout deployments) must not keep
     // serving the first layout under the same catalog name
@@ -103,35 +140,52 @@ object Bucketing {
         CLUSTERED BY ($key) SORTED BY ($sortCols) INTO $buckets BUCKETS
         LOCATION '$loc'""") // key may be a comma-joined multi-column list
     }
-    Some(tbl)
+    Some(LayoutInfo(name, tbl, wantLoc,
+      key.split(",").map(_.trim).filter(_.nonEmpty).toSeq, buckets))
   }
 
   /** Bucketed-layout redirect for [[graft.Tables]]: when the session sets
-    * `spark.graft.bucketedDir` and that directory holds a persisted layout
-    * for `name`, serve the bucketed catalog table instead of the flat
-    * parquet — every query keyed on the bucket column then plans its
-    * joins/aggregates exchange-free. */
+    * `spark.graft.bucketedDir` (a single directory, or a comma-separated
+    * list for multi-layout deployments) and some directory holds a
+    * persisted layout for `name`, serve that bucketed catalog table
+    * instead of the flat parquet — every query keyed on the bucket column
+    * then plans its joins/aggregates exchange-free.
+    *
+    * With a LIST, the FIRST directory holding the table is the default
+    * serving layout; every other directory's layout of the same table is
+    * also registered (suffixed catalog name) and recorded in the layout
+    * registry, where [[graft.plans.PickTableLayout]] swaps a scan
+    * per-query to the sibling whose bucket key matches the join keys —
+    * one session serves q3-shape queries from a custkey layout and
+    * orderkey-keyed queries from the orderkey layout with no conf flip.
+    * All layouts of a table must hold the SAME rows (they are alternate
+    * physical orders of one logical table — the deployment's contract,
+    * exactly as the reference's multiple ConnectorTableLayouts). */
   def redirect(spark: SparkSession, name: String): Option[DataFrame] = {
     val layout =
       try spark.conf.get("spark.graft.bucketedDir", "")
       catch { case _: Exception => "" }
-    if (layout.isEmpty) None
-    else registerBucketed(spark, layout, name).map { tbl =>
-      // Opt-in sorted-bucket scans (spark.graft.bucketedSortedScan):
-      // graft layouts guarantee exactly ONE sorted file per bucket
-      // (persistBucketed's hash-aligned repartition), which is the
-      // regime where the legacy output-ordering conf is sound — the
-      // scan then reports its sort order and the SMJ Sorts above
-      // bucketed joins vanish (measured: h21 4.68→4.13 s at sf30).
-      // Session-global, so it stays default-OFF: enable only when every
-      // bucketed table in the session is a graft layout.
-      val sorted =
-        try spark.conf.get("spark.graft.bucketedSortedScan", "false").toBoolean
-        catch { case _: Exception => false }
-      if (sorted) spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      spark.table(tbl)
+    val dirs = layout.split(",").map(_.trim).filter(_.nonEmpty)
+    if (dirs.isEmpty) return None
+    val infos = dirs.zipWithIndex.flatMap { case (d, i) =>
+      registerBucketedAs(spark, d, name, if (i == 0) "" else s"_l$i")
     }
+    if (infos.isEmpty) return None
+    layoutRegistry.put((spark, name), infos.toSeq)
+    // Opt-in sorted-bucket scans (spark.graft.bucketedSortedScan):
+    // graft layouts guarantee exactly ONE sorted file per bucket
+    // (persistBucketed's hash-aligned repartition), which is the
+    // regime where the legacy output-ordering conf is sound — the
+    // scan then reports its sort order and the SMJ Sorts above
+    // bucketed joins vanish (measured: h21 4.68→4.13 s at sf30).
+    // Session-global, so it stays default-OFF: enable only when every
+    // bucketed table in the session is a graft layout.
+    val sorted =
+      try spark.conf.get("spark.graft.bucketedSortedScan", "false").toBoolean
+      catch { case _: Exception => false }
+    if (sorted) spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    Some(spark.table(infos.head.table))
   }
 
   /** Stage orders+lineitem as co-bucketed tables (idempotent per session). */
