@@ -404,6 +404,9 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
   private def enabled: Boolean =
     spark.conf.getOption(StreamingSortedAggregate.KEY).forall(_.toBoolean)
 
+  private def hybridEnabled: Boolean =
+    spark.conf.getOption(StreamingSortedAggregate.HYBRID_KEY).forall(_.toBoolean)
+
   private def supportedType(dt: DataType): Boolean = dt match {
     case StringType | BinaryType => true
     case _: DecimalType => true
@@ -491,8 +494,61 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
           agg.resultExpressions,
           ordering,
           agg.child)
+      case None if hybridEnabled => rewriteHybrid(agg)
       case None => agg
     }
+
+  // ── strict-prefix hybrid (round-13 verdict ask #4): grouping keys that
+  // EXTEND the child's sort prefix run through RunHashAggregateExec — a
+  // bounded per-run hash flushed at prefix-run boundaries, serving plain
+  // single-key-sorted layouts without the extended-sort rewrite (the
+  // reference's segmented/pre-grouped aggregation path). ──
+
+  /** In-place-updatable buffer types for the run map's UnsafeRow buffers. */
+  private def fixedWidth(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
+    case _ => CodeGenerator.isPrimitiveType(dt)
+  }
+
+  /** The longest effective-ordering prefix made of (distinct) grouping
+    * keys that does NOT cover the whole grouping set. Returns the ordering
+    * prefix and the matching grouping expressions. */
+  private def strictPrefix(agg: BaseAggregateExec)
+      : Option[(Seq[SortOrder], Seq[NamedExpression])] = {
+    val byId = agg.groupingExpressions.flatMap(g =>
+      underlying(g).map(_.exprId -> g)).toMap
+    if (byId.size != agg.groupingExpressions.length) return None
+    val seen = scala.collection.mutable.Set.empty[ExprId]
+    val prefix = effectiveOrdering(agg.child).takeWhile {
+      case SortOrder(a: Attribute, _, _, _) =>
+        byId.contains(a.exprId) && seen.add(a.exprId)
+      case _ => false
+    }
+    if (prefix.isEmpty || prefix.length >= agg.groupingExpressions.length)
+      None
+    else Some((prefix, prefix.map(so =>
+      byId(so.child.asInstanceOf[Attribute].exprId))))
+  }
+
+  private def rewriteHybrid(agg: BaseAggregateExec): SparkPlan = {
+    val bufferOk = agg.aggregateExpressions
+      .flatMap(_.aggregateFunction.aggBufferAttributes)
+      .forall(b => fixedWidth(b.dataType))
+    if (!bufferOk) return agg
+    strictPrefix(agg) match {
+      case Some((ordering, prefixExprs)) =>
+        RunHashAggregateExec(
+          agg.requiredChildDistributionExpressions,
+          agg.groupingExpressions,
+          prefixExprs,
+          agg.aggregateExpressions,
+          agg.aggregateAttributes,
+          agg.resultExpressions,
+          ordering,
+          agg.child)
+      case None => agg
+    }
+  }
 
   /** The plan's effective ordering at `p`, looking through projections to
     * a converted streaming aggregate (whose emitted order the planner
@@ -534,4 +590,5 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
 
 object StreamingSortedAggregate {
   val KEY = "spark.graft.streamingSortedAgg"
+  val HYBRID_KEY = "spark.graft.streamingSortedAgg.hybrid"
 }
