@@ -438,6 +438,254 @@ object TpcDsShapes {
     WHERE CAST(a2.rev AS DOUBLE) / CAST(a1.rev AS DOUBLE)
         > CAST(r2.rev AS DOUBLE) / CAST(r1.rev AS DOUBLE)"""
 
+  // ── round 14: the still-unsampled DS plan families (verdict ask #5) ──
+
+  // DS q36 shape: ROLLUP with a computed grouping-level column
+  // (lochierarchy) and a rank PARTITIONED BY the level — including the
+  // reference's CASE-on-grouping-flag partition key. Tie-breaks avoid
+  // NULL ordering divergence via COALESCE.
+  private val DS26 = """
+    WITH agg AS (
+      SELECT n_name, p_type,
+        CAST(grouping(n_name) AS INT) + CAST(grouping(p_type) AS INT)
+          AS lochierarchy,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 15
+      GROUP BY ROLLUP(n_name, p_type))
+    SELECT lochierarchy, n_name, p_type, rev,
+      CAST(rank() OVER (
+        PARTITION BY lochierarchy,
+          CASE WHEN lochierarchy = 0 THEN n_name END
+        ORDER BY rev DESC, COALESCE(n_name, ''), COALESCE(p_type, ''))
+        AS INT) AS rnk
+    FROM agg"""
+
+  // DS q64 shape: CTE-of-CTE chain — a star-join aggregate CTE self-joined
+  // across adjacent years by a SECOND CTE, filtered on growth.
+  private val DS27 = """
+    WITH sales AS (
+      SELECT p_brand AS brand, n_name AS nation,
+        CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_size <= 8
+      GROUP BY 1, 2, 3),
+    cross_year AS (
+      SELECT s1.brand AS brand, s1.nation AS nation, s1.yr AS yr1,
+        s2.yr AS yr2, s1.rev AS rev1, s2.rev AS rev2
+      FROM sales s1
+      JOIN sales s2 ON s1.brand = s2.brand AND s1.nation = s2.nation
+        AND s2.yr = s1.yr + 1)
+    SELECT brand, nation, yr1, yr2, rev1, rev2,
+      round(CAST(rev2 AS DOUBLE) / CAST(rev1 AS DOUBLE), 6) AS growth
+    FROM cross_year
+    WHERE rev2 > rev1"""
+
+  // DS q66 shape: share-of-total windows over a UNION ALL of two
+  // channels (ship-month vs order-month), revenue share per nation.
+  private val DS28 = """
+    WITH channel AS (
+      SELECT 'ship' AS ch, n_name,
+        CAST(month(l_shipdate) AS INT) AS mon,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE year(l_shipdate) = 1997
+      GROUP BY 2, 3
+      UNION ALL
+      SELECT 'order' AS ch, n_name,
+        CAST(month(o_orderdate) AS INT) AS mon,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE year(o_orderdate) = 1997
+      GROUP BY 2, 3)
+    SELECT ch, n_name, mon, rev,
+      round(CAST(rev AS DOUBLE) /
+        CAST(sum(rev) OVER (PARTITION BY ch, n_name) AS DOUBLE), 6)
+        AS share
+    FROM channel"""
+
+  // DS q87 shape: COUNT over an EXCEPT of distinct customer sets
+  // (building-segment buyers who never returned an item).
+  private val DS29 = """
+    SELECT count(*) AS never_returned
+    FROM (
+      SELECT DISTINCT c_custkey
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT DISTINCT c_custkey
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R') t"""
+
+  // DS q23 shape: frequent-items CTE (HAVING count > k) + best-customers
+  // CTE, then the spend of best customers on frequent parts only.
+  private val DS30 = """
+    WITH frequent_parts AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY 1 HAVING count(*) > 3),
+    best_customers AS (
+      SELECT o_custkey FROM orders
+      GROUP BY 1
+      HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        > 500000),
+    spend AS (
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        AS DECIMAL(38,2)) AS total
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+        AND o_custkey IN (SELECT o_custkey FROM best_customers))
+    SELECT total FROM spend"""
+
+  // DS q78 shape: per (customer, year) channel sums through a LEFT JOIN
+  // of two pre-aggregates with a null-guarded ratio.
+  private val DS31 = """
+    WITH kept AS (
+      SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'N'
+      GROUP BY 1, 2),
+    returned AS (
+      SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2)
+    SELECT k.ck AS ck, k.yr AS yr, k.rev AS kept_rev, r.rev AS ret_rev,
+      round(CASE WHEN r.rev IS NULL THEN 0.0
+        ELSE CAST(r.rev AS DOUBLE) / CAST(k.rev AS DOUBLE) END, 6)
+        AS return_ratio
+    FROM kept k
+    LEFT JOIN returned r ON k.ck = r.ck AND k.yr = r.yr
+    WHERE k.rev > 10000"""
+
+  // DS q93 shape: per-order NET value after returns (returned lines
+  // subtract), via a conditional sum over the fact.
+  private val DS32 = """
+    SELECT o_orderkey,
+      CAST(sum(CASE WHEN l_returnflag = 'R'
+        THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+        ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END)
+        AS DECIMAL(38,2)) AS net_value,
+      count(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+    ORDER BY net_value DESC, o_orderkey LIMIT 25"""
+
+  // DS q49 shape: DUAL ranks per nation (by quantity and by revenue),
+  // keep brands in the top 10 of BOTH rankings.
+  private val DS33 = """
+    WITH base AS (
+      SELECT n_name, p_brand,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT n_name, p_brand, qty, rev,
+        CAST(rank() OVER (PARTITION BY n_name
+          ORDER BY qty DESC, p_brand) AS INT) AS qty_rnk,
+        CAST(rank() OVER (PARTITION BY n_name
+          ORDER BY rev DESC, p_brand) AS INT) AS rev_rnk
+      FROM base)
+    SELECT n_name, p_brand, qty_rnk, rev_rnk
+    FROM ranked
+    WHERE qty_rnk <= 10 AND rev_rnk <= 10"""
+
+  // DS q34/q73 shape: order-size bucket (orders of 5..7 lines), then the
+  // buying customers — dim join AFTER the HAVING-banded pre-aggregate.
+  private val DS34 = """
+    WITH sized AS (
+      SELECT l_orderkey, count(*) AS n_lines
+      FROM lineitem GROUP BY 1
+      HAVING count(*) BETWEEN 5 AND 7)
+    SELECT c_custkey, c_name, count(*) AS qualifying_orders,
+      CAST(sum(s.n_lines) AS BIGINT) AS total_lines
+    FROM sized s
+    JOIN orders ON s.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2"""
+
+  // DS q17 statistics-gate shape: brands whose quantity spread is wide
+  // (stddev above a bound), with the mean/deviation reported rounded.
+  private val DS35 = """
+    SELECT p_brand,
+      round(avg(CAST(l_quantity AS DOUBLE)), 4) AS mean_qty,
+      round(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS sd_qty,
+      count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    HAVING count(*) >= 20
+      AND stddev_samp(CAST(l_quantity AS DOUBLE))
+        > avg(CAST(l_quantity AS DOUBLE)) * 0.5"""
+
+  // DS q53/q63 shape: monthly brand revenue vs the brand's average month
+  // (windowed avg over the pre-aggregate; the gate rides a second level —
+  // window results cannot sit in WHERE).
+  private val DS36 = """
+    WITH monthly AS (
+      SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 5
+      GROUP BY 1, 2),
+    windowed AS (
+      SELECT p_brand, mon, rev,
+        avg(CAST(rev AS DOUBLE)) OVER (PARTITION BY p_brand) AS avg_m
+      FROM monthly)
+    SELECT p_brand, mon, rev,
+      round(avg_m, 4) AS avg_month,
+      round(CAST(rev AS DOUBLE) / avg_m, 6) AS ratio
+    FROM windowed
+    WHERE CAST(rev AS DOUBLE) > 1.2 * avg_m"""
+
+  // DS q90 shape: ratio of two disjoint-range counts of one fact
+  // (first-half vs second-half shipping months per nation).
+  private val DS37 = """
+    SELECT n_name,
+      CAST(sum(CASE WHEN month(l_shipdate) <= 6 THEN 1 ELSE 0 END)
+        AS BIGINT) AS h1_lines,
+      CAST(sum(CASE WHEN month(l_shipdate) > 6 THEN 1 ELSE 0 END)
+        AS BIGINT) AS h2_lines,
+      round(CAST(sum(CASE WHEN month(l_shipdate) <= 6 THEN 1 ELSE 0 END)
+          AS DOUBLE) /
+        CAST(sum(CASE WHEN month(l_shipdate) > 6 THEN 1 ELSE 0 END)
+          AS DOUBLE), 6) AS am_pm_ratio
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+    HAVING sum(CASE WHEN month(l_shipdate) > 6 THEN 1 ELSE 0 END) > 0"""
+
   val queries: Map[String, Q] = Map(
     "ds01_star_rollup" -> entry(DS01),
     "ds02_moving_rank" -> entry(DS02),
@@ -463,5 +711,17 @@ object TpcDsShapes {
     "ds22_spend_buckets" -> entry(DS22),
     "ds23_best_worst" -> entry(DS23),
     "ds24_correlated_count" -> entry(DS24),
-    "ds25_channel_growth" -> entry(DS25))
+    "ds25_channel_growth" -> entry(DS25),
+    "ds26_rollup_hierarchy_rank" -> entry(DS26),
+    "ds27_cte_of_cte_growth" -> entry(DS27),
+    "ds28_channel_share" -> entry(DS28),
+    "ds29_except_distinct" -> entry(DS29),
+    "ds30_frequent_best" -> entry(DS30),
+    "ds31_channel_ratio_nulls" -> entry(DS31),
+    "ds32_returns_net" -> entry(DS32),
+    "ds33_dual_rank_intersect" -> entry(DS33),
+    "ds34_order_size_buckets" -> entry(DS34),
+    "ds35_stddev_gate" -> entry(DS35),
+    "ds36_brand_vs_avg_month" -> entry(DS36),
+    "ds37_range_count_ratio" -> entry(DS37))
 }
