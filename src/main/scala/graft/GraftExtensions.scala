@@ -21,18 +21,6 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // .GraftOptimizations; the reference does this class of work in its
     // optimizer: PickTableLayout/TupleDomain narrowing, PredicatePushDown
     // equality inference, DecimalSumAggregation long state)
-    // layout-aware inner-join reordering: when a persisted co-bucketed
-    // layout serves some join edge exchange-free but the textual order
-    // executes a different join first, rebuild the chain layout-edge-first
-    // (the reference's join-graph reorder + PickTableLayout, done for the
-    // layout-driven case) — runs BEFORE the probe rule so probes see the
-    // final shape
-    ext.injectOptimizerRule(session => new plans.LayoutJoinReorder(session))
-    // per-query layout selection over MULTIPLE persisted layouts of one
-    // table (spark.graft.bucketedDir=dirA,dirB): swap a scan to the
-    // sibling layout whose bucket key matches the join keys when that
-    // makes the join co-located — the reference's PickTableLayout
-    ext.injectOptimizerRule(session => new plans.PickTableLayout(session))
     ext.injectOptimizerRule(session => new plans.DynamicSemiJoinPrune(session))
     ext.injectOptimizerRule(_ => plans.ScaledLongSum)
     // full-partition window arrays (the dynamic-frame lowering) evaluate
@@ -53,6 +41,19 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // the finest level once and re-aggregate coarser levels from it,
     // replacing the ×|sets| Expand row blowup
     ext.injectOptimizerRule(session => new plans.CascadeGroupingSets(session))
+    // layout-aware inner-join reordering: when a persisted co-bucketed
+    // layout serves some join edge exchange-free but the textual order
+    // executes a different join first, rebuild the chain layout-edge-first
+    // (the reference's join-graph reorder, done for the layout-driven
+    // case). Registered LAST: it must see the shape AFTER the structural
+    // rewrites above (EagerAggregationReuse in particular — reordering
+    // first was measured to break its h18 pattern match)
+    ext.injectOptimizerRule(session => new plans.LayoutJoinReorder(session))
+    // per-query layout selection over MULTIPLE persisted layouts of one
+    // table (spark.graft.bucketedDir=dirA,dirB): swap a scan to the
+    // sibling layout whose bucket key matches the join keys when that
+    // makes the join co-located — the reference's PickTableLayout
+    ext.injectOptimizerRule(session => new plans.PickTableLayout(session))
     // an adjacent partial+final aggregate pair (child already partitioned
     // on the group keys) collapses to one complete-mode pass — runs as an
     // AQE stage-prep rule so it sees the post-replanning physical plan

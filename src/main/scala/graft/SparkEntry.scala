@@ -59,7 +59,11 @@ object SparkEntry {
     "ds01_star_rollup", "ds02_moving_rank", "ds03_channel_union",
     "ds04_yoy_growth", "ds05_gsets_rank", "ds06_bucket_counts",
     "ds07_rollup_topk",
-    "ds08_channel_fanout", "ds11_intersect_customers", "ds14_basket_overlap")
+    "ds08_channel_fanout", "ds11_intersect_customers", "ds14_basket_overlap",
+    // round 14: the reorder-rule spelling + three of the 12 new DS shapes
+    "h10_returned_items_orig",
+    "ds26_rollup_hierarchy_rank", "ds27_cte_of_cte_growth",
+    "ds29_except_distinct")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -111,14 +111,45 @@ class LayoutJoinReorder(spark: SparkSession)
     }
     if (!applicable) return plan
 
-    // transformDown re-visits the interior joins of a just-rebuilt chain,
-    // but every left-deep sub-chain then has the layout edge as its BOTTOM
-    // join, so the idempotency check below returns them unchanged — the
-    // fixed-point batch converges after one rewrite
-    plan.transformDown {
-      case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE =>
-        reorderChain(j)
+    // Custom traversal with FILTER CONTEXT: a WHERE clause not yet pushed
+    // into the chain's relations (this rule can run mid-fixed-point, before
+    // pushdown settles) still carries the selectivity information the
+    // order-sensitivity guard needs — a chain under Filter(r_name = …)
+    // must see region as filtered even though the unit looks clean.
+    // Interior joins of a processed chain are NOT re-matched (sub-chains
+    // would lose the outer filter context); recursion continues inside the
+    // chain's relation units.
+    def chainRoot(j: Join): Boolean =
+      j.joinType == Inner && j.condition.isDefined && j.hint == JoinHint.NONE
+
+    /** `pending`: conjuncts of Filters between here and the chain root —
+      * accumulated through Filter/Project chains so the sensitivity guard
+      * sees them even before pushdown moves them into the relations. */
+    def walk(p: LogicalPlan, pending: Seq[Expression]): LogicalPlan =
+      p match {
+        case f @ Filter(cond, child) =>
+          val r = walk(child, pending ++ splitConjunctivePredicates(cond))
+          if (r eq f.child) f else Filter(cond, r)
+        case pr: Project =>
+          val r = walk(pr.child, pending)
+          if (r eq pr.child) pr else pr.copy(child = r)
+        case j: Join if chainRoot(j) =>
+          walkChain(reorderChain(j, pending))
+        case other =>
+          other.withNewChildren(other.children.map(walk(_, Nil)))
+      }
+
+    /** Continue the walk INSIDE a processed chain: descend through its
+      * joins and pruning projects structurally, hand every relation unit
+      * back to the outer walk (a unit that is itself a filtered nested
+      * chain gets its own filter context there). */
+    def walkChain(p: LogicalPlan): LogicalPlan = p match {
+      case j: Join => j.withNewChildren(j.children.map(walkChain))
+      case pr: Project => pr.withNewChildren(pr.children.map(walkChain))
+      case unit => walk(unit, Nil)
     }
+
+    walk(plan, Nil)
   }
 
   /** Is `p` a join chain continuation, looking through the pure-attribute
@@ -131,8 +162,14 @@ class LayoutJoinReorder(spark: SparkSession)
     case _ => false
   }
 
-  /** Flatten, decide, rebuild one inner-join chain (or return it as-is). */
-  private def reorderChain(root: Join): LogicalPlan = {
+  /** Flatten, decide, rebuild one inner-join chain (or return it as-is).
+    * `outer` carries the conjuncts of a Filter still sitting ABOVE the
+    * chain (pushdown may not have settled when this rule runs): a
+    * single-unit data-reducing conjunct marks that unit order-sensitive;
+    * a multi-unit conjunct (an un-pushed join predicate) bails the whole
+    * chain — a later fixed-point iteration sees the settled form. */
+  private def reorderChain(root: Join,
+      outer: Seq[Expression]): LogicalPlan = {
     // ── flatten (through pruning Projects; ColumnPruning re-derives them
     // on the rebuilt tree) ──
     var flattenOk = true
@@ -155,6 +192,21 @@ class LayoutJoinReorder(spark: SparkSession)
     val (units, conjuncts) = flatten(root)
     if (!flattenOk || units.length < 3) return root
     if (conjuncts.exists(!_.deterministic)) return root
+
+    // classify the outer (un-pushed) conjuncts against the units
+    val outerSensitive = scala.collection.mutable.Set.empty[Int]
+    outer.foreach {
+      case _: IsNotNull => // bookkeeping, never data-reducing
+      case c =>
+        val owners = units.indices.filter(i =>
+          c.references.nonEmpty &&
+            c.references.subsetOf(units(i).outputSet))
+        owners match {
+          case Seq(i) => outerSensitive += i
+          case _ if c.references.isEmpty => // constant — irrelevant
+          case _ => return root // un-pushed cross-unit predicate: wait
+        }
+    }
 
     // ── join graph ──
     def unitOf(a: Attribute): Int = units.indexWhere(_.outputSet.contains(a))
@@ -210,9 +262,11 @@ class LayoutJoinReorder(spark: SparkSession)
     val sizes = units.map(scanBytes)
     val chosen = layoutEdges.maxBy { case (u, v) => sizes(u) + sizes(v) }
 
-    // every OTHER relation must be join-order-neutral
+    // every OTHER relation must be join-order-neutral (its own filters AND
+    // any not-yet-pushed outer conjunct targeting it)
     val pairSet = Set(chosen._1, chosen._2)
-    if (units.indices.exists(i => !pairSet(i) && orderSensitive(units(i))))
+    if (units.indices.exists(i => !pairSet(i) &&
+        (outerSensitive(i) || orderSensitive(units(i)))))
       return root
 
     // ── greedy left-deep order: pair first (textual order within), then

@@ -138,6 +138,25 @@ object TpchMacro {
         GROUP BY c_custkey, c_name, n_name, round(c_acctbal, 4)
         ORDER BY revenue DESC, c_custkey LIMIT 20"""),
 
+      // Q10 in its ORIGINAL customer-first spelling (the TPC-H standard
+      // text order). Round 14: plans/LayoutJoinReorder rebuilds this chain
+      // layout-edge-first, so over the bucketed layouts it plans
+      // IDENTICALLY to the hand-ordered text above (plan-asserted in
+      // LayoutJoinReorderSpec); kept as its own gate entry so the oracle
+      // pins both spellings.
+      both("h10_returned_items_orig", s"""
+        SELECT c_custkey, c_name, $REV AS revenue, n_name,
+          round(c_acctbal, 4) AS acctbal
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name, round(c_acctbal, 4)
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+
       // Q14: promotion effect (lineitem ⋈ part, conditional revenue share).
       both("h14_promo_effect", """
         SELECT round(100.00 *
