@@ -165,7 +165,10 @@ object Bucketing {
     val layout =
       try spark.conf.get("spark.graft.bucketedDir", "")
       catch { case _: Exception => "" }
-    val dirs = layout.split(",").map(_.trim).filter(_.nonEmpty)
+    // list separator: comma or semicolon (the env-var conf channel
+    // SPARK_GRAFT_CONF splits on commas, so multi-dir values passed
+    // through it use ';')
+    val dirs = layout.split("[,;]").map(_.trim).filter(_.nonEmpty)
     if (dirs.isEmpty) return None
     val infos = dirs.zipWithIndex.flatMap { case (d, i) =>
       registerBucketedAs(spark, d, name, if (i == 0) "" else s"_l$i")
