@@ -686,6 +686,145 @@ object TpcDsShapes {
     GROUP BY 1
     HAVING sum(CASE WHEN month(l_shipdate) > 6 THEN 1 ELSE 0 END) > 0"""
 
+  // DS q5 shape: two channel pre-aggregates UNIONed, then ROLLUP with
+  // grouping flags over the union (report across channels + grand total).
+  private val DS38 = """
+    WITH sales AS (
+      SELECT 'catalog' AS channel, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_returnflag = 'N'
+      GROUP BY 2
+      UNION ALL
+      SELECT 'store' AS channel, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 2)
+    SELECT channel, n_name,
+      CAST(grouping(channel) AS INT) AS g_c,
+      CAST(grouping(n_name) AS INT) AS g_n,
+      CAST(sum(rev) AS DECIMAL(38,2)) AS total_rev
+    FROM sales
+    GROUP BY ROLLUP(channel, n_name)"""
+
+  // DS q35 shape: customers qualified by an IN-subquery AND an EXISTS,
+  // then aggregated per nation with several stats.
+  private val DS39 = """
+    SELECT c_nationkey, count(*) AS n,
+      round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        / count(*), 4) AS avg_bal,
+      CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS max_bal
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      AND EXISTS (
+        SELECT 1 FROM orders o2 JOIN lineitem ON o2.o_orderkey = l_orderkey
+        WHERE o2.o_custkey = c_custkey AND l_returnflag = 'R')
+    GROUP BY 1"""
+
+  // DS q69 shape: customers with activity in one channel and NOT EXISTS
+  // in two others.
+  private val DS40 = """
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND year(o_orderdate) = 1997)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o2 JOIN lineitem ON o2.o_orderkey = l_orderkey
+        WHERE o2.o_custkey = c_custkey AND l_returnflag = 'R'
+          AND year(o2.o_orderdate) = 1997)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o3 WHERE o3.o_custkey = c_custkey
+          AND o3.o_orderpriority = '1-URGENT'
+          AND year(o3.o_orderdate) = 1997)
+    GROUP BY 1"""
+
+  // DS q25/q29 shape: the same customer's order volume in three
+  // consecutive months, chained through self-joins of one pre-aggregate.
+  private val DS41 = """
+    WITH m AS (
+      SELECT o_custkey AS ck, CAST(month(o_orderdate) AS INT) AS mon,
+        count(*) AS n
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1, 2)
+    SELECT m1.ck AS ck, m1.mon AS mon,
+      CAST(m1.n AS BIGINT) AS n1, CAST(m2.n AS BIGINT) AS n2,
+      CAST(m3.n AS BIGINT) AS n3
+    FROM m m1
+    JOIN m m2 ON m1.ck = m2.ck AND m2.mon = m1.mon + 1
+    JOIN m m3 ON m1.ck = m3.ck AND m3.mon = m1.mon + 2
+    WHERE m1.n <= m2.n AND m2.n <= m3.n"""
+
+  // DS q92 shape: rows above 1.3x the per-key correlated average —
+  // the excess-discount scalar gate.
+  private val DS42 = """
+    SELECT CAST(count(*) AS BIGINT) AS n_excess,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS excess_rev
+    FROM lineitem l1
+    WHERE CAST(l_extendedprice AS DOUBLE) > 1.3 * (
+      SELECT avg(CAST(l2.l_extendedprice AS DOUBLE))
+      FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""
+
+  // DS q98/q89 shape: revenue share of each type WITHIN its brand
+  // (window over the brand partition of a two-level pre-aggregate).
+  private val DS43 = """
+    WITH bt AS (
+      SELECT p_brand, p_type,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2)
+    SELECT p_brand, p_type, rev,
+      round(CAST(rev AS DOUBLE) / brand_total, 6) AS brand_share
+    FROM (
+      SELECT p_brand, p_type, rev,
+        CAST(sum(rev) OVER (PARTITION BY p_brand) AS DOUBLE) AS brand_total
+      FROM bt) w
+    WHERE CAST(rev AS DOUBLE) > 0.2 * brand_total"""
+
+  // DS q40 shape: per-part net sold BEFORE vs AFTER a pivot date
+  // (CASE sums around the date, one fact pass).
+  private val DS44 = """
+    SELECT p_brand,
+      CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01'
+        THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2))
+        END) AS DECIMAL(38,2)) AS qty_before,
+      CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01'
+        THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2))
+        END) AS DECIMAL(38,2)) AS qty_after
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 12
+    GROUP BY 1"""
+
+  // DS q86 shape: ROLLUP + share-of-parent + rank within the grouping
+  // level (the self-referencing window over grouping sets).
+  private val DS45 = """
+    WITH agg AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+        CAST(grouping(l_returnflag) AS INT) + CAST(grouping(l_linestatus) AS INT)
+          AS lochierarchy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus))
+    SELECT rf, ls, lochierarchy, qty,
+      CAST(rank() OVER (PARTITION BY lochierarchy,
+          CASE WHEN lochierarchy = 0 THEN rf END
+        ORDER BY qty DESC, COALESCE(rf, ''), COALESCE(ls, '')) AS INT)
+        AS rnk,
+      round(CAST(qty AS DOUBLE) /
+        CAST(sum(qty) OVER (PARTITION BY lochierarchy,
+          CASE WHEN lochierarchy = 0 THEN rf END) AS DOUBLE), 6)
+        AS level_share
+    FROM agg"""
+
   val queries: Map[String, Q] = Map(
     "ds01_star_rollup" -> entry(DS01),
     "ds02_moving_rank" -> entry(DS02),
@@ -723,5 +862,13 @@ object TpcDsShapes {
     "ds34_order_size_buckets" -> entry(DS34),
     "ds35_stddev_gate" -> entry(DS35),
     "ds36_brand_vs_avg_month" -> entry(DS36),
-    "ds37_range_count_ratio" -> entry(DS37))
+    "ds37_range_count_ratio" -> entry(DS37),
+    "ds38_channel_rollup" -> entry(DS38),
+    "ds39_in_and_exists" -> entry(DS39),
+    "ds40_not_exists_pair" -> entry(DS40),
+    "ds41_three_month_chain" -> entry(DS41),
+    "ds42_excess_avg_gate" -> entry(DS42),
+    "ds43_brand_share" -> entry(DS43),
+    "ds44_pivot_date_net" -> entry(DS44),
+    "ds45_rollup_parent_share" -> entry(DS45))
 }
