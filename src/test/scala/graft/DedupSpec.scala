@@ -341,6 +341,44 @@ class DedupSpec extends AnyFunSuite {
     assert(total == 100L)
   }
 
+  test("ingestWave: exact-first contract by construction — wave classes, " +
+      "reference gate, near-dups for survivors only, verdicts expand " +
+      "through the representative") {
+    import spark.implicits._
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val longNear = (1 to 29).map(i => s"tok$i").mkString(" ") + " tokX"
+    val reference = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, long)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta"), // exact copy of ref 1
+      (12L, "completely different text with its own words here"),
+      (13L, "completely different text with its own words here"), // copy of 12
+      (14L, longNear), // near-dup of ref 2 (j = 26/30 of shingles... >= 0.8)
+      (15L, "alpha beta gamma delta epsilon zeta")) // second copy of ref 1
+      .toDF("doc_id", "text")
+    val verdicts = operators.Dedup
+      .ingestWave(reference, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // 11 is its class representative (min id) and exactly matches ref 1;
+    // 15 rejects through 11; 13 rejects through 12; 14 survives the exact
+    // gates and near-matches ref 2; 12 is the only kept document
+    assert(verdicts.map(v => (v._1, v._3)) == Set(
+      (13L, "exact_wave"), (15L, "exact_wave"),
+      (11L, "exact_ref"), (14L, "near_ref")))
+    assert(verdicts.contains((13L, 12L, "exact_wave")))
+    assert(verdicts.contains((15L, 11L, "exact_wave")))
+    assert(verdicts.contains((11L, 1L, "exact_ref")))
+    assert(verdicts.contains((14L, 2L, "near_ref")))
+    val kept = incoming.join(
+      operators.Dedup.ingestWave(reference, incoming, "doc_id", "text")
+        .select(col("new_id").as("doc_id")),
+      Seq("doc_id"), "left_anti").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+  }
+
   test("winnow hot-fingerprint cap in its binding regime: boilerplate " +
       "postings dropped, rare fingerprints still pair") {
     import spark.implicits._
