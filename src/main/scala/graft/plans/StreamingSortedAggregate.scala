@@ -535,6 +535,23 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
       .flatMap(_.aggregateFunction.aggBufferAttributes)
       .forall(b => fixedWidth(b.dataType))
     if (!bufferOk) return agg
+    // Size floor (the DSJP factMinBytes pattern): at small scale the
+    // per-row run-map lookup costs more than the tiny hash table it
+    // replaces — measured at the sf0.1 flat bench, where the hybrid
+    // fired on SMJ-shuffled groupings and cost +0.2 s per sub-second
+    // query. The win regime is big sorted inputs whose global hash
+    // would thrash (q22/h21 over sf30+ layouts). Leaf scan bytes via
+    // the logical link — the same input-size notion the probe rule
+    // uses; an unresolvable link conservatively keeps the hash agg.
+    val minBytes = spark.conf
+      .getOption(StreamingSortedAggregate.HYBRID_MIN_KEY)
+      .map(_.toLong).getOrElse(64L << 20)
+    if (minBytes > 0) {
+      val leafBytes = agg.child.logicalLink
+        .map(_.collectLeaves().map(_.stats.sizeInBytes).sum)
+        .getOrElse(BigInt(0))
+      if (leafBytes < minBytes) return agg
+    }
     strictPrefix(agg) match {
       case Some((ordering, prefixExprs)) =>
         RunHashAggregateExec(
@@ -591,4 +608,5 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
 object StreamingSortedAggregate {
   val KEY = "spark.graft.streamingSortedAgg"
   val HYBRID_KEY = "spark.graft.streamingSortedAgg.hybrid"
+  val HYBRID_MIN_KEY = "spark.graft.streamingSortedAgg.hybridMinBytes"
 }

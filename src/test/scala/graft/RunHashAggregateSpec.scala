@@ -18,8 +18,11 @@ class RunHashAggregateSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.EliminateSorts")
     spark.conf.set(HYBRID, on.toString)
+    // test fixtures are far below the production size floor
+    spark.conf.set(plans.StreamingSortedAggregate.HYBRID_MIN_KEY, "0")
     try f finally {
       spark.conf.set(HYBRID, "true")
+      spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_MIN_KEY)
       spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
