@@ -63,7 +63,11 @@ object SparkEntry {
     // round 14: the reorder-rule spelling + three of the 12 new DS shapes
     "h10_returned_items_orig",
     "ds26_rollup_hierarchy_rank", "ds27_cte_of_cte_growth",
-    "ds29_except_distinct")
+    "ds29_except_distinct",
+    // round 15: three of the 15 new DS shapes (channel-profit rollup,
+    // latency-bucket pivot, full-outer period compare)
+    "ds46_channel_profit_rollup", "ds52_latency_buckets",
+    "ds58_fullouter_periods")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -47,26 +47,33 @@ object SafeRegex {
     override def toString: String = s
   }
 
-  /** Compiled-pattern cache. Bounded: with per-row (non-literal) pattern
-    * columns an unbounded map grows without limit on long-lived executors,
-    * so past `MaxCachedPatterns` distinct patterns the cache is cleared —
-    * recompilation is cheap relative to evaluation, and the common case
-    * (a literal pattern) stays a single entry.
+  /** Compiled-pattern cache. Bounded LRU: with per-row (non-literal)
+    * pattern columns an unbounded map grows without limit on long-lived
+    * executors, while a frozen-at-capacity map (the previous design) never
+    * admits a hot pattern first seen after the fill — it would recompile
+    * on every row for the executor's lifetime. Access-ordered
+    * LinkedHashMap with removeEldestEntry under a lock: hot entries stay
+    * resident, cold per-row patterns age out. The lock is uncontended
+    * relative to regex evaluation itself (a get is ~ns; a match is µs+).
     */
   private val MaxCachedPatterns = 1024
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+    new java.util.LinkedHashMap[String, java.util.regex.Pattern](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.regex.Pattern]): Boolean =
+        size() > MaxCachedPatterns
+    }
 
   def matcher(pattern: String, input: String, maxSteps: Long): java.util.regex.Matcher = {
-    // At the cap, compile WITHOUT inserting (instead of clearing): resident
-    // hot entries — the literal patterns every row reuses — survive a flood
-    // of per-row patterns, and concurrent floods can't churn-recompile the
-    // whole working set via repeated clears.
-    val p = {
-      val hit = cache.get(pattern)
-      if (hit != null) hit
-      else if (cache.size >= MaxCachedPatterns) java.util.regex.Pattern.compile(pattern)
-      else cache.computeIfAbsent(pattern, java.util.regex.Pattern.compile)
+    val hit = cache.synchronized(cache.get(pattern))
+    val p = if (hit != null) hit else {
+      // compile OUTSIDE the lock (compilation of a pathological pattern is
+      // itself slow; holding the lock would stall every other thread)
+      val compiled = java.util.regex.Pattern.compile(pattern)
+      cache.synchronized {
+        val race = cache.get(pattern)
+        if (race != null) race else { cache.put(pattern, compiled); compiled }
+      }
     }
     p.matcher(if (maxSteps > 0) new Bounded(input, maxSteps) else input)
   }

@@ -66,16 +66,24 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(stage)
     spark.sql(s"DROP TABLE $stage") // external: files stay
+    // Content fingerprint: the row count of the just-written layout, read
+    // from the parquet footers (metadata-only scan). Sibling layouts of
+    // one base table must hold identical rows — the redirect refuses to
+    // register a sibling whose count disagrees, so a stale or partially
+    // rewritten layout can never silently change query results through a
+    // PickTableLayout swap.
+    val rows = spark.read.parquet(loc).count()
     val marker = java.nio.file.Paths.get(loc, MARKER)
     java.nio.file.Files.write(marker,
       (s"key=${keys.mkString(",")}\nbuckets=$buckets\n" +
-        s"sort=${sortKeys.mkString(",")}\n").getBytes("UTF-8"))
+        s"sort=${sortKeys.mkString(",")}\nrows=$rows\n").getBytes("UTF-8"))
   }
 
   /** One registered persisted layout of a base table: catalog table name,
-    * absolute location, bucket key columns, bucket count. */
+    * absolute location, bucket key columns, bucket count, and the row
+    * count recorded at persist time (None for pre-round-15 markers). */
   final case class LayoutInfo(base: String, table: String, location: String,
-      keys: Seq[String], buckets: Int)
+      keys: Seq[String], buckets: Int, rows: Option[Long] = None)
 
   /** Per-session registry of EVERY layout registered for a base table —
     * the catalog-metadata analogue of the reference's per-table layout
@@ -83,8 +91,19 @@ object Bucketing {
     * PickTableLayout.java picks one per query). Populated by [[redirect]];
     * read by plans.PickTableLayout to swap a scan to the sibling layout
     * whose bucket key matches the query's join keys. */
+  // Weakly keyed by session: a driver that creates many short-lived
+  // sessions must not have each one (and its session state) pinned for the
+  // JVM lifetime by its layout registrations — entries vanish with the
+  // session. All access under the map's monitor (WeakHashMap is not
+  // thread-safe); values are immutable snapshots.
   private val layoutRegistry =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[LayoutInfo]]()
+    new java.util.WeakHashMap[SparkSession, Map[String, Seq[LayoutInfo]]]()
+
+  private def registryPut(spark: SparkSession, name: String,
+      infos: Seq[LayoutInfo]): Unit = layoutRegistry.synchronized {
+    val cur = Option(layoutRegistry.get(spark)).getOrElse(Map.empty)
+    layoutRegistry.put(spark, cur + (name -> infos))
+  }
 
   /** location → all sibling layouts of the same base table registered in
     * this session. Empty unless SOME base has ≥ 2 layouts (the only case
@@ -92,15 +111,12 @@ object Bucketing {
     * still listed then, because they can be the co-location PARTNER of a
     * swapped side. */
   def alternateLayouts(spark: SparkSession): Map[String, Seq[LayoutInfo]] = {
-    var hasChoice = false
-    val out = Map.newBuilder[String, Seq[LayoutInfo]]
-    layoutRegistry.forEach { (k, infos) =>
-      if (k._1 == spark) {
-        if (infos.length >= 2) hasChoice = true
-        infos.foreach(i => out += i.location -> infos)
-      }
+    val mine = layoutRegistry.synchronized {
+      Option(layoutRegistry.get(spark)).getOrElse(Map.empty)
     }
-    if (hasChoice) out.result() else Map.empty
+    if (mine.values.exists(_.length >= 2))
+      mine.values.flatMap(infos => infos.map(i => i.location -> infos)).toMap
+    else Map.empty
   }
 
   /** Re-register a persisted bucketed layout in THIS session's catalog
@@ -141,7 +157,8 @@ object Bucketing {
         LOCATION '$loc'""") // key may be a comma-joined multi-column list
     }
     Some(LayoutInfo(name, tbl, wantLoc,
-      key.split(",").map(_.trim).filter(_.nonEmpty).toSeq, buckets))
+      key.split(",").map(_.trim).filter(_.nonEmpty).toSeq, buckets,
+      props.get("rows").flatMap(r => scala.util.Try(r.toLong).toOption)))
   }
 
   /** Bucketed-layout redirect for [[graft.Tables]]: when the session sets
@@ -170,11 +187,29 @@ object Bucketing {
     // through it use ';')
     val dirs = layout.split("[,;]").map(_.trim).filter(_.nonEmpty)
     if (dirs.isEmpty) return None
-    val infos = dirs.zipWithIndex.flatMap { case (d, i) =>
+    val all = dirs.zipWithIndex.flatMap { case (d, i) =>
       registerBucketedAs(spark, d, name, if (i == 0) "" else s"_l$i")
     }
-    if (infos.isEmpty) return None
-    layoutRegistry.put((spark, name), infos.toSeq)
+    if (all.isEmpty) return None
+    // Sibling validation (content fingerprint): every layout of a base
+    // table must hold the same rows as the PRIMARY (first) layout. A
+    // sibling whose recorded row count disagrees — a stale copy, or a
+    // layout rebuilt mid-write — is dropped from the registry so the pick
+    // rule can never swap a scan onto it. Markers without a count
+    // (pre-round-15 layouts) keep the old deployment-contract trust.
+    val primary = all.head
+    val infos = primary +: all.tail.filter { s =>
+      val ok = (primary.rows, s.rows) match {
+        case (Some(p), Some(r)) => p == r
+        case _ => true
+      }
+      if (!ok) System.err.println(
+        s"graft: dropping sibling layout ${s.location} of '$name' — " +
+          s"row count ${s.rows.get} != primary ${primary.rows.get} " +
+          s"(${primary.location}); rebuild the layout")
+      ok
+    }
+    registryPut(spark, name, infos.toSeq)
     // Opt-in sorted-bucket scans (spark.graft.bucketedSortedScan):
     // graft layouts guarantee exactly ONE sorted file per bucket
     // (persistBucketed's hash-aligned repartition), which is the

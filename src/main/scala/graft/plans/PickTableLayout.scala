@@ -25,11 +25,18 @@ import graft.operators.Bucketing
   *
   * The decision key is the relation's FIRST join (the deepest join where
   * the relation is still a bare Filter/Project unit): that is the join
-  * whose exchange the layout can remove. Swapped relations keep their
-  * original output attribute ids via an aliasing Project, so the rest of
-  * the plan is untouched; all layouts of a table hold the same rows by
-  * the deployment contract, so semantics are unchanged by construction.
-  * Disable with `spark.graft.layoutPick=false`.
+  * whose exchange the layout can remove. A relation consumed by an
+  * AGGREGATE while still a bare unit (the derived-partsupp shape of
+  * TPC-H Q2/Q9: `GROUP BY l_partkey, l_suppkey` directly over lineitem)
+  * picks by GROUPING keys instead — a sibling layout bucketed on a
+  * subset of the grouping keys makes the aggregation (and any window
+  * partitioned on those keys above it) exchange-free, which is the same
+  * decision the reference's rule makes from the aggregation's preferred
+  * partitioning. Swapped relations keep their original output attribute
+  * ids via an aliasing Project, so the rest of the plan is untouched;
+  * sibling layouts are fingerprint-validated at registration
+  * (operators/Bucketing.redirect row counts), so a stale layout can
+  * never be swapped in. Disable with `spark.graft.layoutPick=false`.
   */
 class PickTableLayout(spark: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
@@ -38,11 +45,16 @@ class PickTableLayout(spark: SparkSession)
   private def enabled: Boolean =
     spark.conf.getOption(PickTableLayout.KEY).forall(_.toBoolean)
 
-  /** Strip a unit (Filter/Project chain) to its leaf relation. */
+  /** Strip a unit (Filter/Project chain) to its leaf relation. A
+    * LeftSemi/LeftAnti join only FILTERS its left relation (the
+    * IN/EXISTS-subquery rewrite), so the unit continues through it. */
   @annotation.tailrec
   private def leafOf(p: LogicalPlan): Option[LogicalRelation] = p match {
     case f: Filter => leafOf(f.child)
     case pr: Project => leafOf(pr.child)
+    case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+      leafOf(j.left)
     case lr: LogicalRelation => Some(lr)
     case _ => None
   }
@@ -53,6 +65,9 @@ class PickTableLayout(spark: SparkSession)
   private def leafAttr(unit: LogicalPlan, a: Attribute): Option[Attribute] =
     unit match {
       case f: Filter => leafAttr(f.child, a)
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        leafAttr(j.left, a)
       case pr: Project =>
         pr.projectList.collectFirst {
           case al @ Alias(child: Attribute, _) if al.exprId == a.exprId => child
@@ -78,7 +93,8 @@ class PickTableLayout(spark: SparkSession)
     if (!enabled) return plan
     val siblings = Bucketing.alternateLayouts(spark)
     if (siblings.isEmpty) return plan
-    if (!plan.exists(_.isInstanceOf[Join])) return plan
+    if (!plan.exists(p => p.isInstanceOf[Join] || p.isInstanceOf[Aggregate]))
+      return plan
 
     /** The layout currently serving a leaf, among its registered siblings. */
     def currentInfo(lr: LogicalRelation): Option[Bucketing.LayoutInfo] =
@@ -86,6 +102,25 @@ class PickTableLayout(spark: SparkSession)
         siblings.get(loc).flatMap(_.find(_.location == loc)))
 
     plan.transformUp {
+      // Aggregation directly over a bare unit: pick the layout whose
+      // bucket keys are a subset of the grouping keys (hash(bucketKeys)
+      // satisfies ClusteredDistribution(groupingKeys)) — the aggregation
+      // plans with no exchange, and single-phase aggregation collapses.
+      case a: Aggregate if leafOf(a.child).isDefined =>
+        val lr = leafOf(a.child).get
+        currentInfo(lr) match {
+          case Some(cur) =>
+            val groupNames = a.groupingExpressions.flatMap {
+              case attr: Attribute => leafAttr(a.child, attr).map(_.name)
+              case _ => None
+            }.toSet
+            if (groupNames.isEmpty || cur.keys.forall(groupNames.contains)) a
+            else siblings(cur.location)
+              .find(s => (s ne cur) && s.keys.forall(groupNames.contains))
+              .map(pick => a.copy(child = swap(a.child, lr, pick)))
+              .getOrElse(a)
+          case None => a
+        }
       case j @ Join(left, right, _, Some(cond), _) =>
         val pairs = splitConjunctivePredicates(cond).collect {
           case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)

@@ -30,9 +30,16 @@ import org.apache.spark.sql.types._
   * its memory bound is the LARGEST RUN, not the key cardinality, so the
   * operator needs no spill path at any scale where the layout contract
   * holds (the layout's sort key runs are row-group-bounded). Degenerate
-  * runs (a near-constant prefix) grow the map like a plain hash aggregate;
-  * the rewrite only fires over layout-sorted scans where the prefix is the
-  * layout's bucket/sort key, which is high-cardinality by construction.
+  * runs (a near-constant prefix) are kept safe on BOTH legs: in Partial
+  * mode `maxRunRows` caps the map — at the cap the run flushes mid-run
+  * (legal: downstream merges partial rows), hard-bounding memory at any
+  * input; in Complete mode a mid-run flush would emit duplicate groups,
+  * so the REWRITE is gated instead — it only fires when the leading
+  * prefix attribute traces to a bucketed/sorted layout scan column
+  * (StreamingSortedAggregate.prefixFromLayout), whose bucket key is
+  * high-cardinality by layout construction. An SMJ-reported join-key
+  * order over a non-layout (e.g. small-dim) key can therefore never
+  * select the unbounded leg.
   *
   * Whole-stage codegen: per input row — build the full grouping key
   * (inline UnsafeProjection), compare the prefix against the running
@@ -51,7 +58,13 @@ case class RunHashAggregateExec(
     aggregateAttributes: Seq[Attribute],
     resultExpressions: Seq[NamedExpression],
     keyOrdering: Seq[SortOrder],
+    maxRunRows: Int,
     child: SparkPlan) extends UnaryExecNode with CodegenSupport {
+
+  /** Partial-mode only: a mid-run flush emits partial rows the downstream
+    * merge combines, so capping the map is semantics-free; in Complete
+    * mode the cap is ignored (the rewrite rule gates that leg instead). */
+  private def capRows: Int = if (partialMode) maxRunRows else 0
 
   private def partialMode: Boolean =
     aggregateExpressions.headOption.exists(_.mode == Partial)
@@ -174,6 +187,12 @@ case class RunHashAggregateExec(
               }
             }
             update(row)
+            // partial-mode memory cap: flush the run's map mid-run (the
+            // downstream merge recombines the partial rows)
+            if (capRows > 0 && map.size() >= capRows) {
+              snapshotAndClear()
+              return true
+            }
           }
           exhausted = true
           if (!map.isEmpty) {
@@ -387,6 +406,17 @@ case class RunHashAggregateExec(
         |}
       """.stripMargin
     }.mkString("\n")
+    // partial-mode memory cap: flush the run's map mid-run at the cap
+    // (the downstream merge recombines the partial rows); prefix state
+    // is untouched, so the run simply continues into a fresh map
+    val capFlush = if (capRows > 0) {
+      val f = genFlush(ctx)
+      s"""
+        |if ($mapVar.size() >= $capRows) {
+        |  $f
+        |}
+      """.stripMargin
+    } else ""
     s"""
       |$evaluateInputs
       |${newPrefix.map(_.code.toString).mkString("\n")}
@@ -407,6 +437,7 @@ case class RunHashAggregateExec(
       |${bufLoads.map(_.code.toString).mkString("\n")}
       |${updateCodes.map(_.code.toString).mkString("\n")}
       |$storeBuffers
+      |$capFlush
     """.stripMargin
   }
 

@@ -825,6 +825,313 @@ object TpcDsShapes {
         AS level_share
     FROM agg"""
 
+  // ── Round 15: the four families the round-14 verdict named as still
+  // unsampled (returns-chained multi-channel profit q5/q77, inventory
+  // before/after windows q21/q22 over the derived-partsupp analogue,
+  // cross-channel returns-vs-peer-average q30/q81, mutual-exclusion
+  // EXISTS combinations q35), plus q16/q50/q54/q59/q78/q90/q97/q31/q34/
+  // q88 plan families. Channel analogue: o_orderpriority buckets. ──
+
+  // DS q5/q77 shape: per-channel profit statement — gross sales, returned
+  // value, net profit — ROLLUP'd to a grand total with grouping flags.
+  private val DS46 = """
+    SELECT
+      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedited'
+           WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+           ELSE 'economy' END AS channel,
+      CAST(grouping(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        THEN 'expedited' WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+        ELSE 'economy' END) AS INT) AS g_c,
+      CAST(sum(CASE WHEN l_returnflag <> 'R'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS gross_sales,
+      CAST(sum(CASE WHEN l_returnflag = 'R'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS returned_value,
+      CAST(sum(CASE WHEN l_returnflag <> 'R'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        ELSE -CAST(l_extendedprice AS DECIMAL(18,2)) END)
+        AS DECIMAL(38,2)) AS net_profit
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE year(o_orderdate) = 1997
+    GROUP BY ROLLUP(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 'expedited' WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+      ELSE 'economy' END)"""
+
+  // DS q21 shape: stock movement before/after a pivot date per
+  // (nation, brand) over the derived-partsupp analogue, both sides
+  // non-empty, ratio bounded to [2/3, 3/2].
+  private val DS47 = """
+    SELECT n_name, p_brand,
+      CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_before,
+      CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_after,
+      round(CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+          THEN l_quantity ELSE 0 END) AS DOUBLE) /
+        CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+          THEN l_quantity ELSE 0 END) AS DOUBLE), 6) AS ratio
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+      AND l_shipdate < TIMESTAMP '1998-07-01'
+      AND p_size <= 20
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+        THEN l_quantity ELSE 0 END) > 0
+      AND sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+        THEN l_quantity ELSE 0 END) > 0
+      AND CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+          THEN l_quantity ELSE 0 END) AS DOUBLE) /
+        CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+          THEN l_quantity ELSE 0 END) AS DOUBLE) BETWEEN 0.666667 AND 1.5
+    ORDER BY n_name, p_brand LIMIT 100"""
+
+  // DS q22 shape: average "quantity on hand" ROLLUP'd down the
+  // (brand, type, size) hierarchy over the inventory window.
+  private val DS48 = """
+    SELECT p_brand, p_type, p_size,
+      round(avg(l_quantity), 4) AS avg_qty,
+      count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY ROLLUP(p_brand, p_type, p_size)
+    ORDER BY avg_qty, COALESCE(p_brand, ''), COALESCE(p_type, ''),
+      COALESCE(p_size, -1) LIMIT 100"""
+
+  // DS q30/q81 shape: customers whose returned value exceeds 1.2x their
+  // nation's average returned value — correlated scalar over the same
+  // pre-aggregate it filters.
+  private val DS49 = """
+    WITH cr AS (
+      SELECT c_nationkey AS nk, c_custkey AS ck,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS ret
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2)
+    SELECT c_name, n_name, ret
+    FROM cr c0
+    JOIN customer ON c0.ck = c_custkey
+    JOIN nation ON c0.nk = n_nationkey
+    WHERE CAST(ret AS DOUBLE) > (
+      SELECT 1.2 * avg(CAST(c1.ret AS DOUBLE)) FROM cr c1 WHERE c1.nk = c0.nk)
+    ORDER BY ret DESC, c_name LIMIT 50"""
+
+  // DS q35 shape: customers active in H1-1997 who ALSO show at least one
+  // of two other behaviours (OR of EXISTS — the mutual-inclusion variant
+  // of ds40's AND/NOT-EXISTS chain), profiled per segment and nation.
+  private val DS50 = """
+    SELECT c_mktsegment, n_name, count(*) AS n_cust,
+      CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+        count(*)) AS BIGINT) AS avg_bal_floor
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01')
+      AND (EXISTS (
+          SELECT 1 FROM orders o2 WHERE o2.o_custkey = c_custkey
+            AND o2.o_orderpriority = '1-URGENT'
+            AND year(o2.o_orderdate) = 1997)
+        OR EXISTS (
+          SELECT 1 FROM orders o3 JOIN lineitem ON o3.o_orderkey = l_orderkey
+          WHERE o3.o_custkey = c_custkey AND l_returnflag = 'R'
+            AND year(o3.o_orderdate) = 1997))
+    GROUP BY 1, 2"""
+
+  // DS q16 shape: DISTINCT-order count where another line of the SAME
+  // order ships from a different supplier AND no line was returned.
+  private val DS51 = """
+    SELECT o_orderstatus,
+      CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+      CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM orders JOIN lineitem l1 ON o_orderkey = l1.l_orderkey
+    WHERE o_orderpriority = '5-LOW'
+      AND year(o_orderdate) = 1997
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = o_orderkey
+          AND l2.l_partkey <> l1.l_partkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = o_orderkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY 1"""
+
+  // DS q50 shape: ship-latency bucket pivot per supplier nation
+  // (portable day arithmetic through INTERVAL comparisons).
+  private val DS52 = """
+    SELECT n_name,
+      CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        THEN 1 ELSE 0 END) AS BIGINT) AS d_over90
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE year(o_orderdate) = 1997
+    GROUP BY 1 ORDER BY 1"""
+
+  // DS q34/q73 shape: customers with REPEATED big baskets (8..13 lines
+  // per order — the fixture's per-order line count tops out at 13 — at
+  // least two such orders).
+  private val DS53 = """
+    WITH big AS (
+      SELECT o_custkey AS ck, o_orderkey,
+        count(*) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+      HAVING count(*) BETWEEN 8 AND 13)
+    SELECT c_name, c_mktsegment,
+      CAST(count(*) AS BIGINT) AS big_orders
+    FROM big JOIN customer ON ck = c_custkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY big_orders DESC, c_name LIMIT 100"""
+
+  // DS q90 shape: first-half vs second-half activity ratio per year.
+  private val DS54 = """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      CAST(sum(CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END)
+        AS BIGINT) AS h1_orders,
+      CAST(sum(CASE WHEN month(o_orderdate) > 6 THEN 1 ELSE 0 END)
+        AS BIGINT) AS h2_orders,
+      round(CAST(sum(CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END)
+          AS DOUBLE) /
+        CAST(sum(CASE WHEN month(o_orderdate) > 6 THEN 1 ELSE 0 END)
+          AS DOUBLE), 6) AS am_pm_ratio
+    FROM orders
+    GROUP BY 1
+    HAVING sum(CASE WHEN month(o_orderdate) > 6 THEN 1 ELSE 0 END) > 0
+    ORDER BY 1"""
+
+  // DS q54 shape: first-purchase cohorts — customers grouped by the
+  // quarter of their FIRST order, with their spend inside the following
+  // 90 days (the aggregate-join-back is on the small per-customer min).
+  private val DS55 = """
+    WITH first_order AS (
+      SELECT o_custkey AS ck, min(o_orderdate) AS fd
+      FROM orders GROUP BY 1)
+    SELECT CAST(year(fd) AS INT) AS cohort_yr,
+      CAST(quarter(fd) AS INT) AS cohort_q,
+      CAST(count(DISTINCT ck) AS BIGINT) AS n_cust,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        AS spend_90d
+    FROM first_order
+    JOIN orders ON o_custkey = ck
+      AND o_orderdate < fd + INTERVAL 90 DAY
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // DS q78 shape: per (customer, year) returned-to-kept quantity ratio,
+  // customers who returned at least something, worst first.
+  private val DS56 = """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+      CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+        ELSE 0 END) AS BIGINT) AS ret_qty,
+      CAST(sum(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS BIGINT)
+        ELSE 0 END) AS BIGINT) AS kept_qty,
+      round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+          AS DOUBLE) /
+        CAST(sum(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END)
+          AS DOUBLE), 6) AS ret_ratio
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) > 0
+      AND sum(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END) > 0
+    ORDER BY ret_ratio DESC, yr, o_custkey LIMIT 50"""
+
+  // DS q59 shape: monthly revenue, this-year vs last-year self-join of
+  // the SAME calendar pre-aggregate.
+  private val DS57 = """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(month(o_orderdate) AS INT) AS mon,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1, 2)
+    SELECT a.mon AS mon, a.rev AS rev_1997, b.rev AS rev_1996,
+      round(CAST(a.rev AS DOUBLE) / CAST(b.rev AS DOUBLE), 6) AS yoy
+    FROM monthly a JOIN monthly b
+      ON a.mon = b.mon AND a.yr = 1997 AND b.yr = 1996
+    ORDER BY mon"""
+
+  // DS q97 shape: FULL OUTER JOIN of two period pre-aggregates — parts
+  // sold in both years / 1996 only / 1997 only, one row out.
+  private val DS58 = """
+    WITH y96 AS (
+      SELECT l_partkey AS pk FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(o_orderdate) = 1996 GROUP BY 1),
+    y97 AS (
+      SELECT l_partkey AS pk FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(o_orderdate) = 1997 GROUP BY 1)
+    SELECT
+      CAST(sum(CASE WHEN a.pk IS NOT NULL AND b.pk IS NOT NULL
+        THEN 1 ELSE 0 END) AS BIGINT) AS both_years,
+      CAST(sum(CASE WHEN a.pk IS NOT NULL AND b.pk IS NULL
+        THEN 1 ELSE 0 END) AS BIGINT) AS only_1996,
+      CAST(sum(CASE WHEN a.pk IS NULL AND b.pk IS NOT NULL
+        THEN 1 ELSE 0 END) AS BIGINT) AS only_1997
+    FROM y96 a FULL OUTER JOIN y97 b ON a.pk = b.pk"""
+
+  // DS q31 shape: quarter-over-quarter growth of one segment compared
+  // against another segment's growth in the SAME nation.
+  private val DS59 = """
+    WITH seg AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) = 1997
+        AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2, 3)
+    SELECT n_name,
+      round(CAST(b2.rev AS DOUBLE) / CAST(b1.rev AS DOUBLE), 6) AS building_growth,
+      round(CAST(m2.rev AS DOUBLE) / CAST(m1.rev AS DOUBLE), 6) AS machinery_growth
+    FROM seg b1 JOIN seg b2
+        ON b1.nk = b2.nk AND b1.seg = 'BUILDING' AND b2.seg = 'BUILDING'
+        AND b1.q = 1 AND b2.q = 2
+      JOIN seg m1 ON m1.nk = b1.nk AND m1.seg = 'MACHINERY' AND m1.q = 1
+      JOIN seg m2 ON m2.nk = b1.nk AND m2.seg = 'MACHINERY' AND m2.q = 2
+      JOIN nation ON b1.nk = n_nationkey
+    WHERE CAST(b2.rev AS DOUBLE) / CAST(b1.rev AS DOUBLE) >
+      CAST(m2.rev AS DOUBLE) / CAST(m1.rev AS DOUBLE)
+    ORDER BY n_name"""
+
+  // DS q88 shape: one row of 8 independent bucket counts (quantity range
+  // x return flag), each a CASE-sum over a single fact scan.
+  private val DS60 = """
+    SELECT
+      CAST(sum(CASE WHEN l_quantity <= 10 AND l_returnflag = 'R'
+        THEN 1 ELSE 0 END) AS BIGINT) AS q10_r,
+      CAST(sum(CASE WHEN l_quantity <= 10 AND l_returnflag <> 'R'
+        THEN 1 ELSE 0 END) AS BIGINT) AS q10_k,
+      CAST(sum(CASE WHEN l_quantity > 10 AND l_quantity <= 25
+        AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS q25_r,
+      CAST(sum(CASE WHEN l_quantity > 10 AND l_quantity <= 25
+        AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS q25_k,
+      CAST(sum(CASE WHEN l_quantity > 25 AND l_quantity <= 40
+        AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS q40_r,
+      CAST(sum(CASE WHEN l_quantity > 25 AND l_quantity <= 40
+        AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS q40_k,
+      CAST(sum(CASE WHEN l_quantity > 40 AND l_returnflag = 'R'
+        THEN 1 ELSE 0 END) AS BIGINT) AS qhi_r,
+      CAST(sum(CASE WHEN l_quantity > 40 AND l_returnflag <> 'R'
+        THEN 1 ELSE 0 END) AS BIGINT) AS qhi_k
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'"""
+
   val queries: Map[String, Q] = Map(
     "ds01_star_rollup" -> entry(DS01),
     "ds02_moving_rank" -> entry(DS02),
@@ -870,5 +1177,20 @@ object TpcDsShapes {
     "ds42_excess_avg_gate" -> entry(DS42),
     "ds43_brand_share" -> entry(DS43),
     "ds44_pivot_date_net" -> entry(DS44),
-    "ds45_rollup_parent_share" -> entry(DS45))
+    "ds45_rollup_parent_share" -> entry(DS45),
+    "ds46_channel_profit_rollup" -> entry(DS46),
+    "ds47_stock_before_after" -> entry(DS47),
+    "ds48_inventory_rollup" -> entry(DS48),
+    "ds49_returns_vs_nation_avg" -> entry(DS49),
+    "ds50_exists_or_pair" -> entry(DS50),
+    "ds51_distinct_order_gate" -> entry(DS51),
+    "ds52_latency_buckets" -> entry(DS52),
+    "ds53_repeat_big_baskets" -> entry(DS53),
+    "ds54_halfyear_ratio" -> entry(DS54),
+    "ds55_first_purchase_cohort" -> entry(DS55),
+    "ds56_return_ratio_year" -> entry(DS56),
+    "ds57_month_yoy" -> entry(DS57),
+    "ds58_fullouter_periods" -> entry(DS58),
+    "ds59_segment_growth_race" -> entry(DS59),
+    "ds60_bucket_pivot8" -> entry(DS60))
 }

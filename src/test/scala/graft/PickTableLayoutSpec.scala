@@ -102,6 +102,83 @@ class PickTableLayoutSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-15: aggregate-based pick (the derived-partsupp shape of TPC-H
+    * Q2/Q9) — a relation consumed by an AGGREGATE while still a bare unit
+    * picks the sibling layout whose bucket keys are a subset of the
+    * grouping keys, making the aggregation exchange-free. */
+  test("aggregate over a bare unit picks the layout matching its " +
+      "grouping keys; results identical") {
+    val psShape = """
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey"""
+    val flat = {
+      Tables.registerAll(spark, sf)
+      spark.sql(psShape).collect().map(_.toString).sorted.toSeq
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft-lay-ok2").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-lay-pk").toString
+    Bucketing.persistBucketed(spark,
+      Tables.t(spark, sf, "lineitem"), dirA, "lineitem", "l_orderkey", 4)
+    Bucketing.persistBucketed(spark,
+      Tables.t(spark, sf, "lineitem"), dirB, "lineitem", "l_partkey", 4,
+      "l_partkey,l_suppkey")
+    try {
+      spark.conf.set("spark.graft.bucketedDir", s"$dirA,$dirB")
+      Tables.registerAll(spark, sf)
+      val df = spark.sql(psShape)
+      val locs = leafLocs(df)
+      assert(locs.exists(_.startsWith(dirB.split('/').last)),
+        s"aggregate must serve lineitem from the partkey dir: $locs")
+      assert(df.collect().map(_.toString).sorted.toSeq == flat)
+      // an orderkey-grouped aggregate keeps the default (first-dir) layout
+      val keep = leafLocs(spark.sql(
+        "SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey"))
+      assert(keep.exists(_.startsWith(dirA.split('/').last)), keep.toString)
+    } finally {
+      spark.conf.unset("spark.graft.bucketedDir")
+      Tables.registerAll(spark, sf)
+      Seq("lineitem", "lineitem_l1")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_$t"))
+    }
+  }
+
+  /** Round-15 (ADVICE): sibling layouts are fingerprint-validated — a
+    * sibling whose persisted row count disagrees with the primary layout
+    * (a stale or partially rewritten copy) is dropped from the registry,
+    * so no query can be served wrong rows through a swap. */
+  test("a stale sibling layout (row-count mismatch) is never swapped in") {
+    val psShape = """
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey"""
+    val flat = {
+      Tables.registerAll(spark, sf)
+      spark.sql(psShape).collect().map(_.toString).sorted.toSeq
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft-lay-ok3").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-lay-stale").toString
+    Bucketing.persistBucketed(spark,
+      Tables.t(spark, sf, "lineitem"), dirA, "lineitem", "l_orderkey", 4)
+    // the "stale" sibling: half the rows, same schema and marker shape
+    Bucketing.persistBucketed(spark,
+      Tables.t(spark, sf, "lineitem")
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") % 2 === 0),
+      dirB, "lineitem", "l_partkey", 4)
+    try {
+      spark.conf.set("spark.graft.bucketedDir", s"$dirA,$dirB")
+      Tables.registerAll(spark, sf)
+      val df = spark.sql(psShape)
+      val locs = leafLocs(df)
+      assert(!locs.exists(_.startsWith(dirB.split('/').last)),
+        s"stale sibling must not serve: $locs")
+      assert(df.collect().map(_.toString).sorted.toSeq == flat)
+    } finally {
+      spark.conf.unset("spark.graft.bucketedDir")
+      Tables.registerAll(spark, sf)
+      Seq("lineitem", "lineitem_l1")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_$t"))
+    }
+  }
+
   test("results identical: dual-layout session vs flat, and pick-off " +
       "keeps the default layout") {
     val flat = {

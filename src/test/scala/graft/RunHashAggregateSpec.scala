@@ -18,11 +18,18 @@ class RunHashAggregateSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.EliminateSorts")
     spark.conf.set(HYBRID, on.toString)
-    // test fixtures are far below the production size floor
+    // test fixtures are far below the production size floor, and the
+    // synthetic repartition+sortWithinPartitions shapes here are not
+    // layout scans — lift the Complete-mode layout guard (it has its own
+    // test below) to exercise the operator itself
     spark.conf.set(plans.StreamingSortedAggregate.HYBRID_MIN_KEY, "0")
+    spark.conf.set(
+      plans.StreamingSortedAggregate.HYBRID_REQUIRE_LAYOUT_KEY, "false")
     try f finally {
       spark.conf.set(HYBRID, "true")
       spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_MIN_KEY)
+      spark.conf.unset(
+        plans.StreamingSortedAggregate.HYBRID_REQUIRE_LAYOUT_KEY)
       spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
@@ -183,5 +190,81 @@ class RunHashAggregateSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try checkIdentical(h21Shape)
     finally spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
+  /** Partial-mode memory cap (round-14 ADVICE): the per-run map flushes
+    * mid-run at maxRunRows — results identical because the downstream
+    * merge recombines the partial rows. Cap 2 forces a flush every other
+    * group on real data, in both codegen and interpreted paths. */
+  test("partial-mode maxRunRows cap flushes mid-run, results identical") {
+    def partialShape = Tables.t(spark, sf, "lineitem")
+      .sortWithinPartitions("l_orderkey")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+    val off = withRule(on = false)(sortedRows(partialShape))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set(plans.StreamingSortedAggregate.HYBRID_MAX_RUN_KEY, "2")
+      try {
+        val (plan, rows) = withRule(on = true) {
+          val df = partialShape
+          (df.queryExecution.executedPlan.toString, sortedRows(df))
+        }
+        assert(plan.contains("RunHashAggregate"), plan)
+        assert(rows == off, s"codegen=$codegen")
+      } finally {
+        spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_MAX_RUN_KEY)
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
+  }
+
+  /** Complete-mode layout guard (round-14 ADVICE): with the default
+    * `hybridCompleteRequireLayout=true`, a Complete-mode hybrid whose
+    * prefix order comes from a synthetic sort (not a bucketed/sorted
+    * layout scan) must NOT fire — Complete mode has no mid-run escape, so
+    * only a layout bucket key (high-cardinality by construction) may
+    * select it. Over a REAL persisted layout it still fires. */
+  test("complete-mode requires a layout-origin prefix by default") {
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.EliminateSorts")
+    spark.conf.set(plans.StreamingSortedAggregate.HYBRID_MIN_KEY, "0")
+    try {
+      // default guard ON: synthetic sorted input → no hybrid
+      val plan = h21Shape.queryExecution.executedPlan.toString
+      assert(!plan.contains("RunHashAggregate"), plan)
+
+      // a real bucketed layout: persist, redirect, same shape fires
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-hybridguard").toString
+      operators.Bucketing.persistBucketed(spark,
+        Tables.t(spark, sf, "lineitem"), dir, "lineitem", "l_orderkey", 4)
+      spark.conf.set("spark.graft.bucketedDir", dir)
+      spark.conf.set("spark.graft.bucketedSortedScan", "true")
+      try {
+        val df = Tables.t(spark, sf, "lineitem")
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+        val layoutPlan = df.queryExecution.executedPlan.toString
+        assert(layoutPlan.contains("RunHashAggregate"), layoutPlan)
+        val rows = sortedRows(df)
+        spark.conf.unset("spark.graft.bucketedDir")
+        spark.conf.unset("spark.graft.bucketedSortedScan")
+        spark.conf.set(
+          "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        val flat = sortedRows(Tables.t(spark, sf, "lineitem")
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt")))
+        assert(rows == flat)
+      } finally {
+        spark.conf.unset("spark.graft.bucketedDir")
+        spark.conf.unset("spark.graft.bucketedSortedScan")
+        spark.conf.set(
+          "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      }
+    } finally {
+      spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_MIN_KEY)
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
   }
 }
