@@ -441,6 +441,32 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
           smj.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
       val lo = effectiveOrdering(smj.left)
       if (lo.length > smj.outputOrdering.length) lo else smj.outputOrdering
+    // a shuffled hash join streams its probe (streamed) side row by row —
+    // inner/semi/anti emit matches per streamed row, left-outer pads in
+    // place — so the streamed side's arrival order survives even though
+    // ShuffledHashJoinExec reports no outputOrdering at all. Matters when
+    // AQE re-plans an SMJ over a sorted layout scan into an SHJ
+    // (maxShuffledHashJoinLocalMapThreshold): the streaming/hybrid
+    // aggregate above must keep firing.
+    case shj: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if {
+          val streamedLeft = shj.buildSide ==
+            org.apache.spark.sql.catalyst.optimizer.BuildRight
+          shj.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+          ((shj.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+            shj.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti ||
+            shj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter) &&
+            streamedLeft)
+        } =>
+      // inner emits matches per streamed row (either build side); for
+      // semi/anti/left-outer the guarantee only holds when the LEFT side
+      // is the streamed one (a streamed BUILD side emits its rows from
+      // the hash map, not in arrival order)
+      val streamed =
+        if (shj.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+          shj.left
+        else shj.right
+      effectiveOrdering(streamed)
     case proj: org.apache.spark.sql.execution.ProjectExec =>
       val outIds = proj.output.map(_.exprId).toSet
       val co = effectiveOrdering(proj.child).takeWhile {

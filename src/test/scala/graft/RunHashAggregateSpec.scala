@@ -261,6 +261,9 @@ class RunHashAggregateSpec extends AnyFunSuite {
         spark.conf.unset("spark.graft.bucketedSortedScan")
         spark.conf.set(
           "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+        // the redirect registered a catalog table — drop it, other suites
+        // assert on the catalog listing
+        spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
       }
     } finally {
       spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_MIN_KEY)

@@ -68,6 +68,29 @@ class StreamingSortedAggregateSpec extends AnyFunSuite {
       l.contains("StreamingSortedAggregate") && l.contains("*(")), plan)
   }
 
+  /** Round-15: AQE can re-plan an SMJ over a sorted layout scan into a
+    * ShuffledHashJoin (maxShuffledHashJoinLocalMapThreshold) — the SHJ
+    * streams its probe side row by row, so the streamed side's sorted
+    * order survives and the streaming aggregate must keep firing. */
+  test("effective ordering looks through a shuffled hash join's " +
+      "streamed side") {
+    def q = Tables.t(spark, sf, "lineitem")
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .join(Tables.t(spark, sf, "orders").hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+    val (plan, onRows) = withRule(on = true) {
+      val df = q
+      (df.queryExecution.executedPlan.toString, sortedRows(df))
+    }
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("StreamingSortedAggregate"), plan)
+    val offRows = withRule(on = false)(sortedRows(q))
+    assert(onRows == offRows)
+  }
+
   test("multi-key grouping with the keys as the sort prefix") {
     checkIdentical {
       Tables.t(spark, sf, "lineitem")
