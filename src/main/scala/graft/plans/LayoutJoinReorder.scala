@@ -271,12 +271,18 @@ class LayoutJoinReorder(spark: SparkSession)
     // lineitem), so delaying it costs broadcast-stream rows, not a scan
     // prune; a DIRECTLY-connected filtered dim (TPC-H Q3's customer, Q8's
     // part) pre-prunes a pair scan via the semi-join tier and must keep
-    // its textual position. Disable with
-    // `spark.graft.joinReorder.filteredDimTier=false`.
+    // its textual position. Default OFF: the sf30 interleaved A/Bs
+    // measured the reordered h05 a wash-to-slight-loss (4.75 vs 4.57 s
+    // quiet median, bench/AB_sf30_h05_dimtier_quiet.json) — the textual
+    // and rebuilt orders shuffle comparable bytes once layouts serve the
+    // pair, so the tier ships as an opt-in
+    // (`spark.graft.joinReorder.filteredDimTier=true`) for deployments
+    // whose dim filters are colder than ours.
     val pairSet = Set(chosen._1, chosen._2)
     val tierOn = spark.conf
       .getOption(LayoutJoinReorder.FILTERED_DIM_TIER_KEY)
-      .forall(v => scala.util.Try(v.toBoolean).getOrElse(true))
+      .flatMap(v => scala.util.Try(v.toBoolean).toOption)
+      .getOrElse(false)
     val tierMaxBytes = spark.conf
       .getOption(LayoutJoinReorder.FILTERED_DIM_MAX_BYTES_KEY)
       .flatMap(v => scala.util.Try(BigInt(v)).toOption)
