@@ -271,11 +271,12 @@ class LayoutJoinReorder(spark: SparkSession)
     // lineitem), so delaying it costs broadcast-stream rows, not a scan
     // prune; a DIRECTLY-connected filtered dim (TPC-H Q3's customer, Q8's
     // part) pre-prunes a pair scan via the semi-join tier and must keep
-    // its textual position. Default OFF: the sf30 interleaved A/Bs
-    // measured the reordered h05 a wash-to-slight-loss (4.75 vs 4.57 s
-    // quiet median, bench/AB_sf30_h05_dimtier_quiet.json) — the textual
-    // and rebuilt orders shuffle comparable bytes once layouts serve the
-    // pair, so the tier ships as an opt-in
+    // its textual position. Default OFF: the committed sf30 interleaved
+    // A/B measured the reordered h05 a wash-to-slight-loss (5.24 ON vs
+    // 5.00 OFF s median, load 22-25, bench/AB_sf30_h05_dimtier.json;
+    // a quiet re-attempt in r15 was burst-hit at load 16-26 and is not
+    // citable) — the textual and rebuilt orders shuffle comparable bytes
+    // once layouts serve the pair, so the tier ships as an opt-in
     // (`spark.graft.joinReorder.filteredDimTier=true`) for deployments
     // whose dim filters are colder than ours.
     val pairSet = Set(chosen._1, chosen._2)
