@@ -47,33 +47,57 @@ object SafeRegex {
     override def toString: String = s
   }
 
-  /** Compiled-pattern cache. Bounded LRU: with per-row (non-literal)
-    * pattern columns an unbounded map grows without limit on long-lived
-    * executors, while a frozen-at-capacity map (the previous design) never
-    * admits a hot pattern first seen after the fill — it would recompile
-    * on every row for the executor's lifetime. Access-ordered
-    * LinkedHashMap with removeEldestEntry under a lock: hot entries stay
-    * resident, cold per-row patterns age out. The lock is uncontended
-    * relative to regex evaluation itself (a get is ~ns; a match is µs+).
+  /** Compiled-pattern cache, two levels.
+    *
+    * L1 — per-thread LRU, no lock. `matcher()` runs once per ROW
+    * (nullSafeEval), so any shared structure on this path serializes every
+    * executor thread: an access-ordered LinkedHashMap mutates its link
+    * chain even on `get`, so a single shared map needs a lock on the pure
+    * hit path, and at 32 cores that lock IS the regex stage. Patterns are
+    * immutable and Pattern instances thread-safe, so each thread keeps its
+    * own small LRU; the common case (literal pattern, or a handful of hot
+    * per-row patterns) never touches shared state.
+    *
+    * L2 — shared bounded LRU under a lock, consulted only on an L1 miss.
+    * It bounds total compilation work across threads (a pattern is
+    * compiled once per JVM, not once per thread) and keeps the previous
+    * round's eviction semantics: hot entries stay resident, cold per-row
+    * patterns age out, the map can never grow without bound or freeze out
+    * a late-arriving hot pattern.
     */
   private val MaxCachedPatterns = 1024
+  private val MaxThreadPatterns = 64
   private val cache =
     new java.util.LinkedHashMap[String, java.util.regex.Pattern](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, java.util.regex.Pattern]): Boolean =
         size() > MaxCachedPatterns
     }
+  private val local =
+    new ThreadLocal[java.util.LinkedHashMap[String, java.util.regex.Pattern]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, java.util.regex.Pattern](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, java.util.regex.Pattern]): Boolean =
+            size() > MaxThreadPatterns
+        }
+    }
 
   def matcher(pattern: String, input: String, maxSteps: Long): java.util.regex.Matcher = {
-    val hit = cache.synchronized(cache.get(pattern))
-    val p = if (hit != null) hit else {
-      // compile OUTSIDE the lock (compilation of a pathological pattern is
-      // itself slow; holding the lock would stall every other thread)
-      val compiled = java.util.regex.Pattern.compile(pattern)
-      cache.synchronized {
-        val race = cache.get(pattern)
-        if (race != null) race else { cache.put(pattern, compiled); compiled }
+    val l1 = local.get()
+    var p = l1.get(pattern)
+    if (p == null) {
+      val hit = cache.synchronized(cache.get(pattern))
+      p = if (hit != null) hit else {
+        // compile OUTSIDE the lock (compilation of a pathological pattern is
+        // itself slow; holding the lock would stall every other thread)
+        val compiled = java.util.regex.Pattern.compile(pattern)
+        cache.synchronized {
+          val race = cache.get(pattern)
+          if (race != null) race else { cache.put(pattern, compiled); compiled }
+        }
       }
+      l1.put(pattern, p)
     }
     p.matcher(if (maxSteps > 0) new Bounded(input, maxSteps) else input)
   }
