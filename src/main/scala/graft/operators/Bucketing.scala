@@ -66,24 +66,36 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(stage)
     spark.sql(s"DROP TABLE $stage") // external: files stay
-    // Content fingerprint: the row count of the just-written layout, read
-    // from the parquet footers (metadata-only scan). Sibling layouts of
+    // Content fingerprint: row count plus an ORDER-INDEPENDENT content
+    // hash (xor of per-row xxhash64 over all columns, column order fixed
+    // by name) of the just-written layout, one scan. Sibling layouts of
     // one base table must hold identical rows — the redirect refuses to
-    // register a sibling whose count disagrees, so a stale or partially
-    // rewritten layout can never silently change query results through a
-    // PickTableLayout swap.
-    val rows = spark.read.parquet(loc).count()
+    // register a sibling whose count OR content hash disagrees, so a
+    // stale or partially rewritten layout can never silently change query
+    // results through a PickTableLayout swap. xor is commutative, so two
+    // layouts holding the same multiset of rows in different physical
+    // orders (the entire point of sibling layouts) hash identically.
+    val written = spark.read.parquet(loc)
+    val hashCols = written.columns.sorted.map(col).toSeq
+    val fp = written.agg(count(lit(1)), bit_xor(xxhash64(hashCols: _*)))
+      .head()
+    val (rows, xorHash) = (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
     val marker = java.nio.file.Paths.get(loc, MARKER)
     java.nio.file.Files.write(marker,
       (s"key=${keys.mkString(",")}\nbuckets=$buckets\n" +
-        s"sort=${sortKeys.mkString(",")}\nrows=$rows\n").getBytes("UTF-8"))
+        s"sort=${sortKeys.mkString(",")}\nrows=$rows\nxor=$xorHash\n")
+        .getBytes("UTF-8"))
   }
 
   /** One registered persisted layout of a base table: catalog table name,
-    * absolute location, bucket key columns, bucket count, and the row
-    * count recorded at persist time (None for pre-round-15 markers). */
+    * absolute location, bucket key columns, bucket count, the row count
+    * recorded at persist time (None for pre-round-15 markers), the
+    * within-bucket sort columns (bucket keys are always their prefix),
+    * and the order-independent content hash recorded at persist time
+    * (None for pre-round-16 markers). */
   final case class LayoutInfo(base: String, table: String, location: String,
-      keys: Seq[String], buckets: Int, rows: Option[Long] = None)
+      keys: Seq[String], buckets: Int, rows: Option[Long] = None,
+      sort: Seq[String] = Nil, contentHash: Option[Long] = None)
 
   /** Per-session registry of EVERY layout registered for a base table —
     * the catalog-metadata analogue of the reference's per-table layout
@@ -158,8 +170,20 @@ object Bucketing {
     }
     Some(LayoutInfo(name, tbl, wantLoc,
       key.split(",").map(_.trim).filter(_.nonEmpty).toSeq, buckets,
-      props.get("rows").flatMap(r => scala.util.Try(r.toLong).toOption)))
+      props.get("rows").flatMap(r => scala.util.Try(r.toLong).toOption),
+      sortCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      props.get("xor").flatMap(x => scala.util.Try(x.toLong).toOption)))
   }
+
+  /** The registered layout serving `location` in this session, if any —
+    * regardless of whether sibling layouts exist (unlike
+    * [[alternateLayouts]], which only lists when a pick decision exists).
+    * Used by plans.PickTableLayout to recognise a scan as a sorted layout
+    * even in single-layout deployments. */
+  def layoutAt(spark: SparkSession, location: String): Option[LayoutInfo] =
+    layoutRegistry.synchronized {
+      Option(layoutRegistry.get(spark)).getOrElse(Map.empty)
+    }.values.flatten.find(_.location == location)
 
   /** Bucketed-layout redirect for [[graft.Tables]]: when the session sets
     * `spark.graft.bucketedDir` (a single directory, or a comma-separated
@@ -199,13 +223,22 @@ object Bucketing {
     // (pre-round-15 layouts) keep the old deployment-contract trust.
     val primary = all.head
     val infos = primary +: all.tail.filter { s =>
-      val ok = (primary.rows, s.rows) match {
+      val rowsOk = (primary.rows, s.rows) match {
         case (Some(p), Some(r)) => p == r
         case _ => true
       }
+      // content hash: order-independent, so equal multisets of rows agree
+      // even across different physical orders; a same-count sibling whose
+      // CONTENT diverged (partial rewrite, stale copy) is refused here
+      val hashOk = (primary.contentHash, s.contentHash) match {
+        case (Some(p), Some(h)) => p == h
+        case _ => true
+      }
+      val ok = rowsOk && hashOk
       if (!ok) System.err.println(
         s"graft: dropping sibling layout ${s.location} of '$name' — " +
-          s"row count ${s.rows.get} != primary ${primary.rows.get} " +
+          (if (!rowsOk) s"row count ${s.rows.get} != primary ${primary.rows.get} "
+           else s"content hash ${s.contentHash.get} != primary ${primary.contentHash.get} ") +
           s"(${primary.location}); rebuild the layout")
       ok
     }

@@ -93,6 +93,7 @@ object GraftOptimizations {
   val RATIO_KEY = "spark.graft.dynamicFilter.minFactDimRatio"
   val MAX_BCAST_KEYS_KEY = "spark.graft.dynamicFilter.maxBroadcastKeys"
   val MAX_PUSH_KEYS_KEY = "spark.graft.dynamicFilter.maxPushdownKeys"
+  val LONG_SET_KEY = "spark.graft.dynamicFilter.longSet"
   val SCALED_SUM_KEY = "spark.graft.scaledLongSum"
 }
 
@@ -217,6 +218,8 @@ class DynamicSemiJoinPrune(spark: SparkSession)
     // (e.g. 2000000) in spark-submit to enable.
     val maxBcastKeys = confLong(MAX_BCAST_KEYS_KEY, 0L)
     val maxPushKeys = confLong(MAX_PUSH_KEYS_KEY, 1024L)
+    val longSetEnabled =
+      spark.conf.getOption(GraftOptimizations.LONG_SET_KEY).forall(_.toBoolean)
 
     // applicability pre-checks — this rule sits in a fixed-point batch, so
     // every query pays its traversal several times (and the transform's
@@ -337,6 +340,7 @@ class DynamicSemiJoinPrune(spark: SparkSession)
       side.exists(p => p.expressions.exists(_.exists {
         case In(v, _) => v.semanticEquals(key)
         case InSet(v, _) => v.semanticEquals(key)
+        case InLongSet(v, _) => v.semanticEquals(key)
         case InSubquery(Seq(v), _) => v.semanticEquals(key)
         case _ => false
       }))
@@ -369,12 +373,31 @@ class DynamicSemiJoinPrune(spark: SparkSession)
       * keys are non-null by construction (probe filters IsNotNull). */
     def inPred(v: Expression, lits: Seq[Literal]): Expression =
       if (lits.isEmpty) Literal.FalseLiteral
-      else if (lits.size > maxPushKeys)
+      else if (lits.size > maxPushKeys) {
         // big key sets stay OUT of the source filter (NoPushdown scaladoc:
         // the reader's per-page/dictionary stat evaluation of a huge In
-        // costs more than the zero row-groups it skips on random layouts)
-        NoPushdown(InSet(v, lits.map(_.value).toSet))
-      else if (lits.size > SQLConf.get.optimizerInSetConversionThreshold)
+        // costs more than the zero row-groups it skips on random layouts;
+        // round 16 re-measured the "sorted layout" hope: parquet's native
+        // In degrades to one [min,max] range per page and hash-bucketing
+        // makes every page's raw span ~bucketCount× its key count — 30×
+        // scan regression for 795 of 600 M rows skipped, see
+        // sources/SortedInPredicate scaladoc). Past the cap the predicate
+        // runs as a plain codegen filter over the full scan, so its
+        // PER-ROW cost is everything: Spark's InSet above the switch
+        // threshold compiles to immutable.Set.contains(Object), boxing
+        // the key on EVERY row (600 M Long.valueOf allocations on h02's
+        // sf100 scan) — integral key domains probe an unboxed open-
+        // addressing LongSet instead (InLongSet; flip back with
+        // spark.graft.dynamicFilter.longSet=false for A/Bs).
+        val integral = v.dataType == LongType || v.dataType == IntegerType
+        if (integral && longSetEnabled) {
+          val arr = lits.iterator.map(_.value match {
+            case l: Long => l
+            case i: Int => i.toLong
+          }).toArray
+          NoPushdown(InLongSet(v, arr))
+        } else NoPushdown(InSet(v, lits.map(_.value).toSet))
+      } else if (lits.size > SQLConf.get.optimizerInSetConversionThreshold)
         InSet(v, lits.map(_.value).toSet)
       else In(v, lits)
 

@@ -189,6 +189,39 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("sibling with equal row count but different CONTENT is refused; " +
+      "same rows in a different physical order are accepted (xor hash " +
+      "is order-independent)") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-fpA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-fpB").toString
+    val dirC = java.nio.file.Files.createTempDirectory("graft-fpC").toString
+    val base = Tables.t(spark, sf, "lineitem").where("l_orderkey < 500")
+    // same row COUNT, different content (every returnflag perturbed)
+    val perturbed = base.withColumn("l_returnflag",
+      concat(col("l_returnflag"), lit("X")))
+    Bucketing.persistBucketed(spark, base, dirA, "lineitem", "l_orderkey", 2)
+    Bucketing.persistBucketed(spark, perturbed, dirB, "lineitem", "l_partkey", 2)
+    // same rows as A, DIFFERENT bucket key and sort order
+    Bucketing.persistBucketed(spark, base, dirC, "lineitem", "l_partkey", 2)
+    def loc(d: String) = java.nio.file.Paths.get(s"$d/lineitem_b")
+      .toAbsolutePath.toString
+    try {
+      spark.conf.set("spark.graft.bucketedDir", s"$dirA,$dirB")
+      Tables.t(spark, sf, "lineitem") // triggers redirect + registration
+      assert(Bucketing.layoutAt(spark, loc(dirA)).isDefined)
+      assert(Bucketing.layoutAt(spark, loc(dirB)).isEmpty,
+        "equal-count/different-content sibling must be refused")
+      spark.conf.set("spark.graft.bucketedDir", s"$dirA,$dirC")
+      Tables.t(spark, sf, "lineitem")
+      assert(Bucketing.layoutAt(spark, loc(dirC)).isDefined,
+        "same rows in a different physical order must be accepted")
+    } finally {
+      spark.conf.unset("spark.graft.bucketedDir")
+      Seq("lineitem", "lineitem_l1")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_$t"))
+    }
+  }
+
   test("extended-sort layout (bucket by orderkey, sort by orderkey+suppkey): " +
       "the wider grouping streams through StreamingSortedAggregate, " +
       "result-identical") {

@@ -105,6 +105,43 @@ class GraftOptimizationsSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-16: past the pushdown cap the predicate is a plain codegen
+    * filter over the full scan, where Spark's InSet boxes the key on
+    * every row — integral domains probe the unboxed LongSet instead. */
+  test("integral keys past maxPushdownKeys probe the unboxed InLongSet; " +
+      "off-switch restores InSet; results identical") {
+    val expect = baseline(IN_SEMI_SQL)
+    withConf(FACT_MIN_KEY -> "1", DIM_MAX_KEY -> (256L << 20).toString,
+      RATIO_KEY -> "0", MAX_PUSH_KEYS_KEY -> "1") {
+      val df = spark.sql(IN_SEMI_SQL)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("INLONGSET"), optimized.take(1000))
+      assert(rows(df) == expect)
+      withConf(LONG_SET_KEY -> "false") {
+        val off = spark.sql(IN_SEMI_SQL)
+        val offPlan = off.queryExecution.optimizedPlan.toString
+        assert(!offPlan.contains("INLONGSET"), offPlan.take(1000))
+        assert(offPlan.contains("INSET"), offPlan.take(1000))
+        assert(rows(off) == expect)
+      }
+    }
+  }
+
+  test("LongSet: unboxed membership matches a reference set (zero, " +
+      "negatives, absent probes, collisions)") {
+    val rnd = new scala.util.Random(42)
+    val keys = (Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue) ++
+      Seq.fill(100000)(rnd.nextLong())).distinct
+    val ref = keys.toSet
+    val ls = graft.plans.LongSet(keys)
+    keys.foreach(k => assert(ls.contains(k), s"member $k"))
+    val absent = Seq.fill(100000)(rnd.nextLong()).filterNot(ref)
+    absent.foreach(k => assert(!ls.contains(k), s"non-member $k"))
+    // zero excluded when not a member
+    val noZero = graft.plans.LongSet(Seq(5L, 7L))
+    assert(!noZero.contains(0L) && noZero.contains(5L) && !noZero.contains(6L))
+  }
+
   test("join variant: selectively-filtered dim prunes the fact scan") {
     val sql =
       """SELECT p_size, count(*) AS n FROM lineitem

@@ -3,7 +3,7 @@
 #
 # The box rebooted between queue C and this session: every /tmp dataset and
 # layout is gone and the machine is quiet (1-min load ~2 at queue-write
-# time). This queue (1) re-gates HEAD 512/512 in all five postures
+# time). This queue (1) re-gates HEAD 527/527 in all five postures
 # (gate_queue_r15.sh), (2) lands the final quiet sf0.1 Bench artifact on
 # the HEAD build (verdict ask #2's "final build" half — queue A's artifact
 # was on the r14 build), and (3) lands the round's headline pairs in the
@@ -27,7 +27,7 @@ clean_tmpfs
 cut -d' ' -f1-3 /proc/loadavg > /tmp/bq15d/LOAD_AT_START
 date > /tmp/bq15d/START
 
-# ── A. sf0.01 layouts + five-posture 512-gate on HEAD ──
+# ── A. sf0.01 layouts + five-posture 527-gate on HEAD ──
 rm -rf /tmp/graft_sf001_bucketed2 /tmp/graft_sf001_ck
 tools/run.sh graft.tools.Bucketize /root/testdata/sf0.01 \
   /tmp/graft_sf001_bucketed2 8 orders:o_orderkey \
