@@ -439,7 +439,11 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
           smj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter ||
           smj.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
           smj.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
-      val lo = effectiveOrdering(smj.left)
+      val lo0 = effectiveOrdering(smj.left)
+      val lo =
+        if (smj.joinType == org.apache.spark.sql.catalyst.plans.Inner)
+          withJoinEquivalence(lo0, smj.leftKeys, smj.rightKeys, smj.output)
+        else lo0
       if (lo.length > smj.outputOrdering.length) lo else smj.outputOrdering
     // a shuffled hash join streams its probe (streamed) side row by row —
     // inner/semi/anti emit matches per streamed row, left-outer pads in
@@ -462,36 +466,87 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
       // semi/anti/left-outer the guarantee only holds when the LEFT side
       // is the streamed one (a streamed BUILD side emits its rows from
       // the hash map, not in arrival order)
-      val streamed =
-        if (shj.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
-          shj.left
-        else shj.right
-      effectiveOrdering(streamed)
+      val streamedLeft = shj.buildSide ==
+        org.apache.spark.sql.catalyst.optimizer.BuildRight
+      val streamed = if (streamedLeft) shj.left else shj.right
+      val so = effectiveOrdering(streamed)
+      // inner equi-join: every output row satisfies streamedKey =
+      // otherKey, so an ordering on the streamed key IS an ordering on
+      // the partner key — publish the equivalence the same way
+      // SortMergeJoinExec's own getKeyOrdering does (q22 groups by
+      // o_orderkey while the layout order is l_orderkey; without this
+      // the hybrid aggregate stops firing when AQE re-plans SMJ→SHJ).
+      // NOT for left-outer: padded rows carry a NULL partner key, so the
+      // equivalence (and run contiguity on the partner key) breaks.
+      if (shj.joinType == org.apache.spark.sql.catalyst.plans.Inner) {
+        val (sKeys, oKeys) =
+          if (streamedLeft) (shj.leftKeys, shj.rightKeys)
+          else (shj.rightKeys, shj.leftKeys)
+        withJoinEquivalence(so, sKeys, oKeys, shj.output)
+      } else so
     case proj: org.apache.spark.sql.execution.ProjectExec =>
+      // a sort order survives projection if its child OR any recorded
+      // same-order expression is forwarded — when the child itself is
+      // pruned (q22's Project above the join keeps o_orderkey and drops
+      // l_orderkey), a surviving equivalent is promoted to the child
       val outIds = proj.output.map(_.exprId).toSet
-      val co = effectiveOrdering(proj.child).takeWhile {
-        case SortOrder(a: Attribute, _, _, _) => outIds.contains(a.exprId)
-        case _ => false
-      }
+      val co = effectiveOrdering(proj.child).iterator.map { so =>
+        val alts = (so.child +: so.sameOrderExpressions).collect {
+          case a: Attribute if outIds.contains(a.exprId) => a
+        }
+        alts.headOption.map(h =>
+          so.copy(child = h, sameOrderExpressions = alts.tail))
+      }.takeWhile(_.isDefined).map(_.get).toSeq
       if (co.length > proj.outputOrdering.length) co else proj.outputOrdering
     case f: org.apache.spark.sql.execution.FilterExec =>
       effectiveOrdering(f.child)
     case _ => p.outputOrdering
   }
 
-  /** The child ordering prefix covering all grouping keys, if one exists. */
+  /** Publish streamed-key = partner-key equivalence on an inner equi-join's
+    * passed-through ordering (the same contract SortMergeJoinExec's
+    * getKeyOrdering publishes through SortOrder.sameOrderExpressions). */
+  private def withJoinEquivalence(ord: Seq[SortOrder],
+      streamedKeys: Seq[Expression], otherKeys: Seq[Expression],
+      output: Seq[Attribute]): Seq[SortOrder] = {
+    val outIds = output.map(_.exprId).toSet
+    ord.map { so =>
+      so.child match {
+        case a: Attribute =>
+          val partners = streamedKeys.zip(otherKeys).collect {
+            case (m: Attribute, o: Attribute)
+                if m.exprId == a.exprId && outIds.contains(o.exprId) => o
+          }
+          if (partners.isEmpty) so
+          else so.copy(
+            sameOrderExpressions = so.sameOrderExpressions ++ partners)
+        case _ => so
+      }
+    }
+  }
+
+  /** All attribute ids a SortOrder orders by (child + recorded
+    * equivalences). */
+  private def orderIds(so: SortOrder): Seq[ExprId] =
+    (so.child +: so.sameOrderExpressions).collect {
+      case a: Attribute => a.exprId
+    }
+
+  /** The child ordering prefix covering all grouping keys, if one exists.
+    * Each prefix position may match its grouping key through a recorded
+    * same-order equivalence (inner-join key equality). */
   private def sortedPrefix(agg: BaseAggregateExec): Option[Seq[SortOrder]] = {
     val n = agg.groupingExpressions.length
     val prefix = effectiveOrdering(agg.child).take(n)
     if (prefix.length != n) return None
-    val prefixIds = prefix.map(_.child).collect {
-      case a: Attribute => a.exprId
-    }
     val groupIds = agg.groupingExpressions.flatMap(underlying).map(_.exprId)
-    if (prefixIds.length == n && prefixIds.distinct.length == n &&
-      groupIds.length == n && prefixIds.toSet == groupIds.toSet)
-      Some(prefix)
-    else None
+    if (groupIds.length != n || groupIds.distinct.length != n) return None
+    val remaining = scala.collection.mutable.Set(groupIds: _*)
+    val ok = prefix.forall(so => orderIds(so).find(remaining.contains) match {
+      case Some(id) => remaining.remove(id); true
+      case None => false
+    })
+    if (ok && remaining.isEmpty) Some(prefix) else None
   }
 
   private def fires(agg: BaseAggregateExec): Boolean =
@@ -544,16 +599,19 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
     val byId = agg.groupingExpressions.flatMap(g =>
       underlying(g).map(_.exprId -> g)).toMap
     if (byId.size != agg.groupingExpressions.length) return None
+    // a position may match its grouping key through a recorded same-order
+    // equivalence (inner-join key equality: layout order on l_orderkey
+    // covers a GROUP BY o_orderkey)
     val seen = scala.collection.mutable.Set.empty[ExprId]
-    val prefix = effectiveOrdering(agg.child).takeWhile {
-      case SortOrder(a: Attribute, _, _, _) =>
-        byId.contains(a.exprId) && seen.add(a.exprId)
-      case _ => false
-    }
+    val pairs = effectiveOrdering(agg.child).iterator.map { so =>
+      val m = orderIds(so).find(id => byId.contains(id) && !seen.contains(id))
+      m.foreach(seen.add)
+      (so, m)
+    }.takeWhile(_._2.isDefined).toSeq
+    val prefix = pairs.map(_._1)
     if (prefix.isEmpty || prefix.length >= agg.groupingExpressions.length)
       None
-    else Some((prefix, prefix.map(so =>
-      byId(so.child.asInstanceOf[Attribute].exprId))))
+    else Some((prefix, pairs.map(p => byId(p._2.get))))
   }
 
   /** Does `attr`, seen at the top of `p`, trace down to a leaf scan column
@@ -633,11 +691,27 @@ class StreamingSortedAggregate(spark: SparkSession) extends Rule[SparkPlan] {
     val minBytes = spark.conf
       .getOption(StreamingSortedAggregate.HYBRID_MIN_KEY)
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(64L << 20)
-    if (minBytes > 0) {
+    // Complete mode pays the per-run machinery on EVERY row with no
+    // mid-run escape and no partial-pass reduction to amortise it, so its
+    // crossover vs a global hash sits far higher than Partial's (round-16
+    // interleaved A/Bs on the q22 shape: sf30, 3.1 GB lineitem / 4.2 M
+    // groups — hash wins, off_min 2.79 s vs on_min 4.85 s; sf100, 10 GB /
+    // 14 M groups where the global hash itself is multi-GB — a wash,
+    // on_min 6.70 vs off_min 6.93; bench/AB_sf{30,100}_q22_hybrid_equiv
+    // .json). Floor the Complete rewrite at the measured crossover,
+    // derived from input size (scale-adaptive, never from core count).
+    val isComplete =
+      agg.aggregateExpressions.headOption.exists(_.mode == Complete)
+    val completeMinBytes = spark.conf
+      .getOption(StreamingSortedAggregate.HYBRID_COMPLETE_MIN_KEY)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(8L << 30)
+    val floor =
+      if (isComplete) math.max(minBytes, completeMinBytes) else minBytes
+    if (floor > 0) {
       val leafBytes = agg.child.logicalLink
         .map(_.collectLeaves().map(_.stats.sizeInBytes).sum)
         .getOrElse(BigInt(0))
-      if (leafBytes < minBytes) return agg
+      if (leafBytes < floor) return agg
     }
     val maxRunRows = spark.conf
       .getOption(StreamingSortedAggregate.HYBRID_MAX_RUN_KEY)
@@ -718,6 +792,8 @@ object StreamingSortedAggregate {
   val KEY = "spark.graft.streamingSortedAgg"
   val HYBRID_KEY = "spark.graft.streamingSortedAgg.hybrid"
   val HYBRID_MIN_KEY = "spark.graft.streamingSortedAgg.hybridMinBytes"
+  val HYBRID_COMPLETE_MIN_KEY =
+    "spark.graft.streamingSortedAgg.hybridCompleteMinBytes"
   val HYBRID_MAX_RUN_KEY = "spark.graft.streamingSortedAgg.hybridMaxRunRows"
   val HYBRID_REQUIRE_LAYOUT_KEY =
     "spark.graft.streamingSortedAgg.hybridCompleteRequireLayout"

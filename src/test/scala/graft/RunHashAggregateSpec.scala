@@ -23,11 +23,13 @@ class RunHashAggregateSpec extends AnyFunSuite {
     // layout scans — lift the Complete-mode layout guard (it has its own
     // test below) to exercise the operator itself
     spark.conf.set(plans.StreamingSortedAggregate.HYBRID_MIN_KEY, "0")
+    spark.conf.set(plans.StreamingSortedAggregate.HYBRID_COMPLETE_MIN_KEY, "0")
     spark.conf.set(
       plans.StreamingSortedAggregate.HYBRID_REQUIRE_LAYOUT_KEY, "false")
     try f finally {
       spark.conf.set(HYBRID, "true")
       spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_MIN_KEY)
+      spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_COMPLETE_MIN_KEY)
       spark.conf.unset(
         plans.StreamingSortedAggregate.HYBRID_REQUIRE_LAYOUT_KEY)
       spark.conf.unset("spark.sql.optimizer.excludedRules")
@@ -229,6 +231,7 @@ class RunHashAggregateSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.EliminateSorts")
     spark.conf.set(plans.StreamingSortedAggregate.HYBRID_MIN_KEY, "0")
+    spark.conf.set(plans.StreamingSortedAggregate.HYBRID_COMPLETE_MIN_KEY, "0")
     try {
       // default guard ON: synthetic sorted input → no hybrid
       val plan = h21Shape.queryExecution.executedPlan.toString
@@ -267,6 +270,7 @@ class RunHashAggregateSpec extends AnyFunSuite {
       }
     } finally {
       spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_MIN_KEY)
+      spark.conf.unset(plans.StreamingSortedAggregate.HYBRID_COMPLETE_MIN_KEY)
       spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
