@@ -67,7 +67,11 @@ object SparkEntry {
     // round 15: three of the 15 new DS shapes (channel-profit rollup,
     // latency-bucket pivot, full-outer period compare)
     "ds46_channel_profit_rollup", "ds52_latency_buckets",
-    "ds58_fullouter_periods")
+    "ds58_fullouter_periods",
+    // round 16: three of the 15 new DS shapes (interval latency buckets,
+    // NOT-EXISTS clean orders + count distinct, cumulative window race)
+    "ds62_latency_by_priority", "ds71_clean_order_suppliers",
+    "ds72_cumulative_race")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1132,6 +1132,260 @@ object TpcDsShapes {
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'"""
 
+  // ── Round 16: ds61–ds75, the next 15 TPC-DS families (verdict ask #8;
+  // no new operators — joins/windows/subqueries the engine already has).
+
+  // DS q15 shape: suppliers within 5% of the maximum supplier revenue
+  // (scalar MAX subquery over the same pre-aggregate).
+  private val DS61 = """
+    WITH srev AS (
+      SELECT l_suppkey AS sk,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem GROUP BY 1)
+    SELECT s_name, rev
+    FROM srev JOIN supplier ON sk = s_suppkey
+    WHERE CAST(rev AS DOUBLE) >=
+      0.95 * (SELECT max(CAST(rev AS DOUBLE)) FROM srev)
+    ORDER BY rev DESC, s_name"""
+
+  // DS q62 shape: fulfillment-latency day buckets per order priority
+  // (ship lag = first ship date minus order date).
+  private val DS62 = """
+    WITH lag AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS od,
+        min(l_shipdate) AS fs
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE year(o_orderdate) = 1997
+      GROUP BY o_orderkey, o_orderpriority, o_orderdate)
+    SELECT pri,
+      CAST(sum(CASE WHEN fs <= od + INTERVAL 30 DAY
+        THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      CAST(sum(CASE WHEN fs > od + INTERVAL 30 DAY
+        AND fs <= od + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      CAST(sum(CASE WHEN fs > od + INTERVAL 60 DAY
+        AND fs <= od + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      CAST(sum(CASE WHEN fs > od + INTERVAL 90 DAY
+        THEN 1 ELSE 0 END) AS BIGINT) AS dlate
+    FROM lag GROUP BY pri ORDER BY pri"""
+
+  // DS q89 shape: monthly brand revenue vs the brand's own monthly
+  // average for the year — months deviating by more than 20%.
+  private val DS63 = """
+    WITH m AS (
+      SELECT p_brand AS brand, CAST(month(l_shipdate) AS INT) AS mon,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1997 AND p_size <= 5
+      GROUP BY 1, 2)
+    , w AS (
+      SELECT brand, mon, rev,
+        CAST(sum(rev) OVER (PARTITION BY brand) AS DECIMAL(38,2))
+          AS brand_sum,
+        CAST(count(*) OVER (PARTITION BY brand) AS BIGINT) AS n_mon
+      FROM m)
+    SELECT brand, mon, rev, brand_sum, n_mon
+    FROM w
+    WHERE CAST(rev AS DOUBLE) * CAST(n_mon AS DOUBLE) >
+      1.2 * CAST(brand_sum AS DOUBLE)
+    ORDER BY brand, mon"""
+
+  // DS q98 shape: ratio-to-report — each part type's share of its
+  // brand's revenue (window sum above an aggregate).
+  private val DS64 = """
+    WITH t AS (
+      SELECT p_brand AS brand, p_type AS typ,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 1 GROUP BY 1, 2)
+    , w AS (
+      SELECT brand, typ, rev,
+        sum(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_rev
+      FROM t)
+    SELECT brand, typ, rev,
+      round(CAST(rev AS DOUBLE) / brand_rev, 6) AS share
+    FROM w WHERE CAST(rev AS DOUBLE) > 0.5 * brand_rev
+    ORDER BY brand, typ"""
+
+  // DS q65 shape: suppliers whose revenue is below half the average
+  // supplier revenue (agg + scalar AVG subquery + dim join back).
+  private val DS65 = """
+    WITH srev AS (
+      SELECT l_suppkey AS sk,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1)
+    SELECT s_name, n_name, rev
+    FROM srev JOIN supplier ON sk = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE CAST(rev AS DOUBLE) <
+      0.5 * (SELECT avg(CAST(rev AS DOUBLE)) FROM srev)
+    ORDER BY rev, s_name"""
+
+  // DS q54 shape: Q1-1997 buyers' Q2 spend-change buckets.
+  private val DS66 = """
+    WITH q1 AS (
+      SELECT o_custkey AS ck,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+      FROM orders WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) = 1
+      GROUP BY 1),
+    q2 AS (
+      SELECT o_custkey AS ck,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+      FROM orders WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) = 2
+      GROUP BY 1)
+    SELECT
+      CAST(sum(CASE WHEN q2.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+      CAST(sum(CASE WHEN q2.ck IS NOT NULL
+        AND CAST(q2.s AS DOUBLE) < CAST(q1.s AS DOUBLE)
+        THEN 1 ELSE 0 END) AS BIGINT) AS shrunk,
+      CAST(sum(CASE WHEN q2.ck IS NOT NULL
+        AND CAST(q2.s AS DOUBLE) >= CAST(q1.s AS DOUBLE)
+        THEN 1 ELSE 0 END) AS BIGINT) AS grew
+    FROM q1 LEFT JOIN q2 ON q1.ck = q2.ck"""
+
+  // DS q25 shape: customers who RETURNED something in 1996 and ordered
+  // again in 1997 — count + 1997 spend per nation.
+  private val DS67 = """
+    WITH returned AS (
+      SELECT DISTINCT o_custkey AS ck
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996),
+    next_year AS (
+      SELECT o_custkey AS ck,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+      CAST(sum(s) AS DECIMAL(38,2)) AS spend_1997
+    FROM returned JOIN next_year ON returned.ck = next_year.ck
+    JOIN customer ON c_custkey = returned.ck
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+
+  // DS q34/q73 shape: mid-size baskets (orders of 5–7 line items),
+  // customers holding more than one such basket.
+  private val DS68 = """
+    WITH baskets AS (
+      SELECT o_custkey AS ck, o_orderkey, count(*) AS items
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, o_orderkey
+      HAVING count(*) BETWEEN 5 AND 7)
+    SELECT ck AS c_custkey, CAST(count(*) AS BIGINT) AS n_baskets,
+      CAST(sum(items) AS BIGINT) AS n_items
+    FROM baskets GROUP BY ck
+    HAVING count(*) >= 4
+    ORDER BY n_baskets DESC, c_custkey"""
+
+  // DS q90 shape: H1-vs-H2 shipping volume ratio per return flag.
+  private val DS69 = """
+    SELECT l_returnflag,
+      CAST(sum(CASE WHEN month(l_shipdate) <= 6 THEN 1 ELSE 0 END)
+        AS BIGINT) AS h1,
+      CAST(sum(CASE WHEN month(l_shipdate) > 6 THEN 1 ELSE 0 END)
+        AS BIGINT) AS h2,
+      round(CAST(sum(CASE WHEN month(l_shipdate) <= 6 THEN 1 ELSE 0 END)
+          AS DOUBLE) /
+        CAST(CASE WHEN sum(CASE WHEN month(l_shipdate) > 6 THEN 1 ELSE 0 END)
+          = 0 THEN NULL
+          ELSE sum(CASE WHEN month(l_shipdate) > 6 THEN 1 ELSE 0 END) END
+          AS DOUBLE), 6) AS ratio
+    FROM lineitem WHERE year(l_shipdate) = 1997
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // DS q93 shape: effective order value after subtracting returned lines,
+  // summed per order status.
+  private val DS70 = """
+    SELECT o_orderstatus,
+      CAST(sum(CASE WHEN l_returnflag = 'R'
+        THEN CAST(0 AS DECIMAL(18,2))
+        ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END)
+        AS DECIMAL(38,2)) AS effective_value,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  // DS q16 shape: distinct suppliers on CLEAN orders (NOT EXISTS any
+  // returned line) per order priority.
+  private val DS71 = """
+    SELECT o_orderpriority,
+      CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem r
+      WHERE r.l_orderkey = o_orderkey AND r.l_returnflag = 'R')
+      AND year(o_orderdate) = 1997
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // DS q51 shape: cumulative monthly revenue race between two segments —
+  // months where BUILDING's running total leads MACHINERY's.
+  private val DS72 = """
+    WITH m AS (
+      SELECT c_mktsegment AS seg, CAST(month(o_orderdate) AS INT) AS mon,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) = 1997
+        AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT seg, mon,
+        CAST(sum(rev) OVER (PARTITION BY seg ORDER BY mon) AS DECIMAL(38,2))
+          AS cum_rev
+      FROM m)
+    SELECT b.mon AS mon, b.cum_rev AS building, ma.cum_rev AS machinery
+    FROM cum b JOIN cum ma
+      ON b.mon = ma.mon AND b.seg = 'BUILDING' AND ma.seg = 'MACHINERY'
+    WHERE CAST(b.cum_rev AS DOUBLE) > CAST(ma.cum_rev AS DOUBLE)
+    ORDER BY mon"""
+
+  // DS q35 shape: multi-quarter 1997 customers holding at least one
+  // bulk line (EXISTS), counted per nation and segment.
+  private val DS73 = """
+    SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        GROUP BY o_custkey
+        HAVING count(DISTINCT quarter(o_orderdate)) >= 2)
+      AND EXISTS (
+        SELECT 1 FROM orders o JOIN lineitem ON l_orderkey = o.o_orderkey
+        WHERE o.o_custkey = c_custkey AND l_quantity > 45)
+    GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment"""
+
+  // DS q68 shape: high-discount baskets — orders whose discount amount
+  // exceeds twice the average order discount amount, per nation.
+  private val DS74 = """
+    WITH disc AS (
+      SELECT o_orderkey AS ok, o_custkey AS ck,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+          AS DECIMAL(38,4)) AS d
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(d) AS DECIMAL(38,4)) AS discount_total
+    FROM disc JOIN customer ON c_custkey = ck
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(d AS DOUBLE) > 2 * (SELECT avg(CAST(d AS DOUBLE)) FROM disc)
+    GROUP BY n_name ORDER BY n_name"""
+
+  // DS q49 shape: brands whose return-quantity ratio is above the
+  // overall return ratio (scalar subquery over the same join).
+  private val DS75 = """
+    WITH br AS (
+      SELECT p_brand AS brand,
+        CAST(sum(CASE WHEN l_returnflag = 'R'
+          THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS ret,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1997
+      GROUP BY 1)
+    SELECT brand, ret, total,
+      round(CAST(ret AS DOUBLE) / CAST(total AS DOUBLE), 6) AS ratio
+    FROM br
+    WHERE CAST(ret AS DOUBLE) / CAST(total AS DOUBLE) >
+      1.1 * (SELECT CAST(sum(ret) AS DOUBLE) / CAST(sum(total) AS DOUBLE)
+             FROM br)
+    ORDER BY brand"""
+
   val queries: Map[String, Q] = Map(
     "ds01_star_rollup" -> entry(DS01),
     "ds02_moving_rank" -> entry(DS02),
@@ -1192,5 +1446,20 @@ object TpcDsShapes {
     "ds57_month_yoy" -> entry(DS57),
     "ds58_fullouter_periods" -> entry(DS58),
     "ds59_segment_growth_race" -> entry(DS59),
-    "ds60_bucket_pivot8" -> entry(DS60))
+    "ds60_bucket_pivot8" -> entry(DS60),
+    "ds61_top_supplier_band" -> entry(DS61),
+    "ds62_latency_by_priority" -> entry(DS62),
+    "ds63_brand_month_outliers" -> entry(DS63),
+    "ds64_ratio_to_report" -> entry(DS64),
+    "ds65_under_avg_suppliers" -> entry(DS65),
+    "ds66_q2_spend_buckets" -> entry(DS66),
+    "ds67_return_then_reorder" -> entry(DS67),
+    "ds68_midsize_baskets" -> entry(DS68),
+    "ds69_halfyear_ship_ratio" -> entry(DS69),
+    "ds70_effective_order_value" -> entry(DS70),
+    "ds71_clean_order_suppliers" -> entry(DS71),
+    "ds72_cumulative_race" -> entry(DS72),
+    "ds73_multiquarter_bulk" -> entry(DS73),
+    "ds74_high_discount_baskets" -> entry(DS74),
+    "ds75_brand_return_outliers" -> entry(DS75))
 }
