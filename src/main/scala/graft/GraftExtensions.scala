@@ -72,6 +72,11 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     // StreamingAggregationOperator as AccumulatorCompiler compiles it
     ext.injectQueryStagePrepRule(session =>
       new plans.StreamingSortedAggregate(session))
+    // large integral InSet probes in physical Filters swap to the unboxed
+    // LongSet probe — physical-only so constraint propagation can never
+    // multiply the key array into the task binary (round-16 h02 path)
+    ext.injectQueryStagePrepRule(session =>
+      new plans.UnboxedInProbe(session))
   }
 }
 

@@ -218,8 +218,6 @@ class DynamicSemiJoinPrune(spark: SparkSession)
     // (e.g. 2000000) in spark-submit to enable.
     val maxBcastKeys = confLong(MAX_BCAST_KEYS_KEY, 0L)
     val maxPushKeys = confLong(MAX_PUSH_KEYS_KEY, 1024L)
-    val longSetEnabled =
-      spark.conf.getOption(GraftOptimizations.LONG_SET_KEY).forall(_.toBoolean)
 
     // applicability pre-checks — this rule sits in a fixed-point batch, so
     // every query pays its traversal several times (and the transform's
@@ -373,7 +371,7 @@ class DynamicSemiJoinPrune(spark: SparkSession)
       * keys are non-null by construction (probe filters IsNotNull). */
     def inPred(v: Expression, lits: Seq[Literal]): Expression =
       if (lits.isEmpty) Literal.FalseLiteral
-      else if (lits.size > maxPushKeys) {
+      else if (lits.size > maxPushKeys)
         // big key sets stay OUT of the source filter (NoPushdown scaladoc:
         // the reader's per-page/dictionary stat evaluation of a huge In
         // costs more than the zero row-groups it skips on random layouts;
@@ -381,23 +379,17 @@ class DynamicSemiJoinPrune(spark: SparkSession)
         // In degrades to one [min,max] range per page and hash-bucketing
         // makes every page's raw span ~bucketCount× its key count — 30×
         // scan regression for 795 of 600 M rows skipped, see
-        // sources/SortedInPredicate scaladoc). Past the cap the predicate
-        // runs as a plain codegen filter over the full scan, so its
-        // PER-ROW cost is everything: Spark's InSet above the switch
-        // threshold compiles to immutable.Set.contains(Object), boxing
-        // the key on EVERY row (600 M Long.valueOf allocations on h02's
-        // sf100 scan) — integral key domains probe an unboxed open-
-        // addressing LongSet instead (InLongSet; flip back with
-        // spark.graft.dynamicFilter.longSet=false for A/Bs).
-        val integral = v.dataType == LongType || v.dataType == IntegerType
-        if (integral && longSetEnabled) {
-          val arr = lits.iterator.map(_.value match {
-            case l: Long => l
-            case i: Int => i.toLong
-          }).toArray
-          NoPushdown(InLongSet(v, arr))
-        } else NoPushdown(InSet(v, lits.map(_.value).toSet))
-      } else if (lits.size > SQLConf.get.optimizerInSetConversionThreshold)
+        // sources/SortedInPredicate scaladoc). The LOGICAL plan keeps the
+        // plain InSet even though its per-row probe boxes: constraint
+        // propagation copies this predicate onto every equi-joined side
+        // (293 copies measured on h02 at sf30), and InSet's value-equal
+        // Set field is what lets those copies dedupe. The unboxed probe
+        // swap happens on the PHYSICAL FilterExec (UnboxedInProbe), where
+        // no constraint propagation can multiply it — a first InLongSet
+        // draft emitted HERE put 293 × 60 k-key arrays into one task
+        // binary and spent 470 core-seconds deserializing them.
+        NoPushdown(InSet(v, lits.map(_.value).toSet))
+      else if (lits.size > SQLConf.get.optimizerInSetConversionThreshold)
         InSet(v, lits.map(_.value).toSet)
       else In(v, lits)
 

@@ -96,4 +96,16 @@ case class InLongSet(child: Expression, keys: Array[Long])
   override def sql: String = s"(${child.sql} INLONGSET(${keys.length} keys))"
   override protected def withNewChildInternal(newChild: Expression): InLongSet =
     copy(child = newChild)
+
+  // value-based equality: the Array field's reference equality would make
+  // every structurally-identical copy a distinct expression to Catalyst
+  // (canonicalization, reuse); reference fast-path first — plan copies
+  // share the array instance
+  override def equals(other: Any): Boolean = other match {
+    case o: InLongSet => (this eq o) || (child == o.child &&
+      ((keys eq o.keys) || java.util.Arrays.equals(keys, o.keys)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(keys)
 }

@@ -26,6 +26,24 @@ object ScanProbe {
     val maxKey = base.agg(max(col("l_partkey"))).head().getLong(0)
     val keys = (1 to nKeys).map(i =>
       (maxKey.toDouble * i / (nKeys + 1)).toLong)
+    if (mode == "longset" || mode == "inset") {
+      // isolate the per-row probe: same scan, filter expression flipped
+      import org.apache.spark.sql.catalyst.expressions.InSet
+      val attr = base.queryExecution.analyzed.output
+        .find(_.name == "l_partkey").get
+      val pred =
+        if (mode == "longset")
+          graft.plans.NoPushdown(graft.plans.InLongSet(attr, keys.toArray))
+        else graft.plans.NoPushdown(InSet(attr, keys.map(_.asInstanceOf[Any]).toSet))
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val res = base.where(org.apache.spark.sql.GraftBridge.column(pred))
+          .agg(min(col("l_extendedprice")), count(lit(1))).collect()
+        println(f"mode=$mode keys=$nKeys run=$r " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ${res.head}")
+      }
+      spark.stop(); return
+    }
     val df =
       if (mode == "udp") {
         val pred = graft.sources.SortedInPredicate.forLongColumn(

@@ -105,24 +105,30 @@ class GraftOptimizationsSpec extends AnyFunSuite {
     }
   }
 
-  /** Round-16: past the pushdown cap the predicate is a plain codegen
-    * filter over the full scan, where Spark's InSet boxes the key on
-    * every row — integral domains probe the unboxed LongSet instead. */
-  test("integral keys past maxPushdownKeys probe the unboxed InLongSet; " +
-      "off-switch restores InSet; results identical") {
+  /** Round-16: large integral InSet probes in PHYSICAL Filters swap to
+    * the unboxed InLongSet (UnboxedInProbe). The LOGICAL plan must keep
+    * InSet — constraint propagation copies the predicate onto every
+    * equi-joined side, and only InSet's value-equal Set dedupes there
+    * (the plan-time draft put 293 key-array copies into one task
+    * binary). */
+  test("large integral InSet probes run as the unboxed InLongSet in the " +
+      "physical filter; logical plan keeps InSet; off-switch restores") {
     val expect = baseline(IN_SEMI_SQL)
     withConf(FACT_MIN_KEY -> "1", DIM_MAX_KEY -> (256L << 20).toString,
-      RATIO_KEY -> "0", MAX_PUSH_KEYS_KEY -> "1") {
+      RATIO_KEY -> "0", MAX_PUSH_KEYS_KEY -> "1",
+      "spark.sql.optimizer.inSetSwitchThreshold" -> "1") {
       val df = spark.sql(IN_SEMI_SQL)
+      assert(rows(df) == expect) // finalize the adaptive plan
       val optimized = df.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("INLONGSET"), optimized.take(1000))
-      assert(rows(df) == expect)
+      assert(!optimized.contains("INLONGSET"), optimized.take(1000))
+      assert(optimized.contains("nopushdown"), optimized.take(1000))
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("INLONGSET"), phys.take(1500))
       withConf(LONG_SET_KEY -> "false") {
         val off = spark.sql(IN_SEMI_SQL)
-        val offPlan = off.queryExecution.optimizedPlan.toString
-        assert(!offPlan.contains("INLONGSET"), offPlan.take(1000))
-        assert(offPlan.contains("INSET"), offPlan.take(1000))
         assert(rows(off) == expect)
+        val offPhys = off.queryExecution.executedPlan.toString
+        assert(!offPhys.contains("INLONGSET"), offPhys.take(1500))
       }
     }
   }
